@@ -18,28 +18,7 @@ import org.apache.spark.sql.types._
   *  - No `current_timestamp`/`current_date`/rand in compared queries.
   */
 object QueryCatalog {
-
-  final case class Q(
-      name: String,
-      fn: (SparkSession, String) => DataFrame,
-      oracle: Option[String],
-      headline: Boolean = false)
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
-
-  /** Exact money sum: accumulate in decimal (associative & exact ⇒ immune to
-    * partial-agg ordering), surface as double. `scale` must cover the true
-    * decimal scale of the addend (prices: 2; price*(1±x): 4; *(1±x)²: 6). */
-  private def dsum(c: Column, scale: Int): Column =
-    sum(c.cast(DecimalType(28, scale))).cast("double")
-
-  private def oracleDsum(sqlExpr: String, scale: Int): String =
-    s"CAST(SUM(CAST($sqlExpr AS DECIMAL(28,$scale))) AS DOUBLE)"
-
-  /** Conditional count that matches DuckDB's BIGINT. */
-  private def countIf(cond: Column): Column =
-    sum(when(cond, 1L).otherwise(0L))
+  import QueryDsl._
 
   // ===========================================================================
   // Core relational queries (SURVEY §2.2, §2.4, §2.6)
@@ -213,7 +192,10 @@ object QueryCatalog {
   // ===========================================================================
 
   val all: Seq[Q] = Seq(
-    q1PricingSummary, q2FilterProject, q3StarJoin, q4TopK, q5WindowRank, q6DistinctAgg)
+    q1PricingSummary, q2FilterProject, q3StarJoin, q4TopK, q5WindowRank, q6DistinctAgg) ++
+    _root_.graft.queries.Scalar.all ++
+    _root_.graft.queries.SetOps.all ++
+    _root_.graft.queries.SilverQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.{Q, QueryDsl}
+import QueryDsl._
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY §2.7): string / date-time / math /
+  * conditional / collection-literal expressions, each oracle-checked.
+  *
+  * All of these are pure projections — codegen'd, no shuffle, scan-dominated
+  * at any scale. The interesting part is oracle parity, noted per query.
+  */
+object Scalar {
+
+  /** String functions (concat, lpad, lower, trim, length, sha2, substring
+    * from-end). DuckDB twins: right() for negative-start substring, sha256().
+    * Ref behavior: 01_Bronze:93-97 (id synthesis), 02_Silver:67-73 (mask). */
+  val q7Strings: Q = Q(
+    "q7_string_funcs",
+    (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat(lit("CUST-"), lpad(col("c_custkey").cast("string"), 10, "0")).as("cust_id"),
+        lower(trim(col("c_name"))).as("name_norm"),
+        length(col("c_name")).cast("long").as("name_len"),
+        sha2(lower(trim(col("c_name"))), 256).as("name_token"),
+        substring(col("c_name"), -4, 4).as("name_last4"),
+        upper(col("c_mktsegment")).as("segment_uc")),
+    Some("""
+      SELECT c_custkey,
+        'CUST-' || lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS cust_id,
+        lower(trim(c_name)) AS name_norm,
+        CAST(length(c_name) AS BIGINT) AS name_len,
+        sha256(lower(trim(c_name))) AS name_token,
+        right(c_name, 4) AS name_last4,
+        upper(c_mktsegment) AS segment_uc
+      FROM customer
+    """))
+
+  /** Date/time functions (to_date, year/month/day, date_format, quarter).
+    * DuckDB year() et al. return BIGINT ⇒ Spark side casts to long;
+    * date_format ↔ strftime. Ref: 01:94 (yyyyMMdd ids), 02:148-149. */
+  val q8DateTime: Q = Q(
+    "q8_datetime_funcs",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("order_day"),
+        quarter(col("o_orderdate")).cast("long").as("order_quarter"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("order_yyyymmdd"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date")),
+    Some("""
+      SELECT o_orderkey,
+        CAST(o_orderdate AS DATE) AS order_date,
+        year(o_orderdate) AS order_year,
+        month(o_orderdate) AS order_month,
+        day(o_orderdate) AS order_day,
+        quarter(o_orderdate) AS order_quarter,
+        strftime(o_orderdate, '%Y%m%d') AS order_yyyymmdd,
+        CAST(o_orderdate AS DATE) + 30 AS due_date
+      FROM orders
+    """))
+
+  /** Math functions (round, abs, sqrt, pow, modulo, cast, column arithmetic).
+    * sin/cos are rounded to 4 decimals — JVM Math.sin and libm agree to well
+    * under 1e-12 at these magnitudes, so the rounding is stable.
+    * Ref: 01:109-110 (abs/sin amount synthesis), §2.7 math table. */
+  val q9Math: Q = Q(
+    "q9_math_funcs",
+    (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_orderkey") % 7).as("key_mod7"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        round(sin(col("l_quantity")), 4).as("qty_sin"),
+        col("l_quantity").cast("int").as("qty_int"),
+        // rounded at the true decimal scale (2-dec × 2-dec ⇒ exactly 4
+        // decimals) — never lands on a rounding tie, unlike round(..., 2)
+        round(col("l_extendedprice") * (lit(1.0) + col("l_tax")), 4).as("price_taxed")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        l_orderkey % 7 AS key_mod7,
+        abs(l_discount - 0.05) AS disc_dev,
+        round(sqrt(l_extendedprice), 4) AS price_sqrt,
+        round(pow(l_discount, 2), 6) AS disc_sq,
+        round(sin(l_quantity), 4) AS qty_sin,
+        CAST(l_quantity AS INT) AS qty_int,
+        round(l_extendedprice * (1 + l_tax), 4) AS price_taxed
+      FROM lineitem
+    """))
+
+  /** when/when/otherwise bucketing + boolean flags + groupBy on the derived
+    * column (ref 02:150-164 amount buckets / risk flags), via
+    * [[graft.silver.Enrich.buckets]]. */
+  val q10CaseBucket: Q = Q(
+    "q10_case_bucket",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.withColumn("price_bucket",
+          graft.silver.Enrich.buckets(col("o_totalprice"),
+            Seq(50000.0 -> "small", 150000.0 -> "medium", 250000.0 -> "large"), "jumbo"))
+        .withColumn("is_urgent",
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("price_bucket"), col("is_urgent"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("revenue"))
+    },
+    Some("""
+      SELECT
+        CASE WHEN o_totalprice < 50000 THEN 'small'
+             WHEN o_totalprice < 150000 THEN 'medium'
+             WHEN o_totalprice < 250000 THEN 'large'
+             ELSE 'jumbo' END AS price_bucket,
+        o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_urgent,
+        COUNT(*) AS n_orders,
+        %s AS revenue
+      FROM orders GROUP BY 1, 2
+    """.format(oracleDsum("o_totalprice", 2))))
+
+  /** Literal-map lookup (ref 02:145-147 `create_map(...)[col]`) side by side
+    * with its scale-out twin, a broadcast dim join (J3). The map lookup is
+    * constant-folded into the projection; the nation join ships ~25 rows to
+    * every executor — the customer side never shuffles. */
+  val q11DimLookup: Q = Q(
+    "q11_dim_lookup",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      graft.silver.Enrich
+        .dimLookup(c.withColumn("n_nationkey", col("c_nationkey")), n, Seq("n_nationkey"))
+        .select(
+          col("c_custkey"),
+          graft.silver.Enrich.lookup(col("c_mktsegment"),
+            Seq("AUTOMOBILE" -> "AUTO", "BUILDING" -> "BLDG", "FURNITURE" -> "FURN"),
+            "OTHER").as("seg_code"),
+          col("n_name"))
+    },
+    Some("""
+      SELECT c_custkey,
+        CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'AUTO'
+                          WHEN 'BUILDING' THEN 'BLDG'
+                          WHEN 'FURNITURE' THEN 'FURN'
+                          ELSE 'OTHER' END AS seg_code,
+        n_name
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    """))
+
+  val all: Seq[Q] = Seq(q7Strings, q8DateTime, q9Math, q10CaseBucket, q11DimLookup)
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.{Q, QueryDsl}
+import QueryDsl._
+import org.apache.spark.sql.functions._
+
+/** Joins & set operations (SURVEY §2.3): union, except, semi/anti joins,
+  * outer joins with null handling.
+  */
+object SetOps {
+
+  /** unionByName (J6) — temporal-union pattern of the reference's append
+    * writes (02:127-128). UNION ALL is shuffle-free: partitions concatenate. */
+  val q12Union: Q = Q(
+    "q12_union_all",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 250000)
+        .select(col("o_orderkey"), col("o_orderstatus"), lit("big").as("src"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"), lit("urgent").as("src"))
+      big.unionByName(urgent)
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, 'big' AS src FROM orders WHERE o_totalprice > 250000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+    """))
+
+  /** EXCEPT DISTINCT (J2) — the reference's `subtract` quarantine split
+    * (02:120). Note: at scale prefer the predicate re-evaluation in
+    * [[graft.silver.Quality]]; this query exists to prove the operator. */
+  val q13Except: Q = Q(
+    "q13_except",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """))
+
+  /** Left-semi join (J5) = EXISTS. Only the key column of the right side is
+    * needed ⇒ Catalyst prunes it to a 1-column build side. */
+  val q14Semi: Q = Q(
+    "q14_semi_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """))
+
+  /** Left-anti join (J5) = NOT EXISTS — the quarantine/merge building block. */
+  val q15Anti: Q = Q(
+    "q15_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """))
+
+  /** Left outer join + aggregation with null-group handling (J5/A2):
+    * customers keep a row even with zero orders (count=0, spend=0). */
+  val q16LeftJoinAgg: Q = Q(
+    "q16_left_join_agg",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice"), 2), lit(0.0)).as("total_spend"))
+    },
+    Some("""
+      SELECT c_custkey, c_name,
+        COUNT(o_orderkey) AS n_orders,
+        COALESCE(%s, 0.0) AS total_spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name
+    """.format(oracleDsum("o_totalprice", 2))))
+
+  val all: Seq[Q] = Seq(q12Union, q13Except, q14Semi, q15Anti, q16LeftJoinAgg)
+}
