@@ -12,8 +12,10 @@ import org.apache.spark.sql.types._
   * Determinism rules for oracle-compared queries (SURVEY §7 "hard parts"):
   *  - Money sums go through `DECIMAL` so Spark's parallel partial-aggregation
   *    order can't produce float drift vs DuckDB's serial sum ([[dsum]]).
-  *  - Ratios/averages are `exact-sum / exact-count` rounded, computed the
-  *    same way on both sides.
+  *  - Ratios/averages are `exact-sum / exact-count` double division,
+  *    UNROUNDED: both engines divide identical inputs ⇒ identical doubles.
+  *    (Rounding a quotient can land on a .xx5 tie where engines disagree;
+  *    round() is only safe at/below the true decimal scale of the value.)
   *  - Every `limit` is preceded by a total order with a unique tiebreaker.
   *  - No `current_timestamp`/`current_date`/rand in compared queries.
   */
@@ -40,7 +42,7 @@ object QueryCatalog {
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
           count(lit(1)).as("count_order"),
           countDistinct(col("l_orderkey")).as("n_orders"))
-        .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 4))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
@@ -50,7 +52,7 @@ object QueryCatalog {
         %s AS sum_charge,
         COUNT(*) AS count_order,
         COUNT(DISTINCT l_orderkey) AS n_orders,
-        ROUND(CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+        CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
       GROUP BY l_returnflag, l_linestatus
@@ -102,7 +104,7 @@ object QueryCatalog {
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
           countDistinct(col("c_custkey")).as("n_customers"),
           countIf(col("o_orderstatus") === "F").as("n_finished"))
-        .withColumn("finished_ratio", round(col("n_finished") / col("n_lines"), 4))
+        .withColumn("finished_ratio", col("n_finished") / col("n_lines"))
     },
     Some("""
       SELECT r_name, n_name,
@@ -110,7 +112,7 @@ object QueryCatalog {
         %s AS revenue,
         COUNT(DISTINCT c_custkey) AS n_customers,
         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
-        ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*), 4) AS finished_ratio
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS finished_ratio
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -174,16 +176,16 @@ object QueryCatalog {
           countDistinct(col("o_custkey")).as("n_customers"),
           countIf(col("o_orderstatus") === "F").as("n_finished"),
           dsum(col("o_totalprice"), 2).as("total_revenue"))
-        .withColumn("finished_ratio", round(col("n_finished") / col("n_orders"), 4))
-        .withColumn("avg_order_value", round(col("total_revenue") / col("n_orders"), 2)),
+        .withColumn("finished_ratio", col("n_finished") / col("n_orders"))
+        .withColumn("avg_order_value", col("total_revenue") / col("n_orders")),
     Some("""
       SELECT o_orderpriority,
         COUNT(*) AS n_orders,
         COUNT(DISTINCT o_custkey) AS n_customers,
         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
         %s AS total_revenue,
-        ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*), 4) AS finished_ratio,
-        ROUND(%s / COUNT(*), 2) AS avg_order_value
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS finished_ratio,
+        %s / COUNT(*) AS avg_order_value
       FROM orders GROUP BY o_orderpriority
     """.format(oracleDsum("o_totalprice", 2), oracleDsum("o_totalprice", 2))))
 
@@ -195,7 +197,8 @@ object QueryCatalog {
     q1PricingSummary, q2FilterProject, q3StarJoin, q4TopK, q5WindowRank, q6DistinctAgg) ++
     _root_.graft.queries.Scalar.all ++
     _root_.graft.queries.SetOps.all ++
-    _root_.graft.queries.SilverQueries.all
+    _root_.graft.queries.SilverQueries.all ++
+    _root_.graft.queries.GoldQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
