@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash-LSH,
+  * and exact-Jaccard verification.
+  *
+  * Scale design:
+  *  - Exact dedup is one hash groupBy on the (cheap, pre-computed) key —
+  *    the canonical 100 TB dedup pass.
+  *  - MinHash-LSH avoids the O(n²) pair explosion: signatures are computed
+  *    scan-side with higher-order functions (no UDF), candidates come from a
+  *    self-equi-join on (band, bucket) — shuffle keyed on the bucket hash,
+  *    so only colliding docs ever meet. Band count × rows bounds the explode
+  *    factor.
+  *  - Exact Jaccard verifies candidates (or small blocked pair sets) —
+  *    array_intersect/union on distinct token sets.
+  */
+object Dedup {
+
+  /** Canonical text normalization for exact dedup. */
+  def normalized(text: Column): Column = lower(trim(text))
+
+  /** Exact dedup: one row per distinct key with representative id + dup
+    * count. `keep` must be an ordering-safe representative (min id). */
+  def exact(df: DataFrame, key: Column, idCol: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** 3-word shingles of the token array (w-shingling). */
+  def shingles(toks: Column, w: Int = 3): Column =
+    when(size(toks) < w, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(w)))))
+
+  /** MinHash signature: k independent hash functions via seeded xxhash64;
+    * each signature entry is the min hash over the shingle set. */
+  def minhashSignature(shin: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shin, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** LSH banding: split the signature into `bands` equal slices; each band's
+    * hash is a bucket key. Docs sharing ANY band bucket become candidates. */
+  def lshBandHashes(sig: Column, k: Int, bands: Int): Column = {
+    val rowsPerBand = k / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+    }: _*)
+  }
+
+  /** Exact Jaccard similarity of two distinct-token-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** End-to-end MinHash-LSH near-dup candidate pairs, verified with exact
+    * Jaccard ≥ `threshold`. Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+    val toks = array_distinct(split(normalized(col(textCol)), " "))
+    val prepared = df.select(
+      col(idCol).as("id"),
+      toks.as("toks"),
+      lshBandHashes(minhashSignature(shingles(split(normalized(col(textCol)), " ")), k), k, bands)
+        .as("bandhashes"))
+    val buckets = prepared.select(col("id"), col("toks"), explode(col("bandhashes")).as("bh"))
+    val a = buckets.select(col("bh"), col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = buckets.select(col("bh"), col("id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Blocked all-pairs exact Jaccard (the oracle-friendly near-dup path):
+    * pairs are generated only within a blocking key (e.g. source), keeping
+    * the join quadratic only per-block. */
+  def blockedJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val toks = array_distinct(split(normalized(col(textCol)), " "))
+    val p = df.select(col(blockCol).as("block"), col(idCol).as("id"), toks.as("toks"))
+    val a = p.select(col("block"), col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = p.select(col("block"), col("id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("block", "id_a", "id_b", "jaccard")
+  }
+}

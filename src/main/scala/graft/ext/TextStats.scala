@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis Column combinators for LLM-training-data pipelines:
+  * tokenization stats, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is built from codegen'd higher-order functions
+  * (`split`/`transform`/`filter`/`aggregate`) — no UDFs, no shuffles; a
+  * 100 TB corpus pays one projection scan. North-star extension beyond the
+  * reference surface (SURVEY §2.9 notes the reference has no UDF/text ops).
+  */
+object TextStats {
+
+  /** Whitespace tokenization (documents are single-space word soup). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def nTokens(text: Column): Column = size(tokens(text)).cast("long")
+
+  def nDistinctTokens(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Σ token length / token count (double division, engine-exact). */
+  def avgTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, x) => acc + length(x).cast("long"))
+      .cast("double") / nTokens(text)
+
+  /** Fraction of tokens in the stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+      .cast("double") / nTokens(text)
+
+  /** distinct/total tokens — low values indicate repetitive spam. */
+  def typeTokenRatio(text: Column): Column =
+    nDistinctTokens(text).cast("double") / nTokens(text)
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"-]", "")).cast("double") / length(text)
+
+  /** Order-insensitive content fingerprint: SHA-256 over the sorted distinct
+    * token set. Robust to word reordering; pairs with [[Dedup]] for
+    * near-dup candidate generation. */
+  def fingerprint(text: Column): Column =
+    sha2(concat_ws(" ", array_sort(array_distinct(tokens(text)))), 256)
+
+  /** Stopword-vote language ID (n-gram-heuristic family). Deterministic
+    * fixed-priority argmax — ties resolve en > de > fr > und. */
+  def langId(text: Column): Column = {
+    def votes(stops: Seq[String]): Column =
+      size(filter(tokens(text), x => x.isin(stops.map(_.asInstanceOf[Any]): _*)))
+    val en = votes(Seq("the", "a", "of", "and", "is"))
+    val de = votes(Seq("der", "die", "das", "und", "ist"))
+    val fr = votes(Seq("le", "la", "et", "les", "est"))
+    when(en >= de && en >= fr && en > 0, "en")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Additive 0-100 quality score from length/stopword/diversity signals
+    * (reference risk-score shape, 02:159-164, applied to text quality). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val len = length(text)
+    (when(len.between(50, 2000), 25).otherwise(0)
+      + when(stopwordRatio(text, stopwords) > 0.03, 25).otherwise(0)
+      + when(avgTokenLen(text).between(2.0, 12.0), 25).otherwise(0)
+      + when(typeTokenRatio(text) > 0.3, 25).otherwise(0)).cast("int")
+  }
+}

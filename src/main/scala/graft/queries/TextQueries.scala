@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.{Q, QueryDsl}
+import QueryDsl._
+import graft.ext.{Dedup, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star text-analysis + dedup operators over `documents`
+  * (LLM-training-data pipeline surface; graded alongside SURVEY §2).
+  */
+object TextQueries {
+
+  private val stops = Seq("the", "a", "of", "and", "is")
+  private val stopsSqlList = stops.map(s => s"'$s'").mkString(", ")
+
+  /** documents ∪ synthesized exact dups (upper-cased text, offset ids) —
+    * makes dedup/near-dup queries non-vacuous (all raw texts are distinct).
+    */
+  private def corpusWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", upper(col("text"))))
+  }
+
+  private val corpusSql =
+    """SELECT * FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, upper(text) AS text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** Token-level stats: counting, diversity, stopword & punctuation ratios.
+    * All higher-order-function projections (no UDF, codegen'd). */
+  val q26TextStats: Q = Q(
+    "q26_text_stats",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.nTokens(col("text")).as("n_tokens"),
+        TextStats.nDistinctTokens(col("text")).as("n_distinct_tokens"),
+        TextStats.avgTokenLen(col("text")).as("avg_token_len"),
+        TextStats.typeTokenRatio(col("text")).as("type_token_ratio"),
+        TextStats.stopwordRatio(col("text"), stops).as("stopword_ratio"),
+        TextStats.punctRatio(col("text")).as("punct_ratio")),
+    Some(s"""
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS avg_token_len,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS type_token_ratio,
+        CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopsSqlList))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        CAST(length(regexp_replace(text, '[^.,;:!?''"-]', '', 'g')) AS DOUBLE)
+          / length(text) AS punct_ratio
+      FROM documents
+    """))
+
+  /** Language-ID heuristic + additive quality score (deterministic rule
+    * mirror on both sides). */
+  val q27LangQuality: Q = Q(
+    "q27_lang_quality",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        col("lang").as("lang_meta"),
+        TextStats.langId(col("text")).as("lang_pred"),
+        TextStats.qualityScore(col("text"), stops).as("quality")),
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang AS lang_meta, text,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS v_en,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS v_de,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('le', 'la', 'et', 'les', 'est'))) AS v_fr,
+          len(string_split(text, ' ')) AS n_tok,
+          len(list_distinct(string_split(text, ' '))) AS n_dis,
+          CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS atl,
+          CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopsSqlList))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS swr
+        FROM documents
+      )
+      SELECT doc_id, lang_meta,
+        CASE WHEN v_en >= v_de AND v_en >= v_fr AND v_en > 0 THEN 'en'
+             WHEN v_de >= v_fr AND v_de > 0 THEN 'de'
+             WHEN v_fr > 0 THEN 'fr'
+             ELSE 'und' END AS lang_pred,
+        CAST((CASE WHEN length(text) BETWEEN 50 AND 2000 THEN 25 ELSE 0 END)
+           + (CASE WHEN swr > 0.03 THEN 25 ELSE 0 END)
+           + (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 25 ELSE 0 END)
+           + (CASE WHEN CAST(n_dis AS DOUBLE) / n_tok > 0.3 THEN 25 ELSE 0 END)
+          AS INT) AS quality
+      FROM scored
+    """))
+
+  /** Order-insensitive document fingerprint (rolling-hash family): SHA-256
+    * over the sorted distinct token set. */
+  val q28Fingerprint: Q = Q(
+    "q28_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fingerprint")),
+    Some("""
+      SELECT doc_id,
+        sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+      FROM documents
+    """))
+
+  /** Exact dedup via hash groupBy on normalized text — THE 100 TB dedup
+    * primitive. Run over a corpus with synthesized case-variant dups. */
+  val q29DedupExact: Q = Q(
+    "q29_dedup_exact",
+    (s, dir) =>
+      Dedup.exact(corpusWithDups(s, dir), Dedup.normalized(col("text")), col("doc_id"))
+        .select(col("keep_id"), col("n_dups")),
+    Some(s"""
+      WITH corpus AS ($corpusSql)
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM corpus GROUP BY lower(trim(text))
+    """))
+
+  /** Blocked all-pairs exact n-gram(1) Jaccard ≥ 0.9 (near-dup detection,
+    * oracle-expressible path; the LSH path is q31). Quadratic only within a
+    * block (source). */
+  val q30JaccardPairs: Q = Q(
+    "q30_jaccard_pairs",
+    (s, dir) =>
+      Dedup.blockedJaccardPairs(corpusWithDups(s, dir), "doc_id", "text", "source", 0.9),
+    Some(s"""
+      WITH corpus AS ($corpusSql),
+      p AS (
+        SELECT source AS block, doc_id AS id,
+               list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+        FROM corpus
+      )
+      SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+      FROM p a JOIN p b ON a.block = b.block AND a.id < b.id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    """))
+
+  /** MinHash + LSH near-dup pairs (k=32 hashes, 8 bands), verified with
+    * exact Jaccard. Hash functions are engine-specific ⇒ rows-only check
+    * (no oracle); correctness is property-tested in DedupSpec. */
+  val q31MinhashLsh: Q = Q(
+    "q31_minhash_neardup",
+    (s, dir) =>
+      Dedup.minhashNearDups(corpusWithDups(s, dir), "doc_id", "text",
+        k = 32, bands = 8, threshold = 0.9),
+    None)
+
+  /** Token frequency via explode (generator op) + top-k. */
+  val q32TokenHistogram: Q = Q(
+    "q32_token_histogram",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextStats.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+    Some("""
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """))
+
+  val all: Seq[Q] = Seq(
+    q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
+    q30JaccardPairs, q31MinhashLsh, q32TokenHistogram)
+}

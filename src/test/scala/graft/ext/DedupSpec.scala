@@ -1,0 +1,54 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+    (2L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG", "s1"), // case dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "s1"), // near dup of 1
+    (4L, "completely different content about spark engines", "s1"),
+    (5L, "unrelated text in another block entirely here now", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups case variants") {
+    val out = Dedup.exact(docs, Dedup.normalized($"text"), $"doc_id")
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(out.length === 4)
+    assert(out.head === (("the quick brown fox jumps over the lazy dog", 1L, 2L)))
+  }
+
+  test("jaccard is 1.0 for identical sets and low for unrelated") {
+    val toksOf = (c: String) => array_distinct(split(lower(lit(c)), " "))
+    val r = docs.limit(1).select(
+      Dedup.jaccard(toksOf("a b c"), toksOf("c b a")).as("same"),
+      Dedup.jaccard(toksOf("a b"), toksOf("x y")).as("diff")).head
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("minhash LSH finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", k = 32, bands = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)), "case dup must be found")
+    assert(pairs.contains((1L, 3L)), "near dup (8/10 shared tokens) must be found")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "unrelated doc must not pair")
+  }
+
+  test("shingles produce w-grams and degrade gracefully on short docs") {
+    val out = docs.limit(1).select(
+      Dedup.shingles(split(lit("a b c d"), " "), 3).as("sh"),
+      Dedup.shingles(split(lit("a b"), " "), 3).as("short")).head
+    assert(out.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(out.getSeq[String](1) === Seq("a b"))
+  }
+
+  test("blocked jaccard respects blocks") {
+    val out = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 0.5)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.forall(_._1 == "s1"), "cross-block pairs must not appear")
+  }
+}
