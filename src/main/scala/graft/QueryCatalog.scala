@@ -199,7 +199,8 @@ object QueryCatalog {
     _root_.graft.queries.SetOps.all ++
     _root_.graft.queries.SilverQueries.all ++
     _root_.graft.queries.GoldQueries.all ++
-    _root_.graft.queries.TextQueries.all
+    _root_.graft.queries.TextQueries.all ++
+    _root_.graft.queries.EmbedQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`), north-star
+  * extension. All vector math is built from codegen'd higher-order functions
+  * (`zip_with`/`aggregate`/`transform`) — no UDFs, no per-row JVM boxing
+  * beyond the array itself.
+  *
+  * Scale paths:
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) query set, one scan
+  *    of the corpus, per-query top-k. cost O(|corpus|·|queries|·d); the
+  *    baseline and the verifier for approximate paths.
+  *  - [[lshTopK]] — approximate: random-hyperplane signature buckets the
+  *    corpus (one scan), candidates meet in a bucket-keyed shuffle instead
+  *    of a cross join. Recall tunable via planes/tables; each table is one
+  *    cheap integer key.
+  */
+object Similarity {
+
+  /** Elementwise ops accumulate left-to-right in doubles — the same order a
+    * serial engine uses, so results are bit-stable across engines. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    * `queries`: (qid, qvec); `corpus`: (id, vec). Self-pairs excluded.
+    * The query side is broadcast: the corpus never shuffles for the join;
+    * the only wide exchange is the per-qid top-k (tiny: k rows/qid). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    * from (plane, dim) via xxhash64 so every executor materializes identical
+    * planes with zero driver state shipped. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2000001L)) - lit(1000000L)).cast("double") / 1000000.0
+
+  /** Random-hyperplane (SimHash) signature of a vector: one sign bit per
+    * plane, packed into a long — the LSH bucket key. */
+  def hyperplaneSignature(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), d => planeComponent(p, d)),
+          (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Approximate top-k: candidates share a hyperplane-signature bucket with
+    * the query; exact cosine ranks within candidates. One corpus scan to
+    * bucket, one bucket-keyed join — no cross join at any scale. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 12): DataFrame = {
+    val bc = corpus.withColumn("bucket", hyperplaneSignature(col("vec"), nPlanes))
+    val bq = queries.withColumn("bucket", hyperplaneSignature(col("qvec"), nPlanes))
+    val cand = bc.join(broadcast(bq), Seq("bucket"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+  val dir = "/root/testdata/sf0.001"
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine($"a", $"b").as("same"),
+      Similarity.cosine($"a", $"c").as("orth")).head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute force top-k: ranks are dense, sims non-increasing, no self") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = emb.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.bruteForceTopK(corpus, queries, 5)
+      .as[(Long, Long, Long, Double)].collect().groupBy(_._1)
+    assert(out.size === 3)
+    out.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to 5L))
+      assert(sorted.sliding(2).forall(p => p(0)._4 >= p(1)._4), "sims must be non-increasing")
+      assert(!rows.exists(_._3 == qid), "self-pair excluded")
+    }
+  }
+
+  test("LSH top-k is a high-precision subset of brute-force ranking") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = emb.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val truth = Similarity.bruteForceTopK(corpus, queries, 20)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val approx = Similarity.lshTopK(corpus, queries, 5, nPlanes = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    // near-uniform random vectors: top-20-of-500 random baseline is ~4%;
+    // require a ≥4× lift from bucketing (precision; recall is plane-tunable)
+    val hits = approx.filter(r => truth.contains(r._1))
+    val inTop = hits.count(r => truth(r._1).contains(r._3))
+    assert(hits.nonEmpty, "LSH should produce candidates at 4 planes")
+    assert(inTop.toDouble / hits.length > 0.16,
+      s"LSH precision vs top-20 shows no lift over random: $inTop/${hits.length}")
+  }
+
+  test("hyperplane signature is deterministic") {
+    val emb = Tables.load(spark, dir, "embeddings").limit(20)
+    val s1 = emb.select($"vec_id", Similarity.hyperplaneSignature($"embedding", 8).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val s2 = emb.select($"vec_id", Similarity.hyperplaneSignature($"embedding", 8).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(s1 === s2)
+  }
+}
