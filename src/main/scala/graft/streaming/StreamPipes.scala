@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.silver.{Merge, TxnSilver}
+import graft.sources.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming pipeline stages (SURVEY §2.1 S1-S4, §2.8 ST1-ST7).
+  *
+  * The reference's Delta streaming sinks/sources map to parquet here (no
+  * Delta jar): checkpointed exactly-once file sinks, schema-explicit file
+  * sources, foreachBatch for multi-table/merge logic, AvailableNow for
+  * batch-over-stream runs. Watermarked windows / session windows /
+  * dropDuplicatesWithinWatermark are the north-star stateful additions the
+  * reference lacks (SURVEY §2.8 ST7).
+  */
+object StreamPipes {
+
+  /** Bronze ingest (ref 01:181-189): append streaming sink, partitioned by
+    * ingestion_date, checkpointed, AvailableNow. Caller awaits termination. */
+  def bronzeSink(bronze: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    bronze.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .option("path", path)
+      .partitionBy("ingestion_date")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Stream-read a parquet table (ref 02:199-200; parquet file source needs
+    * an explicit schema, unlike Delta). */
+  def tableStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.format("parquet").schema(schema).load(path)
+
+  /** Silver foreachBatch (ref 02:97-209): per micro-batch DQ split → enrich
+    * → idempotent keyed merge into the silver path + quarantine append.
+    * Exactly-once under replay: checkpoint tracks offsets, and the merge is
+    * keyed on transaction_id so re-processing a batch is a no-op. */
+  def silverForeachBatch(
+      bronzeStream: DataFrame,
+      silverPath: String, quarantinePath: String, checkpoint: String,
+      clock: java.sql.Timestamp, validMcc: Seq[String]): StreamingQuery =
+    bronzeStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val (silverReady, quarantined) = TxnSilver.processBatch(batch, clock, validMcc)
+        quarantined.write.mode("append").parquet(quarantinePath) // 02:124-128
+        val merged = VersionedTable.read(spark, silverPath) match {
+          case Some(target) =>
+            Merge.upsert(target, silverReady, Seq("transaction_id")) // 02:174-181
+          case None => silverReady // 02:184 first-batch fallback
+        }
+        VersionedTable.commit(spark, silverPath, merged)
+        ()
+      }
+      .start()
+
+  /** Watermarked event-time hourly aggregate (north-star ST7): late data
+    * beyond 10 minutes is dropped; state is bounded by the watermark. */
+  def watermarkedHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Session windows with a 30-minute gap (north-star ST7): the streaming
+    * twin of [[graft.ext.Sessionize]]. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming dedup bounded by watermark (north-star ST7). */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+}

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.gen.TxnGen
+import graft.sources.VersionedTable
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+case class Ev(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+  val clock = java.sql.Timestamp.valueOf("2024-06-02 00:00:00")
+
+  private def tmp(): String = Files.createTempDirectory("graft-stream").toString
+
+  test("bronze ingest: checkpointed availableNow parquet sink, partitioned (S2/S8/S9/ST1)") {
+    val dir = tmp()
+    val bronzePath = s"$dir/bronze"
+    // batch-as-stream through the generator derivation over a file source:
+    // write raw values, stream-read them, derive, sink
+    val rawPath = s"$dir/raw"
+    spark.range(200).toDF("value")
+      .withColumn("event_timestamp", timestamp_micros(lit(t0.getTime * 1000L) + col("value") * 50000L))
+      .write.parquet(rawPath)
+    val src = spark.readStream
+      .schema("value LONG, event_timestamp TIMESTAMP")
+      .parquet(rawPath)
+    val q = StreamPipes.bronzeSink(TxnGen.derive(src, clock), bronzePath, s"$dir/ckpt")
+    q.awaitTermination()
+    val out = spark.read.parquet(bronzePath)
+    assert(out.count() === 200)
+    assert(out.columns.contains("transaction_id"))
+    // restart with same checkpoint: no new data -> no duplicates (ST3)
+    val q2 = StreamPipes.bronzeSink(
+      TxnGen.derive(spark.readStream.schema("value LONG, event_timestamp TIMESTAMP").parquet(rawPath), clock),
+      bronzePath, s"$dir/ckpt")
+    q2.awaitTermination()
+    assert(spark.read.parquet(bronzePath).count() === 200)
+  }
+
+  test("silver foreachBatch: DQ + merge, idempotent under source replay (S4/ST6)") {
+    val dir = tmp()
+    val bronzePath = s"$dir/bronze"
+    TxnGen.batch(spark, 300, t0, clock).write.parquet(bronzePath)
+    val schema = spark.read.parquet(bronzePath).schema
+    def runOnce(ckpt: String) = {
+      val q = StreamPipes.silverForeachBatch(
+        StreamPipes.tableStream(spark, bronzePath, schema),
+        s"$dir/silver", s"$dir/quarantine", ckpt, clock, TxnGen.ValidMcc)
+      q.awaitTermination()
+    }
+    runOnce(s"$dir/ckpt1")
+    val v1 = VersionedTable.read(spark, s"$dir/silver").get
+    assert(v1.count() === 300)
+    // replay the SAME data with a FRESH checkpoint: merge keyed on
+    // transaction_id must leave the table unchanged (exactly-once by key)
+    runOnce(s"$dir/ckpt2")
+    val v2 = VersionedTable.read(spark, s"$dir/silver").get
+    assert(v2.count() === 300)
+    assert(v2.select("transaction_id").distinct().count() === 300)
+  }
+
+  test("watermarked hourly aggregate emits closed windows (ST7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamPipes.watermarkedHourly(mem.toDF())
+      .writeStream.format("memory").queryName("wm_hourly").outputMode("append").start()
+    def ev(min: Int, typ: String, v: Double) =
+      Ev(java.sql.Timestamp.valueOf(f"2024-06-01 10:$min%02d:00"), 1L, typ, v)
+    mem.addData(ev(5, "click", 1.0), ev(20, "click", 2.0), ev(40, "view", 3.0))
+    q.processAllAvailable()
+    // advance event time beyond 11:00 + 10min watermark to close the 10:00 window
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-06-01 11:30:00"), 1L, "click", 9.0))
+    q.processAllAvailable()
+    val out = spark.table("wm_hourly").as[(java.sql.Timestamp, String, Long, Double)].collect()
+    q.stop()
+    val closed = out.filter(_._1 === java.sql.Timestamp.valueOf("2024-06-01 10:00:00"))
+    assert(closed.map(r => r._2 -> ((r._3, r._4))).toMap ===
+      Map("click" -> ((2L, 3.0)), "view" -> ((1L, 3.0))))
+  }
+
+  test("session windows group by gap (ST7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamPipes.sessionWindows(mem.toDF(), "5 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      Ev(at("2024-06-01 10:00:00"), 7L, "a", 1.0),
+      Ev(at("2024-06-01 10:02:00"), 7L, "a", 2.0), // same session
+      Ev(at("2024-06-01 10:30:00"), 7L, "a", 4.0)) // new session
+    mem.addData(Ev(at("2024-06-01 12:00:00"), 7L, "a", 0.0)) // advance watermark
+    q.processAllAvailable()
+    val out = spark.table("sessions")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long, Long, Double)].collect()
+    q.stop()
+    val u7 = out.filter(r => r._3 == 7L && r._1.before(at("2024-06-01 11:00:00")))
+      .sortBy(_._1.getTime)
+    assert(u7.length === 2)
+    assert(u7(0)._4 === 2L && u7(0)._5 === 3.0)
+    assert(u7(1)._4 === 1L && u7(1)._5 === 4.0)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups keyed replays (ST7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val deduped = StreamPipes.dedupWithinWatermark(mem.toDF(), Seq("user_id", "event_type"))
+    val q = deduped.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      Ev(at("2024-06-01 10:00:00"), 1L, "x", 1.0),
+      Ev(at("2024-06-01 10:00:30"), 1L, "x", 1.0), // dup within watermark
+      Ev(at("2024-06-01 10:01:00"), 2L, "x", 1.0))
+    q.processAllAvailable()
+    val n = spark.table("dedup").count()
+    q.stop()
+    assert(n === 2)
+  }
+
+  test("versioned table: commit/read/time-travel/vacuum") {
+    val base = tmp() + "/vt"
+    val df1 = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val v0 = VersionedTable.commit(spark, base, df1)
+    val v1 = VersionedTable.commit(spark, base, df1.withColumn("v", upper($"v")))
+    assert(v0 === 0L && v1 === 1L)
+    assert(VersionedTable.read(spark, base).get.as[(Int, String)].collect().toSet ===
+      Set((1, "A"), (2, "B")))
+    assert(VersionedTable.readVersion(spark, base, 0).as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b")))
+    VersionedTable.vacuum(spark, base)
+    assertThrows[Exception](VersionedTable.readVersion(spark, base, 0).collect())
+  }
+}
