@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.{Q, QueryDsl}
+import QueryDsl._
+import graft.functions.SimHash64.simhash64
+import org.apache.spark.sql.functions._
+
+/** Remaining aggregate/expression coverage: stddev (A5), HLL approximate
+  * distinct (A6 scale path), native-Expression SimHash near-dup.
+  */
+object MiscQueries {
+
+  /** Sample stddev (A5, ref 03:101). Engines agree to ~1e-12 relative;
+    * rounding at 2 decimals on ~1e4-magnitude values is 9 orders of margin —
+    * and sub-group sizes keep accumulation short. */
+  val q37Stddev: Q = Q(
+    "q37_stddev",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev(col("l_extendedprice")), 2).as("stddev_price"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price_rounded"),
+          count(lit(1)).as("n")),
+    Some("""
+      SELECT l_returnflag,
+        round(stddev_samp(l_extendedprice), 2) AS stddev_price,
+        round(avg(l_extendedprice), 2) AS avg_price_rounded,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    """))
+
+  /** approx_count_distinct — the HLL++ scale path for A6 (exact
+    * countDistinct shuffles every distinct value; the sketch shuffles ~1.5KB
+    * per group). Sketch internals are engine-specific ⇒ rows-only check;
+    * the ±5% accuracy bound is asserted in MiscSpec. */
+  val q38ApproxDistinct: Q = Q(
+    "q38_approx_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts")),
+    None)
+
+  /** SimHash near-dup pairs via the native [[graft.functions.SimHash64]]
+    * expression: fingerprint per doc, 16-bit band bucketing, Hamming ≤ 3
+    * verification with bit_count(xor). Hash-dependent ⇒ rows-only; semantics
+    * property-tested in SimHashSpec. */
+  val q39SimhashNearDup: Q = Q(
+    "q39_simhash_neardup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", upper(col("text"))))
+      val fp = corpus.select(
+        col("doc_id").as("id"),
+        simhash64(split(lower(trim(col("text"))), " ")).as("fp"))
+      val banded = fp.select(col("id"), col("fp"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), shiftrightunsigned(col("fp"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bh"))
+      val a = banded.select(col("bh"), col("id").as("id_a"), col("fp").as("fp_a"))
+      val b = banded.select(col("bh"), col("id").as("id_b"), col("fp").as("fp_b"))
+      a.join(b, Seq("bh"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q37Stddev, q38ApproxDistinct, q39SimhashNearDup)
+}
