@@ -58,23 +58,46 @@ object Dedup {
 
   /** End-to-end MinHash-LSH near-dup candidate pairs, verified with exact
     * Jaccard ≥ `threshold`. Output: (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * Shaped for scale:
+    *  1. candidate pairs are integer-only — token arrays are NOT carried
+    *     through the band join;
+    *  2. pairs are deduplicated BEFORE Jaccard, so a pair colliding in
+    *     several bands is verified once, not `bands` times;
+    *  3. degenerate buckets (> `maxBucketSize` docs — e.g. boilerplate
+    *     shingles) are dropped, bounding any bucket's pair blow-up at
+    *     maxBucketSize²/2; the standard LSH cap, trades bounded recall loss
+    *     on pathological buckets for a hard cost ceiling.
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, bands: Int = 8, threshold: Double = 0.6): DataFrame = {
-    val toks = array_distinct(split(normalized(col(textCol)), " "))
-    val prepared = df.select(
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.6,
+      maxBucketSize: Int = 500): DataFrame = {
+    val toksOf = df.select(
       col(idCol).as("id"),
-      toks.as("toks"),
-      lshBandHashes(minhashSignature(shingles(split(normalized(col(textCol)), " ")), k), k, bands)
-        .as("bandhashes"))
-    val buckets = prepared.select(col("id"), col("toks"), explode(col("bandhashes")).as("bh"))
-    val a = buckets.select(col("bh"), col("id").as("id_a"), col("toks").as("toks_a"))
-    val b = buckets.select(col("bh"), col("id").as("id_b"), col("toks").as("toks_b"))
-    a.join(b, Seq("bh"))
+      array_distinct(split(normalized(col(textCol)), " ")).as("toks"))
+    // staged projections: shingles → signature → bands. Each stage binds the
+    // previous as a column attribute so the (interpreted, HOF-based) shingle
+    // and signature expressions evaluate ONCE per row — inlining them would
+    // re-run the O(tokens·w) shingling inside all k minhash lambdas.
+    val buckets = df
+      .select(col(idCol).as("id"), shingles(split(normalized(col(textCol)), " ")).as("shin"))
+      .select(col("id"), minhashSignature(col("shin"), k).as("sig"))
+      .select(col("id"), explode(lshBandHashes(col("sig"), k, bands)).as("bh"))
+    val capped = buckets
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bh"))))
+      .filter(col("bsize") <= maxBucketSize)
+      .drop("bsize")
+    val pairs = capped.select(col("bh"), col("id").as("id_a"))
+      .join(capped.select(col("bh"), col("id").as("id_b")), Seq("bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+      .select("id_a", "id_b")
       .distinct()
+    pairs
+      .join(toksOf.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(toksOf.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout levers: clustering, compaction, partitioned writes —
+  * the core-Spark analogues of the reference's Delta maintenance ops
+  * (`OPTIMIZE ... ZORDER BY` /root/reference/03_Gold_Aggregates_Features.py:
+  * 207-216, small-file compaction 03:234, partitionBy 01:186).
+  *
+  * Why this works without Delta: parquet writes row-group min/max stats per
+  * file; range-repartitioning + in-partition sort on the filter columns
+  * makes those ranges narrow and disjoint, so a filtered scan prunes whole
+  * files/row-groups — the same "10-100x scan reduction" mechanism Z-ORDER
+  * advertises (03:233), minus the multi-dimensional curve.
+  */
+object Layout {
+
+  /** Range-cluster `df` into `numFiles` sorted files on `cols`: the direct
+    * single-dimension Z-ORDER analogue. Sampling-based range partitioning
+    * keeps files balanced even on skewed keys. */
+  def cluster(df: DataFrame, numFiles: Int, cols: Column*): DataFrame =
+    df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*)
+
+  /** Multi-dimension clustering via interleaved bit order (true Z-order
+    * curve) on two int-like dimensions, for workloads filtering either
+    * dimension. Bits are interleaved with shifts — codegen'd, no UDF. */
+  def zorderKey2(a: Column, b: Column, bits: Int = 16): Column = {
+    val an = a.cast("long").bitwiseAND(lit((1L << bits) - 1))
+    val bn = b.cast("long").bitwiseAND(lit((1L << bits) - 1))
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftrightunsigned(an, i).bitwiseAND(lit(1L)), 2 * i)
+      val bbit = shiftleft(shiftrightunsigned(bn, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      abit.bitwiseOR(bbit)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  def clusterZ2(df: DataFrame, numFiles: Int, a: Column, b: Column): DataFrame = {
+    val keyed = df.withColumn("__zkey", zorderKey2(a, b))
+    keyed.repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+  }
+
+  /** Small-file compaction (03:234): rewrite to `numFiles` outputs. */
+  def compact(df: DataFrame, numFiles: Int): DataFrame = df.coalesce(numFiles)
+
+  /** Date-partitioned write (01:186): one directory per `partCol` value —
+    * partition pruning for time-range queries at any scale. */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+}

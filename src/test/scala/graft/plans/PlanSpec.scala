@@ -1,0 +1,98 @@
+package graft.plans
+
+import graft.{QueryCatalog, SparkSuite}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions: the plans we'd want at 100 TB, locked in
+  * as tests so a refactor can't silently regress them.
+  */
+class PlanSpec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q2: filters and projection reach the parquet scan") {
+    val p = formatted(QueryCatalog.q2FilterProject.fn(spark, dir))
+    assert(p.contains("PushedFilters:"), "no pushed filters section")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"), s"quantity filter not pushed:\n$p")
+    assert(p.contains("Not(EqualTo(l_returnflag,A))"), "returnflag filter not pushed")
+    // read schema pruned to the 6 needed columns (5 projected + discount)
+    assert(!p.contains("l_suppkey"), "unused column not pruned from scan")
+  }
+
+  test("q3: constant-size dims broadcast; big sides never broadcast") {
+    val p = plan(QueryCatalog.q3StarJoin.fn(spark, dir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"nation+region should broadcast, got $broadcasts in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q4: orderBy+limit plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(QueryCatalog.q4TopK.fn(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not incremental:\n$p")
+  }
+
+  test("q1: aggregation is two-phase (map-side partial before shuffle)") {
+    val p = plan(QueryCatalog.q1PricingSummary.fn(spark, dir))
+    assert(p.contains("HashAggregate"))
+    assert(p.toLowerCase.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("pure projections plan no Exchange") {
+    val masks = plan(QueryCatalog.queries("q20_mask_pii")(spark, dir))
+    assert(!masks.contains("Exchange"), s"projection should be shuffle-free:\n$masks")
+    val stats = plan(QueryCatalog.queries("q26_text_stats")(spark, dir))
+    assert(!stats.contains("Exchange"), "text stats should be shuffle-free")
+  }
+
+  test("hot paths are whole-stage codegen'd") {
+    Seq("q1_pricing_summary", "q2_filter_project", "q21_merchant_risk").foreach { q =>
+      val df = QueryCatalog.queries(q)(spark, dir)
+      df.collect() // materialize THIS query execution so AQE finalizes
+      val p = formatted(df)
+      assert(p.contains("codegen id"), s"$q lost whole-stage codegen:\n$p")
+    }
+  }
+
+  test("merge upsert broadcasts the source-keys side") {
+    val p = plan(QueryCatalog.queries("q17_merge_upsert")(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"anti join should broadcast source keys:\n$p")
+  }
+
+  test("range clustering produces pruned-scan-friendly disjoint files") {
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val out = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/li"
+    Layout.cluster(li, 8, col("l_shipdate")).write.parquet(out)
+    val back = spark.read.parquet(out)
+    // per-file min/max of the cluster column should be (near-)disjoint:
+    // check total overlap count is far below the all-overlapping worst case
+    val ranges = back.groupBy(input_file_name())
+      .agg(min(unix_micros(col("l_shipdate").cast("timestamp"))).as("lo"),
+        max(unix_micros(col("l_shipdate").cast("timestamp"))).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length === 8)
+    val sorted = ranges.sortBy(_._1)
+    val overlaps = sorted.sliding(2).count {
+      case Array((_, hi1), (lo2, _)) => lo2 < hi1
+      case _ => false
+    }
+    assert(overlaps <= 1, s"clustered file ranges overlap: ${sorted.mkString(", ")}")
+    // and a narrow time-range filter must prune files at the scan
+    val pruned = back.filter(col("l_shipdate") === lit(java.sql.Timestamp.valueOf("1996-06-01 00:00:00")))
+    val metrics = pruned.queryExecution.executedPlan.collectLeaves().head.metrics
+    pruned.count()
+    assert(metrics("numFiles").value < 8, s"no file pruning: ${metrics("numFiles").value}")
+  }
+
+  test("zorder 2-d key interleaves bits") {
+    import spark.implicits._
+    val r = Seq((3L, 0L), (0L, 3L), (3L, 3L)).toDF("a", "b")
+      .select(Layout.zorderKey2($"a", $"b").as("z")).as[Long].collect()
+    assert(r.toSeq === Seq(5L, 10L, 15L)) // 0b0101, 0b1010, 0b1111
+  }
+}
