@@ -201,7 +201,8 @@ object QueryCatalog {
     _root_.graft.queries.GoldQueries.all ++
     _root_.graft.queries.TextQueries.all ++
     _root_.graft.queries.EmbedQueries.all ++
-    _root_.graft.queries.MiscQueries.all
+    _root_.graft.queries.MiscQueries.all ++
+    _root_.graft.queries.Analytics.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -109,10 +109,14 @@ object Dedup {
       threshold: Double): DataFrame = {
     val toks = array_distinct(split(normalized(col(textCol)), " "))
     val p = df.select(col(blockCol).as("block"), col(idCol).as("id"), toks.as("toks"))
-    val a = p.select(col("block"), col("id").as("id_a"), col("toks").as("toks_a"))
-    val b = p.select(col("block"), col("id").as("id_b"), col("toks").as("toks_b"))
+      .withColumn("n", size(col("toks")).cast("double"))
+    val a = p.select(col("block"), col("id").as("id_a"), col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = p.select(col("block"), col("id").as("id_b"), col("toks").as("toks_b"), col("n").as("n_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
+      // size prefilter, implied by the threshold (J(A,B) ≥ t ⇒ t ≤ |A|/|B| ≤
+      // 1/t): skips the O(|A|+|B|) set ops for most pairs, no recall loss
+      .filter(col("n_a") >= col("n_b") * threshold && col("n_b") >= col("n_a") * threshold)
       .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select("block", "id_a", "id_b", "jaccard")

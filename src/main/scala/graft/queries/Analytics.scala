@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.{Q, QueryDsl}
+import QueryDsl._
+import org.apache.spark.sql.functions._
+
+/** Analytic-surface extensions beyond the reference's literal call sites:
+  * ungrouped aggregates, HAVING, ROLLUP, PIVOT, regex/string extraction,
+  * JSON columns, and the spark.sql() SQL-text entry path.
+  */
+object Analytics {
+
+  /** Ungrouped (global) aggregation (A10-adjacent): one-row summary. */
+  val q40GlobalAgg: Q = Q(
+    "q40_global_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice"), 2).as("total_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders")),
+    Some("""
+      SELECT COUNT(*) AS n_rows, %s AS total_price,
+        MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem
+    """.format(oracleDsum("l_extendedprice", 2))))
+
+  /** Post-aggregation filter (HAVING). */
+  val q41Having: Q = Q(
+    "q41_having",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice"), 2).as("revenue"))
+        .filter(col("n_lines") >= 400),
+    Some("""
+      SELECT l_suppkey, COUNT(*) AS n_lines, %s AS revenue
+      FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) >= 400
+    """.format(oracleDsum("l_extendedprice", 2))))
+
+  /** ROLLUP subtotals (superset of the reference's plain groupBy). */
+  val q42Rollup: Q = Q(
+    "q42_rollup",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("revenue")),
+    Some("""
+      SELECT o_orderpriority, o_orderstatus,
+        COUNT(*) AS n_orders, %s AS revenue
+      FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """.format(oracleDsum("o_totalprice", 2))))
+
+  /** PIVOT: status columns per priority. Spark's pivot emits NULL for empty
+    * cells, so both sides wrap in coalesce for parity with CASE-sums. */
+  val q43Pivot: Q = Q(
+    "q43_pivot",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p")),
+    Some("""
+      SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      FROM orders GROUP BY o_orderpriority
+    """))
+
+  /** Regex + string surgery: extract, replace, split_part, translate. */
+  val q44Regex: Q = Q(
+    "q44_regex_extract",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        regexp_extract(col("o_orderpriority"), "^([0-9]+)", 1).as("priority_num"),
+        regexp_replace(col("o_orderpriority"), "[0-9]+-", "").as("priority_name"),
+        split_part(col("o_orderpriority"), lit("-"), lit(2)).as("priority_word"),
+        translate(col("o_orderstatus"), "FOP", "fop").as("status_lc")),
+    Some("""
+      SELECT o_orderkey,
+        regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS priority_num,
+        regexp_replace(o_orderpriority, '[0-9]+-', '') AS priority_name,
+        split_part(o_orderpriority, '-', 2) AS priority_word,
+        translate(o_orderstatus, 'FOP', 'fop') AS status_lc
+      FROM orders
+    """))
+
+  /** JSON column extraction (events.props is a JSON string). */
+  val q45Json: Q = Q(
+    "q45_json_extract",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum")),
+    Some("""
+      SELECT k % 10 AS k_bucket, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS k_sum
+      FROM (SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events)
+      GROUP BY 1
+    """))
+
+  /** The SQL-text entry path: temp views + spark.sql (the reference's
+    * spark.sql surface, 01:252 / 03:222 style, on core tables). */
+  val q46SqlApi: Q = Q(
+    "q46_sql_api",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      s.sql("""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        FROM graft_orders JOIN graft_customer ON o_custkey = c_custkey
+        WHERE o_orderstatus <> 'P'
+        GROUP BY c_mktsegment
+      """)
+    },
+    Some("""
+      SELECT c_mktsegment,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderstatus <> 'P'
+      GROUP BY c_mktsegment
+    """))
+
+  val all: Seq[Q] = Seq(
+    q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi)
+}
