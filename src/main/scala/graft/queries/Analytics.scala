@@ -134,6 +134,29 @@ object Analytics {
       GROUP BY c_mktsegment
     """))
 
+  /** Exact percentiles (continuous interpolation): Spark `percentile` ↔
+    * DuckDB `quantile_cont` share the (n-1)p interpolation definition; both
+    * interpolate identical doubles over identical sorted data. */
+  val q47Percentiles: Q = Q(
+    "q47_percentiles",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          expr("percentile(o_totalprice, 0.99)").as("p99"),
+          count(lit(1)).as("n")),
+    Some("""
+      SELECT o_orderstatus,
+        quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.9) AS p90,
+        quantile_cont(o_totalprice, 0.99) AS p99,
+        COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus
+    """))
+
   val all: Seq[Q] = Seq(
-    q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi)
+    q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
+    q47Percentiles)
 }
