@@ -29,7 +29,14 @@ object Similarity {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
+  /** Cosine via the native fused-loop expression ([[graft.functions
+    * .CosineSimilarity]]) — bit-identical to `dot/(‖a‖·‖b‖)` in HOFs (same
+    * cast + accumulation order), minus the per-element lambda interpretation.
+    * [[cosineHof]] is kept as the reference formulation for equality tests. */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosineSimilarity(a, b)
+
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Exact top-k neighbors for each query vector.

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native vector expressions over `array<float|double>` embeddings.
+  *
+  * Semantics are IDENTICAL to the higher-order-function formulation in
+  * [[graft.ext.Similarity]] (per-element double cast, strict left-to-right
+  * accumulation, dot/(√na·√nb)) — so results stay bit-equal to the DuckDB
+  * oracle — but evaluation is a primitive loop instead of interpreted
+  * zip_with/aggregate lambda trees (which allocate and box per element).
+  * One fused pass computes dot and both norms.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity needs array<float|double>, got ${left.dataType}, ${right.dataType}")
+
+  @inline private def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val aF = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val bF = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(a, aF, i); val y = elem(b, bF, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    // zip_with truncates to the shorter side; norms must cover full arrays
+    // to match the HOF formulation — finish the longer side's norm:
+    var j = n
+    while (j < a.numElements()) { val x = elem(a, aF, j); na += x * x; j += 1 }
+    j = n
+    while (j < b.numElements()) { val y = elem(b, bF, j); nb += y * y; j += 1 }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+object VectorOps {
+  def cosineSimilarity(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -17,6 +17,10 @@ object SparkSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Spark 4.1's ChecksumCheckpointFileManager deadlocks awaiting its
+      // checksum future inside flatMapGroupsWithState state-store commits
+      // (local[4]); plain checkpoint files restore the documented behavior
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")

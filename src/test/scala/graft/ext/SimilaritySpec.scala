@@ -50,6 +50,16 @@ class SimilaritySpec extends SparkSuite {
       s"LSH precision vs top-20 shows no lift over random: $inTop/${hits.length}")
   }
 
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("a"))
+      .crossJoin(emb.select($"vec_id".as("ib"), $"embedding".as("b")).limit(20))
+      .limit(2000)
+    val diff = pairs.filter(
+      Similarity.cosine($"a", $"b") =!= Similarity.cosineHof($"a", $"b")).count()
+    assert(diff === 0, "native and HOF cosine must agree bitwise")
+  }
+
   test("hyperplane signature is deterministic") {
     val emb = Tables.load(spark, dir, "embeddings").limit(20)
     val s1 = emb.select($"vec_id", Similarity.hyperplaneSignature($"embedding", 8).as("sig"))
