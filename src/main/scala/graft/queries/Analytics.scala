@@ -156,7 +156,25 @@ object Analytics {
       FROM orders GROUP BY o_orderstatus
     """))
 
+  /** Ordered collect_list surfaced as a string (array-valued outputs don't
+    * hash portably; array_to_string ↔ concat_ws is exact). */
+  val q48CollectList: Q = Q(
+    "q48_collect_list",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .groupBy(col("o_custkey"))
+        .agg(
+          concat_ws(",", array_sort(collect_list(col("o_orderpriority")))).as("priorities"),
+          concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses")),
+    Some("""
+      SELECT o_custkey,
+        array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities,
+        array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
+      FROM orders WHERE o_custkey < 50 GROUP BY o_custkey
+    """))
+
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
-    q47Percentiles)
+    q47Percentiles, q48CollectList)
 }
