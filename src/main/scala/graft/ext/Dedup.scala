@@ -76,13 +76,12 @@ object Dedup {
     val toksOf = df.select(
       col(idCol).as("id"),
       array_distinct(split(normalized(col(textCol)), " ")).as("toks"))
-    // staged projections: shingles → signature → bands. Each stage binds the
-    // previous as a column attribute so the (interpreted, HOF-based) shingle
-    // and signature expressions evaluate ONCE per row — inlining them would
-    // re-run the O(tokens·w) shingling inside all k minhash lambdas.
+    // the native fused expression shingles + hashes + folds all k minima in
+    // one pass (graft.functions.MinHashSig); banding still binds the
+    // signature as an attribute first so its 8 slices don't re-evaluate it
     val buckets = df
-      .select(col(idCol).as("id"), shingles(split(normalized(col(textCol)), " ")).as("shin"))
-      .select(col("id"), minhashSignature(col("shin"), k).as("sig"))
+      .select(col(idCol).as("id"),
+        graft.functions.MinHashSig.minhashSig(split(normalized(col(textCol)), " "), k).as("sig"))
       .select(col("id"), explode(lshBandHashes(col("sig"), k, bands)).as("bh"))
     val capped = buckets
       .withColumn("bsize", count(lit(1)).over(
