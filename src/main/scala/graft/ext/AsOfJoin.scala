@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: match each left row to the most recent right
+  * row with `rightTime <= leftTime`, per key — the backbone of leakage-free
+  * point-in-time feature lookups in training pipelines. Spark has no native
+  * ASOF JOIN; the naive range-join formulation explodes to O(|L|·|R|) per
+  * key before aggregation.
+  *
+  * Implementation: tag and union both sides, sort each key's timeline once,
+  * and carry the last-seen right payload forward with
+  * `last(_, ignoreNulls).over(unbounded preceding)` — ONE shuffle on the
+  * key, one in-partition sort, linear work. The same shape Flink/kdb use
+  * for as-of semantics, expressed in stock Spark windows (preference (a)
+  * of the custom-op ladder: compose built-ins).
+  */
+object AsOfJoin {
+
+  /** left: (key, leftTime, ...); right: (key, rightTime, payload...).
+    * Output: every left row + `asof_<payload>` columns from the matched
+    * right row (null when no right row precedes it). Equal timestamps
+    * match (`<=`, DuckDB ASOF semantics). Payload/time column names must
+    * not collide with left's columns.
+    */
+  def asOf(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    // identical schemas: key, __t, __side, left's columns, payload columns
+    val lPrep = payload.foldLeft(
+      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
+      (df, p) => df.withColumn(p, lit(null).cast(right.schema(p).dataType))
+    }
+    val rBase = right
+      .select(col(key) +: col(rightTime).as("__t") +: payload.map(col): _*)
+      .withColumn("__side", lit(0))
+    val rPrep = left.columns.filterNot(_ == key).foldLeft(rBase) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    // left rows sort AFTER right rows at equal __t ⇒ <= match semantics
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(lPrep.unionByName(rPrep.select(lPrep.columns.map(col): _*))) {
+      (df, p) =>
+        df.withColumn(s"asof_$p",
+          last(when(col("__side") === 0, col(p)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ payload.map(p => col(s"asof_$p")): _*)
+  }
+}

@@ -174,7 +174,36 @@ object Analytics {
       FROM orders WHERE o_custkey < 50 GROUP BY o_custkey
     """))
 
+  /** As-of (point-in-time) join via [[graft.ext.AsOfJoin]]: each purchase
+    * matched to the user's most recent preceding click. Oracle: DuckDB's
+    * native ASOF LEFT JOIN. */
+  val q49AsOfJoin: Q = Q(
+    "q49_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.ext.AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "ts",
+          Seq("click_id", "click_value"))
+        .select(
+          col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("asof_click_id"), col("asof_click_value"))
+    },
+    Some("""
+      SELECT p.user_id, p.event_id,
+        CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        c.event_id AS asof_click_id,
+        c.value AS asof_click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+    """))
+
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
-    q47Percentiles, q48CollectList)
+    q47Percentiles, q48CollectList, q49AsOfJoin)
 }

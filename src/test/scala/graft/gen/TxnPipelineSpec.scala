@@ -25,6 +25,27 @@ class TxnPipelineSpec extends SparkSuite {
     assert(bronze.filter($"amount" <= 0 || $"amount" > 501.5).count() === 0)
   }
 
+  test("known values reproduce the reference derivations exactly (01:93-149)") {
+    val rows = bronze.filter($"transaction_id".isin(
+      "TXN-20240601-00000000", "TXN-20240601-00000001", "TXN-20240601-00000007"))
+      .collect().map(r => r.getAs[String]("transaction_id") -> r).toMap
+    val v0 = rows("TXN-20240601-00000000")
+    assert(v0.getAs[String]("card_number") === "4000000000000000") // 0*7 % 999999999
+    assert(v0.getAs[String]("cardholder_name") === "James Smith") // idx 0, 0
+    assert(v0.getAs[String]("currency") === "USD")
+    assert(v0.getAs[String]("mcc_code") === "5411")
+    assert(v0.getAs[String]("merchant_name") === "QuickMart #1")
+    assert(v0.getAs[String]("card_type") === "CREDIT")
+    assert(v0.getAs[Boolean]("is_online") && v0.getAs[Boolean]("is_international")
+      && v0.getAs[Boolean]("velocity_flag"))
+    assert(v0.getAs[Double]("amount") === 1.5) // |sin(0)|*500+1.5
+    val v1 = rows("TXN-20240601-00000001")
+    assert(v1.getAs[String]("cardholder_name") === "Maria Brown") // idx 1, 3 (1*3%10)
+    assert(v1.getAs[String]("card_type") === "DEBIT")
+    val v7 = rows("TXN-20240601-00000007")
+    assert(v7.getAs[String]("cardholder_name") === "Lisa Johnson") // idx 7, 1 (21%10)
+  }
+
   test("cardholder cardinality is 10 by construction (README:26)") {
     // both name indexes derive from value mod 10 ⇒ 10 distinct full names
     assert(bronze.select("cardholder_name").distinct().count() === 10)

@@ -94,6 +94,13 @@ class PlanSpec extends SparkSuite {
       s"filter must reach the parquet reader for row-group skipping:\n$f")
   }
 
+  test("sessionize plans a single exchange (windows + agg share the user-hash partitioning)") {
+    val df = QueryCatalog.queries("q24_sessionize")(spark, dir)
+    val p = plan(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"sessionization should reuse one user-hash exchange, got $exchanges:\n$p")
+  }
+
   test("zorder 2-d key interleaves bits") {
     import spark.implicits._
     val r = Seq((3L, 0L), (0L, 3L), (3L, 3L)).toDF("a", "b")
