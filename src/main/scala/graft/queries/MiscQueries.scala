@@ -74,5 +74,25 @@ object MiscQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(q37Stddev, q38ApproxDistinct, q39SimhashNearDup)
+  /** Bivariate stats: correlation + sample covariance. Both engines'
+    * accumulation orders differ only in the ~1e-12 relative tail; rounding
+    * (4 for corr ∈ [-1,1], 2 for covar ~1e4) leaves 8+ orders of margin. */
+  val q51CorrCovar: Q = Q(
+    "q51_corr_covar",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+          count(lit(1)).as("n")),
+    Some("""
+      SELECT l_returnflag,
+        round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    """))
+
+  val all: Seq[Q] = Seq(q37Stddev, q38ApproxDistinct, q39SimhashNearDup, q51CorrCovar)
 }

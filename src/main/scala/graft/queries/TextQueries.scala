@@ -174,7 +174,48 @@ object TextQueries {
       GROUP BY token ORDER BY n DESC, token LIMIT 20
     """))
 
+  /** TF-IDF top terms per document: explode → tf per (doc, token), df per
+    * token over the corpus, idf = ln(N/df). Both engines compute the same
+    * ln over identical integer ratios; ranking uses the 6-decimal-rounded
+    * score with a token tiebreak so a last-ulp libm difference can't flip
+    * ranks. Two shuffles total (token df + doc grouping). */
+  val q50Tfidf: Q = Q(
+    "q50_tfidf",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = d.count() // corpus size: tiny driver-side scalar, reused in idf
+      val tokens = d.select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("token"))
+      val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tokens.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_r").desc, col("token"))
+      tf.join(df, "token")
+        .withColumn("score_r", round(col("tf") * log(lit(n).cast("double") / col("df")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "token", "score_r")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+      ), df AS (
+        SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1
+      ), scored AS (
+        SELECT tf.doc_id, tf.token,
+          round(tf.tf * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df.df), 6) AS score_r
+        FROM tf JOIN df ON tf.token = df.token
+      )
+      SELECT doc_id, rank, token, score_r FROM (
+        SELECT doc_id, token, score_r,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_r DESC, token) AS BIGINT) AS rank
+        FROM scored
+      ) WHERE rank <= 3
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
-    q30JaccardPairs, q31MinhashLsh, q32TokenHistogram)
+    q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf)
 }
