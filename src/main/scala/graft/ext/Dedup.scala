@@ -52,9 +52,11 @@ object Dedup {
     }: _*)
   }
 
-  /** Exact Jaccard similarity of two distinct-token-set columns. */
+  /** Exact Jaccard similarity of two distinct-token-set columns — native
+    * overlap-counting expression (same exact values as the
+    * intersect/union formulation, no per-pair array materialization). */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    graft.functions.JaccardSim.jaccardSim(a, b)
 
   /** End-to-end MinHash-LSH near-dup candidate pairs, verified with exact
     * Jaccard ≥ `threshold`. Output: (id_a, id_b, jaccard), id_a < id_b.

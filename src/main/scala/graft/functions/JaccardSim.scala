@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Jaccard similarity of two DISTINCT-element string arrays.
+  *
+  * `|A∩B| / |A∪B|` computed as overlap counting — one hash set over the
+  * smaller side, one scan of the larger — instead of
+  * `size(array_intersect)/size(array_union)`, which allocates two result
+  * arrays and two lookup structures per pair. Values are identical
+  * (exact integer ratio → double), so oracle parity is unaffected; only
+  * the constant factor changes. Inputs MUST be element-distinct (use
+  * array_distinct upstream) or the union count is wrong.
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"jaccard_sim needs two array<string>, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    var a = l.asInstanceOf[ArrayData]
+    var b = r.asInstanceOf[ArrayData]
+    if (a.numElements() > b.numElements()) { val t = a; a = b; b = t }
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return java.lang.Double.valueOf(0.0)
+    val set = new java.util.HashSet[Any](Math.max(8, na * 2))
+    var i = 0
+    while (i < na) { if (!a.isNullAt(i)) set.add(a.getUTF8String(i)); i += 1 }
+    var hits = 0
+    var j = 0
+    while (j < nb) {
+      if (!b.isNullAt(j) && set.contains(b.getUTF8String(j))) hits += 1
+      j += 1
+    }
+    java.lang.Double.valueOf(hits.toDouble / (na + nb - hits))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+}
+
+object JaccardSim {
+  def jaccardSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
