@@ -85,11 +85,15 @@ object Dedup {
       .select(col(idCol).as("id"),
         graft.functions.MinHashSig.minhashSig(split(normalized(col(textCol)), " "), k).as("sig"))
       .select(col("id"), explode(lshBandHashes(col("sig"), k, bands)).as("bh"))
-    val capped = buckets
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bh"))))
-      .filter(col("bsize") <= maxBucketSize)
-      .drop("bsize")
+    // degenerate-bucket cap WITHOUT a window: bucket sizes come from a
+    // map-side-combined groupBy (tiny output: one row per oversized bucket
+    // — at most rows×bands/maxBucketSize of them), then a broadcast
+    // anti-join drops members. The window formulation shuffled AND sorted
+    // the whole exploded bucket table just to count per key.
+    val oversized = buckets.groupBy(col("bh")).agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > maxBucketSize)
+      .select(col("bh"))
+    val capped = buckets.join(broadcast(oversized), Seq("bh"), "left_anti")
     val pairs = capped.select(col("bh"), col("id").as("id_a"))
       .join(capped.select(col("bh"), col("id").as("id_b")), Seq("bh"))
       .filter(col("id_a") < col("id_b"))
@@ -102,9 +106,112 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Blocked all-pairs exact Jaccard (the oracle-friendly near-dup path):
-    * pairs are generated only within a blocking key (e.g. source), keeping
-    * the join quadratic only per-block. */
+  /** EXACT near-dup pairs via prefix filtering (PPJoin-lite) — the
+    * scale-safe exact path. Lossless: returns exactly the pairs an all-pairs
+    * scan with `jaccard >= threshold` would, with NO quadratic stage.
+    *
+    * Prefix-filter principle (SSJoin/PPJoin family): sort every doc's
+    * distinct tokens by one global total order (document frequency
+    * ascending — rarest first — then token). For J(A,B) ≥ t the overlap
+    * must be ≥ ⌈t·max(|A|,|B|)⌉; by the prefix lemma the two docs then
+    * share at least one token inside both their prefixes of length
+    * |x| − ⌈t·|x|⌉ + 1 (≈ (1−t)·|x| + 1). So candidates come from an
+    * inverted index over PREFIX tokens only — rare tokens by construction,
+    * tiny postings lists — instead of any blocking key. Cost is linear in
+    * Σ postings² over rare tokens, not O(n²) per block; candidate volume
+    * shrinks as t grows. All stages are hash shuffles on high-cardinality
+    * keys (token, id) — no low-cardinality block key anywhere, so the plan
+    * survives a 100× scale-up.
+    *
+    * Output: (id_a, id_b, jaccard), id_a < id_b, global (no block column).
+    */
+  def prefixJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    // 1. Collapse IDENTICAL token sets into clusters first (the exact-dedup
+    //    composition): all expensive work then runs once per UNIQUE set, and
+    //    member pairs are re-expanded linearly at the end. On corpora with
+    //    many exact/case dups this shrinks the verification input by the dup
+    //    factor; it never loses a pair (members of one cluster have J = 1,
+    //    cross-cluster pairs inherit their representatives' Jaccard, which
+    //    depends only on the sets).
+    val docs = df.select(
+      col(idCol).as("id"),
+      array_sort(array_distinct(split(normalized(col(textCol)), " "))).as("stoks"))
+    val clusters = docs.groupBy(col("stoks"))
+      .agg(collect_list(col("id")).as("members"))
+      .withColumn("rid", array_min(col("members")))
+      .withColumn("n", size(col("stoks")))
+    // 2. Map tokens to DENSE INTEGER ids ranked by (document frequency,
+    //    token). Each unique set then becomes one ascending long array whose
+    //    NUMERIC order IS the canonical rarest-first order: the Jaccard
+    //    prefix is literally the first `plen` elements, and verification is
+    //    an allocation-free sorted merge over longs instead of hashing UTF8
+    //    strings per pair. (The id-assigning row_number is a sort of the
+    //    VOCABULARY table — the standard token-ordering step of PPJoin.)
+    val post = clusters.select(col("rid"), explode(col("stoks")).as("token"))
+    val vocab = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("token"))).cast("long"))
+    val ordered = post.join(vocab, Seq("token"))
+      .groupBy(col("rid"))
+      .agg(sort_array(collect_list(col("tid"))).as("itoks"))
+    // 3. Inverted-index self-join on PREFIX token ids, the (narrow) long
+    //    arrays carried inline so verification happens IN the join stage —
+    //    no multi-million-row candidate distinct, no array re-join; a pair
+    //    colliding in several prefix tokens re-verifies cheaply and the
+    //    dedup runs on the tiny VERIFIED output. The PPJoin positional
+    //    filter (1 + min remaining tokens ≥ required overlap
+    //    α = t(nₐ+n_b)/(1+t), with an epsilon slack so double rounding can
+    //    only FALSE-KEEP, never prune a true pair) prunes deep-prefix
+    //    collisions before any merge runs.
+    val alpha = threshold / (1.0 + threshold)
+    val prefixes = ordered
+      .withColumn("n", size(col("itoks")))
+      .withColumn("plen", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+      .select(col("rid"), col("n"), col("itoks"),
+        posexplode(slice(col("itoks"), lit(1), col("plen"))).as(Seq("pos", "tid")))
+      .select(col("rid"), col("n"), col("itoks"), (col("pos") + 1).as("p"), col("tid"))
+    val repPairs = prefixes
+      .select(col("tid"), col("rid").as("rid_a"), col("n").as("n_a"),
+        col("p").as("p_a"), col("itoks").as("toks_a"))
+      .join(prefixes
+        .select(col("tid"), col("rid").as("rid_b"), col("n").as("n_b"),
+          col("p").as("p_b"), col("itoks").as("toks_b")),
+        Seq("tid"))
+      .filter(col("rid_a") < col("rid_b"))
+      // size prefilter (t ≤ |A|/|B| ≤ 1/t), before any set op runs
+      .filter(col("n_a") >= col("n_b") * threshold && col("n_b") >= col("n_a") * threshold)
+      .filter(lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) >=
+        lit(alpha) * (col("n_a") + col("n_b")) - lit(1e-9))
+      .select(col("rid_a"), col("rid_b"),
+        graft.functions.SortedJaccard.sortedJaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("rid_a"), col("rid_b")).agg(min(col("jaccard")).as("jaccard"))
+    // 5. Expand back to doc pairs: cross-cluster pairs inherit the verified
+    //    rep Jaccard; intra-cluster pairs are exact dups (J = 1). Linear in
+    //    the OUTPUT size — the only quadratic term left is the answer itself.
+    val mem = clusters.select(col("rid"), col("members"))
+    val cross = repPairs
+      .join(mem.select(col("rid").as("rid_a"), col("members").as("mem_a")), Seq("rid_a"))
+      .join(mem.select(col("rid").as("rid_b"), col("members").as("mem_b")), Seq("rid_b"))
+      .select(explode(col("mem_a")).as("ma"), col("mem_b"), col("jaccard"))
+      .select(col("ma"), explode(col("mem_b")).as("mb"), col("jaccard"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    val intra = clusters.filter(size(col("members")) >= 2)
+      .select(explode(col("members")).as("ma"), col("members"))
+      .select(col("ma"), explode(col("members")).as("mb"))
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("id_a"), col("mb").as("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** Blocked all-pairs exact Jaccard (kept for explicit block-scoped
+    * dedup, e.g. per-tenant): pairs are generated only within a blocking
+    * key. Quadratic PER BLOCK — only safe when the block key's cardinality
+    * grows with the data; for global near-dup detection prefer
+    * [[prefixJaccardPairs]] (lossless, never quadratic). */
   def blockedJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       threshold: Double): DataFrame = {

@@ -61,8 +61,17 @@ object Similarity {
     (pmod(xxhash64(lit(plane), dim), lit(2000001L)) - lit(1000000L)).cast("double") / 1000000.0
 
   /** Random-hyperplane (SimHash) signature of a vector: one sign bit per
-    * plane, packed into a long — the LSH bucket key. */
+    * plane, packed into a long — the LSH bucket key. Native fused expression
+    * ([[graft.functions.HyperplaneSig]]): one primitive loop instead of
+    * ~d×nPlanes interpreted HOF lambda evals per row (the corpus-bucketing
+    * bottleneck at scale). Bit-identical to [[hyperplaneSignatureHof]],
+    * proven in SimilaritySpec. */
   def hyperplaneSignature(vec: Column, nPlanes: Int): Column =
+    graft.functions.HyperplaneSig.hyperplaneSig(vec, nPlanes)
+
+  /** Reference HOF formulation of [[hyperplaneSignature]], kept for the
+    * native/HOF equality test only — interpreted, do not use in hot paths. */
+  def hyperplaneSignatureHof(vec: Column, nPlanes: Int): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, transform(sequence(lit(0), size(vec) - 1), d => planeComponent(p, d)),

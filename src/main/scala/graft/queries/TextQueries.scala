@@ -126,26 +126,30 @@ object TextQueries {
       FROM corpus GROUP BY lower(trim(text))
     """))
 
-  /** Blocked all-pairs exact n-gram(1) Jaccard ≥ 0.9 (near-dup detection,
-    * oracle-expressible path; the LSH path is q31). Quadratic only within a
-    * block (source). */
+  /** GLOBAL exact n-gram(1) Jaccard ≥ 0.9 near-dup pairs via prefix
+    * filtering (PPJoin-lite, [[Dedup.prefixJaccardPairs]]) — lossless, so
+    * the oracle is the plain all-pairs formulation (fine at oracle scale;
+    * the Spark side never goes quadratic). The LSH path is q31. */
   val q30JaccardPairs: Q = Q(
     "q30_jaccard_pairs",
     (s, dir) =>
-      Dedup.blockedJaccardPairs(corpusWithDups(s, dir), "doc_id", "text", "source", 0.9),
+      Dedup.prefixJaccardPairs(corpusWithDups(s, dir), "doc_id", "text", 0.9),
     Some(s"""
       WITH corpus AS ($corpusSql),
       p AS (
-        SELECT source AS block, doc_id AS id,
-               list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+        SELECT doc_id AS id,
+               list_distinct(string_split(lower(trim(text)), ' ')) AS toks,
+               len(list_distinct(string_split(lower(trim(text)), ' '))) AS n
         FROM corpus
+      ),
+      scored AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+          CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        FROM p a JOIN p b ON a.id < b.id
+          AND a.n >= b.n * 0.9 AND b.n >= a.n * 0.9
       )
-      SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
-        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
-      FROM p a JOIN p b ON a.block = b.block AND a.id < b.id
-      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+      SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.9
     """))
 
   /** MinHash + LSH near-dup pairs (k=32 hashes, 8 bands), verified with
@@ -183,7 +187,9 @@ object TextQueries {
     "q50_tfidf",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val n = d.count() // corpus size: tiny driver-side scalar, reused in idf
+      // corpus size as a broadcast 1-row aggregate: the whole query stays ONE
+      // lazy plan (no driver-side action forcing an extra scan at build time)
+      val nDf = d.agg(count(lit(1)).cast("double").as("corpus_n"))
       val tokens = d.select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("token"))
       val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df = tokens.select("doc_id", "token").distinct()
@@ -191,7 +197,8 @@ object TextQueries {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
         .orderBy(col("score_r").desc, col("token"))
       tf.join(df, "token")
-        .withColumn("score_r", round(col("tf") * log(lit(n).cast("double") / col("df")), 6))
+        .crossJoin(broadcast(nDf))
+        .withColumn("score_r", round(col("tf") * log(col("corpus_n") / col("df")), 6))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("doc_id", "rank", "token", "score_r")

@@ -46,6 +46,19 @@ class DedupSpec extends SparkSuite {
     assert(out.getSeq[String](1) === Seq("a b"))
   }
 
+  test("prefix-filtered jaccard pairs are lossless vs brute-force all-pairs") {
+    for (t <- Seq(0.5, 0.8)) {
+      // brute force: single block over everything = true all-pairs answer
+      val truth = Dedup.blockedJaccardPairs(
+          docs.withColumn("one", lit(1)), "doc_id", "text", "one", t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === truth, s"prefix filter must be lossless at t=$t")
+    }
+  }
+
   test("blocked jaccard respects blocks") {
     val out = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 0.5)
       .as[(String, Long, Long, Double)].collect()

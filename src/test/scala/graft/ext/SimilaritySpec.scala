@@ -68,4 +68,14 @@ class SimilaritySpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(s1 === s2)
   }
+
+  test("native hyperplane signature equals the HOF formulation on every vector") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    for (planes <- Seq(4, 8, 12)) {
+      val diff = emb.filter(
+        Similarity.hyperplaneSignature($"embedding", planes) =!=
+          Similarity.hyperplaneSignatureHof($"embedding", planes)).count()
+      assert(diff === 0, s"native and HOF signatures must agree at nPlanes=$planes")
+    }
+  }
 }
