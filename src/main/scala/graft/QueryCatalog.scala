@@ -202,7 +202,8 @@ object QueryCatalog {
     _root_.graft.queries.TextQueries.all ++
     _root_.graft.queries.EmbedQueries.all ++
     _root_.graft.queries.MiscQueries.all ++
-    _root_.graft.queries.Analytics.all
+    _root_.graft.queries.Analytics.all ++
+    _root_.graft.queries.MedallionQuery.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

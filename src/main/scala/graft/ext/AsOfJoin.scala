@@ -43,12 +43,17 @@ object AsOfJoin {
     // left rows sort AFTER right rows at equal __t ⇒ <= match semantics
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(lPrep.unionByName(rPrep.select(lPrep.columns.map(col): _*))) {
-      (df, p) =>
-        df.withColumn(s"asof_$p",
-          last(when(col("__side") === 0, col(p)), ignoreNulls = true).over(w))
-    }
+    // carry ONE struct of all payload columns: every asof_<p> then comes from
+    // the SAME matched right row, and a right row whose payload value is NULL
+    // still matches (the struct is non-null) — i.e. "most recent row, nulls
+    // and all", the DuckDB ASOF semantics. Carrying each column independently
+    // would skip null values and could stitch different right rows together.
+    val carried = lPrep.unionByName(rPrep.select(lPrep.columns.map(col): _*))
+      .withColumn("__match",
+        last(when(col("__side") === 0, struct(payload.map(col): _*)),
+          ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ payload.map(p => col(s"asof_$p")): _*)
+      .select(left.columns.map(col) ++
+        payload.map(p => col("__match").getField(p).as(s"asof_$p")): _*)
   }
 }

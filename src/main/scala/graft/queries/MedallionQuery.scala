@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{Q, QueryDsl}
+import QueryDsl._
+import graft.gen.TxnGen
+import graft.silver.{Merge, TxnSilver}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The flagship medallion pipeline as ONE oracle-checked lazy plan:
+  * generate (bronze) → corrupt a deterministic slice → DQ split → mask +
+  * enrich (silver) → keyed source-wins merge of a second overlapping batch →
+  * gold per-merchant aggregate. MedallionSpec proves the same flow through
+  * the streaming APIs; this query turns it into a hard CORRECTNESS row
+  * (ref 01:181-189 → 02:97-209 → 03:27-59).
+  *
+  * Determinism: frozen clock, generator pure in `value`; the DuckDB twin
+  * re-derives the same columns from generate_series. The sin-based amount
+  * is rounded to 2 decimals on a ~500 magnitude — JVM and libm sin agree to
+  * ~1e-12 abs, so the rounding is stable (same argument as q9).
+  */
+object MedallionQuery {
+
+  private val clock = java.sql.Timestamp.valueOf("2024-06-02 00:00:00")
+  private val t1 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+  private val t2 = java.sql.Timestamp.valueOf("2024-06-01 01:00:00")
+
+  /** Deterministic corruption of ~2% of bronze rows so the DQ stage has
+    * real work: transaction ids ending "13" go non-positive-amount, "77"
+    * unknown-mcc (the last two id digits are `value % 100`). */
+  private def corrupt(bronze: DataFrame): DataFrame = {
+    val tail2 = substring(col("transaction_id"), -2, 2)
+    bronze
+      .withColumn("amount", when(tail2 === "13", -col("amount")).otherwise(col("amount")))
+      .withColumn("mcc_code", when(tail2 === "77", lit("9999")).otherwise(col("mcc_code")))
+  }
+
+  private def silverOf(bronze: DataFrame): DataFrame =
+    TxnSilver.processBatch(corrupt(bronze), clock, TxnGen.ValidMcc)._1
+
+  val q54Medallion: Q = Q(
+    "q54_medallion",
+    (s, _) => {
+      // batch 1 = initial silver; batch 2 (same event date, +1 h, 2000 extra
+      // rows) restated for high-amount txns only → the merge both UPDATES
+      // (overlapping ids, event_hour moves 0→1) and INSERTS (ids ≥ 8000)
+      val target = silverOf(TxnGen.batch(s, 8000, t1, clock))
+      val source = silverOf(TxnGen.batch(s, 10000, t2, clock))
+        .filter(col("amount") > 400)
+      val merged = Merge.upsert(target, source, Seq("transaction_id"))
+      merged.groupBy(col("merchant_name"), col("mcc_category"))
+        .agg(
+          count(lit(1)).as("n_txns"),
+          dsum(col("amount"), 2).as("total_amount"),
+          countIf(col("risk_score_raw") >= 50).as("n_high_risk"),
+          sum(col("event_hour").cast("long")).as("hour_checksum"))
+    },
+    Some("""
+      WITH d1 AS (
+        SELECT v, round(abs(sin(v * CAST(0.1 AS DOUBLE))) * 500 + 1.5, 2) AS amount,
+               hour(TIMESTAMP '2024-06-01 00:00:00' + to_microseconds(v * 50000)) AS event_hour
+        FROM generate_series(0, 7999) t(v)),
+      d2 AS (
+        SELECT v, round(abs(sin(v * CAST(0.1 AS DOUBLE))) * 500 + 1.5, 2) AS amount,
+               hour(TIMESTAMP '2024-06-01 01:00:00' + to_microseconds(v * 50000)) AS event_hour
+        FROM generate_series(0, 9999) t(v)),
+      tgt  AS (SELECT * FROM d1 WHERE v % 100 NOT IN (13, 77)),
+      srcb AS (SELECT * FROM d2 WHERE v % 100 NOT IN (13, 77) AND amount > 400),
+      merged AS (
+        SELECT * FROM srcb
+        UNION ALL
+        SELECT * FROM tgt WHERE v NOT IN (SELECT v FROM srcb)),
+      enriched AS (
+        SELECT
+          ['QuickMart','FuelStop','Bistro','MedPlus','ShopAll','CashPoint','WireNow','StayInn','TechZone','SkyAir'][CAST(v % 10 AS INT) + 1]
+            || ' #' || CAST(v % 500 + 1 AS VARCHAR) AS merchant_name,
+          ['Grocery','Gas','Restaurant','Pharmacy','Retail','ATM','Wire Transfer','Hotel','Electronics','Airlines'][CAST(v % 10 AS INT) + 1] AS mcc_category,
+          amount,
+          (CASE WHEN v % 50 = 0 THEN 30 ELSE 0 END
+           + CASE WHEN amount > 400 THEN 25 ELSE 0 END
+           + CASE WHEN v % 10 IN (5, 6) THEN 20 ELSE 0 END
+           + CASE WHEN v % 20 = 0 THEN 15 ELSE 0 END
+           + CASE WHEN v % 4 = 0 THEN 10 ELSE 0 END) AS risk_score_raw,
+          event_hour
+        FROM merged)
+      SELECT merchant_name, mcc_category,
+        COUNT(*) AS n_txns,
+        CAST(SUM(CAST(amount AS DECIMAL(28,2))) AS DOUBLE) AS total_amount,
+        CAST(SUM(CASE WHEN risk_score_raw >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_risk,
+        CAST(SUM(event_hour) AS BIGINT) AS hour_checksum
+      FROM enriched
+      GROUP BY merchant_name, mcc_category
+    """))
+
+  val all: Seq[Q] = Seq(q54Medallion)
+}

@@ -95,5 +95,53 @@ object SetOps {
       GROUP BY c_custkey, c_name
     """.format(oracleDsum("o_totalprice", 2))))
 
-  val all: Seq[Q] = Seq(q12Union, q13Except, q14Semi, q15Anti, q16LeftJoinAgg)
+  /** INTERSECT DISTINCT (J2 family) — completes the set-algebra trio with
+    * q12 (UNION ALL) and q13 (EXCEPT): customers having BOTH a finished and
+    * a pending order. Plans like EXCEPT: partial-distinct both sides, one
+    * hash shuffle on the row. */
+  val q52Intersect: Q = Q(
+    "q52_intersect",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """))
+
+  /** FULL OUTER join (J1/J5) — the join type behind the reference's
+    * two-sided MERGE emulation (02:175-181): big spenders vs urgent
+    * customers, rows kept (with nulls) from BOTH sides. The pre-aggregation
+    * shrinks each side before the join — the scale-correct order. */
+  val q53FullOuter: Q = Q(
+    "q53_full_outer",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 300000)
+        .groupBy(col("o_custkey").as("big_key"))
+        .agg(count(lit(1)).as("n_big"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("urg_key"))
+        .agg(count(lit(1)).as("n_urgent"))
+      big.join(urgent, col("big_key") === col("urg_key"), "full_outer")
+        .select(
+          coalesce(col("big_key"), col("urg_key")).as("custkey"),
+          col("n_big"), col("n_urgent"))
+    },
+    Some("""
+      SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+             a.n_big AS n_big, b.n_urgent AS n_urgent
+      FROM (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+            WHERE o_totalprice > 300000 GROUP BY o_custkey) a
+      FULL OUTER JOIN
+           (SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+            WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) b
+      ON a.o_custkey = b.o_custkey
+    """))
+
+  val all: Seq[Q] = Seq(
+    q12Union, q13Except, q14Semi, q15Anti, q16LeftJoinAgg, q52Intersect, q53FullOuter)
 }

@@ -26,14 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  /** Source-wins upsert on `keys`. Requires identical schemas. */
+  /** Source-wins upsert on `keys`. Requires identical schemas, with all
+    * non-key source columns orderable (no map columns — needed for the
+    * deterministic intra-batch dedup below). */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
-    // Deduplicate the source on the key (last-writer-wins is undefined for
-    // unordered batches; any deterministic one-per-key reduction works — the
-    // reference's generator can't produce intra-batch key dups, but replay
-    // concat can):
-    val srcKeys = source.select(keys.map(col): _*).distinct()
-    source.unionByName(target.join(broadcast(srcKeys), keys, "left_anti"))
+    // Reduce the source to ONE row per key first: an intra-batch duplicate
+    // key would otherwise survive the union and break the upsert invariant
+    // (unique keys in the merged table). last-writer-wins is undefined for
+    // unordered batches, so pick deterministically: min row by the ordering
+    // of all non-key columns.
+    val nonKeys = source.columns.filterNot(keys.contains).map(col).toSeq
+    val src =
+      if (nonKeys.isEmpty) source.distinct()
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(nonKeys: _*)
+        source.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    val srcKeys = src.select(keys.map(col): _*).distinct()
+    src.unionByName(target.join(broadcast(srcKeys), keys, "left_anti"))
   }
 
   /** Partition-pruned variant: only target partitions whose `partCol` value

@@ -1,72 +1,124 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
 import java.nio.charset.StandardCharsets
 
 /** Minimal copy-on-write table: versioned parquet directories under a base
-  * path with an atomically swapped `_CURRENT` pointer file — the core of
-  * what Delta's transaction log provides for MERGE rewrites, without the
-  * Delta jar (SURVEY §2.10 M1/M2 gap).
+  * path committed via per-version MARKER files — the core of what Delta's
+  * transaction log provides for MERGE rewrites, without the Delta jar
+  * (SURVEY §2.10 M1/M2 gap).
   *
   * Why not overwrite in place: Spark cannot overwrite a path it is reading
   * from in the same job (and caching the intermediate is not viable at
-  * 100 TB). Writing `v<N+1>` and flipping the pointer gives lock-free
-  * readers snapshot isolation and makes replayed merges idempotent at the
-  * storage layer too. Old versions are retained for time-travel-style reads
-  * until [[vacuum]].
+  * 100 TB). Writing `v<N+1>` and committing a marker gives lock-free readers
+  * snapshot isolation and makes replayed merges idempotent at the storage
+  * layer too.
+  *
+  * Commit protocol: data first (`v<N>/`), then `_commit_v<N>` created by
+  * temp-write + rename (atomic; rename to an existing destination fails, so
+  * two racing committers of the same version cannot both succeed). The
+  * current version is the max committed marker — there is NO pointer file
+  * to swap, hence no window where a concurrent reader can observe the table
+  * as missing (the failure mode of a delete-then-rename `_CURRENT` scheme).
+  * Markers are retained by [[vacuum]] (only old DATA is dropped), so
+  * [[history]] survives like Delta's log does. Single concurrent WRITER
+  * assumed (like Delta without a coordination service); readers unlimited.
   */
 object VersionedTable {
+
+  private val MarkerPrefix = "_commit_v"
 
   private def fs(spark: SparkSession, base: String): FileSystem =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def pointer(base: String) = new Path(base, "_CURRENT")
-
-  def currentVersion(spark: SparkSession, base: String): Option[Long] = {
-    val f = fs(spark, base)
-    if (!f.exists(pointer(base))) None
-    else {
-      val in = f.open(pointer(base))
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
-  }
+  private def markerPath(base: String, v: Long) = new Path(base, s"$MarkerPrefix$v")
 
   def versionPath(base: String, v: Long): String = s"$base/v$v"
+
+  /** All committed versions with metadata, ascending: (version, committedAtMs,
+    * operation). Driver-side listing of one directory — metadata-scale. */
+  def commits(spark: SparkSession, base: String): Seq[(Long, Long, String)] = {
+    val f = fs(spark, base)
+    val basePath = new Path(base)
+    if (!f.exists(basePath)) return Seq.empty
+    f.listStatus(basePath).toSeq
+      .filter(st => st.getPath.getName.startsWith(MarkerPrefix))
+      .map { st =>
+        val v = st.getPath.getName.drop(MarkerPrefix.length).toLong
+        val in = f.open(st.getPath)
+        val body =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+          finally in.close()
+        val lines = body.split("\n", -1)
+        val at = if (lines.length > 0 && lines(0).trim.nonEmpty) lines(0).trim.toLong else 0L
+        val op = if (lines.length > 1) lines(1).trim else "commit"
+        (v, at, op)
+      }
+      .sortBy(_._1)
+  }
+
+  def currentVersion(spark: SparkSession, base: String): Option[Long] =
+    commits(spark, base).lastOption.map(_._1)
 
   /** Snapshot read of the current version (None if never committed). */
   def read(spark: SparkSession, base: String): Option[DataFrame] =
     currentVersion(spark, base).map(v => spark.read.parquet(versionPath(base, v)))
 
-  /** Read a specific historical version (time-travel analogue, M1). */
+  /** Read a specific historical version (time-travel analogue, M1).
+    * Fails if that version's data was [[vacuum]]ed. */
   def readVersion(spark: SparkSession, base: String, v: Long): DataFrame =
     spark.read.parquet(versionPath(base, v))
 
-  /** Write `df` as the next version, then atomically flip `_CURRENT`
-    * (write temp pointer + rename — atomic on HDFS/local posix). */
-  def commit(spark: SparkSession, base: String, df: DataFrame): Long = {
+  /** Write `df` as the next version, then commit its marker (data before
+    * marker: a reader that sees the marker always sees complete data). */
+  def commit(spark: SparkSession, base: String, df: DataFrame,
+      operation: String = "commit"): Long = {
     val next = currentVersion(spark, base).map(_ + 1).getOrElse(0L)
     df.write.mode("overwrite").parquet(versionPath(base, next))
     val f = fs(spark, base)
-    val tmp = new Path(base, s"_CURRENT.tmp$next")
+    val tmp = new Path(base, s"._commit_tmp$next")
     val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (f.exists(pointer(base))) f.delete(pointer(base), false)
-    if (!f.rename(tmp, pointer(base)))
-      throw new java.io.IOException(s"pointer swap failed for $base v$next")
+    try out.write(s"${System.currentTimeMillis()}\n$operation".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, markerPath(base, next)))
+      throw new java.io.IOException(
+        s"commit marker for $base v$next already exists (concurrent writer?)")
     next
   }
 
-  /** Drop all versions older than the current one. */
+  /** DESCRIBE HISTORY analogue (M1, ref 01:252 / 03:222): one row per
+    * committed version with commit time, operation, data availability
+    * (false once vacuumed) and currency. */
+  def history(spark: SparkSession, base: String): DataFrame = {
+    val f = fs(spark, base)
+    val cs = commits(spark, base)
+    val cur = cs.lastOption.map(_._1)
+    val rows = cs.map { case (v, at, op) =>
+      Row(v, new java.sql.Timestamp(at), op,
+        f.exists(new Path(versionPath(base, v))), cur.contains(v))
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("available", BooleanType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Drop the DATA of all versions older than the current one; commit
+    * markers are retained so [[history]] still lists them (as
+    * `available = false`), like Delta's log after VACUUM. */
   def vacuum(spark: SparkSession, base: String): Unit = {
     val f = fs(spark, base)
     currentVersion(spark, base).foreach { cur =>
       f.listStatus(new Path(base)).foreach { st =>
         val name = st.getPath.getName
         if (name.startsWith("v") && name.drop(1).forall(_.isDigit)
-            && name.drop(1).toLong < cur)
+            && name.drop(1).nonEmpty && name.drop(1).toLong < cur)
           f.delete(st.getPath, true)
       }
     }

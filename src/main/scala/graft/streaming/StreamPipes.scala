@@ -36,9 +36,13 @@ object StreamPipes {
     spark.readStream.format("parquet").schema(schema).load(path)
 
   /** Silver foreachBatch (ref 02:97-209): per micro-batch DQ split → enrich
-    * → idempotent keyed merge into the silver path + quarantine append.
-    * Exactly-once under replay: checkpoint tracks offsets, and the merge is
-    * keyed on transaction_id so re-processing a batch is a no-op. */
+    * → idempotent keyed merge into the silver path + quarantine write.
+    * Exactly-once under replay on BOTH sinks: the merge is keyed on
+    * transaction_id (re-processing a batch is a no-op), and the quarantine
+    * write is scoped to a `batch=<id>` partition directory and overwritten —
+    * replaying a micro-batch after a failure between the quarantine write
+    * and the checkpoint commit rewrites the same partition instead of
+    * appending duplicates. */
   def silverForeachBatch(
       bronzeStream: DataFrame,
       silverPath: String, quarantinePath: String, checkpoint: String,
@@ -47,10 +51,11 @@ object StreamPipes {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val (silverReady, quarantined) = TxnSilver.processBatch(batch, clock, validMcc)
-        quarantined.write.mode("append").parquet(quarantinePath) // 02:124-128
+        // 02:124-128; batch-scoped overwrite = idempotent replay
+        quarantined.write.mode("overwrite").parquet(s"$quarantinePath/batch=$batchId")
         val merged = VersionedTable.read(spark, silverPath) match {
           case Some(target) =>
             Merge.upsert(target, silverReady, Seq("transaction_id")) // 02:174-181

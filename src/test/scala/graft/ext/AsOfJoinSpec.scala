@@ -33,6 +33,22 @@ class AsOfJoinSpec extends SparkSuite {
       "t3" -> Some(50.0))) // per-key isolation
   }
 
+  test("null payload in the matched row is preserved, and multi-payload comes from ONE row") {
+    val quotes2 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0), Some("nyse")),
+      (1L, ts("2024-01-01 10:00:20"), None, Some("cboe")) // most recent for t2: null price
+    ).toDF("key", "qts", "price", "venue")
+    val out = AsOfJoin.asOf(trades, quotes2, "key", "ts", "qts", Seq("price", "venue"))
+      .select($"trade", $"asof_price", $"asof_venue")
+      .as[(String, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // t2 (10:00:30) matches the 10:00:20 row: price NULL (not the older 100.0),
+    // venue "cboe" — both fields from the SAME matched row
+    assert(out("t2") === ((None, Some("cboe"))))
+    assert(out("t1") === ((Some(100.0), Some("nyse"))))
+    assert(out("t0") === ((None, None)))
+  }
+
   test("plans one exchange (union-window, not a range join)") {
     val out = AsOfJoin.asOf(trades, quotes, "key", "ts", "qts", Seq("price"))
     val p = out.queryExecution.executedPlan.toString

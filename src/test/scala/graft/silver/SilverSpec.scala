@@ -66,6 +66,15 @@ class SilverSpec extends SparkSuite {
     assert(twice.as[(Long, String)].collect().sortBy(_._1).toSeq === got.toSeq)
   }
 
+  test("merge upsert dedupes intra-batch duplicate keys deterministically") {
+    val target = Seq((1L, "t1")).toDF("id", "v")
+    val source = Seq((1L, "s1b"), (1L, "s1a"), (2L, "s2")).toDF("id", "v")
+    val got = Merge.upsert(target, source, Seq("id")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    // one row per key survives; the min-by-non-key-columns row wins
+    assert(got.toSeq === Seq((1L, "s1a"), (2L, "s2")))
+  }
+
   test("merge upsertPartitionPruned only rewrites affected partitions") {
     val target = Seq((1L, "p1", "t1"), (2L, "p1", "t2"), (3L, "p2", "t3")).toDF("id", "part", "v")
     val source = Seq((2L, "p1", "s2")).toDF("id", "part", "v")

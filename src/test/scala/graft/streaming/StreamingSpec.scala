@@ -134,4 +134,22 @@ class StreamingSpec extends SparkSuite {
     VersionedTable.vacuum(spark, base)
     assertThrows[Exception](VersionedTable.readVersion(spark, base, 0).collect())
   }
+
+  test("versioned table history lists every commit, survives vacuum (M1)") {
+    val base = tmp() + "/vt-hist"
+    val df1 = Seq((1, "a")).toDF("k", "v")
+    VersionedTable.commit(spark, base, df1, operation = "initial load")
+    VersionedTable.commit(spark, base, df1.withColumn("v", upper($"v")), operation = "merge")
+    val h = VersionedTable.history(spark, base)
+      .select("version", "operation", "available", "is_current")
+      .as[(Long, String, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(h.toSeq === Seq(
+      (0L, "initial load", true, false),
+      (1L, "merge", true, true)))
+    VersionedTable.vacuum(spark, base)
+    val h2 = VersionedTable.history(spark, base)
+      .select("version", "available").as[(Long, Boolean)].collect().sortBy(_._1)
+    // vacuum drops old DATA but history retains the commit record
+    assert(h2.toSeq === Seq((0L, false), (1L, true)))
+  }
 }
