@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * O(d × nPlanes) flops, zero allocation.
   */
 case class HyperplaneSig(child: Expression, nPlanes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1,63], got $nPlanes")
 
@@ -65,6 +65,34 @@ case class HyperplaneSig(child: Expression, nPlanes: Int)
     }
     java.lang.Long.valueOf(sig)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val xxh = classOf[XXH64].getName
+      val get = if (isFloat) s"(double) $vec.getFloat" else s"$vec.getDouble"
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p"); val d = ctx.freshName("d")
+      val seed = ctx.freshName("seed"); val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull"); val m = ctx.freshName("m")
+      s"""
+        int $n = $vec.numElements();
+        long $sig = 0L;
+        for (int $p = 0; $p < $nPlanes; $p++) {
+          long $seed = $xxh.hashInt($p, 42L);
+          double $acc = 0.0;
+          boolean $anyNull = false;
+          for (int $d = 0; $d < $n && !$anyNull; $d++) {
+            if ($vec.isNullAt($d)) { $anyNull = true; } else {
+              long $m = $xxh.hashInt($d, $seed) % 2000001L;
+              if ($m < 0L) $m += 2000001L;
+              $acc += $get($d) * (($m - 1000000L) / 1000000.0);
+            }
+          }
+          if (!$anyNull && $acc >= 0.0) $sig |= (1L << $p);
+        }
+        ${ev.value} = $sig;
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -13,13 +13,20 @@ import org.apache.spark.sql.types._
   * `|A∩B| / |A∪B|` computed as overlap counting — one hash set over the
   * smaller side, one scan of the larger — instead of
   * `size(array_intersect)/size(array_union)`, which allocates two result
-  * arrays and two lookup structures per pair. Values are identical
-  * (exact integer ratio → double), so oracle parity is unaffected; only
-  * the constant factor changes. Inputs MUST be element-distinct (use
-  * array_distinct upstream) or the union count is wrong.
+  * arrays and two lookup structures per pair.
+  *
+  * Preconditions & deliberate edge semantics (vs the HOF formulation):
+  * inputs MUST be element-distinct (array_distinct upstream) and contain no
+  * NULL elements — tokenizer output (`split`) satisfies both. Under those
+  * preconditions values are identical to the intersect/union formulation
+  * (exact integer ratio → double). Outside them they diverge by design:
+  * both-empty returns 0.0 (not the SQL 0/0 NULL — "no tokens" reads as
+  * "not similar" in a dedup pipeline), and null elements count toward the
+  * union but never the intersection, whereas array_intersect/array_union
+  * treat NULL as a matchable value.
   */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
@@ -49,6 +56,34 @@ case class JaccardSim(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(hits.toDouble / (na + nb - hits))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val ad = classOf[ArrayData].getName
+      val a = ctx.freshName("a"); val b = ctx.freshName("b"); val t = ctx.freshName("t")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val set = ctx.freshName("set"); val i = ctx.freshName("i")
+      val hits = ctx.freshName("hits")
+      s"""
+        $ad $a = $l; $ad $b = $r;
+        if ($a.numElements() > $b.numElements()) { $ad $t = $a; $a = $b; $b = $t; }
+        int $na = $a.numElements();
+        int $nb = $b.numElements();
+        if ($na == 0 && $nb == 0) {
+          ${ev.value} = 0.0;
+        } else {
+          java.util.HashSet $set = new java.util.HashSet(java.lang.Math.max(8, $na * 2));
+          for (int $i = 0; $i < $na; $i++) {
+            if (!$a.isNullAt($i)) $set.add($a.getUTF8String($i));
+          }
+          int $hits = 0;
+          for (int $i = 0; $i < $nb; $i++) {
+            if (!$b.isNullAt($i) && $set.contains($b.getUTF8String($i))) $hits++;
+          }
+          ${ev.value} = (double) $hits / ($na + $nb - $hits);
+        }
+      """
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
     copy(left = l, right = r)

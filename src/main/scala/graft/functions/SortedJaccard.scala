@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   * otherwise (no runtime check — this sits in a multi-million-pair loop).
   */
 case class SortedJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_jaccard"
@@ -47,6 +47,29 @@ case class SortedJaccard(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(hits.toDouble / (na + nb - hits))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val hits = ctx.freshName("hits")
+      val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+      s"""
+        int $na = $a.numElements();
+        int $nb = $b.numElements();
+        if ($na == 0 && $nb == 0) {
+          ${ev.value} = 0.0;
+        } else {
+          int $i = 0; int $j = 0; int $hits = 0;
+          while ($i < $na && $j < $nb) {
+            long $va = $a.getLong($i); long $vb = $b.getLong($j);
+            if ($va == $vb) { $hits++; $i++; $j++; }
+            else if ($va < $vb) { $i++; } else { $j++; }
+          }
+          ${ev.value} = (double) $hits / ($na + $nb - $hits);
+        }
+      """
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccard =
     copy(left = l, right = r)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -15,10 +15,12 @@ import org.apache.spark.sql.types._
   * accumulation, dot/(√na·√nb)) — so results stay bit-equal to the DuckDB
   * oracle — but evaluation is a primitive loop instead of interpreted
   * zip_with/aggregate lambda trees (which allocate and box per element).
-  * One fused pass computes dot and both norms.
+  * One fused pass computes dot and both norms. `doGenCode` emits the same
+  * loop, so the projection stays inside WholeStageCodegen instead of
+  * breaking the stage with a fallback.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
@@ -57,6 +59,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
     while (j < b.numElements()) { val y = elem(b, bF, j); nb += y * y; j += 1 }
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val aGet = if (left.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+        s"(double) $a.getFloat" else s"$a.getDouble"
+      val bGet = if (right.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+        s"(double) $b.getFloat" else s"$b.getDouble"
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val sa = ctx.freshName("sa"); val sb = ctx.freshName("sb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+        int $na = $a.numElements();
+        int $nb = $b.numElements();
+        int $n = java.lang.Math.min($na, $nb);
+        double $dot = 0.0; double $sa = 0.0; double $sb = 0.0;
+        int $i = 0;
+        while ($i < $n) {
+          double $x = $aGet($i); double $y = $bGet($i);
+          $dot += $x * $y; $sa += $x * $x; $sb += $y * $y;
+          $i++;
+        }
+        for ($i = $n; $i < $na; $i++) { double $x = $aGet($i); $sa += $x * $x; }
+        for ($i = $n; $i < $nb; $i++) { double $y = $bGet($i); $sb += $y * $y; }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($sa) * java.lang.Math.sqrt($sb));
+      """
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)

@@ -1,0 +1,40 @@
+package graft
+
+/** Performance guardrail: headline queries must not regress >2× against the
+  * committed baseline (`bench/baseline.json`, snapshotted from the round-1
+  * driver bench at sf0.1, local[32]). Runs warm (one untimed pass first), so
+  * a warm run beating the COLD baseline's 2× bar is a conservative check; a
+  * 1-second absolute floor absorbs timer/GC noise on sub-second queries.
+  * Update the baseline file deliberately when a query's cost model changes —
+  * never to paper over an accidental regression.
+  */
+class BenchGuardSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.1"
+
+  private def baseline(): Map[String, Double] = {
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("bench/baseline.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    raw""""(q\w+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  test("headline queries stay within 2x of the committed bench baseline") {
+    val base = baseline()
+    val headliners = QueryCatalog.all.filter(_.headline)
+    assert(headliners.nonEmpty)
+    val failures = headliners.flatMap { q =>
+      base.get(q.name).flatMap { b =>
+        q.fn(spark, sfDir).count() // warmup: JIT + codegen + file listing
+        val t0 = System.nanoTime()
+        q.fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val budget = math.max(2.0 * b, b + 1.0)
+        if (sec > budget) Some(f"${q.name}: ${sec}%.2f s > budget ${budget}%.2f s (baseline $b%.2f s)")
+        else None
+      }
+    }
+    assert(failures.isEmpty, s"bench regression:\n${failures.mkString("\n")}")
+  }
+}

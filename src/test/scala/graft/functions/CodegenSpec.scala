@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.{SparkSuite, Tables}
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+/** Proves the native expressions' `doGenCode` paths actually COMPILE and
+  * produce the same values as the interpreted/HOF formulations. Codegen
+  * fallback is disabled for the duration, so a janino error fails the test
+  * instead of silently degrading to interpreted execution.
+  */
+class CodegenSpec extends SparkSuite {
+  import spark.implicits._
+  val dir = "/root/testdata/sf0.001"
+
+  private def withForcedCodegen[T](f: => T): T = {
+    val oldFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    val oldMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try f
+    finally {
+      oldFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+      oldMode.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
+  test("CosineSimilarity codegen compiles and is bit-equal to the HOF form") {
+    withForcedCodegen {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("a"))
+        .crossJoin(emb.select($"vec_id".as("ib"), $"embedding".as("b")).limit(10))
+        .limit(500)
+      val diff = pairs.filter(
+        Similarity.cosine($"a", $"b") =!= Similarity.cosineHof($"a", $"b")).count()
+      assert(diff === 0)
+    }
+  }
+
+  test("HyperplaneSig codegen compiles and equals the HOF signature") {
+    withForcedCodegen {
+      val emb = Tables.load(spark, dir, "embeddings").limit(100)
+      val diff = emb.filter(
+        Similarity.hyperplaneSignature($"embedding", 12) =!=
+          Similarity.hyperplaneSignatureHof($"embedding", 12)).count()
+      assert(diff === 0)
+    }
+  }
+
+  test("JaccardSim codegen compiles and equals the intersect/union form") {
+    withForcedCodegen {
+      val docs = Tables.load(spark, dir, "documents")
+        .select($"doc_id", array_distinct(split(lower($"text"), " ")).as("toks"))
+      val pairs = docs.select($"doc_id".as("ia"), $"toks".as("a"))
+        .crossJoin(docs.select($"doc_id".as("ib"), $"toks".as("b")).limit(10))
+        .limit(500)
+      val diff = pairs.filter(
+        JaccardSim.jaccardSim($"a", $"b") =!=
+          (size(array_intersect($"a", $"b")).cast("double") /
+            size(array_union($"a", $"b")))).count()
+      assert(diff === 0)
+    }
+  }
+
+  test("SortedJaccard codegen compiles and matches hand-computed values") {
+    withForcedCodegen {
+      val df = Seq(
+        (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), 2.0 / 4.0),
+        (Seq(1L, 2L), Seq(1L, 2L), 1.0),
+        (Seq(1L), Seq(5L, 6L), 0.0),
+        (Seq.empty[Long], Seq.empty[Long], 0.0)
+      ).toDF("a", "b", "want")
+      val diff = df.filter(
+        SortedJaccard.sortedJaccard($"a", $"b") =!= $"want").count()
+      assert(diff === 0)
+    }
+  }
+}
