@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join without a nested-loop plan.
+  *
+  * Spark plans `points JOIN intervals ON p BETWEEN s AND e` as
+  * BroadcastNestedLoopJoin — O(|P|·|I|) compares, non-viable once the
+  * interval side outgrows a broadcast. The scale shape (Flink interval
+  * joins, spatial engines' grid joins) is BINNING: discretize the domain
+  * into fixed-width bins, replicate each interval to every bin it overlaps,
+  * map each point to its single bin, equi-join on the bin id, then verify
+  * the exact predicate.
+  *
+  *  - A (point, interval) pair meets in EXACTLY one bin — the point's —
+  *    so no post-join dedup is needed.
+  *  - Cost: one hash shuffle on the bin id + |interval| × (span/width)
+  *    replication. Pick `binWidth` ≈ the typical interval length: short
+  *    intervals replicate ~2×, and bin population (not the whole table)
+  *    bounds the per-bin verify work.
+  *  - Long-tail intervals (≫ binWidth) replicate proportionally — cap or
+  *    split pathological spans upstream the same way LSH caps buckets.
+  */
+object RangeJoin {
+
+  /** `point`, `start`, `end` are integral-valued columns in the same units
+    * (e.g. epoch days/seconds); match condition is `start <= point <= end`
+    * (inclusive both ends). Output: all columns of both inputs. */
+  def pointInInterval(
+      points: DataFrame, intervals: DataFrame,
+      point: String, start: String, end: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val pb = points.withColumn("__bin",
+      floor(col(point) / lit(binWidth.toDouble)).cast("long"))
+    val ib = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(start) / lit(binWidth.toDouble)).cast("long"),
+        floor(col(end) / lit(binWidth.toDouble)).cast("long"))))
+    pb.join(ib, Seq("__bin"))
+      .filter(col(point) >= col(start) && col(point) <= col(end))
+      .drop("__bin")
+  }
+}

@@ -80,6 +80,41 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
+  /** IVF-Flat approximate top-k — the second ANN scale path (coarse
+    * quantization instead of hashing): every corpus vector is assigned to
+    * its nearest centroid in ONE scan against the (constant-size,
+    * broadcast) centroid set; each query probes its `nProbe` nearest
+    * centroids and ranks only those inverted lists with exact cosine.
+    *
+    * Recall/cost dial: nProbe/|centroids|. At scale |centroids| should grow
+    * ~√|corpus| so a list holds ~√n vectors and the probe join reads
+    * nProbe·√n candidates per query; the centroid set stays broadcastable
+    * for millions of centroids of small dimension. Centroids here are
+    * caller-supplied (deterministic samples work; a k-means refinement
+    * would drop in without changing the plan shape).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("sim_c", cosine(col("vec"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("vec")), struct(col("sim_c"), -col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"), col("m.vec").as("vec"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("sim_c").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("sim_c", cosine(col("qvec"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cid"))
+    val cand = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+
   /** Approximate top-k: candidates share a hyperplane-signature bucket with
     * the query; exact cosine ranks within candidates. One corpus scan to
     * bucket, one bucket-keyed join — no cross join at any scale. */

@@ -51,6 +51,18 @@ object EmbedQueries {
     (s, dir) => Similarity.lshTopK(corpus(s, dir), queriesDf(s, dir), 10, nPlanes = 8),
     None)
 
+  /** IVF-Flat approximate top-k: deterministic sampled centroids, 2-probe.
+    * Assignment ties/centroid geometry are engine-specific ⇒ rows-only;
+    * recall vs brute force is property-tested in SimilaritySpec. */
+  val q56AnnIvf: Q = Q(
+    "q56_ann_ivf",
+    (s, dir) => {
+      val cents = t(s, dir, "embeddings").filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(corpus(s, dir), queriesDf(s, dir), cents, 10, nProbe = 2)
+    },
+    None)
+
   /** Vector stats: dimension + L2 norm per vector (sequential double
     * accumulation on both engines). */
   val q35VectorStats: Q = Q(
@@ -87,5 +99,5 @@ object EmbedQueries {
       GROUP BY label, i
     """))
 
-  val all: Seq[Q] = Seq(q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids)
+  val all: Seq[Q] = Seq(q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf)
 }

@@ -142,6 +142,36 @@ object SetOps {
       ON a.o_custkey = b.o_custkey
     """))
 
+  /** Range (point-in-interval) join via binning ([[graft.ext.RangeJoin]]):
+    * orders falling inside the 7-day windows opened by the 50 biggest
+    * orders. The naive BETWEEN join is a nested-loop plan; the binned form
+    * is an equi-join on the bin id + exact verify. */
+  val q55RangeJoin: Q = Q(
+    "q55_range_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val points = o.select(col("o_orderkey"), to_date(col("o_orderdate")).as("pdate"))
+        .withColumn("pday", unix_date(col("pdate")))
+      val win = o.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(50)
+        .select(col("o_orderkey").as("win_id"), to_date(col("o_orderdate")).as("win_start"))
+        .withColumn("win_end", date_add(col("win_start"), 7))
+        .withColumn("sday", unix_date(col("win_start")))
+        .withColumn("eday", unix_date(col("win_end")))
+      graft.ext.RangeJoin.pointInInterval(points, win, "pday", "sday", "eday", binWidth = 16)
+        .select(col("win_id"), col("o_orderkey"), col("pdate"))
+    },
+    Some("""
+      WITH win AS (
+        SELECT o_orderkey AS win_id,
+               CAST(o_orderdate AS DATE) AS win_start,
+               CAST(o_orderdate AS DATE) + 7 AS win_end
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50)
+      SELECT w.win_id, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS pdate
+      FROM orders o JOIN win w
+        ON CAST(o.o_orderdate AS DATE) BETWEEN w.win_start AND w.win_end
+    """))
+
   val all: Seq[Q] = Seq(
-    q12Union, q13Except, q14Semi, q15Anti, q16LeftJoinAgg, q52Intersect, q53FullOuter)
+    q12Union, q13Except, q14Semi, q15Anti, q16LeftJoinAgg, q52Intersect, q53FullOuter,
+    q55RangeJoin)
 }

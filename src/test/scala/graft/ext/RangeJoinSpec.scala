@@ -1,0 +1,39 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  val points = Seq((1L, 5L), (2L, 10L), (3L, 17L), (4L, 33L), (5L, -2L))
+    .toDF("pid", "p")
+  val intervals = Seq((10L, 0L, 9L), (20L, 10L, 10L), (30L, 15L, 40L), (40L, 50L, 60L))
+    .toDF("iid", "s", "e")
+
+  test("binned range join equals the naive BETWEEN join, across bin widths") {
+    val naive = points.join(intervals, $"p" >= $"s" && $"p" <= $"e")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(naive === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 30L)))
+    for (w <- Seq(1L, 4L, 16L, 100L)) {
+      val binned = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", w)
+        .select($"pid", $"iid").as[(Long, Long)].collect()
+      assert(binned.length === binned.toSet.size, s"no duplicate pairs at width $w")
+      assert(binned.toSet === naive, s"binned join must equal naive at width $w")
+    }
+  }
+
+  test("binned range join plans an equi-join, not a nested loop") {
+    val out = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", 16)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must be an equi-join on the bin:\n$p")
+  }
+
+  test("negative domain values bin correctly (floor, not truncate)") {
+    val ivl = Seq((1L, -10L, -1L)).toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(points, ivl, "p", "s", "e", 7)
+      .select($"pid").as[Long].collect().toSeq
+    assert(got === Seq(5L))
+  }
+}

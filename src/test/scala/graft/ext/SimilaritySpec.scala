@@ -69,6 +69,28 @@ class SimilaritySpec extends SparkSuite {
     assert(s1 === s2)
   }
 
+  test("IVF top-k probes nearest lists and beats random precision") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = emb.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val cents = emb.filter($"vec_id" % 31 === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val truth = Similarity.bruteForceTopK(corpus, queries, 20)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val approx = Similarity.ivfTopK(corpus, queries, cents, 5, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(approx.nonEmpty, "IVF should produce candidates")
+    approx.groupBy(_._1).foreach { case (_, rows) =>
+      val ranks = rows.map(_._2).sorted
+      assert(ranks.toSeq === (1L to ranks.length), "dense ranks per query")
+    }
+    val hits = approx.count(r => truth(r._1).contains(r._3))
+    // top-20-of-500 random baseline is 4%; require a clear lift
+    assert(hits.toDouble / approx.length > 0.16,
+      s"IVF precision shows no lift over random: $hits/${approx.length}")
+  }
+
   test("native hyperplane signature equals the HOF formulation on every vector") {
     val emb = Tables.load(spark, dir, "embeddings")
     for (planes <- Seq(4, 8, 12)) {
