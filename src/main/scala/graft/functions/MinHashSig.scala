@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * O(shingles × k) longs, zero intermediate arrays.
   */
 case class MinHashSig(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -60,6 +60,44 @@ case class MinHashSig(child: Expression, k: Int, w: Int)
     }
     new GenericArrayData(mins)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      val xxh = classOf[XXH64].getName
+      val utf8 = classOf[UTF8String].getName
+      val gad = classOf[GenericArrayData].getName
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val seeds = ctx.freshName("seeds"); val nSh = ctx.freshName("nSh")
+      val sb = ctx.freshName("sb"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val end = ctx.freshName("end")
+      val s = ctx.freshName("s"); val seed = ctx.freshName("seed")
+      val h = ctx.freshName("h")
+      s"""
+        int $n = $toks.numElements();
+        long[] $mins = new long[$k];
+        java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        long[] $seeds = new long[$k];
+        for (int $seed = 0; $seed < $k; $seed++) {
+          $seeds[$seed] = $xxh.hashLong((long) $seed, 42L);
+        }
+        int $nSh = java.lang.Math.max(1, $n - ${w - 1});
+        java.lang.StringBuilder $sb = new java.lang.StringBuilder(64);
+        for (int $i = 0; $i < $nSh; $i++) {
+          $sb.setLength(0);
+          int $end = java.lang.Math.min($i + $w, $n);
+          for (int $j = $i; $j < $end; $j++) {
+            if ($j > $i) $sb.append(' ');
+            if (!$toks.isNullAt($j)) $sb.append($toks.getUTF8String($j).toString());
+          }
+          $utf8 $s = $utf8.fromString($sb.toString());
+          for (int $seed = 0; $seed < $k; $seed++) {
+            long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $seeds[$seed]);
+            if ($h < $mins[$seed]) $mins[$seed] = $h;
+          }
+        }
+        ${ev.value} = new $gad($mins);
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.graft.ColumnBridge
@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * capability, done the preferred way — Expression over UDF.)
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -64,6 +64,34 @@ case class SimHash64(child: Expression)
     }
     java.lang.Long.valueOf(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val xxh = classOf[XXH64].getName
+      val utf8 = classOf[org.apache.spark.unsafe.types.UTF8String].getName
+      val counts = ctx.freshName("counts"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val tok = ctx.freshName("tok"); val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+        int[] $counts = new int[64];
+        int $n = $arr.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$arr.isNullAt($i)) {
+            $utf8 $tok = $arr.getUTF8String($i);
+            long $h = $xxh.hashUnsafeBytes($tok.getBaseObject(), $tok.getBaseOffset(), $tok.numBytes(), ${Seed}L);
+            for (int $b = 0; $b < 64; $b++) {
+              if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+            }
+          }
+        }
+        long $out = 0L;
+        for (int $b = 0; $b < 64; $b++) {
+          if ($counts[$b] > 0) $out |= (1L << $b);
+        }
+        ${ev.value} = $out;
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

@@ -64,6 +64,28 @@ class CodegenSpec extends SparkSuite {
     }
   }
 
+  test("SimHash64 and MinHashSig codegen compile and match the interpreted path") {
+    def compute(): (Map[Long, Long], Map[Long, Seq[Long]]) = {
+      val docs = Tables.load(spark, dir, "documents").limit(100)
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      val sh = docs.select($"doc_id", SimHash64.simhash64($"toks").as("f"))
+        .as[(Long, Long)].collect().toMap
+      val mh = docs.select($"doc_id", MinHashSig.minhashSig($"toks", 8).as("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+      (sh, mh)
+    }
+    // interpreted reference first, then forced codegen — values must agree
+    val oldMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val (shI, mhI) =
+      try compute()
+      finally oldMode.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    val (shC, mhC) = withForcedCodegen(compute())
+    assert(shC === shI, "SimHash64 codegen must equal interpreted")
+    assert(mhC === mhI, "MinHashSig codegen must equal interpreted")
+  }
+
   test("SortedJaccard codegen compiles and matches hand-computed values") {
     withForcedCodegen {
       val df = Seq(
