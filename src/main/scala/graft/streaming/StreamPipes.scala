@@ -93,4 +93,23 @@ object StreamPipes {
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String]): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Watermarked stream-stream INNER join (north-star ST surface): key
+    * equality + a bounded event-time range. Both watermarks plus the range
+    * condition let the symmetric-hash-join state evict rows once the other
+    * side can no longer match them — state stays bounded no matter how long
+    * the streams run (the unbounded-state failure mode of an unconstrained
+    * stream-stream join). `rightTime` must fall in
+    * `[leftTime - lookback, leftTime]`. */
+  def streamStreamJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      watermark: String = "10 minutes",
+      lookback: String = "5 minutes"): DataFrame =
+    left.withWatermark(leftTime, watermark)
+      .join(
+        right.withWatermark(rightTime, watermark),
+        expr(s"$key = $rightKey AND " +
+          s"$rightTime BETWEEN $leftTime - interval $lookback AND $leftTime"))
 }

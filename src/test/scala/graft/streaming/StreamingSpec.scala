@@ -121,6 +121,27 @@ class StreamingSpec extends SparkSuite {
     assert(n === 2)
   }
 
+  test("stream-stream join matches within the time range, bounded state (ST7)") {
+    def ts(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val views = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val joined = StreamPipes.streamStreamJoin(
+      clicks.toDF.toDF("ts", "user_id", "click_id"),
+      views.toDF.toDF("rts", "r_user_id", "view_id"),
+      "user_id", "r_user_id", "ts", "rts", lookback = "5 minutes")
+    val q = joined.select("click_id", "view_id").writeStream
+      .format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      // view v1 at t+0; clicks: same user in-range (c1, +60 s), same user
+      // out-of-range (c2, +6 min), other user (c3)
+      views.addData((ts(0), 7L, "v1"))
+      clicks.addData((ts(60), 7L, "c1"), (ts(360), 7L, "c2"), (ts(60), 8L, "c3"))
+      q.processAllAvailable()
+      val got = spark.table("ssj").as[(String, String)].collect().toSet
+      assert(got === Set(("c1", "v1")), s"only the in-range same-user pair joins: $got")
+    } finally q.stop()
+  }
+
   test("versioned table: commit/read/time-travel/vacuum") {
     val base = tmp() + "/vt"
     val df1 = Seq((1, "a"), (2, "b")).toDF("k", "v")
