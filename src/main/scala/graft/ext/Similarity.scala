@@ -66,15 +66,16 @@ object Similarity {
     * ~d×nPlanes interpreted HOF lambda evals per row (the corpus-bucketing
     * bottleneck at scale). Bit-identical to [[hyperplaneSignatureHof]],
     * proven in SimilaritySpec. */
-  def hyperplaneSignature(vec: Column, nPlanes: Int): Column =
-    graft.functions.HyperplaneSig.hyperplaneSig(vec, nPlanes)
+  def hyperplaneSignature(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    graft.functions.HyperplaneSig.hyperplaneSig(vec, nPlanes, planeOffset)
 
   /** Reference HOF formulation of [[hyperplaneSignature]], kept for the
     * native/HOF equality test only — interpreted, do not use in hot paths. */
-  def hyperplaneSignatureHof(vec: Column, nPlanes: Int): Column =
+  def hyperplaneSignatureHof(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
-        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), d => planeComponent(p, d)),
+        zip_with(vec,
+          transform(sequence(lit(0), size(vec) - 1), d => planeComponent(planeOffset + p, d)),
           (x, h) => x.cast("double") * h),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -113,6 +114,40 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+
+  /** Embedding-cosine near-dup PAIRS via multi-table hyperplane LSH
+    * (OR-amplification): `nTables` independent signature tables bucket the
+    * corpus; a pair is a candidate if it collides in ANY table (recall ≈
+    * 1-(1-pᵖˡᵃⁿᵉˢ)ᵗᵃᵇˡᵉˢ, p = 1-θ/π); exact cosine verifies against
+    * `threshold`. Same scale shape as the MinHash near-dup: integer-only
+    * candidate pairs through the bucket joins, pair-distinct BEFORE the
+    * (cluster-level) vector attach + verify, oversized buckets capped.
+    * Output (id_a, id_b, cosine), id_a < id_b.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame, threshold: Double,
+      nPlanes: Int = 12, nTables: Int = 4,
+      maxBucketSize: Int = 500): DataFrame = {
+    import graft.functions.HyperplaneSig.hyperplaneSig
+    val sigs = corpus.select(
+      col("id") +: (0 until nTables).map(t =>
+        hyperplaneSig(col("vec"), nPlanes, planeOffset = t * nPlanes).as(s"sig$t")): _*)
+    val buckets = sigs.select(col("id"), explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("table"), col(s"sig$t").as("bucket"))): _*)).as("bh"))
+    val oversized = buckets.groupBy(col("bh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize).select(col("bh"))
+    val capped = buckets.join(broadcast(oversized), Seq("bh"), "left_anti")
+    val pairs = capped.select(col("bh"), col("id").as("id_a"))
+      .join(capped.select(col("bh"), col("id").as("id_b")), Seq("bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(corpus.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(corpus.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Approximate top-k: candidates share a hyperplane-signature bucket with

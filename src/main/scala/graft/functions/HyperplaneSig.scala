@@ -21,10 +21,11 @@ import org.apache.spark.sql.types._
   * bucketing a 100 TB corpus. This expression is one primitive loop:
   * O(d × nPlanes) flops, zero allocation.
   */
-case class HyperplaneSig(child: Expression, nPlanes: Int)
+case class HyperplaneSig(child: Expression, nPlanes: Int, planeOffset: Int = 0)
     extends UnaryExpression {
 
   require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1,63], got $nPlanes")
+  require(planeOffset >= 0, s"planeOffset must be >= 0, got $planeOffset")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
@@ -43,8 +44,10 @@ case class HyperplaneSig(child: Expression, nPlanes: Int)
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
-      // xxhash64(lit(p), d) chains: seed 42 over the plane id, then the dim
-      val planeSeed = XXH64.hashInt(p, 42L)
+      // xxhash64(lit(p), d) chains: seed 42 over the (offset) plane id, then
+      // the dim — distinct offsets give independent hyperplane sets, the
+      // multi-table LSH (OR-amplification) dial
+      val planeSeed = XXH64.hashInt(planeOffset + p, 42L)
       var acc = 0.0
       var anyNull = false
       var d = 0
@@ -78,7 +81,7 @@ case class HyperplaneSig(child: Expression, nPlanes: Int)
         int $n = $vec.numElements();
         long $sig = 0L;
         for (int $p = 0; $p < $nPlanes; $p++) {
-          long $seed = $xxh.hashInt($p, 42L);
+          long $seed = $xxh.hashInt($planeOffset + $p, 42L);
           double $acc = 0.0;
           boolean $anyNull = false;
           for (int $d = 0; $d < $n && !$anyNull; $d++) {
@@ -99,6 +102,6 @@ case class HyperplaneSig(child: Expression, nPlanes: Int)
 }
 
 object HyperplaneSig {
-  def hyperplaneSig(vec: Column, nPlanes: Int): Column =
-    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), nPlanes))
+  def hyperplaneSig(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), nPlanes, planeOffset))
 }

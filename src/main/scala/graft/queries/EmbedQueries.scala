@@ -57,9 +57,33 @@ object EmbedQueries {
   val q56AnnIvf: Q = Q(
     "q56_ann_ivf",
     (s, dir) => {
-      val cents = t(s, dir, "embeddings").filter(col("vec_id") % 31 === 0)
+      // bounded centroid count (≤64): assignment stays O(64·n) however big
+      // the corpus — centroid count is a tuning dial, not data-proportional
+      val cents = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31 * 64)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.ivfTopK(corpus(s, dir), queriesDf(s, dir), cents, 10, nProbe = 2)
+    },
+    None)
+
+  /** Embedding-cosine near-dup pairs (multi-table hyperplane LSH, exact
+    * cosine verify ≥ 0.98) over the corpus ∪ synthesized perturbed dups
+    * (all raw embeddings are near-orthogonal random vectors). Buckets are
+    * engine-specific hashes ⇒ rows-only; recall vs brute force is
+    * property-tested in SimilaritySpec. */
+  val q57EmbedNearDup: Q = Q(
+    "q57_embed_neardup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dups = emb.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 100000).as("id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            (pmod(col("vec_id") * (i + lit(1)), lit(7)).cast("double") - 3.0) * 0.005)
+            .cast("float")).as("vec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .unionByName(dups)
+      Similarity.cosineNearDupPairs(corpus, threshold = 0.98)
     },
     None)
 
@@ -99,5 +123,6 @@ object EmbedQueries {
       GROUP BY label, i
     """))
 
-  val all: Seq[Q] = Seq(q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf)
+  val all: Seq[Q] = Seq(
+    q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf, q57EmbedNearDup)
 }

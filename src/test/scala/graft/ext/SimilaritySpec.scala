@@ -93,11 +93,34 @@ class SimilaritySpec extends SparkSuite {
 
   test("native hyperplane signature equals the HOF formulation on every vector") {
     val emb = Tables.load(spark, dir, "embeddings")
-    for (planes <- Seq(4, 8, 12)) {
+    for ((planes, off) <- Seq((4, 0), (8, 0), (12, 0), (12, 24))) {
       val diff = emb.filter(
-        Similarity.hyperplaneSignature($"embedding", planes) =!=
-          Similarity.hyperplaneSignatureHof($"embedding", planes)).count()
-      assert(diff === 0, s"native and HOF signatures must agree at nPlanes=$planes")
+        Similarity.hyperplaneSignature($"embedding", planes, off) =!=
+          Similarity.hyperplaneSignatureHof($"embedding", planes, off)).count()
+      assert(diff === 0, s"native and HOF signatures must agree at nPlanes=$planes offset=$off")
     }
+  }
+
+  test("cosine near-dup pairs: high recall of true pairs, no false positives") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val dups = emb.filter($"vec_id" % 10 === 0).select(
+      ($"vec_id" + 100000).as("id"),
+      transform($"embedding", (x, i) =>
+        (x.cast("double") +
+          (pmod($"vec_id" * (i + lit(1)), lit(7)).cast("double") - 3.0) * 0.005)
+          .cast("float")).as("vec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec")).unionByName(dups)
+    // truth: brute-force all-pairs at the same threshold (test scale only)
+    val a = corpus.select($"id".as("ia"), $"vec".as("va"))
+    val b = corpus.select($"id".as("ib"), $"vec".as("vb"))
+    val truth = a.crossJoin(b).filter($"ia" < $"ib")
+      .filter(Similarity.cosine($"va", $"vb") >= 0.98)
+      .select($"ia", $"ib").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "perturbed dups must create true near-dup pairs")
+    val got = Similarity.cosineNearDupPairs(corpus, 0.98)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth), "exact verify means zero false positives")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.8, s"multi-table LSH recall too low: ${got.size}/${truth.size}")
   }
 }
