@@ -16,6 +16,19 @@ object TextStats {
   /** Whitespace tokenization (documents are single-space word soup). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** GPT-style pre-tokenizer regex (simplified BPE splitting: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs).
+    * Kept to the regex subset Java and RE2 treat identically, so the DuckDB
+    * oracle can run the same pattern. */
+  val BpeTokenPattern: String = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+
+  /** BPE-ish token list / count — the token-budget estimator a training
+    * pipeline runs over every document. One codegen'd projection. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+
+  def nBpeTokens(text: Column): Column = size(bpeTokens(text)).cast("long")
+
   def nTokens(text: Column): Column = size(tokens(text)).cast("long")
 
   def nDistinctTokens(text: Column): Column =

@@ -74,6 +74,36 @@ object Analytics {
       FROM orders GROUP BY o_orderpriority
     """))
 
+  /** UNPIVOT/melt — the inverse of q43: the wide per-priority status counts
+    * back to long form. Generator-style op, shuffle-free (each row expands
+    * to 3 in place). */
+  val q58Unpivot: Q = Q(
+    "q58_unpivot",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("n_f"), col("n_o"), col("n_p")),
+          "status_col", "n"),
+    Some("""
+      WITH wide AS (
+        SELECT o_orderpriority,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+          CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+          CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM wide
+      UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM wide
+      UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM wide
+    """))
+
   /** Regex + string surgery: extract, replace, split_part, translate. */
   val q44Regex: Q = Q(
     "q44_regex_extract",
@@ -205,5 +235,5 @@ object Analytics {
 
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
-    q47Percentiles, q48CollectList, q49AsOfJoin)
+    q47Percentiles, q48CollectList, q49AsOfJoin, q58Unpivot)
 }

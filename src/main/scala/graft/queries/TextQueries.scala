@@ -222,7 +222,33 @@ object TextQueries {
       ) WHERE rank <= 3
     """))
 
+  /** BPE-ish token counting (GPT-style pre-tokenizer regex): the token-
+    * budget estimate per document plus chars-per-token — the metric that
+    * decides what a corpus costs to train on. The pattern stays in the
+    * regex subset Java and RE2 execute identically, so DuckDB runs the
+    * SAME expression. */
+  val q59BpeTokens: Q = Q(
+    "q59_bpe_tokens",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.nBpeTokens(col("text")).as("n_bpe_tokens"),
+        TextStats.nTokens(col("text")).as("n_ws_tokens"),
+        (length(col("text")).cast("double") /
+          TextStats.nBpeTokens(col("text"))).as("chars_per_token")),
+    Some {
+      val sqlPat = TextStats.BpeTokenPattern.replace("'", "''")
+      s"""
+      SELECT doc_id,
+        len(regexp_extract_all(text, '$sqlPat')) AS n_bpe_tokens,
+        len(string_split(text, ' ')) AS n_ws_tokens,
+        CAST(length(text) AS DOUBLE)
+          / len(regexp_extract_all(text, '$sqlPat')) AS chars_per_token
+      FROM documents
+    """
+    })
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
-    q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf)
+    q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens)
 }

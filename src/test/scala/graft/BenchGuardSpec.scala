@@ -20,11 +20,13 @@ class BenchGuardSpec extends SparkSuite {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
-  test("headline queries stay within 2x of the committed bench baseline") {
+  test("baselined queries stay within 2x of the committed bench baseline") {
     val base = baseline()
-    val headliners = QueryCatalog.all.filter(_.headline)
-    assert(headliners.nonEmpty)
-    val failures = headliners.flatMap { q =>
+    // guard every query listed in the baseline file (headliners + the
+    // heavies whose cost model we deliberately locked in)
+    val guarded = QueryCatalog.all.filter(q => base.contains(q.name))
+    assert(guarded.nonEmpty)
+    val failures = guarded.flatMap { q =>
       base.get(q.name).flatMap { b =>
         q.fn(spark, sfDir).count() // warmup: JIT + codegen + file listing
         val t0 = System.nanoTime()
