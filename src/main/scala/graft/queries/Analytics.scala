@@ -104,6 +104,54 @@ object Analytics {
       UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM wide
     """))
 
+  /** CUBE — all grouping-set combinations over (status, priority); NULL
+    * group markers replaced with 'ALL' on both engines so the hash compare
+    * is null-free. Same two-phase hash-agg shape as rollup (q42). */
+  val q61Cube: Q = Q(
+    "q61_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("revenue")),
+    Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n, %s AS revenue
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """.format(oracleDsum("o_totalprice", 2))))
+
+  /** Correlated subqueries through the SQL front end: scalar subquery in
+    * SELECT + correlated EXISTS in WHERE — Catalyst decorrelates both into
+    * joins (no per-row re-execution). */
+  val q62Correlated: Q = Q(
+    "q62_correlated_subquery",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name,
+          (SELECT MAX(o.o_totalprice) FROM orders_v o
+           WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+      """)
+    },
+    Some("""
+      SELECT c.c_custkey, c.c_name,
+        (SELECT MAX(o.o_totalprice) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS max_order
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    """))
+
   /** Regex + string surgery: extract, replace, split_part, translate. */
   val q44Regex: Q = Q(
     "q44_regex_extract",
@@ -235,5 +283,5 @@ object Analytics {
 
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
-    q47Percentiles, q48CollectList, q49AsOfJoin, q58Unpivot)
+    q47Percentiles, q48CollectList, q49AsOfJoin, q58Unpivot, q61Cube, q62Correlated)
 }

@@ -92,5 +92,29 @@ object MedallionQuery {
       GROUP BY merchant_name, mcc_category
     """))
 
-  val all: Seq[Q] = Seq(q54Medallion)
+  /** Multimodal pipeline as a catalog entry (rows-only; the decode step is
+    * a documented deterministic stub — no codec libs in this environment):
+    * synthesize binary media → metadata resize → per-partition featurize
+    * (mapPartitions = the batched-decoder shape) → frame sampling → per-kind
+    * rollup. MultimodalSpec covers the operator semantics. */
+  val q60Multimodal: Q = Q(
+    "q60_multimodal",
+    (s, _) => {
+      import graft.ext.Multimodal
+      val media = Multimodal.synthesize(s, 3000L)
+      val feats = Multimodal.featurize(Multimodal.resizeMeta(media, 512), dim = 16)
+      val frames = Multimodal.sampleFrames(media, stride = 30)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
+      feats.join(frames, Seq("media_id"), "left")
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          max(size(col("features"))).cast("long").as("feature_dim"),
+          round(avg(aggregate(col("features"), lit(0.0d), (a, x) => a + x)), 4)
+            .as("mean_feature_sum"),
+          sum(coalesce(col("n_sampled"), lit(0L))).as("n_frames_sampled"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q54Medallion, q60Multimodal)
 }
