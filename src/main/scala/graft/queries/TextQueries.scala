@@ -248,7 +248,47 @@ object TextQueries {
     """
     })
 
+  /** Dedup clustering: exact Jaccard≥0.95 near-dup pairs → connected
+    * components → (doc_id, component) with component = min reachable id.
+    * The step that turns pairwise near-dup detection into "keep one doc per
+    * group". Oracle: the same min-label fixpoint as a DuckDB recursive CTE
+    * over the all-pairs edge set. */
+  val q63DedupClusters: Q = Q(
+    "q63_dedup_clusters",
+    (s, dir) => {
+      val corpus = corpusWithDups(s, dir)
+      val edges = Dedup.prefixJaccardPairs(corpus, "doc_id", "text", 0.95)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      graft.ext.Components.connectedComponents(
+        corpus.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS ($corpusSql),
+      p AS (
+        SELECT doc_id AS id,
+               list_distinct(string_split(lower(trim(text)), ' ')) AS toks,
+               len(list_distinct(string_split(lower(trim(text)), ' '))) AS n
+        FROM corpus),
+      pairs AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM p a JOIN p b ON a.id < b.id
+          AND a.n >= b.n * 0.95 AND b.n >= a.n * 0.95
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+      edges AS (
+        SELECT ia AS a, ib AS b FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs),
+      reach(node, lab) AS (
+        SELECT id, id FROM p
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node)
+      SELECT node AS doc_id, MIN(lab) AS component
+      FROM reach GROUP BY node
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
-    q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens)
+    q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
+    q63DedupClusters)
 }
