@@ -116,5 +116,33 @@ object MedallionQuery {
     },
     None)
 
-  val all: Seq[Q] = Seq(q54Medallion, q60Multimodal)
+  /** Deterministic train/test split (§2.11, ref 04:93-95): the reference
+    * does a driver-side sklearn split; the Spark-native analogue assigns
+    * each row by a stable key function — reproducible across runs/engines,
+    * no sampling state, no driver data. 80/20 on the key, per-split class
+    * balance as the output (the check every training pipeline runs). */
+  val q64TrainTestSplit: Q = Q(
+    "q64_train_test_split",
+    (s, dir) => {
+      val o = graft.QueryDsl.t(s, dir, "orders")
+      o.withColumn("split", when(col("o_orderkey") % 5 === 0, "test").otherwise("train"))
+        .withColumn("label", (col("o_totalprice") > 150000).cast("int"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          graft.QueryDsl.countIf(col("label") === 1).as("n_positive"),
+          (graft.QueryDsl.countIf(col("label") === 1).cast("double") / count(lit(1)))
+            .as("positive_rate"))
+    },
+    Some("""
+      SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'test' ELSE 'train' END AS split,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+        CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+          / CAST(COUNT(*) AS DOUBLE) AS positive_rate
+      FROM orders
+      GROUP BY 1
+    """))
+
+  val all: Seq[Q] = Seq(q54Medallion, q60Multimodal, q64TrainTestSplit)
 }
