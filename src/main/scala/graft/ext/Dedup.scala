@@ -138,6 +138,11 @@ object Dedup {
     val docs = df.select(
       col(idCol).as("id"),
       array_sort(array_distinct(split(normalized(col(textCol)), " "))).as("stoks"))
+    // NOTE: the cluster table feeds several plan branches; an explicit
+    // persist() here measured NET-NEGATIVE (caching barrier outweighs the
+    // recompute for a unique-set-sized table; q63 regressed 6.7s→11s while
+    // q30 saved 0.7s) — Catalyst's exchange reuse already shares the
+    // identical self-join subtree, so leave the plan fully lazy.
     val clusters = docs.groupBy(col("stoks"))
       .agg(collect_list(col("id")).as("members"))
       .withColumn("rid", array_min(col("members")))
