@@ -127,7 +127,8 @@ object Dedup {
     */
   def prefixJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, salt: Int = 1): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
     // 1. Collapse IDENTICAL token sets into clusters first (the exact-dedup
     //    composition): all expensive work then runs once per UNIQUE set, and
     //    member pairs are re-expanded linearly at the end. On corpora with
@@ -177,13 +178,39 @@ object Dedup {
       .select(col("rid"), col("n"), col("itoks"),
         posexplode(slice(col("itoks"), lit(1), col("plen"))).as(Seq("pos", "tid")))
       .select(col("rid"), col("n"), col("itoks"), (col("pos") + 1).as("p"), col("tid"))
-    val repPairs = prefixes
-      .select(col("tid"), col("rid").as("rid_a"), col("n").as("n_a"),
-        col("p").as("p_a"), col("itoks").as("toks_a"))
-      .join(prefixes
-        .select(col("tid"), col("rid").as("rid_b"), col("n").as("n_b"),
-          col("p").as("p_b"), col("itoks").as("toks_b")),
-        Seq("tid"))
+    // Hot-token salting (`salt` > 1, opt-in): a prefix token with a huge
+    // postings list puts ALL its pairs in one join task (per-key work is
+    // quadratic in the postings). Salting chunks the join key: the left
+    // side sits in its own hash chunk, the right side replicates into every
+    // chunk, so a pair meets EXACTLY once (at the left row's chunk) and a
+    // hot token's pair work spreads over `salt` keys. Lossless —
+    // spec-tested salted vs unsalted. The cost of enabling it is one extra
+    // evaluation of the upstream pipeline (asymmetric sides defeat
+    // Catalyst's exchange reuse; measured ~1.8× on a skew-free corpus),
+    // which is why the DEFAULT stays the symmetric self-join — identical
+    // subplans on both sides share one exchange. Enable on corpora whose
+    // rare-token postings still run to the millions.
+    val repBase =
+      if (salt == 1) {
+        prefixes
+          .select(col("tid"), col("rid").as("rid_a"), col("n").as("n_a"),
+            col("p").as("p_a"), col("itoks").as("toks_a"))
+          .join(prefixes
+            .select(col("tid"), col("rid").as("rid_b"), col("n").as("n_b"),
+              col("p").as("p_b"), col("itoks").as("toks_b")),
+            Seq("tid"))
+      } else {
+        val leftPost = prefixes
+          .withColumn("salt", pmod(xxhash64(col("rid")), lit(salt.toLong)).cast("int"))
+          .select(col("tid"), col("salt"), col("rid").as("rid_a"), col("n").as("n_a"),
+            col("p").as("p_a"), col("itoks").as("toks_a"))
+        val rightPost = prefixes
+          .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+          .select(col("tid"), col("salt"), col("rid").as("rid_b"), col("n").as("n_b"),
+            col("p").as("p_b"), col("itoks").as("toks_b"))
+        leftPost.join(rightPost, Seq("tid", "salt"))
+      }
+    val repPairs = repBase
       .filter(col("rid_a") < col("rid_b"))
       // size prefilter (t ≤ |A|/|B| ≤ 1/t), before any set op runs
       .filter(col("n_a") >= col("n_b") * threshold && col("n_b") >= col("n_a") * threshold)

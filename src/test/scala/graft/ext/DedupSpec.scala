@@ -59,6 +59,17 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("hot-token salting is lossless (forced salting == unsalted pairs)") {
+    for (t <- Seq(0.5, 0.8)) {
+      val plain = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      // salt=8 exercises the chunked asymmetric join — must equal salt=1
+      val salted = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t, salt = 8)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(salted === plain, s"salted join must be lossless at t=$t")
+    }
+  }
+
   test("blocked jaccard respects blocks") {
     val out = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 0.5)
       .as[(String, Long, Long, Double)].collect()
