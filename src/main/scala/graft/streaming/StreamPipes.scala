@@ -94,22 +94,26 @@ object StreamPipes {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
-  /** Watermarked stream-stream INNER join (north-star ST surface): key
-    * equality + a bounded event-time range. Both watermarks plus the range
-    * condition let the symmetric-hash-join state evict rows once the other
-    * side can no longer match them — state stays bounded no matter how long
-    * the streams run (the unbounded-state failure mode of an unconstrained
+  /** Watermarked stream-stream join (north-star ST surface): key equality +
+    * a bounded event-time range. Both watermarks plus the range condition
+    * let the symmetric-hash-join state evict rows once the other side can
+    * no longer match them — state stays bounded no matter how long the
+    * streams run (the unbounded-state failure mode of an unconstrained
     * stream-stream join). `rightTime` must fall in
-    * `[leftTime - lookback, leftTime]`. */
+    * `[leftTime - lookback, leftTime]`. `joinType` supports `inner` and
+    * `left_outer` — outer rows emit null-padded once the watermark proves
+    * no match can arrive. */
   def streamStreamJoin(
       left: DataFrame, right: DataFrame,
       key: String, rightKey: String,
       leftTime: String, rightTime: String,
       watermark: String = "10 minutes",
-      lookback: String = "5 minutes"): DataFrame =
+      lookback: String = "5 minutes",
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTime, watermark)
       .join(
         right.withWatermark(rightTime, watermark),
         expr(s"$key = $rightKey AND " +
-          s"$rightTime BETWEEN $leftTime - interval $lookback AND $leftTime"))
+          s"$rightTime BETWEEN $leftTime - interval $lookback AND $leftTime"),
+        joinType)
 }

@@ -142,6 +142,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits null-padded rows after watermark (ST9)") {
+    def ts(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val views = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val joined = StreamPipes.streamStreamJoin(
+      clicks.toDF.toDF("ts", "user_id", "click_id"),
+      views.toDF.toDF("rts", "r_user_id", "view_id"),
+      "user_id", "r_user_id", "ts", "rts",
+      watermark = "1 minutes", lookback = "5 minutes", joinType = "left_outer")
+    val q = joined.select("click_id", "view_id").writeStream
+      .format("memory").queryName("ssjo").outputMode("append").start()
+    try {
+      views.addData((ts(0), 7L, "v1"))
+      clicks.addData((ts(60), 7L, "c1"), (ts(60), 9L, "c_nomatch"))
+      q.processAllAvailable()
+      // advance both watermarks far past c_nomatch's join window so the
+      // unmatched left row is finalized and emitted null-padded
+      clicks.addData((ts(4000), 1L, "late_l"))
+      views.addData((ts(4000), 2L, "late_r"))
+      q.processAllAvailable()
+      clicks.addData((ts(8000), 1L, "later_l"))
+      views.addData((ts(8000), 2L, "later_r"))
+      q.processAllAvailable()
+      val got = spark.table("ssjo").as[(String, Option[String])].collect().toMap
+      assert(got("c1") === Some("v1"), "matched pair joins")
+      assert(got.get("c_nomatch") === Some(None), "unmatched left row emits null-padded")
+    } finally q.stop()
+  }
+
   test("versioned table: commit/read/time-travel/vacuum") {
     val base = tmp() + "/vt"
     val df1 = Seq((1, "a"), (2, "b")).toDF("k", "v")
