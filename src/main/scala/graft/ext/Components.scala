@@ -36,7 +36,11 @@ object Components {
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    // coalesce: sum over zero rows is NULL — an empty corpus must yield an
+    // empty result, not an NPE at the convergence check.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -48,7 +52,7 @@ object Components {
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val newSum = updated.agg(sum(col("comp"))).head.getLong(0)
+      val newSum = labelSum(updated)
       converged = newSum == prevSum // labels only ever decrease
       prevSum = newSum
       labels = updated

@@ -18,6 +18,13 @@ import org.apache.spark.sql.types._
   * One fused pass computes dot and both norms. `doGenCode` emits the same
   * loop, so the projection stays inside WholeStageCodegen instead of
   * breaking the stage with a fallback.
+  *
+  * PRECONDITION: array elements must be non-null (`containsNull = false`,
+  * which is what parquet-loaded embeddings carry). On arrays WITH null
+  * elements the HOF formulation yields NULL (zip_with/aggregate propagate),
+  * while this expression would read the raw slot — so the two diverge there
+  * by design; do not use it on nullable-element arrays. Same contract as
+  * [[JaccardSim]] / [[SortedJaccard]].
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

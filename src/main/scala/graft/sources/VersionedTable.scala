@@ -16,9 +16,12 @@ import java.nio.charset.StandardCharsets
   * snapshot isolation and makes replayed merges idempotent at the storage
   * layer too.
   *
-  * Commit protocol: data first (`v<N>/`), then `_commit_v<N>` created by
-  * temp-write + rename (atomic; rename to an existing destination fails, so
-  * two racing committers of the same version cannot both succeed). The
+  * Commit protocol: data first (`v<N>/`), then `_commit_v<N>` created with
+  * `create(overwrite = false)` — which fails if the marker already exists on
+  * every Hadoop FileSystem, including RawLocalFileSystem where rename()
+  * silently replaces the destination — so two racing committers of the same
+  * version cannot both succeed. Data-before-marker ordering makes a
+  * partially written marker harmless (it is simply not yet a commit). The
   * current version is the max committed marker — there is NO pointer file
   * to swap, hence no window where a concurrent reader can observe the table
   * as missing (the failure mode of a delete-then-rename `_CURRENT` scheme).
@@ -78,13 +81,18 @@ object VersionedTable {
     val next = currentVersion(spark, base).map(_ + 1).getOrElse(0L)
     df.write.mode("overwrite").parquet(versionPath(base, next))
     val f = fs(spark, base)
-    val tmp = new Path(base, s"._commit_tmp$next")
-    val out = f.create(tmp, true)
+    // overwrite=false: atomic create-if-absent on all Hadoop FileSystems
+    // (rename() would silently replace an existing destination on local FS,
+    // letting two racing committers of the same version both "succeed").
+    val out =
+      try f.create(markerPath(base, next), /* overwrite = */ false)
+      catch {
+        case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"commit marker for $base v$next already exists (concurrent writer?)", e)
+      }
     try out.write(s"${System.currentTimeMillis()}\n$operation".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!f.rename(tmp, markerPath(base, next)))
-      throw new java.io.IOException(
-        s"commit marker for $base v$next already exists (concurrent writer?)")
     next
   }
 

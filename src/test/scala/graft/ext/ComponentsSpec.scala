@@ -18,6 +18,12 @@ class ComponentsSpec extends SparkSuite {
       20L -> 20L))
   }
 
+  test("empty graph yields empty result (no NPE on null sum)") {
+    val nodes = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(nodes, edges).count() === 0L)
+  }
+
   test("long path converges (diameter-bound iterations)") {
     val n = 30
     val nodes = (0L until n.toLong).toDF("id")
