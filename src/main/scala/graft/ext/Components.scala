@@ -9,15 +9,18 @@ import org.apache.spark.sql.functions._
   * GROUPS (component = min doc id reachable), from which one representative
   * per group survives.
   *
-  * Algorithm: min-label propagation — every node starts labeled with its own
-  * id; each round takes the min of its label and its neighbors' labels;
-  * fixpoint = components. Each round is ONE hash join + ONE groupBy (both
-  * keyed shuffles), and rounds are bounded by the component diameter —
-  * near-dup clusters are dense (diameter 2-4), so a handful of rounds
-  * converge. (For adversarial long-chain graphs the alternating small/large-
-  * star contraction [Kiveris et al.] converges in O(log²) rounds with the
-  * same per-round plan shape — this propagation loop is the right trade for
-  * dedup workloads.)
+  * Algorithm: min-label propagation with POINTER JUMPING — every node
+  * starts labeled with its own id; each round (a) takes the min of its
+  * label and its neighbors' labels (one hash join + one groupBy), then
+  * (b) shortcuts through its label's label (comp ← comp(comp), one more
+  * hash join — valid because a label is always the id of a node in the
+  * same component, so the label graph is a forest the jump halves in
+  * height). Propagation alone needs DIAMETER rounds; with the jump each
+  * round doubles the reach, so convergence is O(log diameter) — the same
+  * bound class as the small-star/large-star contraction [Kiveris et al.],
+  * with a simpler per-round plan (3 keyed shuffles, no re-keying of the
+  * edge list). Long chains of pairwise-similar docs (the adversarial shape
+  * for near-dup graphs) go from ~diameter rounds to a handful.
   *
   * Iterative DataFrame loops MUST materialize each round:
   * `localCheckpoint` truncates the lineage so round N's plan doesn't
@@ -32,9 +35,15 @@ object Components {
   /** nodes: (id); edges: (a, b) undirected (either orientation). Output:
     * (id, component) for EVERY node — singletons keep their own id. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val undirected = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    // Checkpoint the edge list BEFORE mirroring it: the two orientations are
+    // two branches of one union, and each branch would re-evaluate the
+    // (potentially expensive — near-dup pair generation) upstream plan.
+    // Materialize once, then both orientations read the checkpointed blocks.
+    // (Pre-partitioning the static side on the join key was measured and
+    // rejected: localCheckpoint does not carry the partitioning into the
+    // next query's planning here, so the extra exchange is pure overhead.)
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val undirected = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     // coalesce: sum over zero rows is NULL — an empty corpus must yield an
     // empty result, not an NPE at the convergence check.
@@ -43,15 +52,32 @@ object Components {
     var prevSum = labelSum(labels)
     var it = 0
     var converged = false
-    while (!converged && it < maxIter) {
+    // One superstep: neighbor-min propagation, then a pointer jump. Nothing
+    // in here is checkpointed: the jump join references prop twice, but both
+    // sides shuffle the same subplan, so Catalyst's exchange reuse evaluates
+    // it once.
+    def superstep(l: DataFrame): DataFrame = {
       val neighborMin = undirected
-        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .join(l.withColumnRenamed("id", "b"), Seq("b"))
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
-      val updated = labels
+      val prop = l
         .join(neighborMin.withColumnRenamed("a", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      // pointer jump: comp ← comp(comp). Left join is defensive — comp is
+      // always a node id, so it always matches.
+      prop
+        .join(prop.select(col("id").as("comp"), col("comp").as("jcomp")),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
+    }
+    // ONE superstep per materialization: fusing two into a single lazy plan
+    // was measured slower — the outer step references the inner step's
+    // output from several join sides, and without a materialization between
+    // them the inner subplan re-evaluates per reference.
+    while (!converged && it < maxIter) {
+      val updated = superstep(labels).localCheckpoint()
       val newSum = labelSum(updated)
       converged = newSum == prevSum // labels only ever decrease
       prevSum = newSum

@@ -128,6 +128,67 @@ object Dedup {
   def prefixJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, salt: Int = 1): DataFrame = {
+    val (clusters, repPairs) = repStructure(df, idCol, textCol, threshold, salt)
+    // 5. Expand back to doc pairs: cross-cluster pairs inherit the verified
+    //    rep Jaccard; intra-cluster pairs are exact dups (J = 1). Linear in
+    //    the OUTPUT size — the only quadratic term left is the answer itself.
+    val mem = clusters.select(col("rid"), col("members"))
+    val cross = repPairs
+      .join(mem.select(col("rid").as("rid_a"), col("members").as("mem_a")), Seq("rid_a"))
+      .join(mem.select(col("rid").as("rid_b"), col("members").as("mem_b")), Seq("rid_b"))
+      .select(explode(col("mem_a")).as("ma"), col("mem_b"), col("jaccard"))
+      .select(col("ma"), explode(col("mem_b")).as("mb"), col("jaccard"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    val intra = clusters.filter(size(col("members")) >= 2)
+      .select(explode(col("members")).as("ma"), col("members"))
+      .select(col("ma"), explode(col("members")).as("mb"))
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("id_a"), col("mb").as("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** Near-dup CLUSTERING: (id, component) for every input doc, component =
+    * min doc id reachable through exact-Jaccard ≥ `threshold` edges — the
+    * "keep one per group" step fused with pair generation.
+    *
+    * Runs connected components on the CONTRACTED graph — one node per
+    * UNIQUE token set (cluster representative), edges = verified rep pairs —
+    * instead of the fully expanded member-pair list [[prefixJaccardPairs]]
+    * returns. Identical components: members of one cluster form a clique
+    * (J = 1) whose connectivity a rep↔member star preserves, and every
+    * cross-cluster doc pair has the same endpoints-by-rep. Labels also
+    * agree: rid = min(members), so the min rep id reachable IS the min doc
+    * id reachable. The iterative step therefore never touches the (output-
+    * sized, quadratic-in-cluster-size) expanded pair list — on dup-heavy
+    * corpora the CC input shrinks by the dup factor squared.
+    */
+  def dedupComponents(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, salt: Int = 1): DataFrame = {
+    // materialize the cluster table: unlike the pair query (one lazy plan,
+    // exchange reuse shares the subtree), CC references it from three
+    // SEPARATE jobs (edge checkpoint, node checkpoint, member re-expansion)
+    // — without a checkpoint each job re-runs the collapse groupBy.
+    val (clusters, repPairs) =
+      repStructure(df, idCol, textCol, threshold, salt, materializeClusters = true)
+    val repComp = Components.connectedComponents(
+      clusters.select(col("rid").as("id")),
+      repPairs.select(col("rid_a").as("a"), col("rid_b").as("b")))
+    clusters.select(col("rid"), explode(col("members")).as("id"))
+      .join(repComp.withColumnRenamed("id", "rid"), Seq("rid"))
+      .select(col("id"), col("comp").as("component"))
+  }
+
+  /** Steps 1–4 of the PPJoin pipeline, shared by [[prefixJaccardPairs]] and
+    * [[dedupComponents]]: identical-set collapse + dense token ordering +
+    * prefix inverted-index join + verified REP-level pairs.
+    * Returns (clusters: (stoks, members, rid, n), repPairs: (rid_a, rid_b,
+    * jaccard)). */
+  private def repStructure(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, salt: Int,
+      materializeClusters: Boolean = false): (DataFrame, DataFrame) = {
     require(salt >= 1, "salt must be >= 1")
     // 1. Collapse IDENTICAL token sets into clusters first (the exact-dedup
     //    composition): all expensive work then runs once per UNIQUE set, and
@@ -144,10 +205,12 @@ object Dedup {
     // recompute for a unique-set-sized table; q63 regressed 6.7s→11s while
     // q30 saved 0.7s) — Catalyst's exchange reuse already shares the
     // identical self-join subtree, so leave the plan fully lazy.
-    val clusters = docs.groupBy(col("stoks"))
+    val clustersLazy = docs.groupBy(col("stoks"))
       .agg(collect_list(col("id")).as("members"))
       .withColumn("rid", array_min(col("members")))
       .withColumn("n", size(col("stoks")))
+    val clusters =
+      if (materializeClusters) clustersLazy.localCheckpoint() else clustersLazy
     // 2. Map tokens to DENSE INTEGER ids ranked by (document frequency,
     //    token). Each unique set then becomes one ascending long array whose
     //    NUMERIC order IS the canonical rarest-first order: the Jaccard
@@ -220,23 +283,7 @@ object Dedup {
         graft.functions.SortedJaccard.sortedJaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("rid_a"), col("rid_b")).agg(min(col("jaccard")).as("jaccard"))
-    // 5. Expand back to doc pairs: cross-cluster pairs inherit the verified
-    //    rep Jaccard; intra-cluster pairs are exact dups (J = 1). Linear in
-    //    the OUTPUT size — the only quadratic term left is the answer itself.
-    val mem = clusters.select(col("rid"), col("members"))
-    val cross = repPairs
-      .join(mem.select(col("rid").as("rid_a"), col("members").as("mem_a")), Seq("rid_a"))
-      .join(mem.select(col("rid").as("rid_b"), col("members").as("mem_b")), Seq("rid_b"))
-      .select(explode(col("mem_a")).as("ma"), col("mem_b"), col("jaccard"))
-      .select(col("ma"), explode(col("mem_b")).as("mb"), col("jaccard"))
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
-    val intra = clusters.filter(size(col("members")) >= 2)
-      .select(explode(col("members")).as("ma"), col("members"))
-      .select(col("ma"), explode(col("members")).as("mb"))
-      .filter(col("ma") < col("mb"))
-      .select(col("ma").as("id_a"), col("mb").as("id_b"), lit(1.0).as("jaccard"))
-    cross.unionByName(intra)
+    (clusters, repPairs)
   }
 
   /** Blocked all-pairs exact Jaccard (kept for explicit block-scoped

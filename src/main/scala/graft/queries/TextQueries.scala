@@ -255,14 +255,9 @@ object TextQueries {
     * over the all-pairs edge set. */
   val q63DedupClusters: Q = Q(
     "q63_dedup_clusters",
-    (s, dir) => {
-      val corpus = corpusWithDups(s, dir)
-      val edges = Dedup.prefixJaccardPairs(corpus, "doc_id", "text", 0.95)
-        .select(col("id_a").as("a"), col("id_b").as("b"))
-      graft.ext.Components.connectedComponents(
-        corpus.select(col("doc_id").as("id")), edges)
-        .select(col("id").as("doc_id"), col("comp").as("component"))
-    },
+    (s, dir) =>
+      Dedup.dedupComponents(corpusWithDups(s, dir), "doc_id", "text", 0.95)
+        .select(col("id").as("doc_id"), col("component")),
     Some(s"""
       WITH RECURSIVE corpus AS ($corpusSql),
       p AS (

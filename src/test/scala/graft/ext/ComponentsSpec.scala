@@ -24,11 +24,13 @@ class ComponentsSpec extends SparkSuite {
     assert(Components.connectedComponents(nodes, edges).count() === 0L)
   }
 
-  test("long path converges (diameter-bound iterations)") {
+  test("long path converges in O(log diameter) rounds (pointer jumping)") {
     val n = 30
     val nodes = (0L until n.toLong).toDF("id")
     val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Components.connectedComponents(nodes, edges)
+    // maxIter=8 ≪ diameter 29: only the pointer jump makes this converge —
+    // plain neighbor-min propagation would need 29 rounds and fail here.
+    val got = Components.connectedComponents(nodes, edges, maxIter = 8)
       .as[(Long, Long)].collect()
     assert(got.forall(_._2 == 0L), "one path = one component rooted at 0")
   }

@@ -70,6 +70,25 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("dedupComponents == connected components over the expanded pair list") {
+    // richer corpus: a 3-clique of case dups, a chain through a near dup,
+    // two isolated docs
+    val corpus = docs.unionByName(Seq(
+      (6L, "The Quick Brown Fox Jumps Over The Lazy Dog", "s1"), // dup of 1,2
+      (7L, "the quick brown fox jumps over the lazy cat", "s2")  // dup of 3
+    ).toDF("doc_id", "text", "source"))
+    for (t <- Seq(0.5, 0.9)) {
+      val edges = Dedup.prefixJaccardPairs(corpus, "doc_id", "text", t)
+        .select($"id_a".as("a"), $"id_b".as("b"))
+      val expected = Components.connectedComponents(
+          corpus.select($"doc_id".as("id")), edges)
+        .as[(Long, Long)].collect().toMap
+      val got = Dedup.dedupComponents(corpus, "doc_id", "text", t)
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"contracted-graph CC must match expanded CC at t=$t")
+    }
+  }
+
   test("blocked jaccard respects blocks") {
     val out = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 0.5)
       .as[(String, Long, Long, Double)].collect()
