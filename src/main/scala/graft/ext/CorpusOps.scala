@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * after cleaning/dedup: benchmark decontamination, sequence packing,
+  * mixture reweighting, and deterministic stratified sampling. North-star
+  * surface beyond the reference (which stops at feature tables, 04:46-95);
+  * every operator is a declarative plan — no UDFs, no driver loops.
+  */
+object CorpusOps {
+
+  /** Benchmark DECONTAMINATION: for each train doc, how many of its
+    * distinct token n-grams appear anywhere in the benchmark set.
+    * Output: (id, n_shared, n_ngrams, contamination ∈ [0,1]).
+    *
+    * Scale shape: the benchmark n-gram SET is collapsed with distinct()
+    * and broadcast — eval suites are MBs while the corpus is TBs, so the
+    * corpus side never shuffles before the match; the only wide op is the
+    * per-doc groupBy over MATCHED rows (≪ corpus n-gram count). Join
+    * multiplicity is exactly 1 per (doc, n-gram): both sides are distinct,
+    * so count(*) IS the distinct overlap count.
+    */
+  def ngramOverlap(
+      train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, w: Int = 3): DataFrame = {
+    // native fused expression (codegen'd): the HOF formulation
+    // array_distinct(shingles(...)) is interpreted and dominates the scan
+    def sh(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      graft.functions.DistinctShingles.distinctShingles(
+        split(Dedup.normalized(col(textCol)), " "), w).as("ngrams"))
+    val t = sh(train)
+      .withColumn("n_ngrams", size(col("ngrams")).cast("long"))
+      .select(col("id"), col("n_ngrams"), explode(col("ngrams")).as("ng"))
+    val b = sh(bench).select(explode(col("ngrams")).as("ng")).distinct()
+    t.join(broadcast(b), Seq("ng"))
+      .groupBy(col("id"), col("n_ngrams"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("id"), col("n_shared"), col("n_ngrams"),
+        (col("n_shared").cast("double") / col("n_ngrams")).as("contamination"))
+  }
+
+  /** SEQUENCE PACKING (concat-and-chunk, the GPT training layout): within
+    * each `partCol` stream, documents are concatenated in `ordCol` order
+    * and the token stream is cut every `budget` tokens. Each doc gets the
+    * sequence id and offset where it STARTS (docs may straddle a boundary —
+    * that is the concat-and-chunk contract; padding-free).
+    *
+    * One window (cumulative sum per stream) — a single shuffle on the
+    * stream key. At 100 TB the stream key must be high-cardinality
+    * (shard/file id, not a 5-value source tag); the window is a running
+    * frame, so Spark streams it without materializing partitions.
+    */
+  def packSequences(
+      df: DataFrame, partCol: String, ordCol: String,
+      nTokens: org.apache.spark.sql.Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("cum_before") / budget).cast("long"))
+      .withColumn("seq_offset", pmod(col("cum_before"), lit(budget.toLong)))
+      .drop("cum_before")
+  }
+
+  /** MIXTURE REWEIGHTING: given target mixture shares per class, compute
+    * each class's natural share and the repeat/sampling factor that
+    * realizes the target (factor = target_share / natural_share). The
+    * data-mixing step of corpus assembly. One groupBy; the total comes
+    * from an ungrouped window over the (tiny, one-row-per-class)
+    * aggregate, not a second scan.
+    */
+  def mixtureReweight(
+      df: DataFrame, classCol: String, targets: Map[String, Double]): DataFrame = {
+    val tmap = map(targets.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("natural_share", col("n_docs").cast("double") / col("total"))
+      .withColumn("target_share", coalesce(element_at(tmap, col("cls")), lit(0.0)))
+      .withColumn("repeat_factor", col("target_share") / col("natural_share"))
+      .drop("total")
+  }
+
+  /** Deterministic per-class Bernoulli sampling via a Knuth multiplicative
+    * hash of the id — reproducible across runs AND engines (pure modular
+    * BIGINT arithmetic, no RNG state, no engine-specific hash): a row
+    * survives iff ((id mod 1000003) * 2654435761) mod 1000 < rate*1000.
+    * The id is reduced mod a prime FIRST so the product never overflows
+    * 64-bit for any id. Resolution: 0.1% rate steps.
+    *
+    * This is the scale-correct sampler: a pure projection predicate —
+    * pushed to the scan, no shuffle, no sampling state to coordinate
+    * across 1000 executors, and adding data never changes earlier rows'
+    * fate (stable under incremental ingest).
+    */
+  def hashSampled(idCol: org.apache.spark.sql.Column,
+      rate: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L), lit(1000L)) <
+      round(rate * 1000, 0).cast("long")
+
+  def hashSampled(idCol: org.apache.spark.sql.Column, rate: Double): org.apache.spark.sql.Column =
+    hashSampled(idCol, lit(rate))
+}

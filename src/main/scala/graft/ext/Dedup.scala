@@ -81,10 +81,15 @@ object Dedup {
     // the native fused expression shingles + hashes + folds all k minima in
     // one pass (graft.functions.MinHashSig); banding still binds the
     // signature as an attribute first so its 8 slices don't re-evaluate it
+    // checkpointed: the signature scan (the expensive part) feeds two
+    // separate plan branches — the oversized-bucket aggregate and the join
+    // probe side — which do NOT share an exchange (broadcast probe side
+    // never shuffles); without materialization the scan runs twice.
     val buckets = df
       .select(col(idCol).as("id"),
         graft.functions.MinHashSig.minhashSig(split(normalized(col(textCol)), " "), k).as("sig"))
       .select(col("id"), explode(lshBandHashes(col("sig"), k, bands)).as("bh"))
+      .localCheckpoint()
     // degenerate-bucket cap WITHOUT a window: bucket sizes come from a
     // map-side-combined groupBy (tiny output: one row per oversized bucket
     // — at most rows×bands/maxBucketSize of them), then a broadcast

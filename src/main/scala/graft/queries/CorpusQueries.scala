@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.{Q, QueryDsl}
+import QueryDsl._
+import graft.ext.{CorpusOps, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators (decontamination, packing, mixing, sampling)
+  * over `documents` — the post-dedup steps of a training-data pipeline.
+  * All deterministic and DuckDB-oracled.
+  */
+object CorpusQueries {
+
+  /** Benchmark decontamination: docs sharing ≥20% of their distinct token
+    * 3-grams with a held-out benchmark set (doc_id % 50 = 0 stands in for
+    * the eval suite). The benchmark n-gram set is broadcast — the corpus
+    * side never shuffles before the match. */
+  val q65Decontaminate: Q = Q(
+    "q65_decontaminate",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusOps.ngramOverlap(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", w = 3)
+        .filter(col("contamination") >= 0.2)
+        .select(col("id").as("doc_id"), col("n_shared"), col("n_ngrams"),
+          col("contamination"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+      ), sh AS (
+        SELECT doc_id, list_distinct(
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS ngrams
+        FROM toks
+      ), bench AS (
+        SELECT DISTINCT unnest(ngrams) AS ng FROM sh WHERE doc_id % 50 = 0
+      ), train AS (
+        SELECT doc_id, len(ngrams) AS n_ngrams, unnest(ngrams) AS ng
+        FROM sh WHERE doc_id % 50 <> 0
+      )
+      SELECT train.doc_id AS doc_id,
+        COUNT(*) AS n_shared,
+        CAST(n_ngrams AS BIGINT) AS n_ngrams,
+        CAST(COUNT(*) AS DOUBLE) / n_ngrams AS contamination
+      FROM train JOIN bench USING (ng)
+      GROUP BY train.doc_id, n_ngrams
+      HAVING CAST(COUNT(*) AS DOUBLE) / n_ngrams >= 0.2
+    """))
+
+  /** Concat-and-chunk sequence packing at a 512-token budget: every doc's
+    * starting sequence id + offset within its source stream. One window
+    * shuffle keyed on the stream. */
+  val q66PackSequences: Q = Q(
+    "q66_pack_sequences",
+    (s, dir) =>
+      CorpusOps.packSequences(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          "source", "doc_id", TextStats.nTokens(col("text")), budget = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("seq_id"), col("seq_offset")),
+    Some("""
+      WITH c AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ), w AS (
+        SELECT doc_id, source, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM c
+      )
+      SELECT doc_id, source, n_tokens,
+        CAST(cum_before // 512 AS BIGINT) AS seq_id,
+        CAST(cum_before % 512 AS BIGINT) AS seq_offset
+      FROM w
+    """))
+
+  /** Data-mixing reweight: natural vs target share per source and the
+    * repeat factor realizing the target (src0-src3 upweighted, the rest
+    * dropped). */
+  val q68MixtureReweight: Q = Q(
+    "q68_mixture_reweight",
+    (s, dir) =>
+      CorpusOps.mixtureReweight(
+          t(s, dir, "documents"), "source",
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+        .select(col("cls").as("source"), col("n_docs"), col("natural_share"),
+          col("target_share"), col("repeat_factor")),
+    Some("""
+      WITH agg AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+      )
+      SELECT source, n_docs,
+        CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS natural_share,
+        (CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+          WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+          ELSE 0.0 END)::DOUBLE AS target_share,
+        (CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+          WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0.0 END)::DOUBLE
+          / (CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()) AS repeat_factor
+      FROM agg
+    """))
+
+  /** Deterministic stratified sampling: per-source Bernoulli via a Knuth
+    * multiplicative hash of doc_id (engine-portable modular arithmetic —
+    * the same rows survive in Spark and DuckDB). src0 at 50%, src1 at
+    * 25%, everything else at 10%. */
+  val q69StratifiedSample: Q = Q(
+    "q69_stratified_sample",
+    (s, dir) => {
+      val rate = coalesce(
+        element_at(map(lit("src0"), lit(0.5), lit("src1"), lit(0.25)), col("source")),
+        lit(0.1))
+      t(s, dir, "documents")
+        .withColumn("keep", CorpusOps.hashSampled(col("doc_id"), rate))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          countIf(col("keep")).as("n_sampled"),
+          (countIf(col("keep")).cast("double") / count(lit(1))).as("realized_rate"))
+    },
+    Some("""
+      SELECT source, COUNT(*) AS n_total,
+        CAST(SUM(CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 <
+          (CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250 ELSE 100 END)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        CAST(SUM(CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 <
+          (CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250 ELSE 100 END)
+          THEN 1 ELSE 0 END) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS realized_rate
+      FROM documents
+      GROUP BY source
+    """))
+
+  val all: Seq[Q] = Seq(
+    q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample)
+}

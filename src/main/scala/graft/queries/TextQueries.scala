@@ -282,8 +282,76 @@ object TextQueries {
       FROM reach GROUP BY node
     """))
 
+  /** Canonical-doc selection — the step AFTER clustering: per near-dup
+    * component keep the highest-quality doc (tiebreak: lowest id). Detect →
+    * cluster → select is the complete dedup story; this closes it. */
+  val q67CanonicalDocs: Q = Q(
+    "q67_canonical_docs",
+    (s, dir) => {
+      val corpus = corpusWithDups(s, dir)
+      val comp = Dedup.dedupComponents(corpus, "doc_id", "text", 0.95)
+        .select(col("id").as("doc_id"), col("component"))
+      val scored = corpus.select(
+        col("doc_id"), TextStats.qualityScore(col("text"), stops).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      comp.join(scored, Seq("doc_id"))
+        .withColumn("n_docs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("keep_doc_id"),
+          col("quality"), col("n_docs"))
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS ($corpusSql),
+      p AS (
+        SELECT doc_id AS id,
+               list_distinct(string_split(lower(trim(text)), ' ')) AS toks,
+               len(list_distinct(string_split(lower(trim(text)), ' '))) AS n
+        FROM corpus),
+      pairs AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM p a JOIN p b ON a.id < b.id
+          AND a.n >= b.n * 0.95 AND b.n >= a.n * 0.95
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+      edges AS (
+        SELECT ia AS a, ib AS b FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs),
+      reach(node, lab) AS (
+        SELECT id, id FROM p
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+      comp AS (
+        SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node),
+      scored AS (
+        SELECT doc_id,
+          CAST((CASE WHEN length(text) BETWEEN 50 AND 2000 THEN 25 ELSE 0 END)
+            + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ($stopsSqlList))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.03 THEN 25 ELSE 0 END)
+            + (CASE WHEN CAST(list_sum(list_transform(string_split(text, ' '),
+                  x -> length(x))) AS DOUBLE)
+                / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+                THEN 25 ELSE 0 END)
+            + (CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.3 THEN 25 ELSE 0 END) AS INT)
+            AS quality
+        FROM corpus),
+      ranked AS (
+        SELECT comp.component, comp.doc_id, scored.quality,
+          CAST(COUNT(*) OVER (PARTITION BY comp.component) AS BIGINT) AS n_docs,
+          ROW_NUMBER() OVER (PARTITION BY comp.component
+            ORDER BY scored.quality DESC, comp.doc_id) AS rn
+        FROM comp JOIN scored USING (doc_id))
+      SELECT component, doc_id AS keep_doc_id, quality, n_docs
+      FROM ranked WHERE rn = 1
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
-    q63DedupClusters)
+    q63DedupClusters, q67CanonicalDocs)
 }

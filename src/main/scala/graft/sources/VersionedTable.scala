@@ -80,20 +80,28 @@ object VersionedTable {
       operation: String = "commit"): Long = {
     val next = currentVersion(spark, base).map(_ + 1).getOrElse(0L)
     df.write.mode("overwrite").parquet(versionPath(base, next))
+    createMarker(spark, base, next, operation)
+    next
+  }
+
+  /** Create the commit marker for version `v` — fails if it already exists.
+    * overwrite=false is an atomic create-if-absent on all Hadoop
+    * FileSystems (rename() would silently replace an existing destination
+    * on local FS, letting two racing committers of the same version both
+    * "succeed"). Package-visible so the guard is testable without racing
+    * two Spark write jobs over one data directory. */
+  private[sources] def createMarker(
+      spark: SparkSession, base: String, v: Long, operation: String): Unit = {
     val f = fs(spark, base)
-    // overwrite=false: atomic create-if-absent on all Hadoop FileSystems
-    // (rename() would silently replace an existing destination on local FS,
-    // letting two racing committers of the same version both "succeed").
     val out =
-      try f.create(markerPath(base, next), /* overwrite = */ false)
+      try f.create(markerPath(base, v), /* overwrite = */ false)
       catch {
         case e: java.io.IOException =>
           throw new java.io.IOException(
-            s"commit marker for $base v$next already exists (concurrent writer?)", e)
+            s"commit marker for $base v$v already exists (concurrent writer?)", e)
       }
     try out.write(s"${System.currentTimeMillis()}\n$operation".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    next
   }
 
   /** DESCRIBE HISTORY analogue (M1, ref 01:252 / 03:222): one row per

@@ -1,0 +1,72 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ngramOverlap counts distinct shared 3-grams against the benchmark set") {
+    val train = Seq(
+      (1L, "a b c d e"),        // 3-grams: abc bcd cde
+      (2L, "x y z w v"),        // none shared
+      (3L, "a b c x y")         // abc shared only
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a b c d q"),      // abc bcd + others
+      (101L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.ngramOverlap(train, bench, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((2L, 3L)), 3L -> ((1L, 3L))),
+      "doc1 shares {abc,bcd}/3; doc3 shares {abc}/3; doc2 absent (no match)")
+  }
+
+  test("ngramOverlap short docs fall back to the whole-text shingle") {
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val bench = Seq((2L, "a b")).toDF("doc_id", "text")
+    val got = CorpusOps.ngramOverlap(train, bench, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 1L, 1L, 1.0)))
+  }
+
+  test("packSequences assigns concat-and-chunk sequence ids and offsets") {
+    // stream s: token counts 300, 300, 500 at budget 512:
+    //   doc 1 starts at cum 0   -> seq 0 offset 0
+    //   doc 2 starts at cum 300 -> seq 0 offset 300 (straddles into seq 1)
+    //   doc 3 starts at cum 600 -> seq 1 offset 88
+    val docs = Seq((1L, "s", 300L), (2L, "s", 300L), (3L, "s", 500L))
+      .toDF("doc_id", "stream", "n")
+    val got = CorpusOps.packSequences(docs, "stream", "doc_id", col("n"), 512)
+      .select("doc_id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L)))
+  }
+
+  test("mixtureReweight computes shares and repeat factors") {
+    val df = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("cls")
+    val got = CorpusOps.mixtureReweight(df, "cls", Map("a" -> 0.5, "b" -> 0.5))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a")._2 === 60L && got("a")._3 === 0.6)
+    assert(got("a")._5 === 0.5 / 0.6)
+    assert(got("b")._5 === 0.5 / 0.4)
+  }
+
+  test("hashSampled is deterministic, rate-monotone, and stable under growth") {
+    val ids = (0L until 10000L).toDF("id")
+    val n50 = ids.filter(CorpusOps.hashSampled(col("id"), 0.5)).count()
+    val n10 = ids.filter(CorpusOps.hashSampled(col("id"), 0.1)).count()
+    assert(math.abs(n50 - 5000L) < 500, s"~50% expected, got $n50")
+    assert(math.abs(n10 - 1000L) < 300, s"~10% expected, got $n10")
+    // rate-monotone: every 10% survivor also survives at 50% (hash < 100 < 500)
+    val s10 = ids.filter(CorpusOps.hashSampled(col("id"), 0.1)).as[Long].collect().toSet
+    val s50 = ids.filter(CorpusOps.hashSampled(col("id"), 0.5)).as[Long].collect().toSet
+    assert(s10.subsetOf(s50))
+    // incremental-ingest stability: the first 1000 ids' fate is unchanged
+    // when the corpus grows (pure function of id)
+    val small = (0L until 1000L).toDF("id")
+      .filter(CorpusOps.hashSampled(col("id"), 0.5)).as[Long].collect().toSet
+    assert(small === s50.filter(_ < 1000L))
+  }
+}

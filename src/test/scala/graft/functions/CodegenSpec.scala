@@ -86,6 +86,22 @@ class CodegenSpec extends SparkSuite {
     assert(mhC === mhI, "MinHashSig codegen must equal interpreted")
   }
 
+  test("DistinctShingles codegen compiles and equals the HOF formulation") {
+    withForcedCodegen {
+      val docs = Tables.load(spark, dir, "documents")
+        .select($"doc_id", split(lower(trim($"text")), " ").as("toks"))
+        .unionByName(Seq(
+          (900001L, Seq("a", "b")),            // < w: whole-text fallback
+          (900002L, Seq("a", "a", "a", "a")),  // duplicate shingles collapse
+          (900003L, Seq("solo"))
+        ).toDF("doc_id", "toks"))
+      val diff = docs.filter(
+        DistinctShingles.distinctShingles($"toks", 3) =!=
+          array_distinct(graft.ext.Dedup.shingles($"toks", 3))).count()
+      assert(diff === 0)
+    }
+  }
+
   test("SortedJaccard codegen compiles and matches hand-computed values") {
     withForcedCodegen {
       val df = Seq(

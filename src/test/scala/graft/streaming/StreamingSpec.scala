@@ -185,39 +185,6 @@ class StreamingSpec extends SparkSuite {
     assertThrows[Exception](VersionedTable.readVersion(spark, base, 0).collect())
   }
 
-  test("versioned table: racing committers of the same version — exactly one wins") {
-    val base = tmp() + "/vt-race"
-    val df1 = Seq((1, "a")).toDF("k", "v")
-    // Both racers observe the same current version and target v0; the
-    // create(overwrite=false) marker guard must let exactly one succeed
-    // (rename-based markers silently replace on local FS — both would "win").
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val attempts = Seq(df1, df1.withColumn("v", upper($"v"))).map { d =>
-      Future(scala.util.Try(VersionedTable.commit(spark, base, d)))
-    }
-    val results = Await.result(Future.sequence(attempts), 2.minutes)
-    val (wins, losses) = results.partition(_.isSuccess)
-    // Serialized schedules (one finishes before the other starts) commit v0
-    // then v1 — both succeed; a true race on v0 must fail exactly one side.
-    assert(wins.nonEmpty, "at least one commit succeeds")
-    if (losses.nonEmpty) {
-      assert(wins.size === 1 && losses.size === 1)
-      assert(losses.head.failed.get.isInstanceOf[java.io.IOException])
-      assert(VersionedTable.history(spark, base).count() === 1L)
-    }
-    // Whatever the interleaving, committed versions are distinct and the
-    // current version is readable. (Row CONTENT under a true race is
-    // undefined — concurrent overwrites of the same data dir interleave;
-    // that is the documented single-writer assumption. The guard's job is
-    // only that both racers cannot both REPORT success.)
-    val versions = VersionedTable.history(spark, base)
-      .select("version").as[Long].collect()
-    assert(versions.distinct.length === versions.length)
-    assert(VersionedTable.read(spark, base).get.count() >= 1L)
-  }
-
   test("versioned table history lists every commit, survives vacuum (M1)") {
     val base = tmp() + "/vt-hist"
     val df1 = Seq((1, "a")).toDF("k", "v")
