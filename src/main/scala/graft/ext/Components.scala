@@ -44,7 +44,15 @@ object Components {
     // next query's planning here, so the extra exchange is pure overhead.)
     val e = edges.select(col("a"), col("b")).localCheckpoint()
     val undirected = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    // Iterate ONLY over edge-touched nodes: a node with no edge can never
+    // change its label, so singletons — the vast majority of a near-dup
+    // graph at any real scale — are unioned back at the end with their own
+    // id instead of riding every round's joins. Labels ∝ |touched nodes|,
+    // not |corpus|.
+    val allNodes = nodes.select(col("id"))
+    val touched = undirected.select(col("a").as("id")).distinct().localCheckpoint()
+    var labels = allNodes.join(touched, Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
     // coalesce: sum over zero rows is NULL — an empty corpus must yield an
     // empty result, not an NPE at the convergence check.
     def labelSum(df: DataFrame): Long =
@@ -84,6 +92,8 @@ object Components {
       labels = updated
       it += 1
     }
-    labels
+    labels.unionByName(
+      allNodes.join(touched, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("comp")))
   }
 }
