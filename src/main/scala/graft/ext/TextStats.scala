@@ -58,6 +58,16 @@ object TextStats {
   def fingerprint(text: Column): Column =
     sha2(concat_ws(" ", array_sort(array_distinct(tokens(text)))), 256)
 
+  /** Intra-document repetition (Gopher-style): fraction of token w-grams
+    * that are repeats of an earlier w-gram — high values flag boilerplate /
+    * looping spam. Uses the native fused distinct-shingle expression, so
+    * the scan stays codegen'd. */
+  def repetitionRatio(text: Column, w: Int = 3): Column = {
+    val total = greatest(size(tokens(text)) - (w - 1), lit(1)).cast("double")
+    lit(1.0) - size(graft.functions.DistinctShingles.distinctShingles(tokens(text), w))
+      .cast("double") / total
+  }
+
   /** Stopword-vote language ID (n-gram-heuristic family). Deterministic
     * fixed-priority argmax — ties resolve en > de > fr > und. */
   def langId(text: Column): Column = {

@@ -135,6 +135,67 @@ object CorpusQueries {
       GROUP BY source
     """))
 
+  private val stops = Seq("the", "a", "of", "and", "is")
+  private val stopsSqlList = stops.map(s => s"'$s'").mkString(", ")
+
+  /** Quantile-based quality filtering: drop each source's bottom quality
+    * decile (percent_rank window — rank cutoffs adapt per source instead
+    * of one global threshold) and anything with ≥50% repeated 3-grams
+    * (Gopher-style repetition). Output: per-source survivor stats. */
+  val q70QualityFilter: Q = Q(
+    "q70_quality_filter",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("doc_id"), col("source"),
+        TextStats.qualityScore(col("text"), stops).as("quality"),
+        TextStats.repetitionRatio(col("text"), 3).as("rep_ratio"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("quality"))
+      scored.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.1 && col("rep_ratio") <= 0.5)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          min(col("quality")).as("min_quality"),
+          (sum(col("quality")).cast("double") / count(lit(1))).as("avg_quality"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, source,
+          CAST((CASE WHEN length(text) BETWEEN 50 AND 2000 THEN 25 ELSE 0 END)
+            + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ($stopsSqlList))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.03 THEN 25 ELSE 0 END)
+            + (CASE WHEN CAST(list_sum(list_transform(string_split(text, ' '),
+                  x -> length(x))) AS DOUBLE)
+                / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+                THEN 25 ELSE 0 END)
+            + (CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.3 THEN 25 ELSE 0 END) AS INT)
+            AS quality,
+          1.0 - CAST(len(list_distinct(
+              CASE WHEN len(string_split(text, ' ')) < 3
+                THEN [array_to_string(string_split(text, ' '), ' ')]
+              ELSE list_transform(
+                generate_series(1, CAST(len(string_split(text, ' ')) AS INT) - 2),
+                i -> concat_ws(' ', string_split(text, ' ')[i],
+                  string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+              END)) AS DOUBLE)
+            / greatest(len(string_split(text, ' ')) - 2, 1) AS rep_ratio
+        FROM documents
+      ), ranked AS (
+        SELECT source, quality, rep_ratio,
+          PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality) AS pr
+        FROM scored
+      )
+      SELECT source, COUNT(*) AS n_kept, MIN(quality) AS min_quality,
+        CAST(SUM(quality) AS DOUBLE) / COUNT(*) AS avg_quality
+      FROM ranked
+      WHERE pr >= 0.1 AND rep_ratio <= 0.5
+      GROUP BY source
+    """))
+
   val all: Seq[Q] = Seq(
-    q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample)
+    q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample,
+    q70QualityFilter)
 }

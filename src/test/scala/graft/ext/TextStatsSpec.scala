@@ -47,4 +47,16 @@ class TextStatsSpec extends SparkSuite {
     val bad = Seq("x x x x x x x x x x").toDF("text")
     assert(bad.select(TextStats.qualityScore($"text", stops)).head.getInt(0) <= 25)
   }
+
+  test("repetitionRatio flags looping text, passes diverse text") {
+    val df = Seq(
+      "a b c a b c a b c a b c",  // 10 trigrams, 3 distinct -> 0.7
+      "one two three four five six",  // all trigrams distinct -> 0.0
+      "xy"                            // < w tokens -> single shingle -> 0.0
+    ).toDF("text")
+    val got = df.select(TextStats.repetitionRatio($"text", 3)).as[Double].collect()
+    assert(math.abs(got(0) - 0.7) < 1e-12)
+    assert(got(1) === 0.0)
+    assert(got(2) === 0.0)
+  }
 }
