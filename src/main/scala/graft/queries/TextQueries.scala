@@ -350,8 +350,56 @@ object TextQueries {
       FROM ranked WHERE rn = 1
     """))
 
+  /** Leakage-safe train/test split: assignment is per near-dup COMPONENT
+    * (deterministic hash of the component id), so near-identical docs can
+    * never straddle train and test — the contamination a doc-level split
+    * (q64) cannot rule out. Structural guarantee: every doc inherits its
+    * component's split, so zero clusters straddle by construction. */
+  val q71LeakageSafeSplit: Q = Q(
+    "q71_leakage_safe_split",
+    (s, dir) => {
+      val comp = Dedup.dedupComponents(corpusWithDups(s, dir), "doc_id", "text", 0.95)
+      comp
+        .withColumn("split",
+          when(graft.ext.CorpusOps.hashSampled(col("component"), 0.2), "test")
+            .otherwise("train"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"))
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS ($corpusSql),
+      p AS (
+        SELECT doc_id AS id,
+               list_distinct(string_split(lower(trim(text)), ' ')) AS toks,
+               len(list_distinct(string_split(lower(trim(text)), ' '))) AS n
+        FROM corpus),
+      pairs AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM p a JOIN p b ON a.id < b.id
+          AND a.n >= b.n * 0.95 AND b.n >= a.n * 0.95
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+      edges AS (
+        SELECT ia AS a, ib AS b FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs),
+      reach(node, lab) AS (
+        SELECT id, id FROM p
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+      comp AS (
+        SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node)
+      SELECT CASE WHEN ((component % 1000003) * 2654435761) % 1000 < 200
+               THEN 'test' ELSE 'train' END AS split,
+        COUNT(*) AS n_docs,
+        COUNT(DISTINCT component) AS n_components
+      FROM comp
+      GROUP BY 1
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
-    q63DedupClusters, q67CanonicalDocs)
+    q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit)
 }

@@ -58,6 +58,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q65 decontamination: benchmark n-gram set broadcasts, corpus side never shuffles pre-match") {
+    val p = plan(graft.queries.CorpusQueries.q65Decontaminate.fn(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set must broadcast:\n$p")
+    // the ONLY exchanges allowed are the benchmark distinct + the per-doc
+    // groupBy over matched rows; the corpus scan must not feed a shuffle
+    // before the broadcast join
+    assert(!p.contains("SortMergeJoin"), "corpus side must not sort-merge join")
+  }
+
+  test("q69 sampling predicate is a pure projection over the scan (no pre-agg shuffle)") {
+    val d = graft.Tables.load(spark, dir, "documents")
+    val sampled = d.filter(graft.ext.CorpusOps.hashSampled(col("doc_id"), 0.5))
+    val p = plan(sampled)
+    assert(!p.contains("Exchange"), s"hash sampling must not shuffle:\n$p")
+  }
+
   test("merge upsert broadcasts the source-keys side") {
     val p = plan(QueryCatalog.queries("q17_merge_upsert")(spark, dir))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
