@@ -291,6 +291,27 @@ object Dedup {
     (clusters, repPairs)
   }
 
+  /** INCREMENTAL exact dedup — the production flow for a growing corpus:
+    * an incoming batch is deduped against the existing corpus (and within
+    * itself) WITHOUT rescanning existing data beyond its key column.
+    * Returns the incoming rows that are genuinely new (first occurrence
+    * wins within the batch by min id).
+    *
+    * Scale shape: one anti-join against the existing KEY index (keys only
+    * — at 100 TB the fingerprint index is a fraction of the corpus and is
+    * the thing you maintain, not re-derive) plus one within-batch groupBy.
+    * Both shuffles are keyed on the dedup key.
+    */
+  def incrementalExact(
+      incoming: DataFrame, existingKeys: DataFrame,
+      key: Column, idCol: Column): DataFrame = {
+    val keyed = incoming.select(idCol.as("id"), key.as("dedup_key"))
+      .groupBy(col("dedup_key")).agg(min(col("id")).as("keep_id"))
+    keyed.join(existingKeys.select(col(existingKeys.columns.head).as("dedup_key")),
+        Seq("dedup_key"), "left_anti")
+      .select(col("keep_id"), col("dedup_key"))
+  }
+
   /** Blocked all-pairs exact Jaccard (kept for explicit block-scoped
     * dedup, e.g. per-tenant): pairs are generated only within a blocking
     * key. Quadratic PER BLOCK — only safe when the block key's cardinality

@@ -398,8 +398,41 @@ object TextQueries {
       GROUP BY 1
     """))
 
+  /** Incremental dedup: an incoming batch (the synthesized dups + the last
+    * docs) against the existing corpus's normalized-text key index — the
+    * production shape for a GROWING corpus (dedup the delta, never rescan
+    * the corpus body). Output: genuinely-new incoming docs. */
+  val q72IncrementalDedup: Q = Q(
+    "q72_incremental_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      // existing corpus: every doc_id % 3 == 0; the incoming batch holds
+      // (a) genuinely new docs, (b) case-dups of EXISTING docs (must be
+      // dropped by the key-index anti-join), (c) case-dups of docs in the
+      // SAME batch (must collapse within-batch to the min id)
+      val existing = d.filter(col("doc_id") % 3 === 0)
+        .select(Dedup.normalized(col("text")).as("k"))
+      val incoming = corpusWithDups(s, dir).filter(col("doc_id") % 3 =!= 0)
+      Dedup.incrementalExact(
+        incoming, existing, Dedup.normalized(col("text")), col("doc_id"))
+        .select(col("keep_id"), col("dedup_key"))
+    },
+    Some(s"""
+      WITH corpus AS ($corpusSql),
+      existing AS (
+        SELECT lower(trim(text)) AS k FROM documents WHERE doc_id % 3 = 0
+      ),
+      incoming AS (
+        SELECT MIN(doc_id) AS keep_id, lower(trim(text)) AS dedup_key
+        FROM corpus WHERE doc_id % 3 <> 0
+        GROUP BY lower(trim(text))
+      )
+      SELECT keep_id, dedup_key FROM incoming
+      WHERE dedup_key NOT IN (SELECT k FROM existing)
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
-    q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit)
+    q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup)
 }

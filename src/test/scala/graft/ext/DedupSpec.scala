@@ -89,6 +89,21 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incrementalExact: drops corpus dups, collapses batch dups, keeps new docs") {
+    val existing = Seq("already ingested doc").toDF("k")
+      .select(Dedup.normalized($"k").as("k"))
+    val incoming = Seq(
+      (10L, "ALREADY INGESTED DOC"),   // case-dup of existing -> dropped
+      (11L, "brand new document"),     // new -> kept
+      (12L, "Brand New Document"),     // batch dup of 11 -> collapsed
+      (13L, "another fresh one")       // new -> kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(
+        incoming, existing, Dedup.normalized($"text"), $"doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(11L -> "brand new document", 13L -> "another fresh one"))
+  }
+
   test("blocked jaccard respects blocks") {
     val out = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 0.5)
       .as[(String, Long, Long, Double)].collect()
