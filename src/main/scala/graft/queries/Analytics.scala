@@ -281,7 +281,80 @@ object Analytics {
         ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
     """))
 
+  /** Extended window-function suite (§2.5): lead, ntile, cume_dist,
+    * first/last over an explicit full frame — unique tiebreak (orderkey)
+    * everywhere, so rank-family semantics match DuckDB exactly. */
+  val q74WindowSuite: Q = Q(
+    "q74_window_suite",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+      val wFull = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        cume_dist().over(w).as("cume"),
+        first(col("o_orderkey")).over(w).as("latest_key"),
+        last(col("o_orderkey")).over(wFull).as("oldest_key"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        LEAD(o_totalprice, 1) OVER w AS next_price,
+        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        CUME_DIST() OVER w AS cume,
+        FIRST_VALUE(o_orderkey) OVER w AS latest_key,
+        LAST_VALUE(o_orderkey) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS oldest_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey)
+    """))
+
+  /** TPC-H Q5-shaped deep join: 6 tables, co-located nation for customer
+    * AND supplier, date-range + region filters — the classic "does the
+    * optimizer pick broadcast for dims and keyed shuffles for facts over a
+    * deep tree" probe. */
+  val q75RegionalRevenue: Q = Q(
+    "q75_regional_revenue",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+    },
+    Some(s"""
+      SELECT n_name,
+        ${oracleDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+    """))
+
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
-    q47Percentiles, q48CollectList, q49AsOfJoin, q58Unpivot, q61Cube, q62Correlated)
+    q47Percentiles, q48CollectList, q49AsOfJoin, q58Unpivot, q61Cube, q62Correlated,
+    q74WindowSuite, q75RegionalRevenue)
 }

@@ -123,6 +123,65 @@ object EmbedQueries {
       GROUP BY label, i
     """))
 
+  /** Scalar int8 quantization of embeddings (the ANN memory-compression
+    * step): per-DIMENSION min/max from one aggregate, broadcast back as
+    * arrays, codes = floor((x-mn)/(mx-mn)*255) clamped. Output is
+    * integer-exact (code sums/extremes), so the oracle hash-matches —
+    * float reconstruction error is a derived metric left engine-side.
+    * Scale: one posexplode aggregate (|dims| groups) + one projection scan
+    * with the broadcast stats — no per-vector shuffle. */
+  val q73QuantizeEmbeddings: Q = Q(
+    "q73_quantize_embeddings",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val stats = e
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("pos"), col("x").cast("double").as("x"))
+        .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(
+          transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
+            s => s.getField("mn")).as("mns"),
+          transform(sort_array(collect_list(struct(col("pos"), col("mx")))),
+            s => s.getField("mx")).as("mxs"))
+      e.crossJoin(broadcast(stats))
+        .select(col("vec_id"),
+          transform(sequence(lit(1), size(col("embedding"))), i => {
+            val x = element_at(col("embedding"), i).cast("double")
+            val mn = element_at(col("mns"), i)
+            val mx = element_at(col("mxs"), i)
+            when(mx === mn, lit(0L)).otherwise(
+              least(floor((x - mn) / (mx - mn) * 255.0), lit(255.0)).cast("long"))
+          }).as("codes"))
+        .select(col("vec_id"),
+          size(col("codes")).cast("long").as("n_dims"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+          array_min(col("codes")).as("code_min"),
+          array_max(col("codes")).as("code_max"))
+    },
+    Some("""
+      WITH dims AS (
+        SELECT unnest(embedding::DOUBLE[]) AS x,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+      ), stats AS (
+        SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos
+      ), arrs AS (
+        SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats
+      ), coded AS (
+        SELECT vec_id,
+          list_transform(generate_series(1, len(embedding)),
+            i -> CASE WHEN mxs[i] = mns[i] THEN 0
+                 ELSE CAST(least(floor((embedding[i]::DOUBLE - mns[i])
+                        / (mxs[i] - mns[i]) * 255.0), 255.0) AS BIGINT) END) AS codes
+        FROM embeddings, arrs
+      )
+      SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+        CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        list_min(codes) AS code_min, list_max(codes) AS code_max
+      FROM coded
+    """))
+
   val all: Seq[Q] = Seq(
-    q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf, q57EmbedNearDup)
+    q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
+    q57EmbedNearDup, q73QuantizeEmbeddings)
 }

@@ -74,6 +74,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), s"hash sampling must not shuffle:\n$p")
   }
 
+  test("q75 deep join: date filter reaches the orders scan, dims broadcast") {
+    val p = formatted(graft.queries.Analytics.q75RegionalRevenue.fn(spark, dir))
+    assert(p.contains("PushedFilters:"), "no pushed-filter section")
+    assert("GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(p).isDefined,
+      s"date range not pushed to the orders scan:\n$p")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"nation+region must broadcast, got $broadcasts")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("merge upsert broadcasts the source-keys side") {
     val p = plan(QueryCatalog.queries("q17_merge_upsert")(spark, dir))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
