@@ -66,6 +66,25 @@ object CorpusOps {
       .drop("cum_before")
   }
 
+  /** Sliding-window DOCUMENT CHUNKING (RAG / long-context training prep):
+    * token windows of `chunkSize` advancing by `stride` (overlap =
+    * chunkSize − stride), last window clamped. Pure generate + slice — an
+    * embarrassingly parallel projection; output rows ∝ corpus tokens /
+    * stride, no shuffle. Output: (id, chunk_id, chunk_tokens array).
+    */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && chunkSize >= stride, "need chunkSize >= stride >= 1")
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .withColumn("k",
+        ceil(greatest(size(col("toks")) - chunkSize, lit(0)) / stride.toDouble).cast("int"))
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0), col("k"))).as("chunk_id"))
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkSize)).as("chunk_tokens"))
+  }
+
   /** MIXTURE REWEIGHTING: given target mixture shares per class, compute
     * each class's natural share and the repeat/sampling factor that
     * realizes the target (factor = target_share / natural_share). The

@@ -195,7 +195,36 @@ object CorpusQueries {
       GROUP BY source
     """))
 
+  /** Sliding-window chunking at 32 tokens / stride 24 (25% overlap): every
+    * chunk with its token count and content fingerprint — deterministic
+    * string ops on both engines, so the chunk CONTENT is oracle-checked,
+    * not just the counts. */
+  val q76ChunkDocuments: Q = Q(
+    "q76_chunk_documents",
+    (s, dir) =>
+      CorpusOps.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .select(col("id").as("doc_id"), col("chunk_id"),
+          size(col("chunk_tokens")).cast("long").as("n_tokens"),
+          sha2(concat_ws(" ", col("chunk_tokens")), 256).as("chunk_fp")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      ), spans AS (
+        SELECT doc_id, t,
+          unnest(generate_series(0,
+            CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS INT))) AS chunk_id
+        FROM toks
+      )
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        CAST(len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT)
+          AS n_tokens,
+        sha256(array_to_string(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32), ' '))
+          AS chunk_fp
+      FROM spans
+    """))
+
   val all: Seq[Q] = Seq(
     q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample,
-    q70QualityFilter)
+    q70QualityFilter, q76ChunkDocuments)
 }

@@ -43,6 +43,22 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.toSeq === Seq((1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L)))
   }
 
+  test("chunkDocuments: sliding windows with overlap, clamped tail, short-doc fallback") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, cs 4 / stride 3
+      (2L, "a b")                                     // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.chunkDocuments(docs, "doc_id", "text", 4, 3)
+      .as[(Long, Long, Seq[String])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // doc 1: k = ceil((10-4)/3) = 2 -> chunks at 0,3,6
+    assert(got((1L, 0L)) === Seq("t1", "t2", "t3", "t4"))
+    assert(got((1L, 1L)) === Seq("t4", "t5", "t6", "t7"), "stride 3 overlaps by 1")
+    assert(got((1L, 2L)) === Seq("t7", "t8", "t9", "t10"))
+    assert(got((2L, 0L)) === Seq("a", "b"), "short doc = one clamped chunk")
+    assert(got.size === 4)
+  }
+
   test("mixtureReweight computes shares and repeat factors") {
     val df = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("cls")
     val got = CorpusOps.mixtureReweight(df, "cls", Map("a" -> 0.5, "b" -> 0.5))
