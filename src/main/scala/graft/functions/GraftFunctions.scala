@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.FunctionBridge
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the native expressions: every graft Catalyst expression
+  * is registered under a SQL name, so `spark.sql("SELECT jaccard_sim(...)")`
+  * works — for builder-time sessions via [[GraftExtensions]]
+  * (`.withExtensions` / `spark.sql.extensions`), and for existing sessions
+  * via [[GraftFunctions.register]]. This is the (c)-tier extension path of
+  * the Spark-first design: compose built-ins where possible, native
+  * expressions where not, and expose those to SQL users too.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** name → (builder, usage) for every native expression. */
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("cosine_similarity",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "cosine_similarity(vecA, vecB)")
+        CosineSimilarity(args(0), args(1))
+      },
+      "cosine_similarity(vecA, vecB) - fused dot/norms cosine over float/double arrays"),
+    ("jaccard_sim",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "jaccard_sim(setA, setB)")
+        JaccardSim(args(0), args(1))
+      },
+      "jaccard_sim(setA, setB) - exact Jaccard over distinct string arrays"),
+    ("sorted_jaccard",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "sorted_jaccard(sortedA, sortedB)")
+        SortedJaccard(args(0), args(1))
+      },
+      "sorted_jaccard(sortedA, sortedB) - merge Jaccard over ascending long arrays"),
+    ("simhash64",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "simhash64(tokens)")
+        SimHash64(args(0))
+      },
+      "simhash64(tokens) - 64-bit SimHash fingerprint of a token array"),
+    ("minhash_sig",
+      { args: Seq[Expression] =>
+        require(args.length == 2 || args.length == 3, "minhash_sig(tokens, k[, w])")
+        MinHashSig(args(0), intArg(args(1), "k"),
+          if (args.length == 3) intArg(args(2), "w") else 3)
+      },
+      "minhash_sig(tokens, k[, w]) - k seeded-xxh64 minima over w-shingles"),
+    ("hyperplane_sig",
+      { args: Seq[Expression] =>
+        require(args.length == 2 || args.length == 3, "hyperplane_sig(vec, nPlanes[, offset])")
+        HyperplaneSig(args(0), intArg(args(1), "nPlanes"),
+          if (args.length == 3) intArg(args(2), "offset") else 0)
+      },
+      "hyperplane_sig(vec, nPlanes[, offset]) - LSH bucket id from hyperplane signs"),
+    ("distinct_shingles",
+      { args: Seq[Expression] =>
+        require(args.length == 1 || args.length == 2, "distinct_shingles(tokens[, w])")
+        DistinctShingles(args(0), if (args.length == 2) intArg(args(1), "w") else 3)
+      },
+      "distinct_shingles(tokens[, w]) - distinct w-shingles, first-occurrence order"))
+
+  /** Register on an EXISTING session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder, _) =>
+      FunctionBridge.registerTemp(spark, name, builder)
+    }
+
+  /** Inject at session build time (SparkSessionExtensions). */
+  def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, builder, usage) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(s"graft.functions.$name", null, name, usage, ""),
+        builder))
+    }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+}

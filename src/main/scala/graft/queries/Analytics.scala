@@ -353,8 +353,46 @@ object Analytics {
       GROUP BY n_name
     """))
 
+  /** Native expressions through the SQL surface: GraftFunctions registers
+    * every custom Catalyst expression under a SQL name (the
+    * SparkSessionExtensions path for built sessions; temp-function
+    * registration here), and the oracle re-derives both similarity values
+    * from DuckDB list primitives — proving the SQL-exposed natives match
+    * the composable formulations bit-for-bit. */
+  val q77SqlNativeFuncs: Q = Q(
+    "q77_sql_native_funcs",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("g_docs")
+      t(s, dir, "embeddings").createOrReplaceTempView("g_embs")
+      s.sql("""
+        WITH q AS (SELECT embedding AS qvec FROM g_embs WHERE vec_id = 0),
+        qd AS (SELECT array_distinct(split(lower(text), ' ')) AS qtoks
+               FROM g_docs WHERE doc_id = 0)
+        SELECT e.vec_id, d.doc_id,
+          cosine_similarity(e.embedding, q.qvec) AS cos_sim,
+          jaccard_sim(array_distinct(split(lower(d.text), ' ')), qd.qtoks) AS jac_sim
+        FROM g_embs e JOIN g_docs d ON e.vec_id = d.doc_id, q, qd
+        WHERE e.vec_id < 200
+      """)
+    },
+    Some("""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+      qd AS (SELECT list_distinct(string_split(lower(text), ' ')) AS qtoks
+             FROM documents WHERE doc_id = 0)
+      SELECT e.vec_id, d.doc_id,
+        list_dot_product(e.embedding::DOUBLE[], qvec)
+          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(qvec, qvec))) AS cos_sim,
+        CAST(len(list_intersect(list_distinct(string_split(lower(d.text), ' ')), qtoks)) AS DOUBLE)
+          / len(list_distinct(list_concat(list_distinct(string_split(lower(d.text), ' ')), qtoks)))
+          AS jac_sim
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, q, qd
+      WHERE e.vec_id < 200
+    """))
+
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
     q47Percentiles, q48CollectList, q49AsOfJoin, q58Unpivot, q61Cube, q62Correlated,
-    q74WindowSuite, q75RegionalRevenue)
+    q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs)
 }
