@@ -50,9 +50,17 @@ object Components {
     // id instead of riding every round's joins. Labels ∝ |touched nodes|,
     // not |corpus|.
     val allNodes = nodes.select(col("id"))
-    val touched = undirected.select(col("a").as("id")).distinct().localCheckpoint()
-    var labels = allNodes.join(touched, Seq("id"), "left_semi")
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    val touched = undirected.select(col("a").as("id")).distinct()
+    // Seed labels with the 1-hop minimum (min of own id and neighbor ids):
+    // one aggregate over the edge list folded into the initial
+    // materialization — saves a full propagation round. Restricting to
+    // edge-touched ids also bounds the join: `touched` node ids ARE the
+    // groupBy keys of this aggregate, so the semi-join is implicit.
+    var labels = allNodes
+      .join(undirected.groupBy(col("a").as("id")).agg(min(col("b")).as("nmin")),
+        Seq("id"), "inner")
+      .select(col("id"), least(col("id"), col("nmin")).as("comp"))
+      .localCheckpoint()
     // coalesce: sum over zero rows is NULL — an empty corpus must yield an
     // empty result, not an NPE at the convergence check.
     def labelSum(df: DataFrame): Long =
