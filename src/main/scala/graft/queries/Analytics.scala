@@ -391,8 +391,31 @@ object Analytics {
       WHERE e.vec_id < 200
     """))
 
+  /** Per-group top-k via the typed Aggregator (map-side-partial top-k in
+    * ONE aggregation pass — no window sort); oracle is the equivalent
+    * rank-filter window. */
+  val q78TopKAgg: Q = Q(
+    "q78_topk_agg",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKByScore.topK(2)(
+          col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
+          col("e._2").as("o_orderkey"), col("e._1").as("price")),
+    Some("""
+      SELECT o_custkey, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice AS price
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 2
+    """))
+
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
     q47Percentiles, q48CollectList, q49AsOfJoin, q58Unpivot, q61Cube, q62Correlated,
-    q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs)
+    q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q78TopKAgg)
 }
