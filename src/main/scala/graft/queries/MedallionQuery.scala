@@ -144,5 +144,59 @@ object MedallionQuery {
       GROUP BY 1
     """))
 
-  val all: Seq[Q] = Seq(q54Medallion, q60Multimodal, q64TrainTestSplit)
+  /** Multimodal PLUMBING oracle twin of q60: everything except the
+    * (honestly stubbed, engine-specific) codec is deterministic arithmetic
+    * — kind assignment, metadata derivation, aspect-preserving resize
+    * math, stride-30 frame sampling — so DuckDB re-derives it from
+    * generate_series and the plumbing becomes a hard correctness row
+    * (q60 stays rows-only for the decode path). */
+  val q79MultimodalMeta: Q = Q(
+    "q79_multimodal_meta",
+    (s, _) => {
+      import graft.ext.Multimodal
+      val media = Multimodal.synthesize(s, 3000L)
+      val frames = Multimodal.sampleFrames(media, stride = 30)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
+      Multimodal.resizeMeta(media, 512)
+        .join(frames, Seq("media_id"), "left")
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(col("meta.width")).as("sum_width"),
+          sum(col("meta.height")).as("sum_height"),
+          sum(coalesce(col("n_sampled"), lit(0L))).as("n_frames_sampled"),
+          max(col("meta.n_frames")).as("max_frames"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT v,
+          CASE CAST(v % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+          CASE WHEN v % 3 = 0 THEN CAST(v % 1024 + 64 AS INT) END AS w,
+          CASE WHEN v % 3 = 0 THEN CAST(v % 768 + 64 AS INT) END AS h,
+          CASE WHEN v % 3 = 2 THEN CAST(v % 300 + 30 AS INT) END AS n_frames
+        FROM generate_series(0, 2999) t(v)
+      ), r AS (
+        SELECT kind, n_frames,
+          CASE WHEN w IS NULL THEN NULL
+            WHEN greatest(w, h) > 512
+              THEN CAST(floor(w * (512.0 / greatest(w, h))) AS INT)
+            ELSE w END AS rw,
+          CASE WHEN h IS NULL THEN NULL
+            WHEN greatest(w, h) > 512
+              THEN CAST(floor(h * (512.0 / greatest(w, h))) AS INT)
+            ELSE h END AS rh
+        FROM m
+      )
+      SELECT kind, COUNT(*) AS n_media,
+        CAST(SUM(rw) AS BIGINT) AS sum_width,
+        CAST(SUM(rh) AS BIGINT) AS sum_height,
+        CAST(SUM(CASE WHEN kind = 'video' THEN (n_frames - 1) // 30 + 1
+          ELSE 0 END) AS BIGINT) AS n_frames_sampled,
+        MAX(n_frames) AS max_frames
+      FROM r
+      GROUP BY kind
+    """))
+
+  val all: Seq[Q] = Seq(q54Medallion, q60Multimodal, q64TrainTestSplit, q79MultimodalMeta)
 }
