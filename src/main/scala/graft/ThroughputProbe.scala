@@ -24,10 +24,17 @@ object ThroughputProbe {
     gen.TxnGen.batch(spark, 10000, t0, clock).count()
     val start = System.nanoTime()
     val bronze = gen.TxnGen.batch(spark, n, t0, clock)
-    val (silverReady, quarantined) = silver.TxnSilver.processBatch(bronze, clock, gen.TxnGen.ValidMcc)
-    val goldRows = gold.TxnGold.merchantRiskSummary(silverReady).count()
-    val silverRows = silverReady.count()
-    val qRows = quarantined.count()
+    val (silverReady, _) = silver.TxnSilver.processBatch(bronze, clock, gen.TxnGen.ValidMcc)
+    // Execute gen->DQ->enrich EXACTLY ONCE inside the timed window: the
+    // checkpoint materializes the silver output; the gold aggregate and the
+    // silver count then read the materialized blocks. Three separate counts
+    // over the uncached pipeline would re-execute it per count and
+    // understate rows/s ~3x. DQ is a partition of the batch, so the
+    // quarantine count is n - silverRows — no second pass.
+    val silverDone = silverReady.localCheckpoint()
+    val goldRows = gold.TxnGold.merchantRiskSummary(silverDone).count()
+    val silverRows = silverDone.count()
+    val qRows = n - silverRows
     val sec = (System.nanoTime() - start) / 1e9
     System.err.println(f"[tp] $n rows gen->DQ->silver->gold in $sec%.2f s = ${n / sec}%.0f rows/s (silver=$silverRows quarantine=$qRows gold=$goldRows)")
     spark.stop()

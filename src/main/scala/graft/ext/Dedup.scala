@@ -295,7 +295,9 @@ object Dedup {
     * an incoming batch is deduped against the existing corpus (and within
     * itself) WITHOUT rescanning existing data beyond its key column.
     * Returns the incoming rows that are genuinely new (first occurrence
-    * wins within the batch by min id).
+    * wins within the batch by min id). Rows whose dedup key is NULL are
+    * dropped — a null key means the key expression failed, and SQL null
+    * semantics would otherwise make them unjoinable (never deduped).
     *
     * Scale shape: one anti-join against the existing KEY index (keys only
     * — at 100 TB the fingerprint index is a fraction of the corpus and is
@@ -305,7 +307,14 @@ object Dedup {
   def incrementalExact(
       incoming: DataFrame, existingKeys: DataFrame,
       key: Column, idCol: Column): DataFrame = {
+    require(existingKeys.columns.length == 1,
+      s"existingKeys must be a single-column key index, got ${existingKeys.columns.mkString(", ")}")
+    // Null keys never match an anti-join (SQL null semantics), so a null key
+    // in `existing` would NOT suppress incoming null-keyed rows — which
+    // diverges from the documented NOT-IN oracle. A null dedup key means the
+    // key expression failed; such rows are dropped on both sides.
     val keyed = incoming.select(idCol.as("id"), key.as("dedup_key"))
+      .filter(col("dedup_key").isNotNull)
       .groupBy(col("dedup_key")).agg(min(col("id")).as("keep_id"))
     keyed.join(existingKeys.select(col(existingKeys.columns.head).as("dedup_key")),
         Seq("dedup_key"), "left_anti")

@@ -13,7 +13,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * order — value-identical to
   * `array_distinct(Dedup.shingles(toks, w))` (the higher-order
   * formulation: whole-text fallback for < w tokens, space-joined w-grams
-  * otherwise, null tokens rendered empty), but one primitive pass instead
+  * otherwise, null tokens skipped with their separator — concat_ws
+  * semantics), but one primitive pass instead
   * of interpreted `transform` + per-position `slice` + `concat_ws` trees —
   * those are CodegenFallback in Spark 4.1 and cost O(n·w) boxed evals per
   * document. Used by the decontamination scan, where shingling IS the
@@ -47,9 +48,16 @@ case class DistinctShingles(child: Expression, w: Int)
       sb.setLength(0)
       val end = math.min(i + w, n)
       var j = i
+      // concat_ws semantics: a null token contributes NOTHING — not even its
+      // separator — so the separator is emitted only between non-null tokens
+      // ("wrote anything" flag, not position).
+      var wrote = false
       while (j < end) {
-        if (j > i) sb.append(' ')
-        if (!toks.isNullAt(j)) sb.append(toks.getUTF8String(j).toString)
+        if (!toks.isNullAt(j)) {
+          if (wrote) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+          wrote = true
+        }
         j += 1
       }
       seen.add(UTF8String.fromString(sb.toString))
@@ -65,7 +73,7 @@ case class DistinctShingles(child: Expression, w: Int)
       val n = ctx.freshName("n"); val nSh = ctx.freshName("nSh")
       val seen = ctx.freshName("seen"); val sb = ctx.freshName("sb")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val end = ctx.freshName("end")
+      val end = ctx.freshName("end"); val wrote = ctx.freshName("wrote")
       s"""
         int $n = $toks.numElements();
         int $nSh = java.lang.Math.max(1, $n - ${w - 1});
@@ -74,9 +82,13 @@ case class DistinctShingles(child: Expression, w: Int)
         for (int $i = 0; $i < $nSh; $i++) {
           $sb.setLength(0);
           int $end = java.lang.Math.min($i + $w, $n);
+          boolean $wrote = false;
           for (int $j = $i; $j < $end; $j++) {
-            if ($j > $i) $sb.append(' ');
-            if (!$toks.isNullAt($j)) $sb.append($toks.getUTF8String($j).toString());
+            if (!$toks.isNullAt($j)) {
+              if ($wrote) $sb.append(' ');
+              $sb.append($toks.getUTF8String($j).toString());
+              $wrote = true;
+            }
           }
           $seen.add($utf8.fromString($sb.toString()));
         }

@@ -16,12 +16,16 @@ import java.nio.charset.StandardCharsets
   * snapshot isolation and makes replayed merges idempotent at the storage
   * layer too.
   *
-  * Commit protocol: data first (`v<N>/`), then `_commit_v<N>` created with
-  * `create(overwrite = false)` — which fails if the marker already exists on
-  * every Hadoop FileSystem, including RawLocalFileSystem where rename()
-  * silently replaces the destination — so two racing committers of the same
-  * version cannot both succeed. Data-before-marker ordering makes a
-  * partially written marker harmless (it is simply not yet a commit). The
+  * Commit protocol: data first (`v<N>/`), then the marker body is written to
+  * a temp file and moved into place with `FileContext.rename(tmp, marker,
+  * Rename.NONE)` — atomic AND fail-if-destination-exists on HDFS and local
+  * (plain FileSystem.rename() silently replaces on RawLocalFileSystem, which
+  * would let two racing committers of one version both "succeed"; a plain
+  * create(overwrite=false) commits an EMPTY marker the moment it is created,
+  * so a crash mid-write would leave a marker with no metadata). A marker is
+  * therefore content-complete the instant it exists; `commits()` still skips
+  * zero-length markers defensively (possible only on FileSystems without a
+  * FileContext binding, where the create-then-write fallback is used). The
   * current version is the max committed marker — there is NO pointer file
   * to swap, hence no window where a concurrent reader can observe the table
   * as missing (the failure mode of a delete-then-rename `_CURRENT` scheme).
@@ -48,6 +52,9 @@ object VersionedTable {
     if (!f.exists(basePath)) return Seq.empty
     f.listStatus(basePath).toSeq
       .filter(st => st.getPath.getName.startsWith(MarkerPrefix))
+      // zero-length marker = a crashed create-then-write fallback committer;
+      // its metadata never landed, so it is not a commit
+      .filter(_.getLen > 0)
       .map { st =>
         val v = st.getPath.getName.drop(MarkerPrefix.length).toLong
         val in = f.open(st.getPath)
@@ -84,24 +91,48 @@ object VersionedTable {
     next
   }
 
-  /** Create the commit marker for version `v` — fails if it already exists.
-    * overwrite=false is an atomic create-if-absent on all Hadoop
-    * FileSystems (rename() would silently replace an existing destination
-    * on local FS, letting two racing committers of the same version both
-    * "succeed"). Package-visible so the guard is testable without racing
-    * two Spark write jobs over one data directory. */
+  /** Create the commit marker for version `v` — fails if it already exists,
+    * and is only ever observable with its full body: the body goes to a temp
+    * file first, then `FileContext.rename(Rename.NONE)` moves it into place
+    * (atomic + fail-on-existing-destination on HDFS and local FS — plain
+    * FileSystem.rename() silently replaces on RawLocalFileSystem). On stores
+    * with no FileContext binding (e.g. s3a), falls back to
+    * create(overwrite = false) + write — still race-safe, but a crash
+    * between create and close leaves a zero-length marker that [[commits]]
+    * ignores and that blocks retries of the same version until removed.
+    * Package-visible so the guard is testable without racing two Spark
+    * write jobs over one data directory. */
   private[sources] def createMarker(
       spark: SparkSession, base: String, v: Long, operation: String): Unit = {
     val f = fs(spark, base)
-    val out =
-      try f.create(markerPath(base, v), /* overwrite = */ false)
-      catch {
-        case e: java.io.IOException =>
-          throw new java.io.IOException(
-            s"commit marker for $base v$v already exists (concurrent writer?)", e)
-      }
-    try out.write(s"${System.currentTimeMillis()}\n$operation".getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val marker = markerPath(base, v)
+    val body = s"${System.currentTimeMillis()}\n$operation".getBytes(StandardCharsets.UTF_8)
+    def failExists(e: java.io.IOException) = new java.io.IOException(
+      s"commit marker for $base v$v already exists (concurrent writer?)", e)
+    // cheap early refusal either way (the rename below re-checks atomically)
+    if (f.exists(marker)) throw failExists(new java.io.IOException(marker.toString))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fcOpt =
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(marker.toUri, conf))
+      catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+    fcOpt match {
+      case Some(fc) =>
+        val tmp = new Path(base,
+          s"_tmp$MarkerPrefix${v}_${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = f.create(tmp, /* overwrite = */ true)
+        try out.write(body) finally out.close()
+        try fc.rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.NONE)
+        catch {
+          case e: java.io.IOException =>
+            f.delete(tmp, false)
+            throw failExists(e)
+        }
+      case None =>
+        val out =
+          try f.create(marker, /* overwrite = */ false)
+          catch { case e: java.io.IOException => throw failExists(e) }
+        try out.write(body) finally out.close()
+    }
   }
 
   /** DESCRIBE HISTORY analogue (M1, ref 01:252 / 03:222): one row per

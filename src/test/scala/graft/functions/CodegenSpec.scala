@@ -93,7 +93,9 @@ class CodegenSpec extends SparkSuite {
         .unionByName(Seq(
           (900001L, Seq("a", "b")),            // < w: whole-text fallback
           (900002L, Seq("a", "a", "a", "a")),  // duplicate shingles collapse
-          (900003L, Seq("solo"))
+          (900003L, Seq("solo")),
+          (900004L, Seq("a", null, "b", "c")), // null token: concat_ws drops it AND its separator
+          (900005L, Seq[String](null, null))   // all-null window → empty shingle
         ).toDF("doc_id", "toks"))
       val diff = docs.filter(
         DistinctShingles.distinctShingles($"toks", 3) =!=
