@@ -41,7 +41,11 @@ object Components {
   private def checkpointTracked(df: DataFrame): (DataFrame, collection.Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint()
+    // LAZY checkpoint: the caller's next action (the convergence labelSum)
+    // materializes the blocks AND computes the sum in ONE job — an eager
+    // checkpoint spends a whole extra job per round just to materialize,
+    // and at local[32] round cost is job latency, not data.
+    val out = df.localCheckpoint(eager = false)
     (out, sc.getPersistentRDDs.keySet.diff(before))
   }
 
@@ -50,12 +54,25 @@ object Components {
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
 
+  /** Edge-count gate below which the component computation collapses to a
+    * driver-side union-find. Rationale: this operator runs on the
+    * CONTRACTED near-dup graph (one node per unique token set, edges =
+    * verified rep pairs) — metadata-sized even on dup-heavy corpora, and
+    * 2M edges collect to ~32 MB. Below the gate, one collect + linear
+    * union-find replaces O(log d) supersteps of 3 shuffles each; above it
+    * (a 100 TB corpus whose verified-pair graph is itself huge) the
+    * distributed label-propagation loop runs unchanged. The edge list is
+    * already materialized when the gate is read, so the count is a
+    * block-read, not an extra evaluation. */
+  val SmallGraphMaxEdges: Long = 2L * 1000 * 1000
+
   /** nodes: (id); edges: (a, b) undirected (either orientation); every edge
     * endpoint must itself appear in `nodes` (edges ⊆ nodes × nodes) — an
     * unknown endpoint would propagate as a component label pointing at a
     * nonexistent node id. Output: (id, component) for EVERY node —
     * singletons keep their own id. */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
     // Checkpoint the edge list BEFORE mirroring it: the two orientations are
     // two branches of one union, and each branch would re-evaluate the
     // (potentially expensive — near-dup pair generation) upstream plan.
@@ -64,6 +81,9 @@ object Components {
     // rejected: localCheckpoint does not carry the partitioning into the
     // next query's planning here, so the extra exchange is pure overhead.)
     val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val idIsLong = nodes.schema("id").dataType == org.apache.spark.sql.types.LongType
+    if (idIsLong && e.count() <= smallGraphMaxEdges)
+      return smallGraphComponents(nodes, e)
     val undirected = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     // Iterate ONLY over edge-touched nodes: a node with no edge can never
     // change its label, so singletons — the vast majority of a near-dup
@@ -124,6 +144,42 @@ object Components {
     }
     labels.unionByName(
       allNodes.join(touched, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("comp")))
+  }
+
+  /** Small-graph path: collect the (materialized) edge list, run union-find
+    * with path compression on the driver, emit min-id-per-component labels
+    * for edge-touched nodes, and anti-join singletons back — value-identical
+    * to the distributed fixpoint (component = min reachable id). The driver
+    * is already in the loop for convergence detection on the distributed
+    * path; here it does the whole (metadata-sized) graph in one pass. */
+  private def smallGraphComponents(nodes: DataFrame, e: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrDefault(root, root) != root) root = parent.get(root)
+      var cur = x // path compression
+      while (cur != root) { val next = parent.get(cur); parent.put(cur, root); cur = next }
+      root
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // min-id root wins, so every root IS its component's min member
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val touched = new java.util.HashSet[Long]()
+    pairs.foreach { case (a, b) => touched.add(a); touched.add(b) }
+    val labels = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(touched.iterator()).asScala
+      .map(id => (id, find(id))).toSeq
+    val labelsDf = labels.toDF("id", "comp")
+    labelsDf.unionByName(
+      nodes.select(col("id"))
+        .join(broadcast(labelsDf.select(col("id"))), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("comp")))
   }
 }

@@ -221,12 +221,24 @@ object Dedup {
     //    NUMERIC order IS the canonical rarest-first order: the Jaccard
     //    prefix is literally the first `plen` elements, and verification is
     //    an allocation-free sorted merge over longs instead of hashing UTF8
-    //    strings per pair. (The id-assigning row_number is a sort of the
-    //    VOCABULARY table — the standard token-ordering step of PPJoin.)
+    //    strings per pair. (The id assignment is a sort of the VOCABULARY
+    //    table — the standard token-ordering step of PPJoin — done as a
+    //    DISTRIBUTED dense rank: a global-Window row_number would funnel the
+    //    whole vocabulary through one partition, the one single-threaded
+    //    stage in the pipeline. Here the range sort spreads the vocabulary,
+    //    each partition ranks locally, and a broadcast of the ~shuffle-
+    //    partition-count per-partition offsets makes the rank global.)
     val post = clusters.select(col("rid"), explode(col("stoks")).as("token"))
-    val vocab = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .withColumn("tid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("token"))).cast("long"))
+    // The range sort inside the dense rank samples its input for partition
+    // boundaries BEFORE shuffling it — two evaluations of the vocabulary
+    // aggregate (an explode + groupBy over every document) unless the
+    // aggregate is materialized. The LAZY checkpoint keeps plan construction
+    // job-free: the sampling pass materializes vocab-sized blocks, the
+    // shuffle re-reads them.
+    val vocab = distributedDenseRank(
+      post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .localCheckpoint(eager = false),
+      Seq(col("df"), col("token")), "tid")
     val ordered = post.join(vocab, Seq("token"))
       .groupBy(col("rid"))
       .agg(sort_array(collect_list(col("tid"))).as("itoks"))
@@ -319,6 +331,32 @@ object Dedup {
     keyed.join(existingKeys.select(col(existingKeys.columns.head).as("dedup_key")),
         Seq("dedup_key"), "left_anti")
       .select(col("keep_id"), col("dedup_key"))
+  }
+
+  /** Distributed global row_number: range-sort on `order`, rank WITHIN each
+    * partition (parallel — the partition id pins rows to their sort
+    * partition, so the per-pid window never re-shuffles across the global
+    * order), then add each partition's cumulative row offset via a broadcast
+    * join against the per-partition counts (one tiny single-partition window
+    * over ~shuffle-partition-count rows, instead of over the whole table).
+    * Lazy end to end; ids are 1-based, dense, unique, and ordered by
+    * `order`. */
+  private[graft] def distributedDenseRank(
+      df: DataFrame, order: Seq[Column], rankCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pid = "__rank_pid"
+    val local = df.repartitionByRange(order: _*)
+      .withColumn(pid, spark_partition_id())
+      .withColumn("__local_rn",
+        row_number().over(Window.partitionBy(col(pid)).orderBy(order: _*)))
+    val offsets = local.groupBy(col(pid)).agg(count(lit(1)).as("__pn"))
+      .withColumn("__offset",
+        coalesce(sum(col("__pn")).over(
+          Window.orderBy(col(pid)).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(pid), col("__offset"))
+    local.join(broadcast(offsets), Seq(pid))
+      .withColumn(rankCol, (col("__offset") + col("__local_rn")).cast("long"))
+      .drop(pid, "__local_rn", "__offset")
   }
 
   /** Blocked all-pairs exact Jaccard (kept for explicit block-scoped
