@@ -156,7 +156,13 @@ object Components {
   private def smallGraphComponents(nodes: DataFrame, e: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Match the distributed path's tolerance exactly: null endpoints are
+    // dropped (the distributed joins never match them — collecting them here
+    // would NPE), and label rows are semi-joined back against `nodes` below
+    // so an edge endpoint absent from `nodes` (a contract violation) is
+    // dropped on BOTH paths instead of surviving only on this one.
+    val pairs = e.filter(col("a").isNotNull && col("b").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var root = x
@@ -176,10 +182,13 @@ object Components {
     val labels = scala.jdk.CollectionConverters
       .IteratorHasAsScala(touched.iterator()).asScala
       .map(id => (id, find(id))).toSeq
-    val labelsDf = labels.toDF("id", "comp")
-    labelsDf.unionByName(
-      nodes.select(col("id"))
-        .join(broadcast(labelsDf.select(col("id"))), Seq("id"), "left_anti")
-        .select(col("id"), col("id").as("comp")))
+    val labelsDf = labels.toDF("id", "lab")
+    // ONE scan of `nodes` with the (tiny) label table broadcast: a node with
+    // a label takes it, everything else is a singleton. Driving from `nodes`
+    // also drops labels for edge endpoints that are not nodes — the same
+    // inner-join semantics the distributed path applies.
+    nodes.select(col("id"))
+      .join(broadcast(labelsDf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lab"), col("id")).as("comp"))
   }
 }

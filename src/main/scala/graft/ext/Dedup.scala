@@ -324,11 +324,15 @@ object Dedup {
     // Null keys never match an anti-join (SQL null semantics), so a null key
     // in `existing` would NOT suppress incoming null-keyed rows — which
     // diverges from the documented NOT-IN oracle. A null dedup key means the
-    // key expression failed; such rows are dropped on both sides.
+    // key expression failed; such rows are dropped on both sides (the
+    // existing-side filter makes the anti-join behave like NOT IN over the
+    // non-null key domain even when the index contains nulls).
     val keyed = incoming.select(idCol.as("id"), key.as("dedup_key"))
       .filter(col("dedup_key").isNotNull)
       .groupBy(col("dedup_key")).agg(min(col("id")).as("keep_id"))
-    keyed.join(existingKeys.select(col(existingKeys.columns.head).as("dedup_key")),
+    keyed.join(
+        existingKeys.select(col(existingKeys.columns.head).as("dedup_key"))
+          .filter(col("dedup_key").isNotNull),
         Seq("dedup_key"), "left_anti")
       .select(col("keep_id"), col("dedup_key"))
   }
@@ -345,10 +349,20 @@ object Dedup {
       df: DataFrame, order: Seq[Column], rankCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pid = "__rank_pid"
+    // PIN the ranked table before branching: offsets and the final join must
+    // observe the SAME spark_partition_id assignment, which only holds if
+    // the range exchange is planned exactly once. Exchange reuse currently
+    // guarantees that, but spark_partition_id is nondeterministic by
+    // contract — if the exchange were ever planned twice (AQE edge case,
+    // future refactor), independently sampled range boundaries would
+    // misalign offsets and silently duplicate/skip ranks. The LAZY
+    // checkpoint materializes at the first action and both branches then
+    // read the same pinned blocks; plan construction stays job-free.
     val local = df.repartitionByRange(order: _*)
       .withColumn(pid, spark_partition_id())
       .withColumn("__local_rn",
         row_number().over(Window.partitionBy(col(pid)).orderBy(order: _*)))
+      .localCheckpoint(eager = false)
     val offsets = local.groupBy(col(pid)).agg(count(lit(1)).as("__pn"))
       .withColumn("__offset",
         coalesce(sum(col("__pn")).over(

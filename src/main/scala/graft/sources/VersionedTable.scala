@@ -18,14 +18,15 @@ import java.nio.charset.StandardCharsets
   *
   * Commit protocol: data first (`v<N>/`), then the marker body is written to
   * a temp file and moved into place with `FileContext.rename(tmp, marker,
-  * Rename.NONE)` — atomic AND fail-if-destination-exists on HDFS and local
-  * (plain FileSystem.rename() silently replaces on RawLocalFileSystem, which
-  * would let two racing committers of one version both "succeed"; a plain
-  * create(overwrite=false) commits an EMPTY marker the moment it is created,
-  * so a crash mid-write would leave a marker with no metadata). A marker is
-  * therefore content-complete the instant it exists; `commits()` still skips
-  * zero-length markers defensively (possible only on FileSystems without a
-  * FileContext binding, where the create-then-write fallback is used). The
+  * Rename.NONE)` — atomic + fail-if-destination-exists on HDFS; on local FS
+  * an exists-check-then-rename (see [[createMarker]] for the caveats,
+  * including the s3a copy-based-rename one). Either way a rename-path marker
+  * is content-complete before it is observable — unlike a plain
+  * create(overwrite=false), which commits an EMPTY marker the moment it is
+  * created, so a crash mid-write would leave a marker with no metadata.
+  * `commits()` skips zero-length markers (possible only on FileSystems
+  * without a FileContext binding, where the create-then-write fallback is
+  * used) and [[createMarker]] deletes them before retrying. The
   * current version is the max committed marker — there is NO pointer file
   * to swap, hence no window where a concurrent reader can observe the table
   * as missing (the failure mode of a delete-then-rename `_CURRENT` scheme).
@@ -93,13 +94,18 @@ object VersionedTable {
 
   /** Create the commit marker for version `v` — fails if it already exists,
     * and is only ever observable with its full body: the body goes to a temp
-    * file first, then `FileContext.rename(Rename.NONE)` moves it into place
-    * (atomic + fail-on-existing-destination on HDFS and local FS — plain
-    * FileSystem.rename() silently replaces on RawLocalFileSystem). On stores
-    * with no FileContext binding (e.g. s3a), falls back to
-    * create(overwrite = false) + write — still race-safe, but a crash
-    * between create and close leaves a zero-length marker that [[commits]]
-    * ignores and that blocks retries of the same version until removed.
+    * file first, then `FileContext.rename(Rename.NONE)` moves it into place.
+    * On HDFS that rename is atomic + fail-on-existing-destination; on the
+    * local FS it is an exists-check-then-rename (a theoretical two-committer
+    * race window remains, acceptable under the single-writer assumption);
+    * on object stores like s3a the AbstractFileSystem binding exists but
+    * rename is copy-based and non-atomic — the marker protocol there is
+    * best-effort, like Delta without a LogStore coordination service. It
+    * still beats plain create(overwrite=false)+write, which commits an
+    * EMPTY marker the instant it is created. A zero-length marker (crashed
+    * create-then-write fallback committer) is provably residue — rename-path
+    * markers are content-complete before they exist — so it is deleted and
+    * the commit retried rather than wedging the version forever.
     * Package-visible so the guard is testable without racing two Spark
     * write jobs over one data directory. */
   private[sources] def createMarker(
@@ -109,8 +115,16 @@ object VersionedTable {
     val body = s"${System.currentTimeMillis()}\n$operation".getBytes(StandardCharsets.UTF_8)
     def failExists(e: java.io.IOException) = new java.io.IOException(
       s"commit marker for $base v$v already exists (concurrent writer?)", e)
-    // cheap early refusal either way (the rename below re-checks atomically)
-    if (f.exists(marker)) throw failExists(new java.io.IOException(marker.toString))
+    // Self-heal crashed-committer residue: a zero-length marker was never a
+    // commit (commits() skips it), but it would make the exists-checks below
+    // refuse the same version on every retry. Data is always written before
+    // markers, so deleting it can never orphan committed data.
+    val existing = try Some(f.getFileStatus(marker))
+      catch { case _: java.io.FileNotFoundException => None }
+    existing.foreach { st =>
+      if (st.getLen == 0L) f.delete(marker, false)
+      else throw failExists(new java.io.IOException(marker.toString))
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val fcOpt =
       try Some(org.apache.hadoop.fs.FileContext.getFileContext(marker.toUri, conf))
@@ -158,7 +172,10 @@ object VersionedTable {
 
   /** Drop the DATA of all versions older than the current one; commit
     * markers are retained so [[history]] still lists them (as
-    * `available = false`), like Delta's log after VACUUM. */
+    * `available = false`), like Delta's log after VACUUM. Also sweeps
+    * orphaned `_tmp_commit_v*` staging files left by committers that
+    * crashed between temp-write and rename — they are never referenced
+    * once their commit either landed or was retried. */
   def vacuum(spark: SparkSession, base: String): Unit = {
     val f = fs(spark, base)
     currentVersion(spark, base).foreach { cur =>
@@ -167,6 +184,8 @@ object VersionedTable {
         if (name.startsWith("v") && name.drop(1).forall(_.isDigit)
             && name.drop(1).nonEmpty && name.drop(1).toLong < cur)
           f.delete(st.getPath, true)
+        else if (name.startsWith(s"_tmp$MarkerPrefix"))
+          f.delete(st.getPath, false)
       }
     }
   }
