@@ -25,13 +25,13 @@ object Bench {
     }
     qs.foreach { case (_, fn) => // warmup
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      Housekeeping.releaseAll(spark) // don't let one query's residue time the next
+      Housekeeping.releaseAndSettle(spark) // don't let one query's residue time the next
     }
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      Housekeeping.releaseAll(spark) // outside the timed section
+      Housekeeping.releaseAndSettle(spark) // outside the timed section
       name -> dt
     }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -395,4 +395,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("block", "id_a", "id_b", "jaccard")
   }
+
+  /** Edit-distance-1 pair detection via DELETION-NEIGHBORHOOD blocking
+    * (the SymSpell scheme): every string emits itself plus its n delete-one
+    * variants; two strings within Levenshtein distance 1 necessarily share
+    * a variant (substitution ⇒ deleting the differing position from both
+    * yields the same string; insert/delete ⇒ the shorter string IS a
+    * variant of the longer; equality ⇒ the strings themselves), so an
+    * equi-join on the variant generates a complete candidate set. Sharing a
+    * variant does NOT imply distance ≤ 1 ("ab"/"ba" share both variants at
+    * distance 2), so candidates are verified with the exact `levenshtein`
+    * — same generate → bucket-join → verify shape as the MinHash/SimHash
+    * paths, with the same scale properties: work is linear in Σ|s| variant
+    * rows and candidate pairs, never all-pairs. Variant join keys are
+    * HASHED to fixed-width longs (xxhash64), so the shuffle carries 8-byte
+    * keys instead of near-full-length strings; a hash collision can only
+    * add a candidate, which verification then drops.
+    *
+    * For names/titles/ids (short strings, typo-class errors) this finds
+    * exact fuzzy matches at corpus scale; for distance k > 1 the
+    * neighborhood is C(n,k)-sized — use the token-level paths
+    * ([[prefixJaccardPairs]]) instead. Output: (id_a, id_b, dist) with
+    * id_a < id_b, one row per pair. */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    // variants = [s, delete(s,0), delete(s,1), ...] — built with one
+    // sequence+transform (codegen'd), exploded once.
+    val variants = base.withColumn("v", explode(array_union(
+        array(col("s")),
+        transform(sequence(lit(1), length(col("s"))),
+          i => concat(col("s").substr(lit(1), i - 1),
+            col("s").substr(i + 1, length(col("s"))))))))
+      .select(xxhash64(col("v")).as("vh"), col("id"), col("s"))
+    val a = variants.select(col("vh"), col("id").as("id_a"), col("s").as("s_a"))
+    val b = variants.select(col("vh"), col("id").as("id_b"), col("s").as("s_b"))
+    a.join(b, Seq("vh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "dist")
+  }
 }

@@ -52,6 +52,26 @@ object TextStats {
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^.,;:!?'\"-]", "")).cast("double") / length(text)
 
+  /** PII scrubbing for training corpora: emails, US-style SSNs and phone
+    * numbers replaced with typed placeholder tokens. Patterns use the
+    * Java/RE2-identical regex subset (literal classes, `\b`, `\d`, bounded
+    * quantifiers — the q59 precedent), so a DuckDB `regexp_replace(..,
+    * 'g')` re-derivation matches byte-for-byte. The three patterns are
+    * mutually non-overlapping (3-3-4 vs 3-2-4 digit groups; `@` required
+    * for email), so application order cannot change the result. Pure
+    * chained projections — stays inside whole-stage codegen, scales as a
+    * scan. */
+  def scrubPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ssn, "<SSN>"),
+      phone, "<PHONE>")
+  }
+
   /** Order-insensitive content fingerprint: SHA-256 over the sorted distinct
     * token set. Robust to word reordering; pairs with [[Dedup]] for
     * near-dup candidate generation. */

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graft.FunctionBridge
 import org.apache.spark.sql.types.IntegerType
 
@@ -67,7 +68,28 @@ object GraftFunctions {
         require(args.length == 1 || args.length == 2, "distinct_shingles(tokens[, w])")
         DistinctShingles(args(0), if (args.length == 2) intArg(args(1), "w") else 3)
       },
-      "distinct_shingles(tokens[, w]) - distinct w-shingles, first-occurrence order"))
+      "distinct_shingles(tokens[, w]) - distinct w-shingles, first-occurrence order"),
+    // Spark ships these two as unregistered internal expressions (used only
+    // by its InjectRuntimeFilter rule); surfacing them gives SQL users the
+    // explicit runtime-filter path of plans.RuntimeFilter: build a bloom in
+    // a scalar subquery, prune the fact scan with might_contain.
+    ("bloom_filter_agg",
+      { args: Seq[Expression] =>
+        require(args.length == 1 || args.length == 2 || args.length == 3,
+          "bloom_filter_agg(xxhash64(key)[, estItems[, numBits]])")
+        args match {
+          case Seq(c) => new BloomFilterAggregate(c)
+          case Seq(c, n) => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        }
+      },
+      "bloom_filter_agg(xxhash64(key)[, estItems[, numBits]]) - bloom filter of hashed keys as binary"),
+    ("might_contain",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "might_contain(bloom, xxhash64(key))")
+        BloomFilterMightContain(args(0), args(1))
+      },
+      "might_contain(bloom, xxhash64(key)) - bloom membership probe; bloom must be constant or scalar subquery"))
 
   /** Register on an EXISTING session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.{Q, QueryDsl}
+import QueryDsl._
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+import graft.plans.RuntimeFilter
+
+/** Round-5 surface: explicit runtime-filter join pruning, GROUPING SETS
+  * (the general form of the q42/q61 rollup/cube family), deletion-
+  * neighborhood fuzzy matching, time-series gap-fill, and funnel analysis.
+  * All oracle-checked; each Scaladoc states the 100 TB shape.
+  */
+object ScaleQueries {
+
+  /** Bloom-filter runtime pruning composed with the real join — the
+    * result is EXACT (false positives are removed by the join), so the
+    * oracle is the plain join. At scale the bloom probe drops ~96 % of
+    * lineitem rows at the SCAN (one ~MB filter broadcast via scalar
+    * subquery), so the join shuffle carries only matching rows; here it is
+    * correctness-checked at test SF. */
+  val q80BloomPruneJoin: Q = Q(
+    "q80_bloom_prune_join",
+    (s, dir) => {
+      // key-modulo filter: selective at every SF (a nationkey literal is
+      // empty at sf0.001, which would make the correctness check vacuous)
+      val supp = t(s, dir, "supplier").filter(col("s_suppkey") % 7 === 0)
+      val pruned = RuntimeFilter.bloomPrune(
+        t(s, dir, "lineitem"), col("l_suppkey"),
+        supp.select(col("s_suppkey")), col("s_suppkey"),
+        expectedItems = 100000L)
+      pruned
+        .join(broadcast(supp.select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice"), 2).as("revenue"))
+    },
+    Some("""
+      SELECT s_suppkey, s_name, COUNT(*) AS n_lines, %s AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_suppkey %% 7 = 0
+      GROUP BY s_suppkey, s_name
+    """.format(oracleDsum("l_extendedprice", 2))))
+
+  /** GROUPING SETS — the general form the q42 ROLLUP / q61 CUBE shorthands
+    * expand to, with grouping() disambiguating real NULLs from subtotal
+    * rows. One shuffle per distinct grouping-set prefix under Spark's
+    * expand-based plan; scales like the underlying aggregate. */
+  val q81GroupingSets: Q = Q(
+    "q81_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_gs_orders")
+      s.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+          CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+          CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        FROM graft_gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+      """)
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderstatus,
+        CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+        COUNT(*) AS n_orders, %s AS revenue
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                              (o_orderpriority), (o_orderstatus), ())
+    """.format(oracleDsum("o_totalprice", 2))))
+
+  /** Exact Levenshtein-1 fuzzy pairs via deletion-neighborhood blocking
+    * ([[Dedup.editDistancePairs]]) — typo-class entity matching. The
+    * oracle brute-forces all pairs (viable at oracle SF only); the Spark
+    * side never goes quadratic: variants → hash-bucket join → verify. */
+  val q82FuzzyPairs: Q = Q(
+    "q82_fuzzy_pairs",
+    (s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "customer"), "c_custkey", "c_name"),
+    Some("""
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey
+        AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """))
+
+  /** Time-series gap-fill: daily per-type event counts with EXPLICIT zero
+    * rows for missing (type, day) cells — the densification step before
+    * any rolling-window feature at training time. The calendar spine is a
+    * 1-row min/max aggregate exploded through sequence(); no driver
+    * action, no hand-written date range. Spine × types is calendar-sized
+    * (tiny), so the only data-sized stage is the daily aggregate. */
+  val q83GapFill: Q = Q(
+    "q83_gapfill",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_type"), to_date(col("ts")).as("event_date"), col("value"))
+      val daily = e.groupBy(col("event_type"), col("event_date"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("total_value"))
+      val spine = e.agg(min(col("event_date")).as("d0"), max(col("event_date")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("event_date"))
+      spine.crossJoin(e.select(col("event_type")).distinct())
+        .join(daily, Seq("event_type", "event_date"), "left")
+        .select(col("event_type"), col("event_date"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("total_value"), lit(0.0)).as("total_value"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS event_date, value FROM events),
+      spine AS (
+        SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                 CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS event_date
+        FROM (SELECT MIN(event_date) AS d0, MAX(event_date) AS d1 FROM e)),
+      types AS (SELECT DISTINCT event_type FROM e),
+      daily AS (
+        SELECT event_type, event_date, COUNT(*) AS n_events,
+          %s AS total_value
+        FROM e GROUP BY event_type, event_date)
+      SELECT t.event_type, s.event_date,
+        COALESCE(d.n_events, 0) AS n_events,
+        COALESCE(d.total_value, 0.0) AS total_value
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN daily d ON d.event_type = t.event_type
+                       AND d.event_date = s.event_date
+    """.format(oracleDsum("value", 2))))
+
+  /** Ordered funnel (view → click → purchase): per-user first-touch times
+    * in ONE aggregate pass (conditional mins), then ordering checks and a
+    * global rollup — two shuffles total, both keyed, no self-joins per
+    * stage. Uses first-touch ordering semantics (stage N counts if its
+    * first event is at/after stage N-1's first event). */
+  val q84Funnel: Q = Q(
+    "q84_funnel",
+    (s, dir) => {
+      val perUser = t(s, dir, "events").groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("tv"),
+        min(when(col("event_type") === "click", col("ts"))).as("tc"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      perUser.agg(
+        countIf(col("tv").isNotNull).as("n_viewers"),
+        countIf(col("tv").isNotNull && col("tc").isNotNull
+          && col("tc") >= col("tv")).as("n_clickers"),
+        countIf(col("tv").isNotNull && col("tc").isNotNull
+          && col("tc") >= col("tv") && col("tp").isNotNull
+          && col("tp") >= col("tc")).as("n_buyers"))
+    },
+    Some("""
+      WITH per_user AS (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS tv,
+          MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS tc,
+          MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS tp
+        FROM events GROUP BY user_id)
+      SELECT
+        %s AS n_viewers,
+        %s AS n_clickers,
+        %s AS n_buyers
+      FROM per_user
+    """.format(
+      oracleCountIf("tv IS NOT NULL"),
+      oracleCountIf("tv IS NOT NULL AND tc IS NOT NULL AND tc >= tv"),
+      oracleCountIf("tv IS NOT NULL AND tc IS NOT NULL AND tc >= tv " +
+        "AND tp IS NOT NULL AND tp >= tc"))))
+
+  /** Corpus PII scrubbing ([[graft.ext.TextStats.scrubPii]]): emails /
+    * SSNs / phone numbers → typed placeholders. The testdata has no PII,
+    * so the input text is SYNTHESIZED deterministically from customer keys
+    * (same printf on both engines) — which also guarantees every row
+    * actually exercises all three patterns rather than passing vacuously. */
+  val q85ScrubPii: Q = Q(
+    "q85_scrub_pii",
+    (s, dir) => {
+      val k = col("c_custkey")
+      val text = concat(
+        lit("Contact "), col("c_name"),
+        // DIV: Column./ is double division; the oracle's // is integer
+        lit(" at "), format_string("%03d-%03d-%04d",
+          k % 1000, expr("c_custkey DIV 7") % 1000, k % 10000),
+        lit(" ssn "), format_string("%03d-%02d-%04d", k % 1000, k % 100, k % 10000),
+        lit(" mail "), lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com"))
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        graft.ext.TextStats.scrubPii(text).as("scrubbed"))
+    },
+    Some("""
+      SELECT c_custkey,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              'Contact ' || c_name
+                || ' at ' || printf('%03d-%03d-%04d', c_custkey % 1000,
+                     (c_custkey // 7) % 1000, c_custkey % 10000)
+                || ' ssn ' || printf('%03d-%02d-%04d', c_custkey % 1000,
+                     c_custkey % 100, c_custkey % 10000)
+                || ' mail ' || lower(regexp_replace(c_name, '#', '.', 'g'))
+                || '@example.com',
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+      FROM customer
+    """))
+
+  val all: Seq[Q] = Seq(
+    q80BloomPruneJoin, q81GroupingSets, q82FuzzyPairs, q83GapFill, q84Funnel,
+    q85ScrubPii)
+}

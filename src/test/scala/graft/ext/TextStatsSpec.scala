@@ -59,4 +59,18 @@ class TextStatsSpec extends SparkSuite {
     assert(got(1) === 0.0)
     assert(got(2) === 0.0)
   }
+
+  test("scrubPii masks emails, SSNs, phones; leaves near-misses alone") {
+    val df = Seq(
+      ("mail bob.smith+x@sub.example.co.uk now", "mail <EMAIL> now"),
+      ("ssn 123-45-6789.", "ssn <SSN>."),
+      ("call 555-123-4567!", "call <PHONE>!"),
+      // near-misses: wrong digit grouping, no TLD, digit-adjacent boundary
+      ("code 12-345-6789 x@y 1555-123-45678", "code 12-345-6789 x@y 1555-123-45678"),
+      ("all: a@b.io 000-00-0000 999-999-9999", "all: <EMAIL> <SSN> <PHONE>")
+    ).toDF("text", "expected")
+    val bad = df.filter(TextStats.scrubPii($"text") =!= $"expected")
+      .select("text").as[String].collect()
+    assert(bad.isEmpty, s"mis-scrubbed: ${bad.mkString("; ")}")
+  }
 }
