@@ -82,6 +82,11 @@ object Components {
     // next query's planning here, so the extra exchange is pure overhead.)
     val e = edges.select(col("a"), col("b")).localCheckpoint()
     val idIsLong = nodes.schema("id").dataType == org.apache.spark.sql.types.LongType
+    // The gate counts RAW edges (null-endpoint rows included) while
+    // smallGraphComponents drops them — a deliberate mismatch: the count's
+    // job is to bound the driver collect, and the raw count is an upper
+    // bound on what gets collected. A pathological null-heavy input only
+    // errs toward the distributed path, never toward an oversized collect.
     if (idIsLong && e.count() <= smallGraphMaxEdges)
       return smallGraphComponents(nodes, e)
     val undirected = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))

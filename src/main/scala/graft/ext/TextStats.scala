@@ -56,11 +56,14 @@ object TextStats {
     * numbers replaced with typed placeholder tokens. Patterns use the
     * Java/RE2-identical regex subset (literal classes, `\b`, `\d`, bounded
     * quantifiers — the q59 precedent), so a DuckDB `regexp_replace(..,
-    * 'g')` re-derivation matches byte-for-byte. The three patterns are
-    * mutually non-overlapping (3-3-4 vs 3-2-4 digit groups; `@` required
-    * for email), so application order cannot change the result. Pure
-    * chained projections — stays inside whole-stage codegen, scales as a
-    * scan. */
+    * 'g')` re-derivation matches byte-for-byte. Email runs FIRST, and
+    * intentionally so: its local-part class accepts digits and hyphens, so
+    * an SSN/phone immediately adjacent to `@domain.tld` (e.g.
+    * `123-45-6789@x.io`) is consumed whole by the email pass — order
+    * matters in that corner, and email-first redacts the larger span. The
+    * digit patterns themselves cannot overlap each other (3-2-4 vs 3-3-4
+    * groups with `\b` anchors). Pure chained projections — stays inside
+    * whole-stage codegen, scales as a scan. */
   def scrubPii(text: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"

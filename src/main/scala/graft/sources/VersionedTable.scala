@@ -38,6 +38,16 @@ object VersionedTable {
 
   private val MarkerPrefix = "_commit_v"
 
+  /** Staleness gate for crash-residue cleanup (zero-length markers, orphaned
+    * `_tmp_commit_v*` staging files). On the create-then-write fallback path a
+    * LIVE committer's marker is legitimately zero-length between create() and
+    * write(), and a staging temp is legitimately present between temp-write
+    * and rename — so residue is only deleted once it is older than this
+    * window. Bounds the damage if the documented single-writer assumption is
+    * ever violated (e.g. a separately scheduled maintenance job running
+    * vacuum concurrently with a committer). */
+  private[sources] val ResidueStalenessMs: Long = 5L * 60 * 1000
+
   private def fs(spark: SparkSession, base: String): FileSystem =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -105,7 +115,12 @@ object VersionedTable {
     * EMPTY marker the instant it is created. A zero-length marker (crashed
     * create-then-write fallback committer) is provably residue — rename-path
     * markers are content-complete before they exist — so it is deleted and
-    * the commit retried rather than wedging the version forever.
+    * the commit retried rather than wedging the version forever. The
+    * self-heal is age-gated ([[ResidueStalenessMs]]): on the fallback path a
+    * LIVE committer's marker is zero-length between create() and write(), and
+    * deleting it mid-write would let two racing committers both "succeed" — a
+    * window the old fail-fast exists-check refused. A fresh zero-length
+    * marker therefore still fails the commit; only stale residue is healed.
     * Package-visible so the guard is testable without racing two Spark
     * write jobs over one data directory. */
   private[sources] def createMarker(
@@ -122,7 +137,9 @@ object VersionedTable {
     val existing = try Some(f.getFileStatus(marker))
       catch { case _: java.io.FileNotFoundException => None }
     existing.foreach { st =>
-      if (st.getLen == 0L) f.delete(marker, false)
+      val staleResidue = st.getLen == 0L &&
+        System.currentTimeMillis() - st.getModificationTime > ResidueStalenessMs
+      if (staleResidue) f.delete(marker, false)
       else throw failExists(new java.io.IOException(marker.toString))
     }
     val conf = spark.sparkContext.hadoopConfiguration
@@ -174,17 +191,22 @@ object VersionedTable {
     * markers are retained so [[history]] still lists them (as
     * `available = false`), like Delta's log after VACUUM. Also sweeps
     * orphaned `_tmp_commit_v*` staging files left by committers that
-    * crashed between temp-write and rename — they are never referenced
-    * once their commit either landed or was retried. */
+    * crashed between temp-write and rename — age-gated by
+    * [[ResidueStalenessMs]], so a vacuum racing an IN-FLIGHT commit (temp
+    * written, rename pending) cannot delete the live temp and fail that
+    * commit even if the single-writer assumption is violated by a
+    * separately scheduled maintenance job. */
   def vacuum(spark: SparkSession, base: String): Unit = {
     val f = fs(spark, base)
+    val now = System.currentTimeMillis()
     currentVersion(spark, base).foreach { cur =>
       f.listStatus(new Path(base)).foreach { st =>
         val name = st.getPath.getName
         if (name.startsWith("v") && name.drop(1).forall(_.isDigit)
             && name.drop(1).nonEmpty && name.drop(1).toLong < cur)
           f.delete(st.getPath, true)
-        else if (name.startsWith(s"_tmp$MarkerPrefix"))
+        else if (name.startsWith(s"_tmp$MarkerPrefix")
+            && now - st.getModificationTime > ResidueStalenessMs)
           f.delete(st.getPath, false)
       }
     }
