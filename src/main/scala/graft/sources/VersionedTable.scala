@@ -51,6 +51,24 @@ object VersionedTable {
   private def fs(spark: SparkSession, base: String): FileSystem =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** "Now" as the STORAGE system sees it: the mtime of a freshly written probe
+    * file, not the driver's wall clock. Staleness gates compare against file
+    * modification times stamped by the storage layer (object store / NFS /
+    * HDFS namenode); with a skewed driver clock a `System.currentTimeMillis`
+    * comparison can fire early (deleting a live committer's in-flight residue)
+    * or lag forever (never healing). Probing costs one tiny create+stat+delete
+    * and is only done on the residue paths, never per commit. Falls back to
+    * the driver clock if the probe cannot be written (read-only FS). */
+  private def storageNowMs(f: FileSystem, base: String): Long = {
+    val probe = new Path(base, s"_probe_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val out = f.create(probe, /* overwrite = */ true)
+      try out.write(0) finally out.close()
+      try f.getFileStatus(probe).getModificationTime
+      finally f.delete(probe, false)
+    } catch { case _: java.io.IOException => System.currentTimeMillis() }
+  }
+
   private def markerPath(base: String, v: Long) = new Path(base, s"$MarkerPrefix$v")
 
   def versionPath(base: String, v: Long): String = s"$base/v$v"
@@ -137,10 +155,19 @@ object VersionedTable {
     val existing = try Some(f.getFileStatus(marker))
       catch { case _: java.io.FileNotFoundException => None }
     existing.foreach { st =>
-      val staleResidue = st.getLen == 0L &&
-        System.currentTimeMillis() - st.getModificationTime > ResidueStalenessMs
-      if (staleResidue) f.delete(marker, false)
-      else throw failExists(new java.io.IOException(marker.toString))
+      if (st.getLen == 0L) {
+        // Zero-length = crashed create-then-write fallback committer, not a
+        // commit. Age it against the STORAGE clock (same clock that stamped
+        // the mtime) so driver clock skew can neither heal a live committer's
+        // marker early nor block healing forever.
+        val ageMs = storageNowMs(f, base) - st.getModificationTime
+        if (ageMs > ResidueStalenessMs) f.delete(marker, false)
+        else throw new java.io.IOException(
+          s"commit marker for $base v$v is zero-length crash residue aged " +
+            s"${ageMs / 1000}s; retries self-heal once it is older than the " +
+            s"${ResidueStalenessMs / 1000}s staleness window (or delete $marker " +
+            "manually if the crashed committer is known dead)")
+      } else throw failExists(new java.io.IOException(marker.toString))
     }
     val conf = spark.sparkContext.hadoopConfiguration
     val fcOpt =
@@ -198,16 +225,27 @@ object VersionedTable {
     * separately scheduled maintenance job. */
   def vacuum(spark: SparkSession, base: String): Unit = {
     val f = fs(spark, base)
-    val now = System.currentTimeMillis()
+    val basePath = new Path(base)
+    if (!f.exists(basePath)) return
+    val entries = f.listStatus(basePath).toSeq
+    // Stale-temp sweep is independent of whether any version ever committed:
+    // a table whose only-ever commit crashed between temp-write and rename has
+    // residue but no committed marker. Storage-clock "now" (not the driver
+    // clock) so skew cannot delete a live committer's in-flight temp.
+    val tmps = entries.filter(_.getPath.getName.startsWith(s"_tmp$MarkerPrefix"))
+    if (tmps.nonEmpty) {
+      val now = storageNowMs(f, base)
+      tmps.foreach { st =>
+        if (now - st.getModificationTime > ResidueStalenessMs)
+          f.delete(st.getPath, false)
+      }
+    }
     currentVersion(spark, base).foreach { cur =>
-      f.listStatus(new Path(base)).foreach { st =>
+      entries.foreach { st =>
         val name = st.getPath.getName
         if (name.startsWith("v") && name.drop(1).forall(_.isDigit)
             && name.drop(1).nonEmpty && name.drop(1).toLong < cur)
           f.delete(st.getPath, true)
-        else if (name.startsWith(s"_tmp$MarkerPrefix")
-            && now - st.getModificationTime > ResidueStalenessMs)
-          f.delete(st.getPath, false)
       }
     }
   }

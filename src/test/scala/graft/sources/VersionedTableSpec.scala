@@ -24,4 +24,45 @@ class VersionedTableSpec extends SparkSuite {
       .select("version", "operation").as[(Long, String)].collect()
     assert(h.toSeq === Seq((0L, "commit")))
   }
+
+  test("fresh zero-length marker names the residue age, not a concurrent writer") {
+    val base = tmp() + "/vt-residue-msg"
+    new java.io.File(base).mkdirs()
+    // crashed create-then-write fallback committer: marker created, body never landed
+    val marker = new java.io.File(base, "_commit_v0")
+    assert(marker.createNewFile() && marker.length() === 0L)
+    val ex = intercept[java.io.IOException](
+      VersionedTable.createMarker(spark, base, 0L, "retry"))
+    assert(ex.getMessage.contains("crash residue"))
+    assert(ex.getMessage.contains("staleness window"))
+    assert(!ex.getMessage.contains("concurrent writer"))
+  }
+
+  test("stale zero-length marker self-heals and the commit retry succeeds") {
+    val base = tmp() + "/vt-residue-heal"
+    new java.io.File(base).mkdirs()
+    val marker = new java.io.File(base, "_commit_v0")
+    assert(marker.createNewFile())
+    assert(marker.setLastModified(
+      System.currentTimeMillis() - VersionedTable.ResidueStalenessMs - 60000))
+    val v = VersionedTable.commit(spark, base, Seq((1, "a")).toDF("k", "v"))
+    assert(v === 0L)
+    assert(VersionedTable.read(spark, base).get.count() === 1L)
+  }
+
+  test("vacuum sweeps stale commit temps even when nothing ever committed") {
+    val base = tmp() + "/vt-orphan-tmp"
+    new java.io.File(base).mkdirs()
+    // committer crashed between temp-write and rename on its ONLY-ever commit:
+    // no committed marker exists, but the staging temp must still be swept
+    val staleTmp = new java.io.File(base, "_tmp_commit_v0_deadbeef")
+    java.nio.file.Files.write(staleTmp.toPath, "123\ncommit".getBytes)
+    assert(staleTmp.setLastModified(
+      System.currentTimeMillis() - VersionedTable.ResidueStalenessMs - 60000))
+    val freshTmp = new java.io.File(base, "_tmp_commit_v0_cafebabe")
+    java.nio.file.Files.write(freshTmp.toPath, "456\ncommit".getBytes)
+    VersionedTable.vacuum(spark, base)
+    assert(!staleTmp.exists(), "stale temp must be swept without any committed version")
+    assert(freshTmp.exists(), "in-flight (fresh) temp must survive vacuum")
+  }
 }
