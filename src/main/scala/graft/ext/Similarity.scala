@@ -150,6 +150,42 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (cluster → within-cluster prune,
+    * after Abbas et al. 2023, arXiv:2303.09540): every vector is assigned to
+    * its nearest centroid in ONE scan against the broadcast centroid set
+    * (deterministic tiebreak: lowest centroid id), near-duplicate pairs are
+    * searched WITHIN each cluster only, and the higher-id member of every
+    * pair ≥ `threshold` is marked dropped (one-pass greedy keep-lowest-id —
+    * a vector is dropped if ANY lower-id cluster-mate is a near-dup,
+    * regardless of that mate's own fate).
+    *
+    * Scale shape: the clustering bounds the quadratic — per-cluster pair
+    * work is O(Σ nc²), and growing |centroids| ~ n/c keeps cluster sizes ~c
+    * constant, so total pair work stays linear in n at fixed c. The
+    * centroid set is the broadcast dial exactly as in [[ivfTopK]]; the
+    * only corpus-sized shuffles are the per-id argmax and the cluster-keyed
+    * self-join. Output: (id, cluster_id, is_dropped) — fully deterministic,
+    * so (unlike the hash-bucketed LSH paths) it is exact-oracle-checkable.
+    */
+  def semanticDedup(
+      corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("sim_c", cosine(col("vec"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("vec")), struct(col("sim_c"), -col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"), col("m.vec").as("vec"))
+    val a = assigned.select(col("cid"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("hit", lit(true))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cid").as("cluster_id"),
+        coalesce(col("hit"), lit(false)).as("is_dropped"))
+  }
+
   /** Approximate top-k: candidates share a hyperplane-signature bucket with
     * the query; exact cosine ranks within candidates. One corpus scan to
     * bucket, one bucket-keyed join — no cross join at any scale. */

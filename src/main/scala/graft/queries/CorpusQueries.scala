@@ -195,6 +195,71 @@ object CorpusQueries {
       GROUP BY source
     """))
 
+  /** q70's documented 100 TB scale path, now a first-class operator: the
+    * per-source cutoff comes from an exact `percentile` AGGREGATE (type-7
+    * interpolation, same as DuckDB `quantile_cont`) broadcast back onto the
+    * scoring scan — NO per-source sort anywhere. q70's percent_rank window
+    * must sort every source's rows; this shape pays two scans of the corpus
+    * (cutoff pass + filter pass, both embarrassingly parallel) and a
+    * 20-row broadcast instead, which is the winning trade at any real
+    * scale. Keep-side semantics differ from q70 at ties by design
+    * (value-threshold vs rank-threshold); both are documented quantile
+    * filters. At 100 TB the exact percentile can be swapped for
+    * approx_percentile(…, accuracy) without changing the plan shape. */
+  val q89QualityCutoff: Q = Q(
+    "q89_quality_cutoff",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("doc_id"), col("source"),
+        TextStats.qualityScore(col("text"), stops).as("quality"),
+        TextStats.repetitionRatio(col("text"), 3).as("rep_ratio"))
+      val cuts = scored.groupBy(col("source"))
+        .agg(expr("percentile(quality, 0.1)").as("cutoff"))
+      scored.join(broadcast(cuts), Seq("source"))
+        .filter(col("quality") >= col("cutoff") && col("rep_ratio") <= 0.5)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          min(col("cutoff")).as("cutoff"),
+          min(col("quality")).as("min_quality"),
+          (sum(col("quality")).cast("double") / count(lit(1))).as("avg_quality"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, source,
+          CAST((CASE WHEN length(text) BETWEEN 50 AND 2000 THEN 25 ELSE 0 END)
+            + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ($stopsSqlList))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.03 THEN 25 ELSE 0 END)
+            + (CASE WHEN CAST(list_sum(list_transform(string_split(text, ' '),
+                  x -> length(x))) AS DOUBLE)
+                / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+                THEN 25 ELSE 0 END)
+            + (CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.3 THEN 25 ELSE 0 END) AS INT)
+            AS quality,
+          1.0 - CAST(len(list_distinct(
+              CASE WHEN len(string_split(text, ' ')) < 3
+                THEN [array_to_string(string_split(text, ' '), ' ')]
+              ELSE list_transform(
+                generate_series(1, CAST(len(string_split(text, ' ')) AS INT) - 2),
+                i -> concat_ws(' ', string_split(text, ' ')[i],
+                  string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+              END)) AS DOUBLE)
+            / greatest(len(string_split(text, ' ')) - 2, 1) AS rep_ratio
+        FROM documents
+      ), cuts AS (
+        SELECT source, quantile_cont(quality, 0.1) AS cutoff
+        FROM scored GROUP BY source
+      )
+      SELECT s.source, COUNT(*) AS n_kept, MIN(cutoff) AS cutoff,
+        MIN(quality) AS min_quality,
+        CAST(SUM(quality) AS DOUBLE) / COUNT(*) AS avg_quality
+      FROM scored s JOIN cuts c ON s.source = c.source
+      WHERE s.quality >= c.cutoff AND s.rep_ratio <= 0.5
+      GROUP BY s.source
+    """))
+
   /** Sliding-window chunking at 32 tokens / stride 24 (25% overlap): every
     * chunk with its token count and content fingerprint — deterministic
     * string ops on both engines, so the chunk CONTENT is oracle-checked,
@@ -226,5 +291,5 @@ object CorpusQueries {
 
   val all: Seq[Q] = Seq(
     q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample,
-    q70QualityFilter, q76ChunkDocuments)
+    q70QualityFilter, q76ChunkDocuments, q89QualityCutoff)
 }

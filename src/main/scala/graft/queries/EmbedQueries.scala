@@ -87,6 +87,61 @@ object EmbedQueries {
     },
     None)
 
+  /** SemDeDup semantic dedup ([[Similarity.semanticDedup]]): nearest-centroid
+    * clustering bounds the near-dup search to within-cluster pairs; the
+    * higher-id member of every pair ≥ 0.98 cosine is dropped. Corpus = raw
+    * embeddings ∪ the q57 perturbed dups (raw vectors are near-orthogonal).
+    * Unlike the LSH near-dup paths every step is deterministic arithmetic
+    * (argmax assignment with id tiebreak, exact cosine), so this one IS
+    * exact-oracle-checked — DuckDB re-derives assignment, pairs, and drops. */
+  val q88SemDedup: Q = Q(
+    "q88_semdedup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dups = emb.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 100000).as("id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            (pmod(col("vec_id") * (i + lit(1)), lit(7)).cast("double") - 3.0) * 0.005)
+            .cast("float")).as("vec"))
+      val all = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .unionByName(dups)
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.semanticDedup(all, cents, threshold = 0.98)
+    },
+    Some("""
+      WITH dups AS (
+        SELECT vec_id + 100000 AS id,
+          list_transform(generate_series(1, len(embedding)),
+            i -> CAST(embedding[i]::DOUBLE
+                   + ((vec_id * i) % 7 - 3) * 0.005 AS REAL)) AS embedding
+        FROM embeddings WHERE vec_id % 10 = 0),
+      corpus AS (
+        SELECT id, embedding::DOUBLE[] AS vec FROM (
+          SELECT vec_id AS id, embedding FROM embeddings
+          UNION ALL SELECT id, embedding FROM dups)),
+      cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id % 100 = 0),
+      assigned AS (
+        SELECT id, cid, vec FROM (
+          SELECT id, cid, vec, ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+            list_dot_product(vec, cvec)
+              / (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(cvec, cvec)))
+            DESC, cid) AS rn
+          FROM corpus CROSS JOIN cents)
+        WHERE rn = 1),
+      drops AS (
+        SELECT DISTINCT b.id FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.id < b.id
+        WHERE list_dot_product(a.vec, b.vec)
+                / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+              >= 0.98)
+      SELECT a.id, a.cid AS cluster_id, (d.id IS NOT NULL) AS is_dropped
+      FROM assigned a LEFT JOIN drops d ON a.id = d.id
+    """))
+
   /** Vector stats: dimension + L2 norm per vector (sequential double
     * accumulation on both engines). */
   val q35VectorStats: Q = Q(
@@ -183,5 +238,5 @@ object EmbedQueries {
 
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
-    q57EmbedNearDup, q73QuantizeEmbeddings)
+    q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup)
 }

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.{Q, QueryDsl}
+import QueryDsl._
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the Deequ/"analyzer"-class data-quality surface: per-
+  * column row/null/distinct counts and typed extremes, computed in ONE
+  * aggregate pass over the table and unpivoted into an analyzer row per
+  * column. The reference's DQ layer (02_Silver notebooks) hand-rolls per-rule
+  * counts; this is the general profiling operator a governance layer runs
+  * before admitting a source at 100 TB.
+  */
+object ProfileQueries {
+
+  /** One table scan → one global aggregate (map-side partials; the shuffle
+    * carries a single row of partials per partition) → constant-size stack()
+    * unpivot. The multi-column COUNT(DISTINCT) plans as Catalyst's expand
+    * (one duplicated stream per distinct column — linear, still one pass);
+    * at 100 TB swap countDistinct for approx_count_distinct and the plan
+    * loses the expand entirely. `lang_non_en` (NULLIF-derived) keeps the
+    * null-counting path non-vacuous: the testdata has no natural NULLs.
+    * Numeric extremes surface as DOUBLE, string extremes as STRING — both
+    * are actual data values (no arithmetic), so the oracle hash-matches. */
+  val q86Profile: Q = Q(
+    "q86_profile",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("lang_non_en", nullif(col("lang"), lit("en")))
+      d.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("doc_id")).as("doc_id_nn"),
+        countDistinct(col("doc_id")).as("doc_id_nd"),
+        min(col("doc_id")).cast("double").as("doc_id_mn"),
+        max(col("doc_id")).cast("double").as("doc_id_mx"),
+        count(col("n_chars")).as("n_chars_nn"),
+        countDistinct(col("n_chars")).as("n_chars_nd"),
+        min(col("n_chars")).cast("double").as("n_chars_mn"),
+        max(col("n_chars")).cast("double").as("n_chars_mx"),
+        count(col("lang")).as("lang_nn"),
+        countDistinct(col("lang")).as("lang_nd"),
+        min(col("lang")).as("lang_mn"),
+        max(col("lang")).as("lang_mx"),
+        count(col("source")).as("source_nn"),
+        countDistinct(col("source")).as("source_nd"),
+        min(col("source")).as("source_mn"),
+        max(col("source")).as("source_mx"),
+        count(col("lang_non_en")).as("lne_nn"),
+        countDistinct(col("lang_non_en")).as("lne_nd"),
+        min(col("lang_non_en")).as("lne_mn"),
+        max(col("lang_non_en")).as("lne_mx"))
+      .select(expr("""stack(5,
+          'doc_id',      n_rows, n_rows - doc_id_nn,  doc_id_nd,  doc_id_mn,  doc_id_mx,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'n_chars',     n_rows, n_rows - n_chars_nn, n_chars_nd, n_chars_mn, n_chars_mx, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'lang',        n_rows, n_rows - lang_nn,    lang_nd,    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), lang_mn,   lang_mx,
+          'source',      n_rows, n_rows - source_nn,  source_nd,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), source_mn, source_mx,
+          'lang_non_en', n_rows, n_rows - lne_nn,     lne_nd,     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), lne_mn,    lne_mx)
+        AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"""))
+    },
+    Some("""
+      WITH d AS (SELECT *, NULLIF(lang, 'en') AS lang_non_en FROM documents)
+      SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+        COUNT(*) - COUNT(doc_id) AS n_nulls, COUNT(DISTINCT doc_id) AS n_distinct,
+        CAST(MIN(doc_id) AS DOUBLE) AS min_num, CAST(MAX(doc_id) AS DOUBLE) AS max_num,
+        CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM d
+      UNION ALL
+      SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+        CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM d
+      UNION ALL
+      SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN(lang), MAX(lang) FROM d
+      UNION ALL
+      SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN(source), MAX(source) FROM d
+      UNION ALL
+      SELECT 'lang_non_en', COUNT(*), COUNT(*) - COUNT(lang_non_en),
+        COUNT(DISTINCT lang_non_en),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        MIN(lang_non_en), MAX(lang_non_en) FROM d
+    """))
+
+  val all: Seq[Q] = Seq(q86Profile)
+}

@@ -222,6 +222,61 @@ object TextQueries {
       ) WHERE rank <= 3
     """))
 
+  /** Corpus-trained bigram language-model scoring — the perplexity-style
+    * quality signal (a la CCNet/KenLM filtering): P(w₂|w₁) = n(w₁w₂)/n(w₁·)
+    * estimated from the corpus itself, each document scored by its mean
+    * negative log-likelihood and perplexity. Shapes: one explode scan
+    * (∝ corpus tokens), ONE doc-keyed window for bigram formation (the
+    * q50/q59 shape), count tables keyed on the bigram/prefix (shuffle ∝
+    * distinct n-grams — NOT broadcast: real-corpus bigram vocabularies
+    * outgrow broadcast), then a doc-keyed aggregate. Determinism: each
+    * log-prob is rounded @6 (q50's libm recipe) and summed as DECIMAL so
+    * Spark's partial-agg order can't drift from DuckDB's serial sum; final
+    * scores rounded @4. */
+  val q87BigramLm: Q = Q(
+    "q87_bigram_lm",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      val bi = toks.withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("w1"), col("w2"))
+      val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val scored = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .select(col("doc_id"),
+          round(log(col("c2").cast("double") / col("c1").cast("double")), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
+      scored.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-(sum(col("lp")).cast("double") / count(lit(1))), 4).as("avg_nll"),
+        round(exp(-(sum(col("lp")).cast("double") / count(lit(1)))), 4).as("ppl"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w1,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        FROM documents),
+      bi AS (
+        SELECT doc_id, w1, w2 FROM (
+          SELECT doc_id, w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM toks)
+        WHERE w2 IS NOT NULL),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+      lp AS (
+        SELECT doc_id,
+          CAST(round(ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)), 6)
+            AS DECIMAL(18,6)) AS lp
+        FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        round(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 4) AS avg_nll,
+        round(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 4) AS ppl
+      FROM lp GROUP BY doc_id
+    """))
+
   /** BPE-ish token counting (GPT-style pre-tokenizer regex): the token-
     * budget estimate per document plus chars-per-token — the metric that
     * decides what a corpus costs to train on. The pattern stays in the
@@ -434,5 +489,6 @@ object TextQueries {
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
-    q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup)
+    q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
+    q87BigramLm)
 }

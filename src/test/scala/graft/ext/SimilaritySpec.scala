@@ -123,4 +123,50 @@ class SimilaritySpec extends SparkSuite {
     val recall = got.size.toDouble / truth.size
     assert(recall >= 0.8, s"multi-table LSH recall too low: ${got.size}/${truth.size}")
   }
+
+  test("semantic dedup: drops exactly the higher-id member of within-cluster pairs") {
+    // two well-separated clusters around the axes; c-vectors are near-dups of
+    // their cluster seed, id order decides who survives
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),   // cluster A seed — kept
+      (2L, Seq(0.99f, 0.01f, 0.0f)), // near-dup of 1 — dropped
+      (3L, Seq(0.0f, 1.0f, 0.0f)),   // cluster B seed — kept
+      (4L, Seq(0.01f, 0.99f, 0.0f)), // near-dup of 3 — dropped
+      (5L, Seq(0.6f, 0.8f, 0.0f))    // cluster B, NOT a near-dup — kept
+    ).toDF("id", "vec")
+    val cents = Seq((10L, Seq(1.0f, 0.0f, 0.0f)), (20L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("cid", "cvec")
+    val out = Similarity.semanticDedup(corpus, cents, threshold = 0.99)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._2).toSeq ===
+      Seq(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L, 5L -> 20L))
+    assert(out.filter(_._3).map(_._1).toSeq === Seq(2L, 4L),
+      "exactly the higher-id member of each near-dup pair is dropped")
+  }
+
+  test("semantic dedup on perturbed corpus: high dup recall, zero originals dropped") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val dups = emb.filter($"vec_id" % 10 === 0).select(
+      ($"vec_id" + 100000).as("id"),
+      transform($"embedding", (x, i) =>
+        (x.cast("double") +
+          (pmod($"vec_id" * (i + lit(1)), lit(7)).cast("double") - 3.0) * 0.005)
+          .cast("float")).as("vec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec")).unionByName(dups)
+    val cents = emb.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val out = Similarity.semanticDedup(corpus, cents, threshold = 0.98)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length === corpus.count())
+    val dropped = out.filter(_._3).map(_._1).toSet
+    val dupIds = dups.select($"id").as[Long].collect().toSet
+    // a dup and its original usually share a nearest centroid (they are
+    // ~identical), but a pair whose two centroid sims are nearly tied can
+    // straddle the boundary — the documented SemDeDup recall trade-off — so
+    // this is a recall bound, not an exactness claim
+    val recall = dupIds.count(dropped).toDouble / dupIds.size
+    assert(recall >= 0.7, s"cluster-bounded dedup recall too low: $recall")
+    // raw embeddings are near-orthogonal: no original may be dropped
+    assert(dropped.forall(_ >= 100000L), "an original (near-orthogonal) vector was dropped")
+  }
 }
