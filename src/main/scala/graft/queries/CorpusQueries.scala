@@ -260,6 +260,38 @@ object CorpusQueries {
       GROUP BY s.source
     """))
 
+  /** Exactly-k-per-class deterministic sampling — q69's rate-based predicate
+    * cannot promise a COUNT; eval-set construction ("give me exactly 10 docs
+    * per language, reproducibly") needs rank-by-hash: order each class by
+    * the same engine-portable Knuth multiplicative hash q69 uses (pure
+    * function of doc_id — stable under reruns and ingest order) and keep
+    * the first k. Spark 4 plans the rank filter as WindowGroupLimit
+    * (partial top-k BEFORE the shuffle), so each class moves ≤ k rows per
+    * input partition — never a full per-class sort of the corpus. */
+  val q91ClassSample: Q = Q(
+    "q91_class_sample",
+    (s, dir) => {
+      val k = 10
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+        lit(1000000007L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(h, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+    },
+    Some("""
+      SELECT lang, rk, doc_id, h FROM (
+        SELECT lang, doc_id, (doc_id % 1000003) * 2654435761 % 1000000007 AS h,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY (doc_id % 1000003) * 2654435761 % 1000000007, doc_id)
+            AS BIGINT) AS rk
+        FROM documents)
+      WHERE rk <= 10
+    """))
+
   /** Sliding-window chunking at 32 tokens / stride 24 (25% overlap): every
     * chunk with its token count and content fingerprint — deterministic
     * string ops on both engines, so the chunk CONTENT is oracle-checked,
@@ -291,5 +323,5 @@ object CorpusQueries {
 
   val all: Seq[Q] = Seq(
     q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample,
-    q70QualityFilter, q76ChunkDocuments, q89QualityCutoff)
+    q70QualityFilter, q76ChunkDocuments, q89QualityCutoff, q91ClassSample)
 }

@@ -222,6 +222,69 @@ object TextQueries {
       ) WHERE rank <= 3
     """))
 
+  /** Duplicate-SPAN detection — the primitive behind exact substring dedup
+    * (Lee et al. 2022, arXiv:2107.06499: repeated ≥w-token spans across
+    * documents): every token position covered by a w-gram that also appears
+    * in ANOTHER document is flagged, and each doc reports its duplicated-
+    * token footprint. Shapes: shingle scan (∝ corpus tokens), one shingle-
+    * keyed groupBy for the multi-doc set (exact distinct-doc count), a
+    * shingle-keyed semi-join back, offset explode + per-doc distinct for
+    * coverage — every shuffle keyed, nothing quadratic, candidate volume ∝
+    * genuinely duplicated spans. At 100 TB hash the shingle strings to
+    * 8-byte keys (xxhash64) to narrow the shuffles — kept as raw strings
+    * here so DuckDB re-derives the identical key space. */
+  val q90DupSpans: Q = Q(
+    "q90_dup_spans",
+    (s, dir) => {
+      val w = 8
+      val toks = corpusWithDups(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+      val sh = toks.filter(size(col("toks")) >= w)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(toks) - ${w - 1}),
+              i -> struct(i AS start, concat_ws(' ', slice(toks, i, $w)) AS s))"""))
+          .as("g"))
+        .select(col("doc_id"), col("g.start").as("start"), col("g.s").as("s"))
+      val multi = sh.groupBy(col("s"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("s"))
+      val covered = sh.join(multi, Seq("s"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + (w - 1))).as("tpos"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
+      toks.select(col("doc_id"), col("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+          (coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens")).as("dup_ratio"))
+    },
+    Some(s"""
+      WITH corpus AS ($corpusSql),
+      t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+      sh AS (
+        SELECT doc_id,
+          unnest(generate_series(1, CAST(len(toks) AS INT) - 7)) AS start,
+          unnest(list_transform(generate_series(1, CAST(len(toks) AS INT) - 7),
+            i -> concat_ws(' ', toks[i:i+7]))) AS s
+        FROM t WHERE len(toks) >= 8),
+      multi AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+      covered AS (
+        SELECT doc_id, COUNT(*) AS n_dup_tokens FROM (
+          SELECT DISTINCT doc_id, tpos FROM (
+            SELECT doc_id, unnest(generate_series(start, start + 7)) AS tpos
+            FROM sh WHERE s IN (SELECT s FROM multi)))
+        GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+        CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE) / len(t.toks) AS dup_ratio
+      FROM t LEFT JOIN covered c ON t.doc_id = c.doc_id
+    """))
+
   /** Corpus-trained bigram language-model scoring — the perplexity-style
     * quality signal (a la CCNet/KenLM filtering): P(w₂|w₁) = n(w₁w₂)/n(w₁·)
     * estimated from the corpus itself, each document scored by its mean
@@ -490,5 +553,5 @@ object TextQueries {
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
     q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
-    q87BigramLm)
+    q87BigramLm, q90DupSpans)
 }
