@@ -186,6 +186,61 @@ object Similarity {
         coalesce(col("hit"), lit(false)).as("is_dropped"))
   }
 
+  /** Squared L2 distance via three dot products (‖a‖² − 2a·b + ‖b‖²), each
+    * accumulated left-to-right in doubles — the engine-portable recipe q33
+    * proved bit-stable against DuckDB's `list_dot_product`. */
+  def sqDist(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** One Lloyd assignment pass: nearest centroid per corpus vector
+    * (deterministic tiebreak: lowest centroid id). Centroid set is
+    * broadcast — the corpus is scanned once; the only corpus-sized shuffle
+    * is the per-id argmin. Output: (id, cluster, d2, vec). */
+  def kmeansAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("d2", sqDist(col("vec"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cid"), col("d2"), col("vec")),
+        struct(col("d2"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cluster"),
+        col("m.d2").as("d2"), col("m.vec").as("vec"))
+
+  /** Centroid update (mean of members, per dimension). Per-component sums
+    * round@7 then accumulate in DECIMAL — associative and exact, so the
+    * result is independent of Spark's partial-agg order and reproducible by
+    * a serial engine (the q87 rounded-decimal-sum recipe); the division
+    * back to double is a single deterministic IEEE op. Work is one keyed
+    * shuffle of n·d (cluster, dim) component rows plus a cluster-sized
+    * regroup — no driver-side state, no collect. */
+  def kmeansUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster").as("cid"),
+        posexplode(col("vec")).as(Seq("dim", "comp")))
+      .groupBy(col("cid"), col("dim"))
+      .agg((sum(round(col("comp"), 7)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10))).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+
+  /** Lloyd's k-means over an embedding column — the cluster-then-act
+    * primitive behind data-mixture construction and SemDeDup-style pruning
+    * (the caller of [[semanticDedup]] gets its centroids here). `iters` =
+    * number of ASSIGNMENT passes; centroids are re-estimated between
+    * passes, so iters=2 is assign → update → assign. Every pass is one
+    * broadcast-centroid corpus scan + one keyed aggregate: cost is
+    * O(iters · n · k · d) flops and O(iters) shuffles, with nothing
+    * data-proportional ever materialized on the driver. Fully deterministic
+    * (argmin id tiebreak + exact decimal component sums) ⇒ exact-oracle-
+    * checkable, unlike hash-seeded clustering. Returns the final
+    * assignment: (id, cluster, d2, vec). */
+  def kmeansLloyd(corpus: DataFrame, initCentroids: DataFrame, iters: Int): DataFrame = {
+    var assigned = kmeansAssign(corpus, initCentroids)
+    for (_ <- 2 to iters)
+      assigned = kmeansAssign(corpus, kmeansUpdate(assigned))
+    assigned
+  }
+
   /** Approximate top-k: candidates share a hyperplane-signature bucket with
     * the query; exact cosine ranks within candidates. One corpus scan to
     * bucket, one bucket-keyed join — no cross join at any scale. */

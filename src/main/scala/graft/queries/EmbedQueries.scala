@@ -236,7 +236,69 @@ object EmbedQueries {
       FROM coded
     """))
 
+  /** Lloyd's k-means ([[Similarity.kmeansLloyd]]): k=8 first-id init, two
+    * assignment passes with a centroid re-estimate between them; output =
+    * per-cluster size + rounded inertia. Deterministic end-to-end (argmin
+    * id tiebreak, exact decimal component means), so the oracle re-derives
+    * both iterations with the same dot-product arithmetic. Scale: per pass
+    * one broadcast-centroid scan + one keyed aggregate — O(iters) shuffles,
+    * nothing on the driver. */
+  val q92Kmeans: Q = Q(
+    "q92_kmeans",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val init = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      Similarity.kmeansLloyd(corpus, init, iters = 2)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          round(sum(round(col("d2"), 6).cast(DecimalType(28, 8))).cast("double"), 4)
+            .as("inertia_r"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cents0 AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      d0 AS (
+        SELECT c.id, c.vec, k.cid,
+          list_dot_product(c.vec, c.vec) - 2 * list_dot_product(c.vec, k.cvec)
+            + list_dot_product(k.cvec, k.cvec) AS d2
+        FROM corpus c CROSS JOIN cents0 k),
+      a0 AS (
+        SELECT id, vec, cid FROM (
+          SELECT id, vec, cid,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+          FROM d0) WHERE rn = 1),
+      exp0 AS (
+        SELECT cid, generate_subscripts(vec, 1) AS dim, unnest(vec) AS comp
+        FROM a0),
+      comp0 AS (
+        SELECT cid, dim,
+          CAST(SUM(CAST(round(comp, 7) AS DECIMAL(28,10))) AS DOUBLE)
+            / COUNT(*) AS c
+        FROM exp0 GROUP BY cid, dim),
+      cents1 AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM comp0 GROUP BY cid),
+      d1 AS (
+        SELECT c.id, k.cid,
+          list_dot_product(c.vec, c.vec) - 2 * list_dot_product(c.vec, k.cvec)
+            + list_dot_product(k.cvec, k.cvec) AS d2
+        FROM corpus c CROSS JOIN cents1 k),
+      a1 AS (
+        SELECT id, cid, d2 FROM (
+          SELECT id, cid, d2,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+          FROM d1) WHERE rn = 1)
+      SELECT cid AS cluster, COUNT(*) AS n_members,
+        round(CAST(SUM(CAST(round(d2, 6) AS DECIMAL(28,8))) AS DOUBLE), 4) AS inertia_r
+      FROM a1 GROUP BY cid
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
-    q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup)
+    q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans)
 }

@@ -152,5 +152,53 @@ object Scalar {
       FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
     """))
 
-  val all: Seq[Q] = Seq(q7Strings, q8DateTime, q9Math, q10CaseBucket, q11DimLookup)
+  /** Array-function suite (§2.7 collection surface): sort / distinct /
+    * slice / contains / position / intersect / except / union / remove over
+    * the token arrays — every op is a codegen'd projection (no UDFs, no
+    * shuffle), so the query scales exactly like a column scan. Set-valued
+    * results are surfaced as counts or deterministic extracts so the oracle
+    * compare is order-insensitive where engines differ on output order. */
+  val q93ArrayFuncs: Q = Q(
+    "q93_array_funcs",
+    (s, dir) => {
+      val kw = array(lit("table"), lit("scan"), lit("join"), lit("vector"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          element_at(array_sort(col("toks")), 1).as("first_tok"),
+          element_at(array_sort(col("toks")), -1).as("last_tok"),
+          concat_ws(" ", slice(col("toks"), 1, 3)).as("head3"),
+          array_contains(col("toks"), "vector").as("has_vector"),
+          size(array_intersect(array_distinct(col("toks")), kw)).cast("long").as("n_kw"),
+          size(array_except(array_distinct(col("toks")), kw)).cast("long").as("n_non_kw"),
+          size(array_union(col("toks"), kw)).cast("long").as("n_union"),
+          size(array_remove(col("toks"), "a")).cast("long").as("n_no_a"),
+          array_position(col("toks"), "table").cast("long").as("pos_table"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_toks,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        list_sort(toks)[1] AS first_tok,
+        list_sort(toks)[-1] AS last_tok,
+        array_to_string(list_slice(toks, 1, 3), ' ') AS head3,
+        list_contains(toks, 'vector') AS has_vector,
+        CAST(len(list_intersect(list_distinct(toks),
+          ['table','scan','join','vector'])) AS BIGINT) AS n_kw,
+        CAST(len(list_filter(list_distinct(toks),
+          x -> NOT list_contains(['table','scan','join','vector'], x)))
+          AS BIGINT) AS n_non_kw,
+        CAST(len(list_distinct(list_concat(toks,
+          ['table','scan','join','vector']))) AS BIGINT) AS n_union,
+        CAST(len(list_filter(toks, x -> x <> 'a')) AS BIGINT) AS n_no_a,
+        CAST(coalesce(list_position(toks, 'table'), 0) AS BIGINT) AS pos_table
+      FROM d
+    """))
+
+  val all: Seq[Q] = Seq(q7Strings, q8DateTime, q9Math, q10CaseBucket, q11DimLookup,
+    q93ArrayFuncs)
 }

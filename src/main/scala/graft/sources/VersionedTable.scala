@@ -193,6 +193,61 @@ object VersionedTable {
     }
   }
 
+  /** Append with SCHEMA EVOLUTION (Delta `mergeSchema` analogue): the new
+    * batch may add columns the table lacks and/or omit columns it has;
+    * both sides are aligned by NAME with nulls for the missing columns,
+    * and the union becomes the next version. Column TYPE changes are
+    * rejected (same as Delta without overwriteSchema) — silent cross-type
+    * coercion corrupts downstream readers. Copy-on-write like [[commit]]:
+    * at scale, prefer keyed MERGE ([[graft.silver.Merge]]) when only a
+    * partition's worth of rows changes. */
+  def appendEvolved(spark: SparkSession, base: String, batch: DataFrame,
+      operation: String = "append-evolved"): Long = {
+    read(spark, base) match {
+      case None => commit(spark, base, batch, operation)
+      case Some(cur) =>
+        val conflicts = cur.schema.flatMap { f =>
+          batch.schema.find(_.name == f.name).collect {
+            case b if b.dataType != f.dataType =>
+              s"${f.name}: table=${f.dataType.simpleString} batch=${b.dataType.simpleString}"
+          }
+        }
+        require(conflicts.isEmpty,
+          s"schema evolution cannot change column types (${conflicts.mkString("; ")})")
+        commit(spark, base,
+          cur.unionByName(batch, allowMissingColumns = true), operation)
+    }
+  }
+
+  /** Change Data Feed analogue: row-level diff between two committed
+    * versions, classified per `keyCols` — `insert` (key only in `to`),
+    * `delete` (key only in `from`), `update_preimage`/`update_postimage`
+    * (key in both, row changed). Unchanged rows are never emitted.
+    *
+    * Shape: two `exceptAll` passes (one full-row-keyed shuffle each — the
+    * honest cost of deriving CDC post-hoc instead of logging it at write
+    * time) and then key-classification joins over the DIFF ONLY, which for
+    * typical merges is a tiny fraction of the table. Keys are assumed
+    * unique per version (the [[graft.silver.Merge]] invariant). Output:
+    * all table columns + `_change_type`. */
+  def changes(spark: SparkSession, base: String, fromV: Long, toV: Long,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val before = readVersion(spark, base, fromV)
+    val after = readVersion(spark, base, toV).select(before.columns.map(col).toSeq: _*)
+    val removed = before.exceptAll(after)
+    val added = after.exceptAll(before)
+    val updatedKeys = removed.select(keyCols.map(col): _*)
+      .intersect(added.select(keyCols.map(col): _*))
+    def tag(df: DataFrame, keysIn: Boolean, t: String) =
+      df.join(updatedKeys, keyCols, if (keysIn) "left_semi" else "left_anti")
+        .withColumn("_change_type", lit(t))
+    tag(removed, keysIn = false, "delete")
+      .unionByName(tag(added, keysIn = false, "insert"))
+      .unionByName(tag(removed, keysIn = true, "update_preimage"))
+      .unionByName(tag(added, keysIn = true, "update_postimage"))
+  }
+
   /** DESCRIBE HISTORY analogue (M1, ref 01:252 / 03:222): one row per
     * committed version with commit time, operation, data availability
     * (false once vacuumed) and currency. */

@@ -169,4 +169,23 @@ class SimilaritySpec extends SparkSuite {
     // raw embeddings are near-orthogonal: no original may be dropped
     assert(dropped.forall(_ >= 100000L), "an original (near-orthogonal) vector was dropped")
   }
+
+  test("k-means: Lloyd iterations never increase inertia; assignment is total") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val init = emb.filter($"vec_id" < 6)
+      .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("cvec"))
+    val n = corpus.count()
+    def inertia(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum($"d2")).head.getDouble(0)
+    val passes = (1 to 3).map(i => Similarity.kmeansLloyd(corpus, init, i))
+    passes.foreach(p => assert(p.count() === n, "every vector is assigned"))
+    val inertias = passes.map(inertia)
+    // Lloyd monotonicity: both half-steps (re-assign, re-center) are
+    // non-increasing in the k-means objective
+    assert(inertias.sliding(2).forall(w => w(1) <= w(0) + 1e-9),
+      s"inertia increased across Lloyd passes: $inertias")
+    val k = passes.last.select($"cluster").distinct().count()
+    assert(k <= 6 && k >= 2, s"degenerate clustering: $k clusters")
+  }
 }

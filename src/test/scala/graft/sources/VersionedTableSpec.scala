@@ -65,4 +65,41 @@ class VersionedTableSpec extends SparkSuite {
     assert(!staleTmp.exists(), "stale temp must be swept without any committed version")
     assert(freshTmp.exists(), "in-flight (fresh) temp must survive vacuum")
   }
+
+  test("changes: CDC diff classifies insert / delete / update pre+post images") {
+    val base = tmp() + "/vt-cdc"
+    val v0 = VersionedTable.commit(spark, base,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    val v1 = VersionedTable.commit(spark, base,
+      Seq((2, "B"), (3, "c"), (4, "d")).toDF("k", "v"))
+    val out = VersionedTable.changes(spark, base, v0, v1, Seq("k"))
+      .as[(Int, String, String)].collect().toSet
+    assert(out === Set(
+      (1, "a", "delete"),
+      (4, "d", "insert"),
+      (2, "b", "update_preimage"),
+      (2, "B", "update_postimage")),
+      "unchanged row 3 must not appear; others classified exactly")
+  }
+
+  test("appendEvolved: new columns null-backfill, missing columns null-fill, type change rejected") {
+    val base = tmp() + "/vt-evolve"
+    VersionedTable.commit(spark, base, Seq((1, "a")).toDF("k", "v"))
+    // batch ADDS column `extra` and keeps k/v
+    VersionedTable.appendEvolved(spark, base,
+      Seq((2, "b", 9L)).toDF("k", "v", "extra"))
+    // batch OMITS column `v`
+    VersionedTable.appendEvolved(spark, base, Seq((3, 7L)).toDF("k", "extra"))
+    val cur = VersionedTable.read(spark, base).get
+    assert(cur.columns.toSet === Set("k", "v", "extra"))
+    val rows = cur.select("k", "v", "extra")
+      .as[(Int, Option[String], Option[Long])].collect().toSet
+    assert(rows === Set((1, Some("a"), None), (2, Some("b"), Some(9L)),
+      (3, None, Some(7L))))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.appendEvolved(spark, base,
+        Seq((4, 1.5)).toDF("k", "extra")) // extra: bigint -> double
+    }
+    assert(e.getMessage.contains("column types"))
+  }
 }
