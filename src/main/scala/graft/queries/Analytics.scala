@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, QueryDsl}
 import QueryDsl._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Analytic-surface extensions beyond the reference's literal call sites:
   * ungrouped aggregates, HAVING, ROLLUP, PIVOT, regex/string extraction,
@@ -414,8 +415,111 @@ object Analytics {
       WHERE rn <= 2
     """))
 
+  /** Time-RANGE window frame (§2.5 depth beyond the ROWS frames of q25/q74):
+    * per-user rolling 1-hour event volume keyed on event TIME, not row
+    * offsets — the rolling-feature shape for feature stores. The frame key
+    * is integer epoch seconds on both engines; sums accumulate in decimal on
+    * rounded values so frame-internal order can't skew doubles. One keyed
+    * sort per user partition — same scale shape as any window. */
+  val q94TimeRangeWindow: Q = Q(
+    "q94_time_range_window",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3600, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("sec"),
+          col("value"))
+        .select(col("event_id"), col("user_id"), col("sec"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(round(col("value"), 6).cast(DecimalType(28, 8)))
+            .over(w).cast("double").as("vol_1h"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id,
+          CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec, value
+        FROM events)
+      SELECT event_id, user_id, sec,
+        COUNT(*) OVER w AS n_1h,
+        CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,8))) OVER w AS DOUBLE) AS vol_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """))
+
+  /** Cohort retention: users grouped by first-seen date (cohort), counted by
+    * day offset of each later active day — the activation/retention matrix.
+    * Two keyed shuffles (per-user min, then distinct (cohort, offset, user))
+    * — no self-join per offset, so offsets scale for free. */
+  val q95CohortRetention: Q = Q(
+    "q95_cohort_retention",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val firstSeen = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_date"))
+      e.join(firstSeen, "user_id")
+        .select(col("cohort_date"),
+          datediff(col("d"), col("cohort_date")).cast("long").as("day_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_date"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .filter(col("day_offset") <= 7)
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      first_seen AS (
+        SELECT user_id, MIN(d) AS cohort_date FROM e GROUP BY user_id)
+      SELECT f.cohort_date,
+        CAST(date_diff('day', f.cohort_date, e.d) AS BIGINT) AS day_offset,
+        COUNT(DISTINCT e.user_id) AS n_active
+      FROM e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE date_diff('day', f.cohort_date, e.d) <= 7
+      GROUP BY 1, 2
+    """))
+
+  /** Per-group z-score normalization (feature scaling): mean/stddev per
+    * event_type from ONE aggregate, broadcast back onto the stream — the
+    * standard normalize-by-segment op before model input. Stats are exact
+    * decimal sums (mean = Σx/n, var = Σx²/n − mean², both engine-portable);
+    * the per-row z is one deterministic double expression. Rows with a
+    * degenerate segment (zero variance) surface z = NULL rather than ±inf. */
+  val q96ZscoreNormalize: Q = Q(
+    "q96_zscore_normalize",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), round(col("value"), 6).as("v"))
+      val stats = e.groupBy(col("event_type")).agg(
+        (sum(col("v").cast(DecimalType(28, 8))).cast("double") / count(lit(1))).as("mu"),
+        ((sum((col("v") * col("v")).cast(DecimalType(38, 14))).cast("double")
+          / count(lit(1)))).as("ex2"))
+        .select(col("event_type"), col("mu"),
+          sqrt(col("ex2") - col("mu") * col("mu")).as("sigma"))
+      e.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(when(col("sigma") > 0, (col("v") - col("mu")) / col("sigma")), 6)
+            .as("z_r"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, event_type, round(value, 6) AS v FROM events),
+      stats AS (
+        SELECT event_type,
+          CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS mu,
+          CAST(SUM(CAST(v * v AS DECIMAL(38,14))) AS DOUBLE) / COUNT(*) AS ex2
+        FROM e GROUP BY event_type),
+      s2 AS (
+        SELECT event_type, mu, sqrt(ex2 - mu * mu) AS sigma FROM stats)
+      SELECT event_id, e.event_type,
+        round(CASE WHEN sigma > 0 THEN (v - mu) / sigma END, 6) AS z_r
+      FROM e JOIN s2 ON e.event_type = s2.event_type
+    """))
+
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
     q47Percentiles, q48CollectList, q49AsOfJoin, q58Unpivot, q61Cube, q62Correlated,
-    q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q78TopKAgg)
+    q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q78TopKAgg,
+    q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize)
 }
