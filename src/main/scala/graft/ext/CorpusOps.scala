@@ -43,6 +43,39 @@ object CorpusOps {
         (col("n_shared").cast("double") / col("n_ngrams")).as("contamination"))
   }
 
+  /** Cross-source n-gram OVERLAP MATRIX: for every pair of corpus sources,
+    * how many distinct w-grams they share and the Jaccard of their shingle
+    * sets — the dataset-level contamination/diversity audit run before
+    * mixing sources into a training corpus ([[ngramOverlap]] is the
+    * per-document variant against one benchmark set).
+    *
+    * Scale shape: one fused-shingle scan, a (source, ng) distinct (keyed
+    * shuffle), then a self-join ON THE SHINGLE — per-shingle fanout is
+    * bounded by #sources², and #sources is small by construction, so the
+    * pair stage is linear in distinct shingles. No all-pairs, no broadcast
+    * of anything data-sized. Output: (src_a, src_b, n_a, n_b, n_shared,
+    * jaccard_r), src_a < src_b. */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+      w: Int = 3): DataFrame = {
+    val sh = docs.select(col(srcCol).as("source"),
+        graft.functions.DistinctShingles.distinctShingles(
+          split(Dedup.normalized(col(textCol)), " "), w).as("ngrams"))
+      .select(col("source"), explode(col("ngrams")).as("ng"))
+      .distinct()
+    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("source").as("src_a"), col("ng"))
+      .join(sh.select(col("source").as("src_b"), col("ng")), Seq("ng"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard_r"))
+  }
+
   /** SEQUENCE PACKING (concat-and-chunk, the GPT training layout): within
     * each `partCol` stream, documents are concatenated in `ordCol` order
     * and the token stream is cut every `budget` tokens. Each doc gets the

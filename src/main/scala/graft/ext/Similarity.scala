@@ -186,10 +186,17 @@ object Similarity {
         coalesce(col("hit"), lit(false)).as("is_dropped"))
   }
 
-  /** Squared L2 distance via three dot products (‖a‖² − 2a·b + ‖b‖²), each
-    * accumulated left-to-right in doubles — the engine-portable recipe q33
-    * proved bit-stable against DuckDB's `list_dot_product`. */
+  /** Squared L2 distance (‖a‖² − 2a·b + ‖b‖²) via the native fused-loop
+    * expression ([[graft.functions.SqL2Distance]]) — bit-identical to the
+    * three-dot HOF formulation (each sum accumulates left-to-right in
+    * doubles, the engine-portable recipe q33 proved bit-stable against
+    * DuckDB's `list_dot_product`), minus the per-element lambda
+    * interpretation. [[sqDistHof]] is the reference formulation kept for
+    * the equality spec. */
   def sqDist(a: Column, b: Column): Column =
+    graft.functions.VectorOps.sqL2Distance(a, b)
+
+  def sqDistHof(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
   /** One Lloyd assignment pass: nearest centroid per corpus vector

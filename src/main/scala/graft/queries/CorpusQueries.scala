@@ -321,7 +321,40 @@ object CorpusQueries {
       FROM spans
     """))
 
+  /** Cross-source shingle overlap matrix ([[CorpusOps.sourceOverlap]]):
+    * pairwise distinct-3-gram sharing + Jaccard between corpus sources —
+    * the pre-mixing contamination/diversity audit. */
+  val q97SourceOverlap: Q = Q(
+    "q97_source_overlap",
+    (s, dir) =>
+      CorpusOps.sourceOverlap(t(s, dir, "documents"), "source", "text", w = 3),
+    Some("""
+      WITH toks AS (
+        SELECT source, string_split(lower(trim(text)), ' ') AS t FROM documents
+      ), sh AS (
+        SELECT source, list_distinct(
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS ngrams
+        FROM toks
+      ), sng AS (
+        SELECT DISTINCT source, unnest(ngrams) AS ng FROM sh
+      ), counts AS (
+        SELECT source, COUNT(*) AS n FROM sng GROUP BY source
+      ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM sng a JOIN sng b ON a.ng = b.ng AND a.source < b.source
+        GROUP BY 1, 2
+      )
+      SELECT src_a, src_b, ca.n AS n_a, cb.n AS n_b, n_shared,
+        round(CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared), 6) AS jaccard_r
+      FROM pairs
+      JOIN counts ca ON ca.source = src_a
+      JOIN counts cb ON cb.source = src_b
+    """))
+
   val all: Seq[Q] = Seq(
     q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample,
-    q70QualityFilter, q76ChunkDocuments, q89QualityCutoff, q91ClassSample)
+    q70QualityFilter, q76ChunkDocuments, q89QualityCutoff, q91ClassSample,
+    q97SourceOverlap)
 }

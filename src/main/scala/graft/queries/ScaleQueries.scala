@@ -206,7 +206,28 @@ object ScaleQueries {
       FROM customer
     """))
 
+  /** Salted two-phase aggregation ([[graft.plans.Salt.saltedCountSum]])
+    * oracle-checked against the plain GROUP BY: the skew fix is a pure
+    * plan-shape change, so the result must be identical. The salt is a
+    * deterministic row hash (no rand() — replays stable), values accumulate
+    * in decimal so the two-phase merge is exact. At scale this is the
+    * explicit fix when one grouping key holds a double-digit share of rows
+    * and AQE's skew split can't help an agg. */
+  val q98SaltedAgg: Q = Q(
+    "q98_salted_agg",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        round(col("value"), 6).cast(org.apache.spark.sql.types.DecimalType(28, 8)).as("v"))
+      graft.plans.Salt.saltedCountSum(e, "event_type", "v", factor = 32)
+        .select(col("event_type"), col("n"), col("total").cast("double").as("total"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,8))) AS DOUBLE) AS total
+      FROM events GROUP BY event_type
+    """))
+
   val all: Seq[Q] = Seq(
     q80BloomPruneJoin, q81GroupingSets, q82FuzzyPairs, q83GapFill, q84Funnel,
-    q85ScrubPii)
+    q85ScrubPii, q98SaltedAgg)
 }

@@ -170,6 +170,17 @@ class SimilaritySpec extends SparkSuite {
     assert(dropped.forall(_ >= 100000L), "an original (near-orthogonal) vector was dropped")
   }
 
+  test("native squared-L2 expression is bit-identical to the HOF formulation") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val pairs = emb.select($"vec_id".as("id"), $"embedding".as("a"))
+      .crossJoin(emb.filter($"vec_id" < 5).select($"embedding".as("b")))
+    val diff = pairs.select(
+        Similarity.sqDist($"a", $"b").as("native"),
+        Similarity.sqDistHof($"a", $"b").as("hof"))
+      .filter($"native" =!= $"hof") // bit-exact: no tolerance
+    assert(diff.count() === 0L)
+  }
+
   test("k-means: Lloyd iterations never increase inertia; assignment is total") {
     val emb = Tables.load(spark, dir, "embeddings")
     val corpus = emb.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
