@@ -94,5 +94,30 @@ object MiscQueries {
       FROM lineitem GROUP BY l_returnflag
     """))
 
-  val all: Seq[Q] = Seq(q37Stddev, q38ApproxDistinct, q39SimhashNearDup, q51CorrCovar)
+  /** MERGEABLE distinct-count sketches (Datasketches HLL): per-segment
+    * partial sketches, re-aggregated to a global estimate by UNIONING the
+    * sketches — never rescanning raw data. This is the 100 TB cardinality
+    * pattern (daily partial sketches → any rollup for free); q38's
+    * approx_count_distinct gives only the final number. Sketches are
+    * deterministic for a given input set but engine-specific ⇒ rows-only;
+    * accuracy + merge-equals-whole proven in MiscQueriesSpec. */
+  val q99HllMerge: Q = Q(
+    "q99_hll_merge",
+    (s, dir) => {
+      val partials = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          count(lit(1)).as("n_events"))
+      val per = partials.select(col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("approx_users"), col("n_events"))
+      val merged = partials
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"),
+          sum(col("n_events")).as("n_events"))
+        .select(lit("__ALL__").as("event_type"), col("approx_users"), col("n_events"))
+      per.unionByName(merged)
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q37Stddev, q38ApproxDistinct, q39SimhashNearDup, q51CorrCovar,
+    q99HllMerge)
 }

@@ -193,6 +193,42 @@ object VersionedTable {
     }
   }
 
+  /** DELETE FROM ... WHERE analogue: copy-on-write removal of matching
+    * rows as a new version (operation-tagged for [[history]]/[[changes]]).
+    * Returns the new version. At scale the rewrite cost is the honest COW
+    * cost (same as Delta without deletion vectors); partition-scoped
+    * deletes should pre-partition the table so the filter prunes files. */
+  def deleteWhere(spark: SparkSession, base: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    val cur = read(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    commit(spark, base, cur.filter(!cond || cond.isNull), "delete")
+  }
+
+  /** UPDATE ... SET ... WHERE analogue: matching rows get every column in
+    * `set` re-computed (expressions may reference existing columns);
+    * non-matching rows pass through byte-identical. Copy-on-write like
+    * [[deleteWhere]]; one scan, no shuffle. */
+  def updateWhere(spark: SparkSession, base: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.when
+    val cur = read(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    require(set.keys.forall(cur.columns.contains),
+      s"UPDATE of unknown column(s): ${set.keys.filterNot(cur.columns.contains).mkString(", ")}")
+    // one select so every SET expression reads the ORIGINAL row (SQL UPDATE
+    // semantics) — sequential withColumn would leak updated values into
+    // later expressions
+    val updated = cur.select(cur.columns.map { c =>
+      set.get(c) match {
+        case Some(e) => when(cond, e).otherwise(cur(c)).as(c)
+        case None    => cur(c)
+      }
+    }.toSeq: _*)
+    commit(spark, base, updated, "update")
+  }
+
   /** Append with SCHEMA EVOLUTION (Delta `mergeSchema` analogue): the new
     * batch may add columns the table lacks and/or omit columns it has;
     * both sides are aligned by NAME with nulls for the missing columns,

@@ -32,6 +32,21 @@ class QueryCatalogSpec extends SparkSuite {
     }
   }
 
+  test("q99 HLL: union of partial sketches matches whole-data sketch; ~5% accuracy") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = QueryCatalog.queries("q99_hll_merge")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val e = Tables.load(spark, dir, "events")
+    val exactAll = e.select("user_id").distinct().count().toDouble
+    val mergedEst = rows("__ALL__").toDouble
+    assert(math.abs(mergedEst - exactAll) / exactAll < 0.05,
+      s"merged estimate $mergedEst vs exact $exactAll")
+    // merging partials must equal sketching the whole dataset directly
+    val wholeEst = e.selectExpr("hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS est")
+      .head.getLong(0).toDouble
+    assert(mergedEst === wholeEst, "sketch union is lossless vs whole-data sketch")
+  }
+
   test("q4 topk is sorted descending and unique-keyed") {
     val rows = QueryCatalog.q4TopK.fn(spark, dir).collect()
     assert(rows.length === 10)

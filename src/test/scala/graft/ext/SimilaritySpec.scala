@@ -170,6 +170,26 @@ class SimilaritySpec extends SparkSuite {
     assert(dropped.forall(_ >= 100000L), "an original (near-orthogonal) vector was dropped")
   }
 
+  test("k-means centroids drop into IVF as the refined coarse quantizer") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val corpusD = emb.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val init = emb.filter($"vec_id" < 6)
+      .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("cvec"))
+    val cents = Similarity.kmeansUpdate(Similarity.kmeansLloyd(corpusD, init, 2))
+    val queries = emb.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.ivfTopK(corpus, queries, cents, k = 5, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to rows.length.toLong))
+      assert(sorted.sliding(2).filter(_.length == 2)
+        .forall(p => p(0)._4 >= p(1)._4))
+      assert(!rows.exists(_._3 == qid))
+    }
+  }
+
   test("native squared-L2 expression is bit-identical to the HOF formulation") {
     val emb = Tables.load(spark, dir, "embeddings")
     val pairs = emb.select($"vec_id".as("id"), $"embedding".as("a"))

@@ -66,6 +66,29 @@ class VersionedTableSpec extends SparkSuite {
     assert(freshTmp.exists(), "in-flight (fresh) temp must survive vacuum")
   }
 
+  test("deleteWhere / updateWhere: COW DML with SQL semantics, history-tagged") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = tmp() + "/vt-dml"
+    VersionedTable.commit(spark, base,
+      Seq((1, 10, "x"), (2, 20, "y"), (3, 30, null.asInstanceOf[String]))
+        .toDF("k", "n", "tag"))
+    // NULL predicate rows are kept (DELETE removes only cond=TRUE rows)
+    VersionedTable.deleteWhere(spark, base, col("tag") === "y")
+    assert(VersionedTable.read(spark, base).get.select("k")
+      .as[Int].collect().sorted.toSeq === Seq(1, 3))
+    // SET expressions all read the ORIGINAL row: n -> n*2, m tagged from OLD n
+    val v = VersionedTable.updateWhere(spark, base, col("k") === 1,
+      Map("n" -> (col("n") * 2), "tag" -> (col("n").cast("string"))))
+    val rows = VersionedTable.read(spark, base).get
+      .select("k", "n", "tag").as[(Int, Int, Option[String])].collect().toSet
+    assert(rows === Set((1, 20, Some("10")), (3, 30, None)),
+      "updated row reads old n in both SET expressions; row 3 untouched")
+    val ops = VersionedTable.history(spark, base)
+      .select("operation").as[String].collect().toSeq
+    assert(ops === Seq("commit", "delete", "update"))
+    assert(v === 2L)
+  }
+
   test("changes: CDC diff classifies insert / delete / update pre+post images") {
     val base = tmp() + "/vt-cdc"
     val v0 = VersionedTable.commit(spark, base,
