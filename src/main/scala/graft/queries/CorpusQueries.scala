@@ -353,8 +353,52 @@ object CorpusQueries {
       JOIN counts cb ON cb.source = src_b
     """))
 
+  /** Temperature-scaled mixture sampling (the multilingual-corpus
+    * balancing rule, τ = 0.7): sampling weights ∝ natural_shareᵗ,
+    * renormalized — flattens the source distribution without inverting it,
+    * where q68's explicit targets require a hand-written mixture. Shares
+    * derive from exact counts; the pow terms are rounded@9 then summed in
+    * decimal so renormalization is engine-exact. Two metadata-sized
+    * aggregates — nothing data-proportional beyond the source counts. */
+  val q101TemperatureMix: Q = Q(
+    "q101_temperature_mix",
+    (s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val withP = counts
+        .crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("t"))))
+        .select(col("source"), col("n_docs"),
+          (col("n_docs").cast("double") / col("t")).as("p"))
+        .withColumn("pt", round(pow(col("p"), 0.7), 9))
+      withP
+        .crossJoin(broadcast(withP.agg(
+          sum(col("pt").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+            .cast("double").as("z"))))
+        .select(col("source"), col("n_docs"),
+          round(col("p"), 6).as("share_r"),
+          round(col("pt") / col("z"), 6).as("temp_share_r"),
+          round(col("pt") / col("z") / col("p"), 6).as("sample_factor_r"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      withp AS (
+        SELECT source, n_docs,
+          CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM counts) AS p
+        FROM counts),
+      withpt AS (
+        SELECT source, n_docs, p, round(power(p, 0.7), 9) AS pt FROM withp),
+      z AS (
+        SELECT CAST(SUM(CAST(pt AS DECIMAL(28,10))) AS DOUBLE) AS z FROM withpt)
+      SELECT source, n_docs,
+        round(p, 6) AS share_r,
+        round(pt / z, 6) AS temp_share_r,
+        round(pt / z / p, 6) AS sample_factor_r
+      FROM withpt, z
+    """))
+
   val all: Seq[Q] = Seq(
     q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample,
     q70QualityFilter, q76ChunkDocuments, q89QualityCutoff, q91ClassSample,
-    q97SourceOverlap)
+    q97SourceOverlap, q101TemperatureMix)
 }

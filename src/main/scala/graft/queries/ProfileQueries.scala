@@ -80,5 +80,73 @@ object ProfileQueries {
         MIN(lang_non_en), MAX(lang_non_en) FROM d
     """))
 
-  val all: Seq[Q] = Seq(q86Profile)
+  /** PSI drift detection between two data slices (reference = even
+    * user_ids, current = odd — stand-ins for train vs serve snapshots):
+    * 10 equal-width buckets from the REFERENCE min/max, add-one smoothing
+    * so empty buckets stay defined, per-bucket PSI term
+    * (p−q)·ln(p/q). The standard drift monitor before a training run.
+    * Shape: one stats aggregate broadcast back, one bucket groupBy; the
+    * bucket spine is a literal sequence so zero-count buckets still
+    * surface. All shares derive from exact counts; ln/division are single
+    * deterministic IEEE ops rounded@6. */
+  val q100PsiDrift: Q = Q(
+    "q100_psi_drift",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(
+        pmod(col("user_id"), lit(2)).as("side"), round(col("value"), 6).as("v"))
+      val stats = e.filter(col("side") === 0)
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val bucketed = e.crossJoin(broadcast(stats)).select(col("side"),
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(greatest(floor((col("v") - col("mn"))
+            / ((col("mx") - col("mn")) / 10.0)), lit(0.0)), lit(9.0)).cast("long"))
+          .as("bucket"))
+      val spine = s.range(0, 10).select(col("id").as("bucket"))
+      val counts = spine
+        .join(bucketed.filter(col("side") === 0).groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_ref")), Seq("bucket"), "left")
+        .join(bucketed.filter(col("side") === 1).groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_cur")), Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val withTot = counts.crossJoin(broadcast(counts.agg(
+        sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))))
+      withTot.select(col("bucket"), col("n_ref"), col("n_cur"),
+        round((((col("n_ref") + 1).cast("double") / (col("t_ref") + 10))
+          - ((col("n_cur") + 1).cast("double") / (col("t_cur") + 10)))
+          * log(((col("n_ref") + 1).cast("double") / (col("t_ref") + 10))
+            / ((col("n_cur") + 1).cast("double") / (col("t_cur") + 10))), 6)
+          .as("psi_term_r"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id % 2 AS side, round(value, 6) AS v FROM events),
+      stats AS (
+        SELECT MIN(v) AS mn, MAX(v) AS mx FROM e WHERE side = 0),
+      b AS (
+        SELECT side,
+          CASE WHEN mx = mn THEN 0
+          ELSE CAST(least(greatest(floor((v - mn) / ((mx - mn) / 10.0)), 0.0), 9.0) AS BIGINT)
+          END AS bucket
+        FROM e, stats),
+      spine AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+      counts AS (
+        SELECT s.bucket,
+          COALESCE(r.n, 0) AS n_ref, COALESCE(c.n, 0) AS n_cur
+        FROM spine s
+        LEFT JOIN (SELECT bucket, COUNT(*) AS n FROM b WHERE side = 0 GROUP BY 1) r
+          ON s.bucket = r.bucket
+        LEFT JOIN (SELECT bucket, COUNT(*) AS n FROM b WHERE side = 1 GROUP BY 1) c
+          ON s.bucket = c.bucket),
+      tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts)
+      SELECT bucket, n_ref, n_cur,
+        round((CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10)
+             - CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10))
+          * ln((CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10))
+             / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10))), 6) AS psi_term_r
+      FROM counts, tot
+    """))
+
+  val all: Seq[Q] = Seq(q86Profile, q100PsiDrift)
 }
