@@ -111,6 +111,63 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The banded MinHash BUCKET INDEX for a document set: (id, bh) rows,
+    * bh = (band, band-slice hash). This is the structure a growing corpus
+    * PERSISTS and maintains — [[incrementalNearDup]] probes it instead of
+    * re-signaturing existing data. */
+  def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.MinHashSig.minhashSig(split(normalized(col(textCol)), " "), k).as("sig"))
+      .select(col("id"), explode(lshBandHashes(col("sig"), k, bands)).as("bh"))
+
+  /** INCREMENTAL near-dup admission — [[incrementalExact]]'s contract
+    * lifted from exact keys to MinHash near-duplicates: an incoming batch
+    * is admitted against a growing corpus using the corpus's persisted
+    * bucket index ([[minhashBuckets]]), NEVER re-signaturing existing
+    * documents. Existing TEXT is read only for the candidate ids the
+    * bucket probe surfaces (a keyed lookup against `existing`, pruned by
+    * the join), so per-batch cost is O(batch + candidates), not O(corpus).
+    *
+    * A batch row is kept iff it is (a) not a verified near-dup (exact
+    * Jaccard ≥ `threshold`) of any existing doc, and (b) not the higher-id
+    * member of a verified within-batch pair (greedy keep-lowest-id, the
+    * [[graft.ext.Similarity.semanticDedup]] drop rule). Returns the kept
+    * incoming rows unchanged; union them into the corpus and their
+    * [[minhashBuckets]] into the index to complete the increment. */
+  def incrementalNearDup(
+      incoming: DataFrame, existing: DataFrame, existingBuckets: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+    def toksOf(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      array_distinct(split(normalized(col(textCol)), " ")).as("toks"))
+    val inBuckets = minhashBuckets(incoming, idCol, textCol, k, bands).localCheckpoint()
+    val inToks = toksOf(incoming)
+    // vs existing: bucket probe -> verify candidates against existing text
+    val candOld = inBuckets
+      .join(existingBuckets.select(col("bh"), col("id").as("old_id")), Seq("bh"))
+      .select(col("id"), col("old_id")).distinct()
+    val dupOfOld = candOld
+      .join(inToks, Seq("id"))
+      .join(toksOf(existing).select(col("id").as("old_id"), col("toks").as("toks_old")),
+        Seq("old_id"))
+      .filter(jaccard(col("toks"), col("toks_old")) >= threshold)
+      .select(col("id")).distinct()
+    // within the batch: bucket-collide -> verify; drop the higher id
+    val withinDropped = inBuckets.select(col("bh"), col("id").as("id_a"))
+      .join(inBuckets.select(col("bh"), col("id").as("id_b")), Seq("bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(inToks.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(inToks.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+      .filter(jaccard(col("toks_a"), col("toks_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    incoming
+      .join(dupOfOld.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .join(withinDropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** EXACT near-dup pairs via prefix filtering (PPJoin-lite) — the
     * scale-safe exact path. Lossless: returns exactly the pairs an all-pairs
     * scan with `jaccard >= threshold` would, with NO quadratic stage.

@@ -549,9 +549,27 @@ object TextQueries {
       WHERE dedup_key NOT IN (SELECT k FROM existing)
     """))
 
+  /** Incremental NEAR-dup admission ([[Dedup.incrementalNearDup]]): the
+    * incoming batch (doc_id % 3 == 0) probes the persisted MinHash bucket
+    * index of the rest of the corpus — existing docs are never
+    * re-signatured; their text is read only for probe candidates. LSH
+    * bucket keys are engine-specific hashes ⇒ rows-only; the admission
+    * contract is spec-tested in DedupSpec. */
+  val q102IncrementalNearDup: Q = Q(
+    "q102_incremental_neardup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val existing = d.filter(col("doc_id") % 3 =!= 0)
+      val incoming = d.filter(col("doc_id") % 3 === 0)
+      Dedup.incrementalNearDup(incoming, existing,
+          Dedup.minhashBuckets(existing, "doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), col("source"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
     q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
-    q87BigramLm, q90DupSpans)
+    q87BigramLm, q90DupSpans, q102IncrementalNearDup)
 }

@@ -104,6 +104,26 @@ class DedupSpec extends SparkSuite {
     assert(got === Map(11L -> "brand new document", 13L -> "another fresh one"))
   }
 
+  test("incrementalNearDup: probes the persisted index, drops old/within dups, keeps fresh") {
+    val mk = (n: Int, seed: String) =>
+      (0 until n).map(i => s"$seed token$i word$i item$i").mkString(" ")
+    val existing = Seq(
+      (1L, mk(12, "alpha")),
+      (2L, mk(12, "beta"))
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashBuckets(existing, "doc_id", "text")
+    val incoming = Seq(
+      (10L, mk(12, "alpha")),                  // exact dup of existing 1 -> dropped
+      (11L, mk(12, "beta") + " extratok"),     // near-dup of existing 2 -> dropped
+      (12L, mk(12, "gamma")),                  // fresh -> kept (lowest of 12/13)
+      (13L, mk(12, "gamma")),                  // within-batch dup of 12 -> dropped
+      (14L, mk(12, "delta"))                   // fresh -> kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDup(incoming, existing, index, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(12L, 14L))
+  }
+
   test("blocked jaccard respects blocks") {
     val out = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 0.5)
       .as[(String, Long, Long, Double)].collect()
