@@ -45,6 +45,27 @@ object Layout {
   /** Small-file compaction (03:234): rewrite to `numFiles` outputs. */
   def compact(df: DataFrame, numFiles: Int): DataFrame = df.coalesce(numFiles)
 
+  /** OPTIMIZE-style SIZE-TARGETED compaction: rewrite a parquet directory
+    * so each output file is ~`targetBytes` (Delta's `optimize.targetFileSize`
+    * dial). File count is derived from the directory's actual byte size — a
+    * driver-side metadata listing, never a data scan. Small-file storms are
+    * the classic streaming-ingest pathology: every micro-batch writes
+    * per-partition files, and a 100 TB table read then pays open/footer
+    * costs per file instead of per row group. Returns the output file
+    * count. `out` must differ from `in` (Spark cannot overwrite its own
+    * input); swap via [[graft.sources.VersionedTable.commit]] for an
+    * atomic cutover. */
+  def compactToTarget(spark: org.apache.spark.sql.SparkSession,
+      in: String, out: String, targetBytes: Long): Int = {
+    require(in != out, "compaction must write a new location (COW)")
+    val p = new org.apache.hadoop.fs.Path(in)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(in).repartition(n).write.mode("overwrite").parquet(out)
+    n
+  }
+
   /** Date-partitioned write (01:186): one directory per `partCol` value —
     * partition pruning for time-range queries at any scale. */
   def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =

@@ -517,9 +517,33 @@ object Analytics {
       FROM e JOIN s2 ON e.event_type = s2.event_type
     """))
 
+  /** GLOBAL row numbering without the single-partition window
+    * ([[graft.ext.Dedup.distributedDenseRank]]): range-repartition on the
+    * sort key, rank within partitions in parallel, add broadcast partition
+    * offsets — a plain `ROW_NUMBER() OVER (ORDER BY ...)` funnels the whole
+    * table through ONE task, the classic 100 TB deadend. Unique tiebreak
+    * (o_orderkey) makes ranks engine-deterministic; output filtered to the
+    * top slice so the compare stays small while every rank upstream of the
+    * filter had to be globally correct. */
+  val q103GlobalRank: Q = Q(
+    "q103_global_rank",
+    (s, dir) =>
+      graft.ext.Dedup.distributedDenseRank(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), "global_rank")
+        .filter(col("global_rank") <= 500)
+        .select(col("global_rank"), col("o_orderkey"), col("o_totalprice")),
+    Some("""
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS BIGINT) AS global_rank,
+        o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY global_rank <= 500
+    """))
+
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
     q47Percentiles, q48CollectList, q49AsOfJoin, q58Unpivot, q61Cube, q62Correlated,
     q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q78TopKAgg,
-    q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize)
+    q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize, q103GlobalRank)
 }

@@ -133,4 +133,25 @@ class PlanSpec extends SparkSuite {
       .select(Layout.zorderKey2($"a", $"b").as("z")).as[Long].collect()
     assert(r.toSeq === Seq(5L, 10L, 15L)) // 0b0101, 0b1010, 0b1111
   }
+
+  test("compactToTarget: file count derived from bytes, data identical") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    // many tiny files: 64 partitions of a small table
+    spark.range(0, 10000).select($"id", ($"id" % 7).as("v"))
+      .repartition(64).write.parquet(in)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) === 64)
+    val inBytes = new org.apache.hadoop.fs.Path(in)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(in)).getLength
+    val n = Layout.compactToTarget(spark, in, out, targetBytes = inBytes / 4)
+    assert(n === 4 || n === 5, s"expected ~4 target-size files, got $n")
+    assert(parquetFiles(out) === n)
+    assert(spark.read.parquet(out).exceptAll(spark.read.parquet(in)).isEmpty
+      && spark.read.parquet(in).exceptAll(spark.read.parquet(out)).isEmpty,
+      "compaction must not change the data")
+  }
 }
