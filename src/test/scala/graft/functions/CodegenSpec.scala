@@ -39,6 +39,18 @@ class CodegenSpec extends SparkSuite {
     }
   }
 
+  test("SqL2Distance codegen compiles and is bit-equal to the three-dot HOF form") {
+    withForcedCodegen {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("a"))
+        .crossJoin(emb.select($"vec_id".as("ib"), $"embedding".as("b")).limit(10))
+        .limit(500)
+      val diff = pairs.filter(
+        Similarity.sqDist($"a", $"b") =!= Similarity.sqDistHof($"a", $"b")).count()
+      assert(diff === 0)
+    }
+  }
+
   test("HyperplaneSig codegen compiles and equals the HOF signature") {
     withForcedCodegen {
       val emb = Tables.load(spark, dir, "embeddings").limit(100)

@@ -134,6 +134,23 @@ class PlanSpec extends SparkSuite {
     assert(r.toSeq === Seq(5L, 10L, 15L)) // 0b0101, 0b1010, 0b1111
   }
 
+  test("q96 z-score: per-segment stats broadcast back (no sort-merge join)") {
+    val p = plan(QueryCatalog.queries("q96_zscore_normalize")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats side must broadcast onto the stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a 5-row stats table must never force a sort-merge join:\n$p")
+  }
+
+  test("q92 k-means: centroids broadcast every pass, no sort-merge join anywhere") {
+    val p = plan(QueryCatalog.queries("q92_kmeans")(spark, dir))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 2,
+      s"each assignment pass must broadcast the centroid set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"k-means must never shuffle-join the corpus against centroids:\n$p")
+    assert(p.contains("sq_l2_distance"), "native fused distance in the plan")
+  }
+
   test("compactToTarget: file count derived from bytes, data identical") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
