@@ -541,9 +541,59 @@ object Analytics {
       QUALIFY global_rank <= 500
     """))
 
+  /** TPC-H Q21-shaped nested EXISTS / NOT EXISTS through the SQL surface:
+    * suppliers with a RETURNED lineitem on a finalized multi-supplier
+    * order where NO other supplier on that order had a return — Catalyst
+    * decorrelates both subqueries into semi/anti joins (never per-row
+    * re-execution), the plan every migrating SQL workload exercises. */
+  val q104ExistsChain: Q = Q(
+    "q104_exists_chain",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_ec_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("graft_ec_supplier")
+      t(s, dir, "orders").createOrReplaceTempView("graft_ec_orders")
+      s.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM graft_ec_supplier, graft_ec_lineitem l1, graft_ec_orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM graft_ec_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM graft_ec_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+      """)
+    },
+    Some("""
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+    """))
+
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
     q47Percentiles, q48CollectList, q49AsOfJoin, q58Unpivot, q61Cube, q62Correlated,
     q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q78TopKAgg,
-    q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize, q103GlobalRank)
+    q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize, q103GlobalRank,
+    q104ExistsChain)
 }

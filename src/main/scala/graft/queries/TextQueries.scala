@@ -567,9 +567,54 @@ object TextQueries {
     },
     None)
 
+  /** N-gram NOVELTY scoring: the share of each doc's distinct 3-grams that
+    * appear in NO other document — the corpus-diversity / memorization-risk
+    * audit (novelty ≈ 0 flags boilerplate; ≈ 1, genuinely fresh text).
+    * One fused-shingle scan, one shingle-keyed doc-frequency aggregate, one
+    * join back on the shingle — all shuffles keyed on the (high-cardinality)
+    * shingle or doc id; at 100 TB hash shingles to 8-byte keys to narrow
+    * the shuffles (the q90 note). */
+  val q105NgramNovelty: Q = Q(
+    "q105_ngram_novelty",
+    (s, dir) => {
+      val sh = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.DistinctShingles.distinctShingles(
+          split(Dedup.normalized(col("text")), " "), 3).as("ngrams"))
+      val exploded = sh.select(col("doc_id"),
+        size(col("ngrams")).cast("long").as("n_ngrams"), explode(col("ngrams")).as("ng"))
+      val docFreq = exploded.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+      exploded.join(docFreq, Seq("ng"))
+        .groupBy(col("doc_id"), col("n_ngrams"))
+        .agg(countIf(col("df") === 1).as("n_unique"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_unique"),
+          round(col("n_unique").cast("double") / col("n_ngrams"), 6).as("novelty_r"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+      ), sh AS (
+        SELECT doc_id, list_distinct(
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS ngrams
+        FROM toks
+      ), exploded AS (
+        SELECT doc_id, CAST(len(ngrams) AS BIGINT) AS n_ngrams,
+          unnest(ngrams) AS ng FROM sh
+      ), docfreq AS (
+        SELECT ng, COUNT(*) AS df FROM exploded GROUP BY ng
+      )
+      SELECT e.doc_id, e.n_ngrams,
+        CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        round(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / e.n_ngrams, 6) AS novelty_r
+      FROM exploded e JOIN docfreq d USING (ng)
+      GROUP BY e.doc_id, e.n_ngrams
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
     q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
-    q87BigramLm, q90DupSpans, q102IncrementalNearDup)
+    q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty)
 }
