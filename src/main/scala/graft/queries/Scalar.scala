@@ -199,6 +199,55 @@ object Scalar {
       FROM d
     """))
 
+  /** Calendar arithmetic beyond q8's field extraction: month addition,
+    * month-end/month-start snapping, weekday, day spans — the SCD/billing-
+    * period toolkit. All codegen'd projections. Spark's dayofweek is
+    * 1=Sunday; DuckDB's 0=Sunday — aligned by +1 on the oracle side. */
+  val q106DateArith: Q = Q(
+    "q106_date_arith",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 2).as("plus2m"),
+        last_day(col("o_orderdate")).as("month_end"),
+        trunc(col("o_orderdate"), "MM").as("month_start"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+          .cast("long").as("days_to_eoy")),
+    Some("""
+      SELECT o_orderkey,
+        CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+          AS BIGINT) AS days_to_eoy
+      FROM orders
+    """))
+
+  /** Null-handling scalar suite: NULLIF / NVL / NVL2 / greatest / least —
+    * the defensive-SQL surface every migrated workload leans on. */
+  val q107NullFuncs: Q = Q(
+    "q107_null_funcs",
+    (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_returnflag"), lit("N")).as("flag_or_null"),
+        nvl(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_filled"),
+        nvl2(nullif(col("l_returnflag"), lit("N")), lit(1L), lit(0L)).as("flag_present"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+        least(col("l_quantity"), col("l_tax") * 100).as("l")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        NULLIF(l_returnflag, 'N') AS flag_or_null,
+        COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_filled,
+        CAST(CASE WHEN NULLIF(l_returnflag, 'N') IS NOT NULL
+             THEN 1 ELSE 0 END AS BIGINT) AS flag_present,
+        GREATEST(l_quantity, l_discount * 100) AS g,
+        LEAST(l_quantity, l_tax * 100) AS l
+      FROM lineitem
+    """))
+
   val all: Seq[Q] = Seq(q7Strings, q8DateTime, q9Math, q10CaseBucket, q11DimLookup,
-    q93ArrayFuncs)
+    q93ArrayFuncs, q106DateArith, q107NullFuncs)
 }
