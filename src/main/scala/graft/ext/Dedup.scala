@@ -111,6 +111,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** HYBRID text + embedding dedup clustering: near-dup edges from BOTH
+    * modalities — exact token-set Jaccard ≥ `textThreshold` (PPJoin
+    * prefix-filtered, [[prefixJaccardPairs]]) and exact embedding cosine ≥
+    * `cosThreshold` within nearest-centroid clusters (the SemDeDup pair
+    * stage, [[graft.ext.Similarity.cosinePairsWithinClusters]]) — unioned
+    * into one graph and resolved with connected components. Catches what
+    * either modality alone misses: verbatim copies with re-computed
+    * embeddings, and paraphrases/translations whose token sets share
+    * nothing.
+    *
+    * Every stage is deterministic (PPJoin is lossless-exact; centroid
+    * assignment argmax has an id tiebreak) ⇒ the full pipeline is
+    * exact-oracle-checkable, unlike LSH-bucketed fusion. Scale: each edge
+    * generator keeps its own audited shape (no quadratic stage; cluster-
+    * bounded pair search), CC runs on the union — rounds O(log diameter).
+    * Input: (id, text, vec); output: (id, component). */
+  def hybridDedup(df: DataFrame, centroids: DataFrame,
+      textThreshold: Double, cosThreshold: Double): DataFrame = {
+    val textPairs = prefixJaccardPairs(
+        df.select(col("id"), col("text")), "id", "text", textThreshold)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val assigned = graft.ext.Similarity.assignNearestCentroid(
+      df.select(col("id"), col("vec")), centroids)
+    val embPairs = graft.ext.Similarity.cosinePairsWithinClusters(assigned, cosThreshold)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    Components.connectedComponents(
+      df.select(col("id")), textPairs.unionByName(embPairs))
+      .select(col("id"), col("comp").as("component"))
+  }
+
   /** The banded MinHash BUCKET INDEX for a document set: (id, bh) rows,
     * bh = (band, band-slice hash). This is the structure a growing corpus
     * PERSISTS and maintains — [[incrementalNearDup]] probes it instead of

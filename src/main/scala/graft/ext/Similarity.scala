@@ -169,21 +169,38 @@ object Similarity {
     */
   def semanticDedup(
       corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("sim_c", cosine(col("vec"), col("cvec")))
-      .groupBy(col("id"))
-      .agg(max_by(struct(col("cid"), col("vec")), struct(col("sim_c"), -col("cid"))).as("m"))
-      .select(col("id"), col("m.cid").as("cid"), col("m.vec").as("vec"))
-    val a = assigned.select(col("cid"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = assigned.select(col("cid"), col("id").as("id_b"), col("vec").as("vec_b"))
-    val dropped = a.join(b, Seq("cid"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+    val assigned = assignNearestCentroid(corpus, centroids)
+    val dropped = cosinePairsWithinClusters(assigned, threshold)
       .select(col("id_b").as("id")).distinct()
       .withColumn("hit", lit(true))
     assigned.join(dropped, Seq("id"), "left")
       .select(col("id"), col("cid").as("cluster_id"),
         coalesce(col("hit"), lit(false)).as("is_dropped"))
+  }
+
+  /** Nearest-centroid assignment (deterministic lowest-cid tiebreak), the
+    * shared first stage of [[semanticDedup]] and the hybrid dedup path:
+    * one broadcast-centroid corpus scan + per-id argmax. */
+  def assignNearestCentroid(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("sim_c", cosine(col("vec"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("vec")), struct(col("sim_c"), -col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"), col("m.vec").as("vec"))
+
+  /** Exact-cosine near-dup PAIRS searched within each nearest-centroid
+    * cluster of an [[assignNearestCentroid]] output — the SemDeDup pair
+    * stage on its own, for callers that feed the pairs into clustering
+    * instead of greedy dropping. Deterministic ⇒ oracle-checkable.
+    * Output (id_a, id_b, cosine), id_a < id_b. */
+  def cosinePairsWithinClusters(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("cid"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Squared L2 distance (‖a‖² − 2a·b + ‖b‖²) via the native fused-loop

@@ -612,9 +612,106 @@ object TextQueries {
       GROUP BY e.doc_id, e.n_ngrams
     """))
 
+  /** HYBRID text+embedding dedup clustering ([[Dedup.hybridDedup]]) over
+    * documents ⋈ embeddings plus two synthetic dup families built to be
+    * invisible to one modality each: `id%20==0` dups carry a perturbed
+    * embedding but throwaway text (cosine edge only); `id%20==10` dups
+    * carry upper-cased text but a reversed (near-orthogonal) embedding
+    * (Jaccard edge only). Union of both edge sets → connected components:
+    * either modality alone splits these clusters, the hybrid finds them.
+    * Every stage is deterministic (PPJoin exact, argmax id tiebreak, exact
+    * cosine, CC fixpoint), so the ENTIRE fusion pipeline is oracle-checked
+    * — the DuckDB twin re-derives both edge sets and the recursive CC. */
+  val q108HybridDedup: Q = Q(
+    "q108_hybrid_dedup",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("id"), col("text"), col("embedding").as("vec"))
+      // withColumn sequencing, id overwritten LAST: putting `(id+100000).as
+      // ("id")` first in a select makes Spark 4's lateral-column-alias
+      // resolution capture the ALIASED id inside the transform lambda
+      // (measured: perturbation keyed on 100460, oracle's on 460)
+      val dupsEmb = base.filter(col("id") % 20 === 0)
+        .withColumn("vec", transform(col("vec"), (x, i) =>
+          (x.cast("double") +
+            (pmod(col("id") * (i + lit(1)), lit(7)).cast("double") - 3.0) * 0.005)
+            .cast("float")))
+        .withColumn("text", concat(lit("zz "), col("id").cast("string")))
+        .withColumn("id", col("id") + 100000)
+        .select("id", "text", "vec")
+      val dupsText = base.filter(col("id") % 20 === 10)
+        .withColumn("text", upper(col("text")))
+        .withColumn("vec", reverse(col("vec")))
+        .withColumn("id", col("id") + 100000)
+        .select("id", "text", "vec")
+      val corpus = base.unionByName(dupsEmb).unionByName(dupsText)
+      val cents = base.filter(col("id") % 100 === 0)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      Dedup.hybridDedup(corpus, cents, textThreshold = 0.95, cosThreshold = 0.98)
+    },
+    Some("""
+      WITH RECURSIVE
+      base AS (
+        SELECT d.doc_id AS id, d.text, e.embedding
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      dups_emb AS (
+        SELECT id + 100000 AS id,
+          concat('zz ', CAST(id AS VARCHAR)) AS text,
+          list_transform(generate_series(1, len(embedding)),
+            i -> CAST(embedding[i]::DOUBLE
+                   + ((id * i) % 7 - 3) * 0.005 AS REAL)) AS embedding
+        FROM base WHERE id % 20 = 0),
+      dups_text AS (
+        SELECT id + 100000 AS id, upper(text) AS text,
+          list_reverse(embedding) AS embedding
+        FROM base WHERE id % 20 = 10),
+      corpus AS (
+        SELECT id, text, embedding::DOUBLE[] AS vec FROM (
+          SELECT * FROM base
+          UNION ALL SELECT * FROM dups_emb
+          UNION ALL SELECT * FROM dups_text)),
+      p AS (
+        SELECT id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks,
+          len(list_distinct(string_split(lower(trim(text)), ' '))) AS n
+        FROM corpus),
+      tpairs AS (
+        SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.id < b.id
+          AND a.n >= b.n * 0.95 AND b.n >= a.n * 0.95
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+      cents AS (
+        SELECT id AS cid, embedding::DOUBLE[] AS cvec FROM base WHERE id % 100 = 0),
+      assigned AS (
+        SELECT id, cid, vec FROM (
+          SELECT c.id, k.cid, c.vec, ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+            list_dot_product(c.vec, k.cvec)
+              / (sqrt(list_dot_product(c.vec, c.vec))
+                 * sqrt(list_dot_product(k.cvec, k.cvec)))
+            DESC, k.cid) AS rn
+          FROM corpus c CROSS JOIN cents k) WHERE rn = 1),
+      epairs AS (
+        SELECT a.id AS ia, b.id AS ib FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.id < b.id
+        WHERE list_dot_product(a.vec, b.vec)
+            / (sqrt(list_dot_product(a.vec, a.vec))
+               * sqrt(list_dot_product(b.vec, b.vec))) >= 0.98),
+      edges AS (
+        SELECT ia AS a, ib AS b FROM tpairs
+        UNION SELECT ib, ia FROM tpairs
+        UNION SELECT ia, ib FROM epairs
+        UNION SELECT ib, ia FROM epairs),
+      reach(node, lab) AS (
+        SELECT id, id FROM corpus
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node)
+      SELECT node AS id, MIN(lab) AS component FROM reach GROUP BY node
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
     q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
-    q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty)
+    q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
+    q108HybridDedup)
 }

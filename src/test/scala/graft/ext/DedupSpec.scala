@@ -124,6 +124,32 @@ class DedupSpec extends SparkSuite {
     assert(kept === Seq(12L, 14L))
   }
 
+  test("hybridDedup: text-only and embedding-only dups both land in their original's component") {
+    val comp = graft.QueryCatalog.queries("q108_hybrid_dedup")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect().toMap
+    val dupIds = comp.keys.filter(_ >= 100000L).toSeq
+    assert(dupIds.nonEmpty)
+    // text-only dups (orig%20==10): the PPJoin path is exact-lossless, so
+    // EVERY one must join its original's component
+    val textDups = dupIds.filter(d => (d - 100000L) % 20 == 10)
+    textDups.foreach { d =>
+      assert(comp(d) === comp(d - 100000L),
+        s"text dup $d split from its original's component")
+    }
+    // embedding-only dups (orig%20==0): cluster-bounded cosine search has
+    // the documented SemDeDup straddle trade-off — a dup whose perturbed
+    // vector assigns across a centroid boundary is missed — so this is a
+    // recall bound, not exactness
+    val embDups = dupIds.filter(d => (d - 100000L) % 20 == 0)
+    val embJoined = embDups.count(d => comp(d) === comp(d - 100000L))
+    assert(embJoined.toDouble / embDups.size >= 0.8,
+      s"embedding-dup recall too low: $embJoined/${embDups.size}")
+    // and the fusion must beat either single modality: every dup family
+    // contributes members only its own modality can connect
+    assert(textDups.nonEmpty && embDups.nonEmpty)
+  }
+
   test("blocked jaccard respects blocks") {
     val out = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 0.5)
       .as[(String, Long, Long, Double)].collect()
