@@ -590,10 +590,65 @@ object Analytics {
       GROUP BY s_name
     """))
 
+  /** SLIDING time windows via Spark's `window()` generator — the batch
+    * twin of the streaming hourly aggregate (StreamPipes.watermarkedHourly
+    * uses the same function under a watermark): 1-hour windows sliding
+    * every 15 minutes, so each event lands in exactly 4 windows. The
+    * oracle re-derives the epoch-aligned window grid with generate_series.
+    * Expansion is a generator (×4 in place, no shuffle); the aggregate
+    * shuffles on (window, type) — cardinality ∝ time range, not events. */
+  val q109SlidingWindow: Q = Q(
+    "q109_sliding_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(round(col("value"), 6), 6).as("total"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("total")),
+    Some("""
+      WITH e AS (
+        SELECT event_type, round(value, 6) AS v,
+          CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        FROM events),
+      w AS (
+        SELECT event_type, v, (sec // 900) * 900 - 900 * j AS s
+        FROM e, (SELECT unnest(generate_series(0, 3)) AS j) ofs)
+      SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM w GROUP BY 1, 2
+    """))
+
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
     q47Percentiles, q48CollectList, q49AsOfJoin, q58Unpivot, q61Cube, q62Correlated,
     q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q78TopKAgg,
     q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize, q103GlobalRank,
-    q104ExistsChain)
+    q104ExistsChain, q109SlidingWindow, q110FromJson)
+
+  /** Schema-full JSON parsing — `from_json` with a declared struct (vs
+    * q45's per-path `get_json_object`): one parse per row into a typed
+    * struct, field access afterwards is a plain projection, plus a
+    * `to_json` canonical re-serialization round-trip. The declared-schema
+    * form is the 100 TB shape: path extraction re-parses the document per
+    * path, from_json parses once for any number of fields. */
+  lazy val q110FromJson: Q = Q(
+    "q110_from_json",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).as("p"))
+        .select(col("event_id"), col("p.k").as("k"),
+          col("p.k").isNotNull.as("parsed"),
+          to_json(col("p")).as("canon")),
+    Some("""
+      SELECT event_id,
+        json_extract(props, '$.k')::BIGINT AS k,
+        json_extract(props, '$.k') IS NOT NULL AS parsed,
+        CAST(to_json(struct_pack(k := json_extract(props, '$.k')::BIGINT))
+          AS VARCHAR) AS canon
+      FROM events
+    """))
 }
