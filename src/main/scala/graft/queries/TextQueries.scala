@@ -708,10 +708,82 @@ object TextQueries {
       SELECT node AS id, MIN(lab) AS component FROM reach GROUP BY node
     """))
 
+  /** DATASET CARD rollup: the per-source summary table published alongside
+    * a training corpus — volume (docs/tokens), language mix, mean quality,
+    * and exact-dup rate, in ONE pass over per-doc projections plus a
+    * source-keyed aggregate (dup rate via distinct normalized texts, a
+    * second keyed aggregate). Everything derives from oracle-proven
+    * per-doc signals (q26/q27/q29), composed. */
+  val q111DatasetCard: Q = Q(
+    "q111_dataset_card",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("source"),
+        Dedup.normalized(col("text")).as("norm"),
+        TextStats.nTokens(col("text")).as("n_tokens"),
+        (TextStats.langId(col("text")) === "en").as("is_en"),
+        TextStats.qualityScore(col("text"), stops).as("quality"))
+      val perSource = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countIf(col("is_en")).as("n_en"),
+        (sum(col("quality").cast("long")).cast("double") / count(lit(1)))
+          .as("mean_quality"))
+      val distincts = d.select(col("source"), col("norm")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+      perSource.join(distincts, Seq("source"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          round(col("n_en").cast("double") / col("n_docs"), 6).as("en_share_r"),
+          round(col("mean_quality"), 4).as("mean_quality_r"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
+            .as("dup_ratio_r"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT source, lower(trim(text)) AS norm,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          (len(list_filter(string_split(text, ' '),
+               x -> x IN ('the', 'a', 'of', 'and', 'is'))) >=
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('der', 'die', 'das', 'und', 'ist')))
+           AND len(list_filter(string_split(text, ' '),
+               x -> x IN ('the', 'a', 'of', 'and', 'is'))) >=
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('le', 'la', 'et', 'les', 'est')))
+           AND len(list_filter(string_split(text, ' '),
+               x -> x IN ('the', 'a', 'of', 'and', 'is'))) > 0) AS is_en,
+          (CASE WHEN length(text) BETWEEN 50 AND 2000 THEN 25 ELSE 0 END)
+          + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ($stopsSqlList))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.03 THEN 25 ELSE 0 END)
+          + (CASE WHEN CAST(list_sum(list_transform(string_split(text, ' '),
+                x -> length(x))) AS DOUBLE)
+                / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+              THEN 25 ELSE 0 END)
+          + (CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.3 THEN 25 ELSE 0 END)
+            AS quality
+        FROM documents),
+      per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+          CAST(SUM(quality) AS DOUBLE) / COUNT(*) AS mean_quality
+        FROM scored GROUP BY source),
+      distincts AS (
+        SELECT source, COUNT(*) AS n_distinct
+        FROM (SELECT DISTINCT source, norm FROM scored) GROUP BY source)
+      SELECT p.source, p.n_docs, p.total_tokens,
+        round(CAST(n_en AS DOUBLE) / n_docs, 6) AS en_share_r,
+        round(mean_quality, 4) AS mean_quality_r,
+        round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_ratio_r
+      FROM per_source p JOIN distincts d ON p.source = d.source
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
     q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
     q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
-    q108HybridDedup)
+    q108HybridDedup, q111DatasetCard)
 }
