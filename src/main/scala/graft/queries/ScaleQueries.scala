@@ -227,7 +227,71 @@ object ScaleQueries {
       FROM events GROUP BY event_type
     """))
 
+  /** ENTITY RESOLUTION / golden records: typo-class customer variants
+    * (Levenshtein ≤ 1 names, [[Dedup.editDistancePairs]] deletion-
+    * neighborhood blocking) clustered with connected components; each
+    * entity keeps its lowest-key record as canonical plus merged stats —
+    * the match → cluster → survivorship MDM pipeline. The name match alone
+    * over-merges on these serial synthetic names (lev-1 edges chain
+    * transitively into one giant entity — the classic transitive-closure
+    * pathology), so the match rule requires ATTRIBUTE AGREEMENT too
+    * (nation + segment), exactly how production MDM sparsifies the graph.
+    * Deterministic end to end (exact verify, CC fixpoint, min/decimal
+    * aggregates) ⇒ the oracle brute-forces the pairs and re-derives the
+    * fixpoint. Scale shape: the variant join is never all-pairs; the
+    * attribute check is a pair-sized keyed join; CC input is pair-sized;
+    * the survivorship aggregate is one keyed shuffle. */
+  val q112EntityResolution: Q = Q(
+    "q112_entity_resolution",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val attrs = c.select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val pairs = Dedup.editDistancePairs(c, "c_custkey", "c_name")
+        .join(attrs.select(col("c_custkey").as("id_a"),
+          col("c_nationkey").as("nk_a"), col("c_mktsegment").as("seg_a")), Seq("id_a"))
+        .join(attrs.select(col("c_custkey").as("id_b"),
+          col("c_nationkey").as("nk_b"), col("c_mktsegment").as("seg_b")), Seq("id_b"))
+        .filter(col("nk_a") === col("nk_b") && col("seg_a") === col("seg_b"))
+      val comp = graft.ext.Components.connectedComponents(
+        c.select(col("c_custkey").as("id")),
+        pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+      c.join(comp, c("c_custkey") === comp("id"))
+        .groupBy(col("comp").as("entity_id"))
+        .agg(count(lit(1)).as("n_records"),
+          min(col("c_custkey")).as("canonical_key"),
+          dsum(col("c_acctbal"), 2).as("total_acctbal"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .filter(col("n_records") >= 2)
+    },
+    Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT a.c_custkey AS ia, b.c_custkey AS ib
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+          AND abs(length(a.c_name) - length(b.c_name)) <= 1
+          AND a.c_nationkey = b.c_nationkey
+          AND a.c_mktsegment = b.c_mktsegment
+        WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      edges AS (
+        SELECT ia AS a, ib AS b FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs),
+      reach(node, lab) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+      comp AS (
+        SELECT node AS c_custkey, MIN(lab) AS entity_id
+        FROM reach GROUP BY node)
+      SELECT entity_id, COUNT(*) AS n_records,
+        MIN(c.c_custkey) AS canonical_key,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_acctbal,
+        COUNT(DISTINCT c_nationkey) AS n_nations
+      FROM customer c JOIN comp USING (c_custkey)
+      GROUP BY entity_id
+      HAVING COUNT(*) >= 2
+    """))
+
   val all: Seq[Q] = Seq(
     q80BloomPruneJoin, q81GroupingSets, q82FuzzyPairs, q83GapFill, q84Funnel,
-    q85ScrubPii, q98SaltedAgg)
+    q85ScrubPii, q98SaltedAgg, q112EntityResolution)
 }
