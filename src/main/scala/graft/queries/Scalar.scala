@@ -248,6 +248,36 @@ object Scalar {
       FROM lineitem
     """))
 
+  /** Nested-data machinery (§2.7 struct surface): named-struct literals,
+    * field access, struct comparison, and an array-of-structs exploded
+    * back to rows — the shape every semi-structured silver layer uses.
+    * Generator expansion in place (×2, no shuffle); field access after
+    * from-struct is a plain projection. */
+  val q113StructFuncs: Q = Q(
+    "q113_struct_funcs",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("st"), col("o_totalprice").as("tp")).as("info"),
+          array(
+            struct(lit("status").as("k"), col("o_orderstatus").as("v")),
+            struct(lit("priority").as("k"), col("o_orderpriority").as("v"))).as("kv"))
+        .select(col("o_orderkey"),
+          col("info.st").as("status"),
+          (col("info.tp") > 100000.0).as("big_order"),
+          explode(col("kv")).as("e"))
+        .select(col("o_orderkey"), col("status"), col("big_order"),
+          col("e.k").as("k"), col("e.v").as("v")),
+    Some("""
+      WITH kv AS (
+        SELECT o_orderkey, 'status' AS k, o_orderstatus AS v FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'priority', o_orderpriority FROM orders)
+      SELECT kv.o_orderkey, o.o_orderstatus AS status,
+        (o.o_totalprice > 100000.0) AS big_order, k, v
+      FROM kv JOIN orders o ON kv.o_orderkey = o.o_orderkey
+    """))
+
   val all: Seq[Q] = Seq(q7Strings, q8DateTime, q9Math, q10CaseBucket, q11DimLookup,
-    q93ArrayFuncs, q106DateArith, q107NullFuncs)
+    q93ArrayFuncs, q106DateArith, q107NullFuncs, q113StructFuncs)
 }
