@@ -150,6 +150,78 @@ object GoldQueries {
       FROM orders
     """))
 
+  /** Batch fraud-scoring write-back (ref 04:308-325): score every cardholder
+    * with a fixed linear model + sigmoid and emit the `fraud_predictions`
+    * shape (token, features, prediction, probability, model_version,
+    * scored_at). The reference trains sklearn on the driver and scores via
+    * `toPandas` round-trip; here scoring is a pure DataFrame projection over
+    * the q22 feature table — fully distributed, no driver materialization.
+    *
+    * Scaler note: the reference standardizes features before the linear
+    * model. `linear ∘ scaler` is itself affine in raw-feature space, so
+    * fixed weights over raw features are the same model class — weights
+    * below are the folded form. Determinism: the score `z` uses only IEEE
+    * +,*,/ in a fixed association (bit-identical in Spark and DuckDB);
+    * `exp` is the one transcendental, so the probability is rounded at 6
+    * decimals (q9's sin/sqrt precedent) and the 0/1 prediction keys off
+    * `z > 0` (⇔ p > 0.5) rather than the rounded probability.
+    */
+  val q114FraudScoring: Q = Q(
+    "q114_fraud_scoring",
+    (s, dir) => {
+      val feats = Gold.customerFeatures(t(s, dir, "orders"))
+      val z = lit(-3.0) +
+        col("total_spend") * lit(5.0e-7) +
+        col("n_orders") * lit(0.05) +
+        col("urgent_ratio") * lit(1.5) +
+        col("finished_ratio") * lit(-0.8) +
+        col("lifetime_days") * lit(2.0e-4)
+      feats.select(
+        sha2(col("o_custkey").cast("string"), 256).as("cardholder_token"),
+        col("n_orders").as("total_txns"),
+        col("total_spend"),
+        col("avg_order_value"),
+        // no raw-score column: z is a sum of decimal-granular terms, so
+        // round(z, k) can land on exact .5 ties where Spark's BigDecimal
+        // HALF_UP and DuckDB's fp round disagree; sigmoid(z) is irrational
+        // and never ties, so the probability is the only rounded surface.
+        when(z > 0, 1).otherwise(0).as("fraud_prediction"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("fraud_probability"),
+        lit(1).as("model_version"),
+        lit("2026-01-01 00:00:00").cast("timestamp_ntz").as("scored_at"))
+    },
+    Some("""
+      WITH feats AS (
+        SELECT o_custkey,
+          COUNT(*) AS n_orders,
+          %s AS total_spend,
+          %s / COUNT(*) AS avg_order_value,
+          %s / COUNT(*) AS urgent_ratio,
+          %s / COUNT(*) AS finished_ratio,
+          date_diff('day', MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE))) AS lifetime_days
+        FROM orders GROUP BY o_custkey
+      ), scored AS (
+        SELECT *,
+          -3.0 + total_spend * 0.0000005 + n_orders * 0.05 + urgent_ratio * 1.5
+            + finished_ratio * -0.8 + lifetime_days * 0.0002 AS z
+        FROM feats
+      )
+      SELECT sha256(CAST(o_custkey AS VARCHAR)) AS cardholder_token,
+        n_orders AS total_txns,
+        total_spend,
+        avg_order_value,
+        CASE WHEN z > 0 THEN 1 ELSE 0 END AS fraud_prediction,
+        round(1.0 / (1.0 + exp(-z)), 6) AS fraud_probability,
+        1 AS model_version,
+        CAST('2026-01-01 00:00:00' AS TIMESTAMP) AS scored_at
+      FROM scored
+    """.format(
+      oracleDsum("o_totalprice", 2),
+      oracleDsum("o_totalprice", 2),
+      oracleCountIf("o_orderpriority = '1-URGENT'"),
+      oracleCountIf("o_orderstatus = 'F'"))))
+
   val all: Seq[Q] = Seq(
-    q21MerchantRisk, q22CustomerFeatures, q23HourlyStats, q24Sessionize, q25RunningWindow)
+    q21MerchantRisk, q22CustomerFeatures, q23HourlyStats, q24Sessionize, q25RunningWindow,
+    q114FraudScoring)
 }

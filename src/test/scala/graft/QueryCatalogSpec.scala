@@ -53,4 +53,18 @@ class QueryCatalogSpec extends SparkSuite {
     val prices = rows.map(_.getAs[Double]("o_totalprice"))
     assert(prices.sameElements(prices.sortBy(-_)))
   }
+
+  test("q114 fraud scoring: prediction is the 0.5-probability threshold") {
+    val rows = QueryCatalog.queries("q114_fraud_scoring")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("fraud_probability")
+      val pred = r.getAs[Int]("fraud_prediction")
+      assert(p > 0.0 && p < 1.0)
+      assert(pred === (if (p > 0.5) 1 else 0), s"p=$p pred=$pred")
+      assert(r.getAs[String]("cardholder_token").length === 64)
+    }
+    // both classes must be represented, else the threshold is degenerate
+    assert(rows.map(_.getAs[Int]("fraud_prediction")).distinct.length === 2)
+  }
 }
