@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns with typed metadata, plus decode/feature/
   * frame-sample operators.
   *
-  * The Spark-side shapes (schema, partitioning, per-partition batch
-  * processing, output contracts) are real and tested; the codec step itself
-  * is STUBBED with a deterministic fake (`fakeDecodeFeatures`) because no
-  * image/audio libraries ship in this environment — swap `decodeStub` for a
-  * real decoder (JNI/ffmpeg/ImageIO) without touching any plumbing.
+  * The image path is a REAL codec: synthesized image rows carry genuine PNG
+  * bytes and [[decodeImage]] decodes them with the JDK's `javax.imageio`
+  * (format-sniffing, so PNG/BMP/GIF/JPEG all work) into a luminance-histogram
+  * feature vector. Audio/video decode stays STUBBED with a deterministic
+  * fake (`decodeStub`) because no audio/video codec libraries ship in this
+  * environment — the `(bytes, kind) => Array[Float]` signature in [[decode]]
+  * is the swap point; no plumbing changes needed.
   *
   * Scale notes: binary payloads ride the columnar format untouched
   * (parquet stores them as BYTE_ARRAY); `mapPartitions` gives the decoder
@@ -33,11 +35,17 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("n_frames", IntegerType, nullable = true))), nullable = false)))
 
-  /** Deterministic synthetic media table (payload bytes derived from id) —
-    * stands in for a real ingest; executors synthesize their own partitions. */
+  /** Deterministic synthetic media table — stands in for a real ingest;
+    * executors synthesize their own partitions. Image rows carry REAL PNG
+    * bytes (a small deterministic thumbnail, decodable by any PNG reader);
+    * audio/video payloads are opaque hash bytes, matching the stubbed
+    * decode path for those kinds. Payload thumbnails are deliberately small
+    * (≤19×15) so synthesis stays O(rows); `meta` carries the full-size
+    * dimensions the resize/sampling plumbing operates on, as a real
+    * ingest's sidecar metadata would. */
   def synthesize(spark: SparkSession, n: Long): DataFrame = {
     val kinds = array(lit("image"), lit("audio"), lit("video"))
-    spark.range(n)
+    val base = spark.range(n)
       .withColumn("media_id", col("id"))
       .withColumn("kind", element_at(kinds, (col("id") % 3 + 1).cast("int")))
       .withColumn("payload", sha2(col("id").cast("string"), 256).cast("binary"))
@@ -47,11 +55,86 @@ object Multimodal {
         when(col("kind") === "audio", lit(16000)).as("sample_rate"),
         when(col("kind") === "video", (col("id") % 300 + 30).cast("int")).as("n_frames")))
       .select("media_id", "kind", "payload", "meta")
+    val enc = org.apache.spark.sql.Encoders.row(base.schema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.getString(1) == "image")
+          Row(r.getLong(0), r.getString(1), synthImagePng(r.getLong(0)), r.getStruct(3))
+        else r
+      }
+    }(enc)
   }
 
-  /** STUB decoder: deterministic pseudo-features from payload bytes.
-    * ??? -- replace with a real codec (ImageIO / javacv / soundfile JNI);
-    * the signature `(bytes, kind) => Array[Float]` is the swap point. */
+  /** Deterministic tiny RGB image, encoded as genuine PNG bytes via the
+    * JDK's ImageIO (no external codec libraries needed). Pixels are an LCG
+    * of (id, x, y), so the same id always yields the same image. */
+  def synthImagePng(id: Long): Array[Byte] = {
+    val w = (id % 16 + 4).toInt
+    val h = (id % 12 + 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = id * 1000003L + y.toLong * 1009L + x.toLong
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((s >>> 40) & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via `javax.imageio`: sniffs the container format
+    * (PNG, BMP, GIF, JPEG — whatever the JDK readers support), decodes to
+    * pixels, and emits a `dim`-bin normalized luminance histogram (Rec.601
+    * integer weights) — a deterministic, resolution-invariant feature
+    * vector. Returns None for null/undecodable payloads so the caller can
+    * choose a fallback instead of poisoning the partition. */
+  def decodeImage(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (payload == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new Array[Float](dim)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            out(lum * dim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toFloat
+        var i = 0
+        while (i < dim) { out(i) /= n; i += 1 }
+        Some(out)
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Codec dispatch: real ImageIO decode for images (stub fallback only if
+    * the payload isn't a decodable image), deterministic stub for
+    * audio/video (no audio/video codec libs in this environment — this
+    * `(bytes, kind) => Array[Float]` signature is the swap point). */
+  def decode(payload: Array[Byte], kind: String, dim: Int): Array[Float] =
+    kind match {
+      case "image" => decodeImage(payload, dim).getOrElse(decodeStub(payload, kind, dim))
+      case _       => decodeStub(payload, kind, dim)
+    }
+
+  /** STUB decoder for kinds without an in-JVM codec (audio/video):
+    * deterministic pseudo-features from payload bytes. */
   def decodeStub(payload: Array[Byte], kind: String, dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (payload != null) {
@@ -78,7 +161,7 @@ object Multimodal {
       // decoder init happens HERE, once per partition:
       rows.map { r =>
         Row(r.getLong(0), r.getString(1),
-          decodeStub(r.getAs[Array[Byte]]("payload"), r.getString(1), dim).toSeq)
+          decode(r.getAs[Array[Byte]]("payload"), r.getString(1), dim).toSeq)
       }
     }(enc)
   }

@@ -92,11 +92,13 @@ object MedallionQuery {
       GROUP BY merchant_name, mcc_category
     """))
 
-  /** Multimodal pipeline as a catalog entry (rows-only; the decode step is
-    * a documented deterministic stub — no codec libs in this environment):
-    * synthesize binary media → metadata resize → per-partition featurize
-    * (mapPartitions = the batched-decoder shape) → frame sampling → per-kind
-    * rollup. MultimodalSpec covers the operator semantics. */
+  /** Multimodal pipeline as a catalog entry (rows-only; image decode is
+    * REAL — JDK ImageIO over genuine PNG payloads — while audio/video
+    * decode remains a documented deterministic stub, no A/V codec libs in
+    * this environment): synthesize binary media → metadata resize →
+    * per-partition featurize (mapPartitions = the batched-decoder shape) →
+    * frame sampling → per-kind rollup. MultimodalSpec covers the operator
+    * semantics, including pixel-exact decode verification. */
   val q60Multimodal: Q = Q(
     "q60_multimodal",
     (s, _) => {
