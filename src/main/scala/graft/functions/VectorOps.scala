@@ -58,8 +58,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    // zip_with truncates to the shorter side; norms must cover full arrays
-    // to match the HOF formulation — finish the longer side's norm:
+    // equal-length precondition: on mismatch the HOF twin returns NULL
+    // (zip_with null-pads), this expression returns a number — finishing
+    // the longer side's norm keeps the value well-defined there, but the
+    // HOF-equivalence claim only covers equal-length inputs:
     var j = n
     while (j < a.numElements()) { val x = elem(a, aF, j); na += x * x; j += 1 }
     j = n
@@ -100,12 +102,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** Squared L2 distance, fused: ‖a‖² − 2a·b + ‖b‖² in one primitive pass.
   * Bit-identical to the HOF formulation `dot(a,a) - 2*dot(a,b) + dot(b,b)`
-  * ([[graft.ext.Similarity.sqDistHof]]): each of the three sums accumulates
-  * left-to-right exactly as its own `aggregate(zip_with(...))` would, and
-  * the final combine is the same three-term expression — so k-means stays
-  * exact-oracle-checkable while the assignment scan runs a primitive loop
-  * inside WholeStageCodegen. Same non-null-element contract as
-  * [[CosineSimilarity]]. */
+  * ([[graft.ext.Similarity.sqDistHof]]) FOR EQUAL-LENGTH ARRAYS: each of
+  * the three sums accumulates left-to-right exactly as its own
+  * `aggregate(zip_with(...))` would, and the final combine is the same
+  * three-term expression — so k-means stays exact-oracle-checkable while
+  * the assignment scan runs a primitive loop inside WholeStageCodegen.
+  *
+  * PRECONDITION: equal lengths (what a fixed-dim embedding column
+  * guarantees). On length-mismatched inputs the HOF formulation yields
+  * NULL (`zip_with` null-pads the shorter side and the null poisons the
+  * sum) while this expression sums the longer side's tail squares and
+  * returns a number — the equivalence claim does NOT cover that case.
+  * Same non-null-element contract as [[CosineSimilarity]]. */
 case class SqL2Distance(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -14,10 +14,12 @@ import org.apache.spark.sql.types.StructType
   *  - PERMISSIVE parsing with a quarantine column: a malformed record
   *    lands in `_corrupt_record` instead of killing the job (DQ handles it
   *    downstream, same as the silver quarantine path).
-  *  - Both formats are splittable uncompressed; gzip is NOT (one task per
-  *    file) — callers compress with codecs that split (or rely on many
-  *    files). Parquet remains the canonical internal format; these are
-  *    edge formats only.
+  *  - Both formats are splittable uncompressed — with one trade: CSV
+  *    quoted-newline support (`multiLine`) forces one task per file, so it
+  *    is OPT-IN here, not the default. gzip is also non-splittable (one
+  *    task per file) — callers compress with codecs that split (or rely on
+  *    many files). Parquet remains the canonical internal format; these
+  *    are edge formats only.
   */
 object Formats {
 
@@ -28,13 +30,16 @@ object Formats {
     if (schema.fieldNames.contains(CorruptCol)) schema
     else schema.add(CorruptCol, org.apache.spark.sql.types.StringType, nullable = true)
 
+  /** `multiLine = true` keeps quoted fields spanning newlines as one
+    * record, but makes each CSV file single-task (non-splittable) — only
+    * enable it for data that actually embeds newlines. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true, delimiter: String = ","): DataFrame =
+      header: Boolean = true, delimiter: String = ",",
+      multiLine: Boolean = false): DataFrame =
     spark.read.format("csv")
       .option("header", header.toString)
       .option("delimiter", delimiter)
-      // quoted fields may span lines; multiLine keeps them one record
-      .option("multiLine", "true")
+      .option("multiLine", multiLine.toString)
       .option("escape", "\"")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)

@@ -265,12 +265,31 @@ object VersionedTable {
     * time) and then key-classification joins over the DIFF ONLY, which for
     * typical merges is a tiny fraction of the table. Keys are assumed
     * unique per version (the [[graft.silver.Merge]] invariant). Output:
-    * all table columns + `_change_type`. */
+    * the UNION of both versions' columns + `_change_type` — schema-evolved
+    * tables diff correctly: each side is null-backfilled for columns it
+    * lacks (the [[appendEvolved]] convention), so an update confined to a
+    * newly added column is classified as an update, not as unchanged, and
+    * a column removed between versions surfaces instead of throwing.
+    * Column type changes across the compared versions are rejected (as
+    * [[appendEvolved]] already rejects them at write time). */
   def changes(spark: SparkSession, base: String, fromV: Long, toV: Long,
       keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val before = readVersion(spark, base, fromV)
-    val after = readVersion(spark, base, toV).select(before.columns.map(col).toSeq: _*)
+    val beforeRaw = readVersion(spark, base, fromV)
+    val afterRaw = readVersion(spark, base, toV)
+    val afterTypes = afterRaw.schema.fields.map(f => f.name -> f.dataType).toMap
+    val conflicts = beforeRaw.schema.fields
+      .filter(f => afterTypes.get(f.name).exists(_ != f.dataType)).map(_.name)
+    require(conflicts.isEmpty,
+      s"changes() cannot diff type-evolved columns (${conflicts.mkString(", ")})")
+    val unioned = beforeRaw.schema.fields.map(f => f.name -> f.dataType) ++
+      afterRaw.schema.fields.filterNot(f => beforeRaw.columns.contains(f.name))
+        .map(f => f.name -> f.dataType)
+    def conform(df: DataFrame) = df.select(unioned.map { case (n, dt) =>
+      if (df.columns.contains(n)) col(n) else lit(null).cast(dt).as(n)
+    }.toSeq: _*)
+    val before = conform(beforeRaw)
+    val after = conform(afterRaw)
     val removed = before.exceptAll(after)
     val added = after.exceptAll(before)
     val updatedKeys = removed.select(keyCols.map(col): _*)

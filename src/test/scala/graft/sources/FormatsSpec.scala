@@ -21,16 +21,31 @@ class FormatsSpec extends SparkSuite {
     (3L, null.asInstanceOf[String], 3.5)
   ).toDF("id", "name", "score")
 
-  test("CSV round-trip preserves quotes, embedded newlines, and nulls") {
+  test("CSV round-trip preserves quotes, embedded newlines, and nulls (multiLine opt-in)") {
     val dir = tmp() + "/csv"
     Formats.writeCsv(tricky, dir)
-    val back = Formats.readCsv(spark, dir, schema)
+    // embedded newlines need the opt-in multiLine mode (non-splittable read)
+    val back = Formats.readCsv(spark, dir, schema, multiLine = true)
     assert(back.columns.contains(Formats.CorruptCol))
     val rows = back.select("id", "name", "score")
       .as[(Long, Option[String], Double)].collect().toSet
     assert(rows === Set(
       (1L, Some("plain"), 1.5),
       (2L, Some("comma, quote \" and\nnewline"), 2.5),
+      (3L, None, 3.5)))
+  }
+
+  test("CSV default read (splittable, multiLine off) round-trips newline-free data") {
+    val plain = Seq((1L, "plain", 1.5), (2L, "comma, and \"quote\"", 2.5),
+      (3L, null.asInstanceOf[String], 3.5)).toDF("id", "name", "score")
+    val dir = tmp() + "/csv-plain"
+    Formats.writeCsv(plain, dir)
+    val back = Formats.readCsv(spark, dir, schema)
+    val rows = back.select("id", "name", "score")
+      .as[(Long, Option[String], Double)].collect().toSet
+    assert(rows === Set(
+      (1L, Some("plain"), 1.5),
+      (2L, Some("comma, and \"quote\""), 2.5),
       (3L, None, 3.5)))
   }
 

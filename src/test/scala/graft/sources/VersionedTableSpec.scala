@@ -125,4 +125,22 @@ class VersionedTableSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("column types"))
   }
+
+  test("changes across schema evolution: evolved-column updates detected, all columns kept") {
+    val base = tmp() + "/vt-cdc-evolve"
+    val v0 = VersionedTable.commit(spark, base,
+      Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    // evolve: add `extra`, update row 1 ONLY in the new column, insert row 3
+    val v1 = VersionedTable.commit(spark, base,
+      Seq((1, "a", Some(9L)), (2, "b", None), (3, "c", Some(7L)))
+        .toDF("k", "v", "extra"))
+    val out = VersionedTable.changes(spark, base, v0, v1, Seq("k"))
+      .select("k", "v", "extra", "_change_type")
+      .as[(Int, String, Option[Long], String)].collect().toSet
+    assert(out === Set(
+      (1, "a", None, "update_preimage"),      // old side null-backfilled
+      (1, "a", Some(9L), "update_postimage"), // new-column-only update IS an update
+      (3, "c", Some(7L), "insert")),
+      "row 2 (null extra on both sides) is unchanged; row 1 differs only in the evolved column")
+  }
 }
