@@ -235,6 +235,25 @@ object Analytics {
       FROM orders GROUP BY o_orderstatus
     """))
 
+  /** SCALE TWIN of q47 (the q38 approx-countDistinct pairing, applied to
+    * quantiles): exact `percentile` buffers and sorts every group value —
+    * at 100 TB that is a full per-group sort. `approx_percentile` keeps a
+    * bounded KLL-style sketch per group (mergeable partials, map-side
+    * combined), trading ≤1/accuracy rank error for constant memory.
+    * Rows-only for the driver (sketch internals aren't SQL-expressible);
+    * QueryCatalogSpec pins the rank-error bound against the exact query. */
+  val q115ApproxPercentiles: Q = Q(
+    "q115_approx_percentiles",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90"),
+          expr("approx_percentile(o_totalprice, 0.99, 1000)").as("p99"),
+          count(lit(1)).as("n")),
+    None)
+
   /** Ordered collect_list surfaced as a string (array-valued outputs don't
     * hash portably; array_to_string ↔ concat_ws is exact). */
   val q48CollectList: Q = Q(
@@ -621,7 +640,8 @@ object Analytics {
 
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
-    q47Percentiles, q48CollectList, q49AsOfJoin, q58Unpivot, q61Cube, q62Correlated,
+    q47Percentiles, q115ApproxPercentiles, q48CollectList, q49AsOfJoin, q58Unpivot,
+    q61Cube, q62Correlated,
     q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q78TopKAgg,
     q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize, q103GlobalRank,
     q104ExistsChain, q109SlidingWindow, q110FromJson)

@@ -54,6 +54,24 @@ class QueryCatalogSpec extends SparkSuite {
     assert(prices.sameElements(prices.sortBy(-_)))
   }
 
+  test("q115 approx percentiles track q47 exact percentiles within sketch tolerance") {
+    val exact = QueryCatalog.queries("q47_percentiles")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = QueryCatalog.queries("q115_approx_percentiles")(spark, dir).collect()
+    assert(approx.length === exact.size)
+    approx.foreach { a =>
+      val e = exact(a.getString(0))
+      assert(a.getAs[Long]("n") === e.getAs[Long]("n"), "counts are exact either way")
+      Seq("p50", "p90", "p99").foreach { c =>
+        val ev = e.getAs[Double](c)
+        val av = a.getAs[Double](c)
+        // accuracy=1000 bounds rank error at n/1000; on this data that is
+        // well under 5% relative value error for all three quantiles
+        assert(math.abs(av - ev) / ev < 0.05, s"$c: approx=$av exact=$ev")
+      }
+    }
+  }
+
   test("q114 fraud scoring: prediction is the 0.5-probability threshold") {
     val rows = QueryCatalog.queries("q114_fraud_scoring")(spark, dir).collect()
     assert(rows.nonEmpty)
