@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Driver interchange (SURVEY §2 S10) — the `toPandas()` /
+  * `createDataFrame(pdf)` analogue pair (reference
+  * `04_MLflow_Fraud_Detection.py:43,311,322`): materialize a bounded result
+  * on the driver for a local library, and lift driver-local rows back into
+  * a distributed DataFrame.
+  *
+  * The cap is the contract, not a convenience: `toPandas` is the single
+  * most common way a working pipeline dies at scale (the driver OOMs on a
+  * result that fit fine at dev scale). [[toRows]] therefore REFUSES
+  * unbounded collects — it counts up to `maxRows + 1` first (a cheap
+  * limit-pushed job; never materializes more than the cap) and fails with
+  * the actual row count rather than buffering an arbitrarily large result.
+  * Callers who want a sample, an aggregate, or a top-k should express that
+  * in the query — the engine-side reduction is the scale-correct fix, and
+  * the error message says so.
+  */
+object Interchange {
+
+  val DefaultMaxRows = 100000
+
+  /** Collect a DataFrame to driver-local rows, refusing results larger
+    * than `maxRows`. The guard runs `limit(maxRows + 1)` — the limit is
+    * pushed into the scan/exchange, so an over-sized result costs one
+    * partial scan, not a full materialization, before failing. */
+  def toRows(df: DataFrame, maxRows: Int = DefaultMaxRows): Seq[Row] = {
+    val probe = df.limit(maxRows + 1).collect()
+    require(probe.length <= maxRows,
+      s"toRows: result exceeds the $maxRows-row driver cap; " +
+        "aggregate, sample, or top-k on the cluster side instead of collecting")
+    probe.toSeq.take(maxRows)
+  }
+
+  /** Lift driver-local rows back into a distributed DataFrame with an
+    * explicit schema (the `createDataFrame(pdf)` direction). Rows are
+    * parallelized across the default parallelism so the result takes part
+    * in distributed plans like any table. */
+  def fromRows(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList), schema)
+}
