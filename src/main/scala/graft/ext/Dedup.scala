@@ -58,6 +58,14 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     graft.functions.JaccardSim.jaccardSim(a, b)
 
+  /** Default document-frequency threshold above which a prefix token is
+    * routed through the salted (chunked-asymmetric) join in
+    * [[prefixJaccardPairs]]/[[dedupComponents]]: postings of 64k+ docs mean
+    * up to ~2×10⁹ candidate pairs from ONE join key — far past the point
+    * where one task should own a key — while corpora without such tokens
+    * keep the pure symmetric plan (the probe finds no hot token). */
+  val AutoSaltMinPostings: Long = 65536L
+
   /** End-to-end MinHash-LSH near-dup candidate pairs, verified with exact
     * Jaccard ≥ `threshold`. Output: (id_a, id_b, jaccard), id_a < id_b.
     *
@@ -158,6 +166,9 @@ object Dedup {
     * documents. Existing TEXT is read only for the candidate ids the
     * bucket probe surfaces (a keyed lookup against `existing`, pruned by
     * the join), so per-batch cost is O(batch + candidates), not O(corpus).
+    * Buckets larger than `maxBucketSize` on either side are dropped (the
+    * [[minhashNearDups]] degenerate-bucket cap): bounded recall loss on
+    * boilerplate buckets in exchange for a hard pair-count ceiling.
     *
     * A batch row is kept iff it is (a) not a verified near-dup (exact
     * Jaccard ≥ `threshold`) of any existing doc, and (b) not the higher-id
@@ -168,15 +179,30 @@ object Dedup {
   def incrementalNearDup(
       incoming: DataFrame, existing: DataFrame, existingBuckets: DataFrame,
       idCol: String, textCol: String,
-      k: Int = 32, bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.6,
+      maxBucketSize: Int = 500): DataFrame = {
     def toksOf(df: DataFrame) = df.select(
       col(idCol).as("id"),
       array_distinct(split(normalized(col(textCol)), " ")).as("toks"))
     val inBuckets = minhashBuckets(incoming, idCol, textCol, k, bands).localCheckpoint()
     val inToks = toksOf(incoming)
+    // Degenerate-bucket cap, mirroring [[minhashNearDups]]: one boilerplate
+    // bucket in the persisted index (or the batch) would make the probe
+    // quadratic in bucket size, contradicting the O(batch + candidates)
+    // contract. Index-side sizes are counted only over buckets the batch
+    // actually probes (semi-join on the batch's bucket keys), so the cap
+    // itself stays O(candidates), never O(index).
+    val probedOld = existingBuckets.select(col("bh"), col("id").as("old_id"))
+      .join(inBuckets.select(col("bh")).distinct(), Seq("bh"), "left_semi")
+    val oversizedOld = probedOld.groupBy(col("bh")).agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > maxBucketSize).select(col("bh"))
+    val cappedOld = probedOld.join(broadcast(oversizedOld), Seq("bh"), "left_anti")
+    val oversizedIn = inBuckets.groupBy(col("bh")).agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > maxBucketSize).select(col("bh"))
+    val cappedIn = inBuckets.join(broadcast(oversizedIn), Seq("bh"), "left_anti")
     // vs existing: bucket probe -> verify candidates against existing text
-    val candOld = inBuckets
-      .join(existingBuckets.select(col("bh"), col("id").as("old_id")), Seq("bh"))
+    val candOld = cappedIn
+      .join(cappedOld, Seq("bh"))
       .select(col("id"), col("old_id")).distinct()
     val dupOfOld = candOld
       .join(inToks, Seq("id"))
@@ -185,8 +211,8 @@ object Dedup {
       .filter(jaccard(col("toks"), col("toks_old")) >= threshold)
       .select(col("id")).distinct()
     // within the batch: bucket-collide -> verify; drop the higher id
-    val withinDropped = inBuckets.select(col("bh"), col("id").as("id_a"))
-      .join(inBuckets.select(col("bh"), col("id").as("id_b")), Seq("bh"))
+    val withinDropped = cappedIn.select(col("bh"), col("id").as("id_a"))
+      .join(cappedIn.select(col("bh"), col("id").as("id_b")), Seq("bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
       .join(inToks.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
@@ -196,6 +222,135 @@ object Dedup {
     incoming
       .join(dupOfOld.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       .join(withinDropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** Persisted PREFIX-POSTINGS INDEX for EXACT incremental admission
+    * ([[incrementalNearDupExact]]): `(postings, vocab)`.
+    *
+    *  - `vocab` (tok, tid): the corpus vocabulary with DENSE INTEGER ids
+    *    ranked by (document frequency over unique sets, token) ascending —
+    *    it FIXES the shared total order (rarest first) that both the index
+    *    and every future batch sort by. The PPJoin ordering step,
+    *    persisted: prefixes then hold the corpus's RARE tokens, whose
+    *    postings lists are tiny by construction, and every set becomes one
+    *    ascending long array (narrow shuffles, allocation-free
+    *    sorted-merge verification — the [[prefixJaccardPairs]] step-2
+    *    machinery as a maintained artifact).
+    *  - `postings` (tid, p, n, itoks): one row per (prefix token id,
+    *    unique set), the set's full ordered id array carried inline so
+    *    verification never re-reads corpus text. Only UNIQUE sets are
+    *    indexed (the identical-set collapse): admission needs ANY ≥t
+    *    match, so duplicate corpus docs add nothing but candidates.
+    *
+    * Both are the maintained artifacts of a growing corpus — admitted
+    * batches append their postings and extend the vocabulary. */
+  def prefixIndex(existing: DataFrame, idCol: String, textCol: String,
+      threshold: Double): (DataFrame, DataFrame) = {
+    // lazy checkpoint (materializes once at the first action, no extra job
+    // barrier): sid must be stable across the vocab and postings branches
+    // (monotonically_increasing_id is partition-layout-dependent)
+    val sets = existing.select(
+        array_sort(array_distinct(split(normalized(col(textCol)), " "))).as("stoks"))
+      .groupBy(col("stoks")).agg(count(lit(1)).as("cnt"))
+      .select(col("stoks"), monotonically_increasing_id().as("sid"))
+      .localCheckpoint(eager = false)
+    val vocab = distributedDenseRank(
+        sets.select(explode(col("stoks")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .localCheckpoint(eager = false),
+        Seq(col("df"), col("tok")), "tid")
+      .select(col("tok"), col("tid"))
+    (orderedPrefixPostings(sets, "sid", vocab, threshold).drop("sid"), vocab)
+  }
+
+  /** Map each set's tokens to the vocab's dense ids — batch-only tokens
+    * get NEGATIVE ids (ranked by token), so they sort FIRST, consistent
+    * with df = 0 being the rarest; they cannot collide with corpus
+    * prefixes, and within a batch they are the best discriminators — then
+    * explode the Jaccard prefix: (keyCol, tid, p, n, itoks). */
+  private def orderedPrefixPostings(sets: DataFrame, keyCol: String,
+      vocab: DataFrame, threshold: Double): DataFrame = {
+    val unseen = distributedDenseRank(
+        sets.select(explode(col("stoks")).as("tok")).distinct()
+          .join(vocab.select("tok"), Seq("tok"), "left_anti")
+          .localCheckpoint(eager = false),
+        Seq(col("tok")), "urank")
+      .select(col("tok"), (-col("urank")).as("tid"))
+    val lookup = vocab.select(col("tok"), col("tid")).unionByName(unseen)
+    sets.select(col(keyCol), explode(col("stoks")).as("tok"))
+      .join(lookup, Seq("tok"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("tid"))).as("itoks"))
+      .withColumn("n", size(col("itoks")))
+      .withColumn("plen", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+      .select(col(keyCol), col("n"), col("itoks"),
+        posexplode(slice(col("itoks"), lit(1), col("plen"))).as(Seq("pos", "tid")))
+      .select(col(keyCol), col("tid"), (col("pos") + 1).as("p"), col("n"), col("itoks"))
+  }
+
+  /** EXACT incremental near-dup admission — [[incrementalNearDup]]'s
+    * contract with a LOSSLESS candidate generator: the batch probes the
+    * corpus's persisted [[prefixIndex]] instead of LSH buckets. By the
+    * prefix lemma every pair with Jaccard ≥ `threshold` shares a token
+    * inside both prefixes (under the index's fixed df order), so the
+    * admission decision is EXACTLY "keep iff no existing doc and no
+    * lower-id batch doc with Jaccard ≥ threshold" — brute-force-derivable
+    * by an oracle, zero recall loss. The LSH variant trades that
+    * exactness for constant-size signatures; prefer THIS one until
+    * signature size actually binds.
+    *
+    * Scale shape, mirroring [[prefixJaccardPairs]]: identical-set
+    * collapse on the batch (dup-heavy batches shrink quadratically; the
+    * index already holds unique sets only), candidates ∝ postings² over
+    * RARE prefix tokens, size + positional prefilters (only-false-keep)
+    * ahead of every exact-Jaccard verify, existing docs never re-read
+    * (their ordered token arrays live in the postings). Within-batch
+    * admission runs on cluster representatives: non-min members of a
+    * cluster always drop (J = 1 with their min), and a cluster min drops
+    * iff a verified ≥t cluster with a smaller min exists — exactly the
+    * "lower-id member of a verified pair" rule on the expanded docs. */
+  def incrementalNearDupExact(
+      incoming: DataFrame, postings: DataFrame, vocab: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.6): DataFrame = {
+    val alpha = threshold / (1.0 + threshold)
+    val clusters = incoming.select(col(idCol).as("id"),
+        array_sort(array_distinct(split(normalized(col(textCol)), " "))).as("stoks"))
+      .groupBy(col("stoks")).agg(collect_list(col("id")).as("members"))
+      .withColumn("rid", array_min(col("members")))
+      .localCheckpoint(eager = false)
+    val inPost = orderedPrefixPostings(
+        clusters.select(col("rid"), col("stoks")), "rid", vocab, threshold)
+      .localCheckpoint(eager = false)
+    def verified(pairs: DataFrame): DataFrame = pairs
+      .filter(col("n_a") >= col("n_b") * threshold && col("n_b") >= col("n_a") * threshold)
+      .filter(lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) >=
+        lit(alpha) * (col("n_a") + col("n_b")) - lit(1e-9))
+      .filter(graft.functions.SortedJaccard.sortedJaccard(
+        col("toks_a"), col("toks_b")) >= threshold)
+    // vs corpus: any verified match kills the whole batch cluster
+    val dupOfOld = verified(
+        inPost.select(col("tid"), col("rid"), col("p").as("p_a"), col("n").as("n_a"),
+            col("itoks").as("toks_a"))
+          .join(postings.select(col("tid"), col("p").as("p_b"),
+            col("n").as("n_b"), col("itoks").as("toks_b")), Seq("tid")))
+      .select(col("rid")).distinct()
+    // within the batch, on cluster reps: the larger rid's cluster min drops
+    val repDropped = verified(
+        inPost.select(col("tid"), col("rid").as("rid_a"), col("p").as("p_a"),
+            col("n").as("n_a"), col("itoks").as("toks_a"))
+          .join(inPost.select(col("tid"), col("rid").as("rid_b"), col("p").as("p_b"),
+            col("n").as("n_b"), col("itoks").as("toks_b")), Seq("tid"))
+          .filter(col("rid_a") < col("rid_b")))
+      .select(col("rid_b").as("rid")).distinct()
+    val clusterDropped = dupOfOld.unionByName(repDropped).distinct()
+    // expand: drop whole clusters matched above, plus every non-min member
+    val docDropped = clusters.join(clusterDropped, Seq("rid"), "left_semi")
+      .select(explode(col("members")).as("id"))
+      .unionByName(clusters
+        .select(col("rid"), explode(col("members")).as("id"))
+        .filter(col("id") =!= col("rid")).select(col("id")))
+      .distinct()
+    incoming.join(docDropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
   /** EXACT near-dup pairs via prefix filtering (PPJoin-lite) — the
@@ -219,8 +374,10 @@ object Dedup {
     */
   def prefixJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, salt: Int = 1): DataFrame = {
-    val (clusters, repPairs) = repStructure(df, idCol, textCol, threshold, salt)
+      threshold: Double, salt: Int = 1,
+      saltMinPostings: Long = AutoSaltMinPostings): DataFrame = {
+    val (clusters, repPairs) =
+      repStructure(df, idCol, textCol, threshold, salt, saltMinPostings)
     // 5. Expand back to doc pairs: cross-cluster pairs inherit the verified
     //    rep Jaccard; intra-cluster pairs are exact dups (J = 1). Linear in
     //    the OUTPUT size — the only quadratic term left is the answer itself.
@@ -257,13 +414,15 @@ object Dedup {
     */
   def dedupComponents(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, salt: Int = 1): DataFrame = {
+      threshold: Double, salt: Int = 1,
+      saltMinPostings: Long = AutoSaltMinPostings): DataFrame = {
     // materialize the cluster table: unlike the pair query (one lazy plan,
     // exchange reuse shares the subtree), CC references it from three
     // SEPARATE jobs (edge checkpoint, node checkpoint, member re-expansion)
     // — without a checkpoint each job re-runs the collapse groupBy.
     val (clusters, repPairs) =
-      repStructure(df, idCol, textCol, threshold, salt, materializeClusters = true)
+      repStructure(df, idCol, textCol, threshold, salt, saltMinPostings,
+        materializeClusters = true)
     val repComp = Components.connectedComponents(
       clusters.select(col("rid").as("id")),
       repPairs.select(col("rid_a").as("a"), col("rid_b").as("b")))
@@ -279,7 +438,7 @@ object Dedup {
     * jaccard)). */
   private def repStructure(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, salt: Int,
+      threshold: Double, salt: Int, saltMinPostings: Long = 0,
       materializeClusters: Boolean = false): (DataFrame, DataFrame) = {
     require(salt >= 1, "salt must be >= 1")
     // 1. Collapse IDENTICAL token sets into clusters first (the exact-dedup
@@ -345,37 +504,54 @@ object Dedup {
       .select(col("rid"), col("n"), col("itoks"),
         posexplode(slice(col("itoks"), lit(1), col("plen"))).as(Seq("pos", "tid")))
       .select(col("rid"), col("n"), col("itoks"), (col("pos") + 1).as("p"), col("tid"))
-    // Hot-token salting (`salt` > 1, opt-in): a prefix token with a huge
-    // postings list puts ALL its pairs in one join task (per-key work is
-    // quadratic in the postings). Salting chunks the join key: the left
-    // side sits in its own hash chunk, the right side replicates into every
-    // chunk, so a pair meets EXACTLY once (at the left row's chunk) and a
-    // hot token's pair work spreads over `salt` keys. Lossless —
-    // spec-tested salted vs unsalted. The cost of enabling it is one extra
-    // evaluation of the upstream pipeline (asymmetric sides defeat
-    // Catalyst's exchange reuse; measured ~1.8× on a skew-free corpus),
-    // which is why the DEFAULT stays the symmetric self-join — identical
-    // subplans on both sides share one exchange. Enable on corpora whose
-    // rare-token postings still run to the millions.
+    // Hot-token salting: a prefix token with a huge postings list puts ALL
+    // its pairs in one join task (per-key work is quadratic in the
+    // postings). Salting chunks the join key: the left side sits in its
+    // own hash chunk, the right side replicates into every chunk, so a
+    // pair meets EXACTLY once (at the left row's chunk) and a hot token's
+    // pair work spreads over `chunks` keys. Lossless — spec-tested salted
+    // vs unsalted. The cost is one extra evaluation of the upstream
+    // pipeline (asymmetric sides defeat Catalyst's exchange reuse;
+    // measured ~1.8× when EVERY token is salted on a skew-free corpus).
+    //
+    // The dial is therefore DATA-DRIVEN (`saltMinPostings` > 0, the
+    // default): only tokens whose document frequency — already computed
+    // for the vocabulary ranking — reaches the threshold are routed
+    // through the salted asymmetric join; everything else keeps the
+    // symmetric self-join whose identical subplans share one exchange.
+    // Skew-free corpora have no hot token, the broadcast hot-set probe
+    // (one tiny driver job against the already-checkpointed vocab) comes
+    // back empty, and the plan collapses to the pure symmetric join —
+    // zero regression. `saltMinPostings = 0` forces the legacy all-token
+    // salting (kept for the losslessness spec and for corpora known to be
+    // uniformly hot).
+    def aSide(p: DataFrame) = p.select(col("tid"), col("rid").as("rid_a"),
+      col("n").as("n_a"), col("p").as("p_a"), col("itoks").as("toks_a"))
+    def bSide(p: DataFrame) = p.select(col("tid"), col("rid").as("rid_b"),
+      col("n").as("n_b"), col("p").as("p_b"), col("itoks").as("toks_b"))
+    def saltedJoin(p: DataFrame, chunks: Int) = {
+      val leftPost = aSide(p)
+        .withColumn("salt", pmod(xxhash64(col("rid_a")), lit(chunks.toLong)).cast("int"))
+      val rightPost = bSide(p)
+        .withColumn("salt", explode(sequence(lit(0), lit(chunks - 1))))
+      leftPost.join(rightPost, Seq("tid", "salt")).drop("salt")
+    }
+    val autoChunks = math.max(salt, 8)
     val repBase =
-      if (salt == 1) {
-        prefixes
-          .select(col("tid"), col("rid").as("rid_a"), col("n").as("n_a"),
-            col("p").as("p_a"), col("itoks").as("toks_a"))
-          .join(prefixes
-            .select(col("tid"), col("rid").as("rid_b"), col("n").as("n_b"),
-              col("p").as("p_b"), col("itoks").as("toks_b")),
-            Seq("tid"))
+      if (saltMinPostings > 0) {
+        val hotTids = vocab.filter(col("df") >= saltMinPostings)
+          .select("tid").localCheckpoint()
+        if (hotTids.isEmpty) aSide(prefixes).join(bSide(prefixes), Seq("tid"))
+        else {
+          val cold = prefixes.join(broadcast(hotTids), Seq("tid"), "left_anti")
+          val hot = prefixes.join(broadcast(hotTids), Seq("tid"), "left_semi")
+          aSide(cold).join(bSide(cold), Seq("tid"))
+            .unionByName(saltedJoin(hot, autoChunks))
+        }
+      } else if (salt == 1) {
+        aSide(prefixes).join(bSide(prefixes), Seq("tid"))
       } else {
-        val leftPost = prefixes
-          .withColumn("salt", pmod(xxhash64(col("rid")), lit(salt.toLong)).cast("int"))
-          .select(col("tid"), col("salt"), col("rid").as("rid_a"), col("n").as("n_a"),
-            col("p").as("p_a"), col("itoks").as("toks_a"))
-        val rightPost = prefixes
-          .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
-          .select(col("tid"), col("salt"), col("rid").as("rid_b"), col("n").as("n_b"),
-            col("p").as("p_b"), col("itoks").as("toks_b"))
-        leftPost.join(rightPost, Seq("tid", "salt"))
+        saltedJoin(prefixes, salt)
       }
     val repPairs = repBase
       .filter(col("rid_a") < col("rid_b"))

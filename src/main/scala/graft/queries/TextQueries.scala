@@ -549,23 +549,47 @@ object TextQueries {
       WHERE dedup_key NOT IN (SELECT k FROM existing)
     """))
 
-  /** Incremental NEAR-dup admission ([[Dedup.incrementalNearDup]]): the
-    * incoming batch (doc_id % 3 == 0) probes the persisted MinHash bucket
-    * index of the rest of the corpus — existing docs are never
-    * re-signatured; their text is read only for probe candidates. LSH
-    * bucket keys are engine-specific hashes ⇒ rows-only; the admission
-    * contract is spec-tested in DedupSpec. */
+  /** Incremental NEAR-dup admission, EXACT
+    * ([[Dedup.incrementalNearDupExact]]): the incoming batch
+    * (doc_id % 3 == 0) probes the persisted prefix-token postings index of
+    * the rest of the corpus — existing docs are never re-tokenized; their
+    * sorted token arrays live in the index. The prefix candidate generator
+    * is LOSSLESS, so the admission decision equals brute force ("keep iff
+    * no existing doc and no lower-id batch doc with J ≥ 0.9") and the
+    * oracle is the plain all-pairs NOT EXISTS formulation. The LSH-bucket
+    * incremental variant ([[Dedup.incrementalNearDup]], engine-specific
+    * hashes ⇒ not SQL-expressible) stays the extreme-scale option,
+    * contract- and cap-tested in DedupSpec. */
   val q102IncrementalNearDup: Q = Q(
     "q102_incremental_neardup",
     (s, dir) => {
       val d = t(s, dir, "documents")
       val existing = d.filter(col("doc_id") % 3 =!= 0)
       val incoming = d.filter(col("doc_id") % 3 === 0)
-      Dedup.incrementalNearDup(incoming, existing,
-          Dedup.minhashBuckets(existing, "doc_id", "text"), "doc_id", "text")
+      val (postings, vocab) = Dedup.prefixIndex(existing, "doc_id", "text", 0.9)
+      Dedup.incrementalNearDupExact(incoming, postings, vocab,
+          "doc_id", "text", 0.9)
         .select(col("doc_id"), col("source"))
     },
-    None)
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(lower(trim(text)), ' ')) AS t
+        FROM documents
+      ), inc AS (SELECT * FROM toks WHERE doc_id % 3 = 0),
+         ex  AS (SELECT * FROM toks WHERE doc_id % 3 <> 0)
+      SELECT i.doc_id, i.source
+      FROM inc i
+      WHERE NOT EXISTS (
+          SELECT 1 FROM ex e
+          WHERE CAST(len(list_intersect(i.t, e.t)) AS DOUBLE)
+                / len(list_distinct(list_concat(i.t, e.t))) >= 0.9)
+        AND NOT EXISTS (
+          SELECT 1 FROM inc j
+          WHERE j.doc_id < i.doc_id
+            AND CAST(len(list_intersect(i.t, j.t)) AS DOUBLE)
+                / len(list_distinct(list_concat(i.t, j.t))) >= 0.9)
+    """))
 
   /** N-gram NOVELTY scoring: the share of each doc's distinct 3-grams that
     * appear in NO other document — the corpus-diversity / memorization-risk

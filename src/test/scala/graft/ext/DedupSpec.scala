@@ -63,11 +63,49 @@ class DedupSpec extends SparkSuite {
     for (t <- Seq(0.5, 0.8)) {
       val plain = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t)
         .as[(Long, Long, Double)].collect().toSet
-      // salt=8 exercises the chunked asymmetric join — must equal salt=1
-      val salted = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t, salt = 8)
+      // saltMinPostings=0 forces the legacy every-token chunked asymmetric
+      // join — must equal the symmetric plan
+      val salted = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t,
+          salt = 8, saltMinPostings = 0)
         .as[(Long, Long, Double)].collect().toSet
       assert(salted === plain, s"salted join must be lossless at t=$t")
+      // auto-dial with a tiny threshold: every token is "hot" on this
+      // corpus, the cold branch is empty — still lossless
+      val auto = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t,
+          saltMinPostings = 1)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(auto === plain, s"auto-salted join must be lossless at t=$t")
     }
+  }
+
+  test("auto-salt dial: skewed corpus splits hot tokens out, uniform corpus stays symmetric") {
+    // skewed: one boilerplate token in EVERY doc (df = n), the rest unique;
+    // at t=0.1 the shared token makes every pair qualify (J = 1/9 ≥ 0.1)
+    val skewed = (1L to 60L).map(i =>
+      (i, s"common tok${i}a tok${i}b tok${i}c tok${i}d")).toDF("doc_id", "text")
+    val plain = Dedup.prefixJaccardPairs(skewed, "doc_id", "text", 0.1,
+        saltMinPostings = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(plain.size === 60 * 59 / 2, "every pair must qualify via the hot token")
+    // dial set so ONLY the df=60 boilerplate token crosses it: the hot
+    // branch engages (mixed hot/cold plan) and stays lossless
+    val dialed = Dedup.prefixJaccardPairs(skewed, "doc_id", "text", 0.1,
+        saltMinPostings = 50)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(dialed === plain, "hot/cold split must be lossless")
+    // plan shape: the member expansion always carries ONE union
+    // (cross ∪ intra); the engaged hot branch adds a second
+    def nUnions(plan: String) = "Union".r.findAllIn(plan).length
+    val uniformPlan = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.8)
+      .queryExecution.optimizedPlan.toString
+    val skewedPlan = Dedup.prefixJaccardPairs(skewed, "doc_id", "text", 0.1,
+        saltMinPostings = 50)
+      .queryExecution.optimizedPlan.toString
+    assert(nUnions(skewedPlan) > nUnions(uniformPlan),
+      s"crossing the dial must engage the salted branch " +
+        s"(uniform=${nUnions(uniformPlan)}, skewed=${nUnions(skewedPlan)})")
+    assert(nUnions(uniformPlan) === 1,
+      "default dial on a skew-free corpus must keep the pure symmetric join")
   }
 
   test("dedupComponents == connected components over the expanded pair list") {
@@ -122,6 +160,56 @@ class DedupSpec extends SparkSuite {
     val kept = Dedup.incrementalNearDup(incoming, existing, index, "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept === Seq(12L, 14L))
+  }
+
+  test("incrementalNearDupExact: lossless — equals brute-force admission on testdata") {
+    import org.apache.spark.sql.DataFrame
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val existing = d.filter($"doc_id" % 3 =!= 0)
+    val incoming = d.filter($"doc_id" % 3 === 0)
+    val (postings, vocab) = Dedup.prefixIndex(existing, "doc_id", "text", 0.6)
+    val kept = Dedup.incrementalNearDupExact(incoming, postings, vocab,
+        "doc_id", "text", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    def toks(df: DataFrame) = df.select($"doc_id",
+      array_distinct(split(Dedup.normalized($"text"), " ")).as("t"))
+    val it = toks(incoming).cache(); val et = toks(existing)
+    val dupOld = it.as("i").join(et.as("e"),
+        Dedup.jaccard($"i.t", $"e.t") >= 0.6)
+      .select($"i.doc_id").as[Long].collect().toSet
+    val dupWithin = it.as("a").join(it.as("b"),
+        $"a.doc_id" < $"b.doc_id" && Dedup.jaccard($"a.t", $"b.t") >= 0.6)
+      .select($"b.doc_id").as[Long].collect().toSet
+    val expect = it.select($"doc_id").as[Long].collect().toSet -- dupOld -- dupWithin
+    assert(kept === expect, "prefix-filtered admission must equal all-pairs admission")
+    assert(kept.nonEmpty && kept.size < incoming.count(),
+      "testdata must exercise both admit and drop paths")
+  }
+
+  test("incrementalNearDup: degenerate-bucket cap bounds the probe on boilerplate") {
+    val mk = (n: Int, seed: String) =>
+      (0 until n).map(i => s"$seed token$i word$i item$i").mkString(" ")
+    // one boilerplate text repeated across the whole index -> every band
+    // bucket it occupies is a single giant bucket
+    val existing = (1L to 40L).map(i => (i, mk(12, "boiler")))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashBuckets(existing, "doc_id", "text")
+    val incoming = Seq(
+      (100L, mk(12, "boiler")),   // collides with the giant bucket
+      (101L, mk(12, "fresh"))     // fresh
+    ).toDF("doc_id", "text")
+    // cap smaller than the boilerplate bucket: the bucket is dropped, so
+    // the probe generates ZERO candidates from it (hard cost ceiling) and
+    // the boilerplate doc is admitted — the documented recall trade
+    val keptCapped = Dedup.incrementalNearDup(
+        incoming, existing, index, "doc_id", "text", maxBucketSize = 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptCapped === Seq(100L, 101L))
+    // cap above the bucket size: same result as before the cap existed
+    val keptLoose = Dedup.incrementalNearDup(
+        incoming, existing, index, "doc_id", "text", maxBucketSize = 500)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptLoose === Seq(101L))
   }
 
   test("hybridDedup: text-only and embedding-only dups both land in their original's component") {
