@@ -353,6 +353,43 @@ object Dedup {
     incoming.join(docDropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus near-dup MATCHES against a persisted [[prefixIndex]]:
+    * for each probe doc with at least one index set at Jaccard ≥
+    * `threshold`, the MAX such Jaccard (no-match docs are absent from the
+    * output). Same lossless prefix-filter candidate generation as
+    * [[incrementalNearDupExact]], but pure cross-matching — no
+    * within-probe pairing — which is the FUZZY DECONTAMINATION primitive:
+    * index the benchmark/eval suite (tiny), probe the training corpus
+    * (huge); candidates ∝ the benchmark's prefix postings, so corpus-
+    * internal near-dup density never inflates the cost. */
+  def prefixNearDupMatches(
+      probe: DataFrame, postings: DataFrame, vocab: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val alpha = threshold / (1.0 + threshold)
+    val clusters = probe.select(col(idCol).as("id"),
+        array_sort(array_distinct(split(normalized(col(textCol)), " "))).as("stoks"))
+      .groupBy(col("stoks")).agg(collect_list(col("id")).as("members"))
+      .withColumn("rid", array_min(col("members")))
+      .localCheckpoint(eager = false)
+    val inPost = orderedPrefixPostings(
+      clusters.select(col("rid"), col("stoks")), "rid", vocab, threshold)
+    val repMatch = inPost
+      .select(col("tid"), col("rid"), col("p").as("p_a"), col("n").as("n_a"),
+        col("itoks").as("toks_a"))
+      .join(postings.select(col("tid"), col("p").as("p_b"),
+        col("n").as("n_b"), col("itoks").as("toks_b")), Seq("tid"))
+      .filter(col("n_a") >= col("n_b") * threshold && col("n_b") >= col("n_a") * threshold)
+      .filter(lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) >=
+        lit(alpha) * (col("n_a") + col("n_b")) - lit(1e-9))
+      .select(col("rid"), graft.functions.SortedJaccard.sortedJaccard(
+        col("toks_a"), col("toks_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("rid")).agg(max(col("jaccard")).as("max_jaccard"))
+    clusters.select(col("rid"), explode(col("members")).as("id"))
+      .join(repMatch, Seq("rid"))
+      .select(col("id"), col("max_jaccard"))
+  }
+
   /** EXACT near-dup pairs via prefix filtering (PPJoin-lite) — the
     * scale-safe exact path. Lossless: returns exactly the pairs an all-pairs
     * scan with `jaccard >= threshold` would, with NO quadratic stage.

@@ -51,6 +51,45 @@ object CorpusQueries {
       HAVING CAST(COUNT(*) AS DOUBLE) / n_ngrams >= 0.2
     """))
 
+  /** FUZZY decontamination ([[graft.ext.Dedup.prefixNearDupMatches]]):
+    * whole-document near-match against the benchmark set (doc_id % 97 = 0
+    * stands in for the eval suite) at token-set Jaccard ≥ 0.8 — catches
+    * lightly edited/reformatted test leakage that q65's n-gram overlap
+    * rate misses the shape of. Scale shape: the BENCHMARK is indexed
+    * ([[graft.ext.Dedup.prefixIndex]], tiny) and the corpus probes it, so
+    * candidates ∝ the benchmark's prefix postings — corpus-internal
+    * near-dup density never inflates the cost. The prefix candidate
+    * generator is lossless ⇒ the oracle is the plain all-pairs MAX
+    * formulation. */
+  val q116FuzzyDecontam: Q = Q(
+    "q116_fuzzy_decontam",
+    (s, dir) => {
+      import graft.ext.Dedup
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 97 === 0)
+      val corpus = d.filter(col("doc_id") % 97 =!= 0)
+      val (postings, vocab) = Dedup.prefixIndex(bench, "doc_id", "text", 0.8)
+      Dedup.prefixNearDupMatches(corpus, postings, vocab, "doc_id", "text", 0.8)
+        .withColumnRenamed("id", "doc_id")
+        .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("max_jaccard"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(lower(trim(text)), ' ')) AS t
+        FROM documents
+      ), bench AS (SELECT * FROM toks WHERE doc_id % 97 = 0),
+         corp  AS (SELECT * FROM toks WHERE doc_id % 97 <> 0)
+      SELECT c.doc_id, c.source,
+        MAX(CAST(len(list_intersect(c.t, b.t)) AS DOUBLE)
+            / len(list_distinct(list_concat(c.t, b.t)))) AS max_jaccard
+      FROM corp c JOIN bench b
+        ON CAST(len(list_intersect(c.t, b.t)) AS DOUBLE)
+           / len(list_distinct(list_concat(c.t, b.t))) >= 0.8
+      GROUP BY c.doc_id, c.source
+    """))
+
   /** Concat-and-chunk sequence packing at a 512-token budget: every doc's
     * starting sequence id + offset within its source stream. One window
     * shuffle keyed on the stream. */
@@ -400,5 +439,5 @@ object CorpusQueries {
   val all: Seq[Q] = Seq(
     q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample,
     q70QualityFilter, q76ChunkDocuments, q89QualityCutoff, q91ClassSample,
-    q97SourceOverlap, q101TemperatureMix)
+    q97SourceOverlap, q101TemperatureMix, q116FuzzyDecontam)
 }

@@ -186,6 +186,25 @@ class DedupSpec extends SparkSuite {
       "testdata must exercise both admit and drop paths")
   }
 
+  test("prefixNearDupMatches: lossless cross-match — equals brute-force max-Jaccard") {
+    import org.apache.spark.sql.DataFrame
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = d.filter($"doc_id" % 97 === 0)
+    val corpus = d.filter($"doc_id" % 97 =!= 0)
+    val (postings, vocab) = Dedup.prefixIndex(bench, "doc_id", "text", 0.8)
+    val got = Dedup.prefixNearDupMatches(corpus, postings, vocab, "doc_id", "text", 0.8)
+      .as[(Long, Double)].collect().toMap
+    def toks(df: DataFrame) = df.select($"doc_id",
+      array_distinct(split(Dedup.normalized($"text"), " ")).as("t"))
+    val expect = toks(corpus).as("c").join(toks(bench).as("b"),
+        Dedup.jaccard($"c.t", $"b.t") >= 0.8)
+      .select($"c.doc_id", Dedup.jaccard($"c.t", $"b.t").as("j"))
+      .groupBy("doc_id").agg(max($"j").as("mj"))
+      .as[(Long, Double)].collect().toMap
+    assert(got === expect, "prefix cross-match must equal brute-force max-Jaccard")
+    assert(got.nonEmpty, "testdata must contain fuzzy benchmark leakage")
+  }
+
   test("incrementalNearDup: degenerate-bucket cap bounds the probe on boilerplate") {
     val mk = (n: Int, seed: String) =>
       (0 until n).map(i => s"$seed token$i word$i item$i").mkString(" ")
