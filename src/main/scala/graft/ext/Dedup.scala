@@ -353,6 +353,45 @@ object Dedup {
     incoming.join(docDropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** EXTEND a [[prefixIndex]] with an ADMITTED batch — the per-increment
+    * index maintenance step of a growing corpus, O(batch), never touching
+    * existing entries:
+    *
+    *  - batch-only tokens are APPENDED to the vocabulary with tids above
+    *    the current max (ranked by token among themselves). Appending at
+    *    the END of the total order keeps every existing postings row
+    *    valid: old sets contain no new tokens and the relative order of
+    *    old tokens is unchanged, so their stored prefixes are unchanged
+    *    under the extended order — no re-indexing.
+    *  - the admitted docs' UNIQUE sets are indexed under the extended
+    *    vocab and unioned in.
+    *
+    * Drift note: appended tokens rank after all existing tokens regardless
+    * of their eventual frequency, so prefix selectivity decays as the
+    * corpus grows far beyond the originally indexed base — rebuild the
+    * index periodically (a full [[prefixIndex]] pass) to restore
+    * rarest-first pruning; admission correctness is unaffected either way
+    * (the order only steers pruning, never the verified decision). */
+  def extendPrefixIndex(
+      admitted: DataFrame, postings: DataFrame, vocab: DataFrame,
+      idCol: String, textCol: String, threshold: Double): (DataFrame, DataFrame) = {
+    val sets = admitted.select(
+        array_sort(array_distinct(split(normalized(col(textCol)), " "))).as("stoks"))
+      .groupBy(col("stoks")).agg(count(lit(1)).as("cnt"))
+      .select(col("stoks"), monotonically_increasing_id().as("sid"))
+      .localCheckpoint(eager = false)
+    val maxTid = vocab.agg(coalesce(max(col("tid")), lit(0L))).head.getLong(0)
+    val newVocab = distributedDenseRank(
+        sets.select(explode(col("stoks")).as("tok")).distinct()
+          .join(vocab.select("tok"), Seq("tok"), "left_anti")
+          .localCheckpoint(eager = false),
+        Seq(col("tok")), "nrank")
+      .select(col("tok"), (col("nrank") + maxTid).as("tid"))
+    val vocabExt = vocab.unionByName(newVocab)
+    val newPostings = orderedPrefixPostings(sets, "sid", vocabExt, threshold).drop("sid")
+    (postings.unionByName(newPostings), vocabExt)
+  }
+
   /** Cross-corpus near-dup MATCHES against a persisted [[prefixIndex]]:
     * for each probe doc with at least one index set at Jaccard ≥
     * `threshold`, the MAX such Jaccard (no-match docs are absent from the

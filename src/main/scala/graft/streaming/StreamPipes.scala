@@ -116,4 +116,57 @@ object StreamPipes {
         expr(s"$key = $rightKey AND " +
           s"$rightTime BETWEEN $leftTime - interval $lookback AND $leftTime"),
         joinType)
+
+  /** STREAMING corpus ingestion with EXACT near-dup admission — the
+    * incremental dedup flow ([[graft.ext.Dedup.incrementalNearDupExact]] +
+    * [[graft.ext.Dedup.extendPrefixIndex]]) as a foreachBatch pipeline.
+    * Every micro-batch is admitted against the corpus ingested so far via
+    * the PERSISTED prefix index (never re-reading earlier corpus text),
+    * appended under `corpus/batch=<id>`, and the index is extended and
+    * written as versioned snapshots (`postings_v<id>` / `vocab_v<id>`).
+    *
+    * Replay idempotency: a replayed micro-batch re-reads the index as of
+    * the LATEST VERSION STRICTLY BELOW its own batch id — the failed
+    * attempt's partial writes are invisible to the decision — and every
+    * write is a per-batch-directory overwrite, so re-running batch N
+    * rewrites exactly batch N's outputs. `vocab_v<id>` is written last and
+    * acts as the version's commit marker (a production deployment would
+    * route both tables through [[graft.sources.VersionedTable]] COW
+    * commits instead; old snapshots are that deployment's vacuum
+    * concern). */
+  def dedupIngest(
+      docs: DataFrame, basePath: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.9): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ext.Dedup
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def vp(v: Long) = s"$basePath/vocab_v$v"
+        def pp(v: Long) = s"$basePath/postings_v$v"
+        val committed = {
+          val base = new org.apache.hadoop.fs.Path(basePath)
+          if (!fs.exists(base)) Seq.empty[Long]
+          else fs.listStatus(base).toSeq.map(_.getPath.getName)
+            .collect { case n if n.startsWith("vocab_v") => n.stripPrefix("vocab_v").toLong }
+        }
+        val (postings, vocab) = committed.filter(_ < batchId).sorted.lastOption match {
+          case Some(v) => (spark.read.parquet(pp(v)), spark.read.parquet(vp(v)))
+          case None    => Dedup.prefixIndex(batch.limit(0), idCol, textCol, threshold)
+        }
+        val kept = Dedup.incrementalNearDupExact(
+          batch, postings, vocab, idCol, textCol, threshold).localCheckpoint()
+        kept.write.mode("overwrite").parquet(s"$basePath/corpus/batch=$batchId")
+        val (p2, v2) = Dedup.extendPrefixIndex(
+          kept, postings, vocab, idCol, textCol, threshold)
+        p2.write.mode("overwrite").parquet(pp(batchId))
+        v2.write.mode("overwrite").parquet(vp(batchId)) // commit marker, last
+        ()
+      }
+      .start()
 }

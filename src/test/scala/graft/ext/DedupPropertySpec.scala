@@ -65,4 +65,47 @@ class DedupPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("property: exact incremental admission equals brute force; extend == rebuild") {
+    import org.apache.spark.sql.DataFrame
+    def toks(df: DataFrame) = df.select($"doc_id",
+      array_distinct(split(Dedup.normalized($"text"), " ")).as("t"))
+    samples(corpusGen, 6).zipWithIndex.foreach { case (texts, i) =>
+      val docs = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+      val existing = docs.filter(_._1 % 3 != 0).toDF("doc_id", "text")
+      val incoming = docs.filter(_._1 % 3 == 0).toDF("doc_id", "text")
+      for (t <- Seq(0.5, 0.8)) {
+        val (postings, vocab) = Dedup.prefixIndex(existing, "doc_id", "text", t)
+        val kept = Dedup.incrementalNearDupExact(
+            incoming, postings, vocab, "doc_id", "text", t)
+          .select("doc_id").as[Long].collect().toSet
+        val dupOld = toks(incoming).as("i").join(toks(existing).as("e"),
+            Dedup.jaccard($"i.t", $"e.t") >= t)
+          .select($"i.doc_id").as[Long].collect().toSet
+        val dupWithin = toks(incoming).as("a").join(toks(incoming).as("b"),
+            $"a.doc_id" < $"b.doc_id" && Dedup.jaccard($"a.t", $"b.t") >= t)
+          .select($"b.doc_id").as[Long].collect().toSet
+        val expect = incoming.select($"doc_id").as[Long].collect().toSet --
+          dupOld -- dupWithin
+        assert(kept === expect, s"corpus seed ${i + 1}, threshold $t")
+        // maintenance: extending the index with the admitted batch must
+        // admit a fresh probe identically to rebuilding it from scratch
+        val keptDf = incoming.filter($"doc_id".isin(kept.toSeq: _*))
+        val (p2, v2) = Dedup.extendPrefixIndex(
+          keptDf, postings, vocab, "doc_id", "text", t)
+        val probe = incoming.select($"doc_id" + 1000, $"text")
+          .toDF("doc_id", "text")
+        val extKept = Dedup.incrementalNearDupExact(
+            probe, p2, v2, "doc_id", "text", t)
+          .select("doc_id").as[Long].collect().toSet
+        val (fp, fv) = Dedup.prefixIndex(
+          existing.unionByName(keptDf), "doc_id", "text", t)
+        val freshKept = Dedup.incrementalNearDupExact(
+            probe, fp, fv, "doc_id", "text", t)
+          .select("doc_id").as[Long].collect().toSet
+        assert(extKept === freshKept,
+          s"extend/rebuild divergence: corpus seed ${i + 1}, threshold $t")
+      }
+    }
+  }
 }

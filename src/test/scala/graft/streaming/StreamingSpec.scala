@@ -171,6 +171,55 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup ingest: cross-batch near-dup admission via the persisted index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmp() + "/dedup-ingest"
+    val ck = tmp() + "/dedup-ingest-ck"
+    // seed baked into every token: different seeds share NOTHING at the
+    // token level (the exact path's similarity space), unlike the LSH
+    // tests' corpora whose seeds share all non-seed tokens
+    def mk(n: Int, seed: String) =
+      (0 until n).map(i => s"${seed}tok$i ${seed}word$i ${seed}item$i").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    // batch 0: two fresh docs + one within-batch exact dup
+    mem.addData((1L, mk(12, "alpha")), (2L, mk(12, "beta")), (3L, mk(12, "alpha")))
+    val q1 = StreamPipes.dedupIngest(docs, base, ck)
+    q1.awaitTermination()
+    // batch 1: near-dup of batch-0 doc (cross-batch, via the index), a
+    // fresh doc, and an exact dup of the fresh doc
+    mem.addData((10L, mk(12, "alpha") + " extratok"), (11L, mk(12, "gamma")),
+      (12L, mk(12, "gamma")))
+    val q2 = StreamPipes.dedupIngest(docs, base, ck)
+    q2.awaitTermination()
+    val corpus = spark.read.parquet(s"$base/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(corpus === Seq(1L, 2L, 11L),
+      "batch-0 keeps 1,2 (3 = within-batch dup); batch-1 keeps only 11 " +
+        "(10 = cross-batch near-dup of 1 caught through the persisted index, 12 = dup of 11)")
+    // the index snapshots exist per committed batch, vocab marker last
+    assert(spark.read.parquet(s"$base/vocab_v1").count() >
+      spark.read.parquet(s"$base/vocab_v0").count(),
+      "batch 1's fresh tokens must extend the vocabulary")
+    // extended-index admission == fresh-rebuild admission (order only
+    // steers pruning, never the decision): re-admit a probe batch against
+    // both and compare
+    import graft.ext.Dedup
+    val probe = Seq((20L, mk(12, "gamma") + " moretok"), (21L, mk(12, "delta")))
+      .toDF("doc_id", "text")
+    val extKept = Dedup.incrementalNearDupExact(probe,
+        spark.read.parquet(s"$base/postings_v1"), spark.read.parquet(s"$base/vocab_v1"),
+        "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val fresh = Seq((1L, mk(12, "alpha")), (2L, mk(12, "beta")), (11L, mk(12, "gamma")))
+      .toDF("doc_id", "text")
+    val (fp, fv) = Dedup.prefixIndex(fresh, "doc_id", "text", 0.9)
+    val freshKept = Dedup.incrementalNearDupExact(probe, fp, fv, "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(extKept === freshKept && extKept === Seq(21L),
+      "extended and rebuilt indexes must admit identically (20 is a near-dup of 11)")
+  }
+
   test("versioned table: commit/read/time-travel/vacuum") {
     val base = tmp() + "/vt"
     val df1 = Seq((1, "a"), (2, "b")).toDF("k", "v")
