@@ -265,6 +265,78 @@ object Similarity {
     assigned
   }
 
+  /** PRODUCT-QUANTIZATION codebooks: slice every vector into `m`
+    * contiguous subvectors and train one deterministic Lloyd codebook per
+    * subspace (init = the first `ksub` ids' slices, the q92 protocol;
+    * `iters = 1` keeps the seed slices as the codebook — the
+    * oracle-friendly untrained mode). Output (subspace, cid, cvec), m·ksub
+    * rows — broadcastable at any corpus size. */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int): DataFrame = {
+    val d = org.apache.spark.sql.functions.size(col("vec"))
+    (0 until m).map { s =>
+      val sub = corpus.select(col("id"),
+        slice(col("vec"), d / m * s + 1, d / m).as("vec"))
+      val init = sub.filter(col("id") < ksub)
+        .select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
+      val book =
+        if (iters <= 1) init
+        else kmeansUpdate(kmeansLloyd(sub, init, iters - 1))
+          .select(col("cid").cast("int").as("cid"), col("cvec"))
+      book.select(lit(s).as("subspace"), col("cid"), col("cvec"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** PQ encoding: each vector becomes `m` small codes — per subspace, the
+    * id of its nearest codebook centroid (squared-L2, lowest-cid
+    * tiebreak). One broadcast-codebook corpus scan + a per-id regroup;
+    * the encoded corpus is m ints per vector (for 64-dim floats at m=4
+    * that is a 16× storage/bandwidth cut — the reason PQ is the standard
+    * billion-vector ANN representation). Output (id, codes array<int>). */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    val d = org.apache.spark.sql.functions.size(col("vec"))
+    val parts = corpus.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("vec"), d / m * s + 1, d / m))).as(Seq("subspace", "sub")))
+    parts.join(broadcast(codebooks), Seq("subspace"))
+      .withColumn("d2", sqDist(col("sub"), col("cvec")))
+      .groupBy(col("id"), col("subspace"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        x => x.getField("code")).as("codes"))
+  }
+
+  /** PQ approximate top-k via ASYMMETRIC DISTANCE COMPUTATION: the query
+    * precomputes its distance to every codebook centroid (m·ksub rows —
+    * the ADC lookup table), and a candidate's approximate distance is the
+    * SUM of table lookups selected by its codes. The corpus side touches
+    * only the encoded table (m ints/vector, never the raw vectors): one
+    * broadcast join on (subspace, code) + a per-(query, id) sum + the
+    * shared top-k window. Deterministic (IEEE sums, id tiebreak) ⇒
+    * oracle-checkable, unlike bucketed ANN. Output (qid, rank, id, adc). */
+  def pqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      m: Int, k: Int): DataFrame = {
+    val d = org.apache.spark.sql.functions.size(col("qvec"))
+    val qparts = queries.select(col("qid"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("qvec"), d / m * s + 1, d / m))).as(Seq("subspace", "qsub")))
+    val dtable = qparts.join(codebooks, Seq("subspace"))
+      .select(col("qid"), col("subspace"), col("cid").as("code"),
+        sqDist(col("qsub"), col("cvec")).as("d2"))
+    val scored = codes
+      .select(col("id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(dtable), Seq("subspace", "code"))
+      .groupBy(col("qid"), col("id"))
+      // decimal-exact sum of per-subspace distances (m rounded terms) so
+      // partial-agg order can never flip a rank against the serial oracle
+      .agg(sum(round(col("d2"), 6).cast(
+        org.apache.spark.sql.types.DecimalType(28, 8))).cast("double").as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), round(col("adc"), 4).as("adc_r"))
+  }
+
   /** Approximate top-k: candidates share a hyperplane-signature bucket with
     * the query; exact cosine ranks within candidates. One corpus scan to
     * bucket, one bucket-keyed join — no cross join at any scale. */

@@ -298,7 +298,65 @@ object EmbedQueries {
       FROM a1 GROUP BY cid
     """))
 
+  /** PRODUCT QUANTIZATION encode + ADC top-k
+    * ([[Similarity.pqCodebooks]]/[[Similarity.pqEncode]]/
+    * [[Similarity.pqTopK]]): vectors sliced into 4 subspaces, coded
+    * against 16-entry seed codebooks (the q92 init protocol; training via
+    * per-subspace Lloyd is spec-covered — seed mode keeps the oracle one
+    * argmin instead of a re-derived k-means), then 5 queries ranked by
+    * asymmetric distance — table lookups over the 4-int codes, never the
+    * raw corpus vectors. Deterministic end-to-end (argmin id tiebreaks,
+    * decimal-exact ADC sums) ⇒ full oracle, unlike bucketed ANN. */
+  val q117PqAdcTopK: Q = Q(
+    "q117_pq_adc_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val books = Similarity.pqCodebooks(corpus, m = 4, ksub = 16, iters = 1)
+      val codes = Similarity.pqEncode(corpus, books, m = 4)
+      val queries = corpus.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      Similarity.pqTopK(codes, books, queries, m = 4, k = 10)
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      subs AS (SELECT unnest(generate_series(0, 3)) AS subspace),
+      books AS (
+        SELECT s.subspace, CAST(c.id AS INT) AS cid,
+          list_slice(c.vec, s.subspace*16+1, s.subspace*16+16) AS cvec
+        FROM corpus c CROSS JOIN subs s WHERE c.id < 16),
+      parts AS (
+        SELECT c.id, s.subspace,
+          list_slice(c.vec, s.subspace*16+1, s.subspace*16+16) AS sub
+        FROM corpus c CROSS JOIN subs s),
+      enc AS (
+        SELECT id, subspace, cid AS code FROM (
+          SELECT p.id, p.subspace, b.cid,
+            ROW_NUMBER() OVER (PARTITION BY p.id, p.subspace ORDER BY
+              list_dot_product(p.sub, p.sub) - 2*list_dot_product(p.sub, b.cvec)
+                + list_dot_product(b.cvec, b.cvec), b.cid) AS rn
+          FROM parts p JOIN books b USING (subspace))
+        WHERE rn = 1),
+      dtable AS (
+        SELECT p.id AS qid, p.subspace, b.cid AS code,
+          list_dot_product(p.sub, p.sub) - 2*list_dot_product(p.sub, b.cvec)
+            + list_dot_product(b.cvec, b.cvec) AS d2
+        FROM parts p JOIN books b USING (subspace) WHERE p.id < 5),
+      scored AS (
+        SELECT d.qid, e.id,
+          CAST(SUM(CAST(round(d.d2, 6) AS DECIMAL(28,8))) AS DOUBLE) AS adc
+        FROM enc e JOIN dtable d ON e.subspace = d.subspace AND e.code = d.code
+        GROUP BY d.qid, e.id)
+      SELECT qid, rank, id, round(adc, 4) AS adc_r FROM (
+        SELECT qid, id, adc,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS BIGINT) AS rank
+        FROM scored)
+      WHERE rank <= 10
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
-    q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans)
+    q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK)
 }

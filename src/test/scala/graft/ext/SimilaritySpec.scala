@@ -219,4 +219,49 @@ class SimilaritySpec extends SparkSuite {
     val k = passes.last.select($"cluster").distinct().count()
     assert(k <= 6 && k >= 2, s"degenerate clustering: $k clusters")
   }
+
+  test("PQ: codes are m small ints, training tightens quantization, ADC beats random") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("vec"))
+    val m = 4
+    val seedBooks = Similarity.pqCodebooks(corpus, m, ksub = 16, iters = 1)
+    val trainedBooks = Similarity.pqCodebooks(corpus, m, ksub = 16, iters = 3)
+    assert(seedBooks.count() === 4 * 16 && trainedBooks.count() === 4 * 16)
+    val codes = Similarity.pqEncode(corpus, seedBooks, m)
+    assert(codes.count() === corpus.count())
+    assert(codes.filter(size($"codes") =!= m).count() === 0)
+    // quantization error = sum over subspaces of d2(sub, assigned centroid);
+    // Lloyd-trained codebooks must not be worse than the raw seed slices
+    def qerr(books: org.apache.spark.sql.DataFrame): Double = {
+      val parts = corpus.select($"id",
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice($"vec", size($"vec") / m * s + 1, size($"vec") / m)))
+          .as(Seq("subspace", "sub")))
+      parts.join(books, Seq("subspace"))
+        .withColumn("d2", Similarity.sqDist($"sub", $"cvec"))
+        .groupBy($"id", $"subspace").agg(min($"d2").as("d2"))
+        .agg(sum($"d2")).head.getDouble(0)
+    }
+    val (se, te) = (qerr(seedBooks), qerr(trainedBooks))
+    assert(te <= se + 1e-9, s"training must tighten quantization: seed=$se trained=$te")
+    // ADC ranking must recover far more of the exact L2 top-k than chance:
+    // the corpus is near-orthogonal random vectors, so this is the hard case
+    val queries = corpus.filter($"id" < 3).select($"id".as("qid"), $"vec".as("qvec"))
+    val approx = Similarity.pqTopK(codes, seedBooks, queries, m, k = 20)
+      .select($"qid", $"id").as[(Long, Long)].collect().groupBy(_._1)
+    val exact = corpus.as("c").crossJoin(queries)
+      .withColumn("d2", Similarity.sqDist($"vec", $"qvec"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"d2", $"id")))
+      .filter($"rank" <= 20).select($"qid", $"id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val n = corpus.count().toDouble
+    approx.foreach { case (qid, hits) =>
+      val overlap = hits.map(_._2).toSet.intersect(exact(qid).map(_._2).toSet).size
+      // random 20-of-n overlap expectation is 20*20/n (< 1 here)
+      assert(overlap >= 5, s"qid=$qid ADC recall@20 = $overlap/20 (chance ≈ ${400 / n})")
+    }
+  }
 }
