@@ -171,4 +171,22 @@ class PlanSpec extends SparkSuite {
       && spark.read.parquet(in).exceptAll(spark.read.parquet(out)).isEmpty,
       "compaction must not change the data")
   }
+
+  test("q117 PQ: codebooks and ADC tables broadcast, no cartesian product") {
+    val p = plan(QueryCatalog.queries("q117_pq_adc_topk")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"PQ path must never go all-pairs:\n$p")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length +
+      "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2,
+      s"codebook join (encode) and ADC-table join (search) must broadcast, got $broadcasts")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "all PQ joins are equi-joins — nested-loop means a key went missing")
+  }
+
+  test("q116 fuzzy decontamination: keyed joins only, no cartesian product") {
+    val p = plan(QueryCatalog.queries("q116_fuzzy_decontam")(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"benchmark probe must be a token-keyed join, never all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no non-equi join in the probe path")
+  }
 }
