@@ -356,7 +356,60 @@ object EmbedQueries {
       WHERE rank <= 10
     """))
 
+  /** CLUSTER-BALANCED sampling: nearest-centroid assignment
+    * ([[Similarity.kmeansAssign]], the q92 protocol) + exactly-k-per-cluster
+    * selection by the engine-portable Knuth multiplicative hash (the
+    * q69/q91 recipe) — the semantic-diversity curation step (equal
+    * representation per embedding cluster, not per metadata class).
+    * Deterministic end-to-end ⇒ full oracle. Scale: one broadcast-centroid
+    * scan + a WindowGroupLimit top-k per cluster (≤k rows move per input
+    * partition — never a per-cluster sort of the corpus). */
+  val q118ClusterBalancedSample: Q = Q(
+    "q118_cluster_balanced_sample",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val init = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      val h = pmod(pmod(col("id"), lit(1000003L)) * lit(2654435761L),
+        lit(1000000007L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(h, col("id"))
+      Similarity.kmeansAssign(corpus, init)
+        .select(col("id"), col("cluster"), h.as("h"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("cluster"), col("rk"), col("id").as("vec_id"), col("h"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      d0 AS (
+        SELECT c.id, k.cid,
+          list_dot_product(c.vec, c.vec) - 2 * list_dot_product(c.vec, k.cvec)
+            + list_dot_product(k.cvec, k.cvec) AS d2
+        FROM corpus c CROSS JOIN cents k),
+      a0 AS (
+        SELECT id, cid AS cluster FROM (
+          SELECT id, cid,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+          FROM d0) WHERE rn = 1)
+      SELECT cluster, rk, id AS vec_id, h FROM (
+        SELECT cluster, id, (id % 1000003) * 2654435761 % 1000000007 AS h,
+          CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+            ORDER BY (id % 1000003) * 2654435761 % 1000000007, id)
+            AS BIGINT) AS rk
+        FROM a0)
+      WHERE rk <= 10
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
-    q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK)
+    q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
+    q118ClusterBalancedSample)
 }
