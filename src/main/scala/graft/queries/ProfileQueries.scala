@@ -148,5 +148,28 @@ object ProfileQueries {
       FROM counts, tot
     """))
 
-  val all: Seq[Q] = Seq(q86Profile, q100PsiDrift)
+  /** SCALE TWIN of q86 (the q38/q115 pairing applied to profiling): exact
+    * multi-column countDistinct plans an Expand (one duplicated input row
+    * per distinct-column) — at 100 TB that multiplies the shuffle by the
+    * column count. The twin profiles with approx_count_distinct: one
+    * HLL++ sketch per column, merged map-side, single pass, no Expand.
+    * Rows-only (sketch estimates aren't SQL-portable); QueryCatalogSpec
+    * pins each estimate within 5% of q86's exact counts. */
+  val q119ApproxProfile: Q = Q(
+    "q119_approx_profile",
+    (s, dir) =>
+      t(s, dir, "documents").agg(
+          count(lit(1)).as("n_rows"),
+          approx_count_distinct(col("doc_id")).as("doc_id_nd"),
+          approx_count_distinct(col("n_chars")).as("n_chars_nd"),
+          approx_count_distinct(col("lang")).as("lang_nd"),
+          approx_count_distinct(col("source")).as("source_nd"))
+        .select(expr("""stack(4,
+            'doc_id',  n_rows, doc_id_nd,
+            'n_chars', n_rows, n_chars_nd,
+            'lang',    n_rows, lang_nd,
+            'source',  n_rows, source_nd) AS (col_name, n_rows, approx_nd)""")),
+    None)
+
+  val all: Seq[Q] = Seq(q86Profile, q100PsiDrift, q119ApproxProfile)
 }

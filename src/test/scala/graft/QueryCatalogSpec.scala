@@ -72,6 +72,18 @@ class QueryCatalogSpec extends SparkSuite {
     }
   }
 
+  test("q119 approx profile tracks q86 exact distinct counts within 5%") {
+    val exact = QueryCatalog.queries("q86_profile")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    val approx = QueryCatalog.queries("q119_approx_profile")(spark, dir).collect()
+    assert(approx.length === 4)
+    approx.foreach { r =>
+      val (c, a) = (r.getString(0), r.getAs[Long]("approx_nd"))
+      val e = exact(c)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$c: approx=$a exact=$e")
+    }
+  }
+
   test("q114 fraud scoring: prediction is the 0.5-probability threshold") {
     val rows = QueryCatalog.queries("q114_fraud_scoring")(spark, dir).collect()
     assert(rows.nonEmpty)
