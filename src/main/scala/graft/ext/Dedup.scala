@@ -447,6 +447,18 @@ object Dedup {
     * survives a 100× scale-up.
     *
     * Output: (id_a, id_b, jaccard), id_a < id_b, global (no block column).
+    *
+    * Skew dial: `saltMinPostings` > 0 (the default, 64k) routes only
+    * tokens whose document frequency reaches it through the salted
+    * asymmetric join with `max(salt, 8)` chunks; all other tokens keep the
+    * symmetric self-join. `saltMinPostings = 0` disables the probe —
+    * with `salt = 1` that is the fully symmetric legacy plan, with
+    * `salt > 1` the legacy force-salt-every-token mode (use it for skew
+    * below the dial, e.g. uniform 10k-posting tokens). NOTE: when the
+    * probe is enabled, plan CONSTRUCTION runs one job to materialize the
+    * vocabulary aggregate (shared with the main plan via its lazy
+    * checkpoint, so no duplicated work at execution) — callers that only
+    * want to inspect the plan should pass `saltMinPostings = 0`.
     */
   def prefixJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -595,12 +607,14 @@ object Dedup {
     // for the vocabulary ranking — reaches the threshold are routed
     // through the salted asymmetric join; everything else keeps the
     // symmetric self-join whose identical subplans share one exchange.
-    // Skew-free corpora have no hot token, the broadcast hot-set probe
-    // (one tiny driver job against the already-checkpointed vocab) comes
-    // back empty, and the plan collapses to the pure symmetric join —
-    // zero regression. `saltMinPostings = 0` forces the legacy all-token
-    // salting (kept for the losslessness spec and for corpora known to be
-    // uniformly hot).
+    // Skew-free corpora have no hot token, the hot-set probe comes back
+    // empty, and the plan collapses to the pure symmetric join — zero
+    // execution regression. The probe itself is a plan-construction-time
+    // action: it triggers the vocab aggregate's lazy checkpoint (whose
+    // blocks the main plan then reuses — the work is moved earlier, not
+    // duplicated). `saltMinPostings = 0` skips the probe entirely: the
+    // legacy all-token salting with `salt > 1` (kept for the losslessness
+    // spec and for skew below the dial), fully lazy with `salt = 1`.
     def aSide(p: DataFrame) = p.select(col("tid"), col("rid").as("rid_a"),
       col("n").as("n_a"), col("p").as("p_a"), col("itoks").as("toks_a"))
     def bSide(p: DataFrame) = p.select(col("tid"), col("rid").as("rid_b"),

@@ -120,7 +120,14 @@ object Multimodal {
         while (i < dim) { out(i) /= n; i += 1 }
         Some(out)
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NOT just IOException: the JDK readers throw RuntimeExceptions
+      // (IllegalArgument / ArrayIndexOutOfBounds / NegativeArraySize) on
+      // payloads with a valid signature but corrupted body — any of them
+      // escaping would kill the partition task, the exact outcome this
+      // None contract exists to prevent
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Codec dispatch: real ImageIO decode for images (stub fallback only if

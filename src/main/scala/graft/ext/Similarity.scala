@@ -271,11 +271,22 @@ object Similarity {
     * `iters = 1` keeps the seed slices as the codebook — the
     * oracle-friendly untrained mode). Output (subspace, cid, cvec), m·ksub
     * rows — broadcastable at any corpus size. */
+  /** Subspace slice bounds: base width ⌊d/m⌋ with the LAST subspace taking
+    * the remainder — every dimension lands in exactly one subspace for any
+    * d, instead of silently dropping the trailing d % m dims. Query and
+    * corpus sides agree because both derive bounds from their own array's
+    * size with the same formula (PQ requires equal dims anyway). */
+  private def pqSlice(vec: Column, m: Int, s: Column): Column = {
+    val base = floor(org.apache.spark.sql.functions.size(vec) / m).cast("int")
+    slice(vec, s * base + 1,
+      when(s === m - 1, org.apache.spark.sql.functions.size(vec) - base * (m - 1))
+        .otherwise(base))
+  }
+
   def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int): DataFrame = {
-    val d = org.apache.spark.sql.functions.size(col("vec"))
     (0 until m).map { s =>
       val sub = corpus.select(col("id"),
-        slice(col("vec"), d / m * s + 1, d / m).as("vec"))
+        pqSlice(col("vec"), m, lit(s)).as("vec"))
       val init = sub.filter(col("id") < ksub)
         .select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
       val book =
@@ -293,10 +304,9 @@ object Similarity {
     * that is a 16× storage/bandwidth cut — the reason PQ is the standard
     * billion-vector ANN representation). Output (id, codes array<int>). */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
-    val d = org.apache.spark.sql.functions.size(col("vec"))
     val parts = corpus.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col("vec"), d / m * s + 1, d / m))).as(Seq("subspace", "sub")))
+        s => pqSlice(col("vec"), m, s))).as(Seq("subspace", "sub")))
     parts.join(broadcast(codebooks), Seq("subspace"))
       .withColumn("d2", sqDist(col("sub"), col("cvec")))
       .groupBy(col("id"), col("subspace"))
@@ -316,10 +326,9 @@ object Similarity {
     * oracle-checkable, unlike bucketed ANN. Output (qid, rank, id, adc). */
   def pqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
       m: Int, k: Int): DataFrame = {
-    val d = org.apache.spark.sql.functions.size(col("qvec"))
     val qparts = queries.select(col("qid"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col("qvec"), d / m * s + 1, d / m))).as(Seq("subspace", "qsub")))
+        s => pqSlice(col("qvec"), m, s))).as(Seq("subspace", "qsub")))
     val dtable = qparts.join(codebooks, Seq("subspace"))
       .select(col("qid"), col("subspace"), col("cid").as("code"),
         sqDist(col("qsub"), col("cvec")).as("d2"))
@@ -334,7 +343,10 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id"), round(col("adc"), 4).as("adc_r"))
+      // adc is already engine-exact (decimal sum of 6-dp terms) — a final
+      // display rounding would reintroduce the cross-engine .5-tie hazard
+      // the decimal sum exists to avoid (the q114 fraud_score lesson)
+      .select(col("qid"), col("rank"), col("id"), col("adc"))
   }
 
   /** Approximate top-k: candidates share a hyperplane-signature bucket with

@@ -349,7 +349,7 @@ object EmbedQueries {
           CAST(SUM(CAST(round(d.d2, 6) AS DECIMAL(28,8))) AS DOUBLE) AS adc
         FROM enc e JOIN dtable d ON e.subspace = d.subspace AND e.code = d.code
         GROUP BY d.qid, e.id)
-      SELECT qid, rank, id, round(adc, 4) AS adc_r FROM (
+      SELECT qid, rank, id, adc FROM (
         SELECT qid, id, adc,
           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS BIGINT) AS rank
         FROM scored)

@@ -46,6 +46,10 @@ object Formats {
       .schema(withCorrupt(schema))
       .load(path)
 
+  /** NOTE: quoted embedded newlines are written as-is — data containing
+    * them must be read back with `readCsv(..., multiLine = true)`; the
+    * splittable default read would split such records mid-field and
+    * PERMISSIVE mode would quarantine/null-fill the fragments silently. */
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite")
       .option("header", header.toString)

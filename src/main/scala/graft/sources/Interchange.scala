@@ -32,7 +32,7 @@ object Interchange {
     require(probe.length <= maxRows,
       s"toRows: result exceeds the $maxRows-row driver cap; " +
         "aggregate, sample, or top-k on the cluster side instead of collecting")
-    probe.toSeq.take(maxRows)
+    probe.toSeq
   }
 
   /** Lift driver-local rows back into a distributed DataFrame with an

@@ -112,6 +112,18 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decode(junk, "image", 16).toSeq ===
       Multimodal.decodeStub(junk, "image", 16).toSeq)
     assert(Multimodal.decodeImage(null, 16).isEmpty)
+    // valid PNG signature + corrupted body: the JDK readers throw from
+    // DEEP inside (not always IOException) — must yield None, not a
+    // task-killing escape
+    val png = Multimodal.synthImagePng(3L)
+    val corrupt = png.clone()
+    var i = 16
+    while (i < corrupt.length) { corrupt(i) = (i * 37).toByte; i += 1 }
+    assert(Multimodal.decodeImage(corrupt, 16).isEmpty ||
+      Multimodal.decodeImage(corrupt, 16).get.length === 16,
+      "corrupt body must decode-or-None, never throw")
+    val truncated = java.util.Arrays.copyOf(png, 20)
+    assert(Multimodal.decodeImage(truncated, 16).isEmpty)
   }
 
   test("resizeMeta caps dimensions preserving aspect, leaves others null") {

@@ -264,4 +264,22 @@ class SimilaritySpec extends SparkSuite {
       assert(overlap >= 5, s"qid=$qid ADC recall@20 = $overlap/20 (chance ≈ ${400 / n})")
     }
   }
+
+  test("PQ slicing covers every dimension when d is not divisible by m") {
+    // 10-dim vectors, m=4 -> subspaces of widths 2,2,2,4: the last (4-wide)
+    // slice carries dims 7-10; vectors differing ONLY in dim 10 must code
+    // differently when the codebook distinguishes them
+    val v0 = Seq.fill(10)(0.0)
+    val v1 = Seq.fill(9)(0.0) :+ 5.0
+    val corpus = Seq((0L, v0), (1L, v1)).toDF("id", "vec")
+    val books = Similarity.pqCodebooks(corpus, m = 4, ksub = 2, iters = 1)
+    assert(books.count() === 8)
+    val codes = Similarity.pqEncode(corpus, books, m = 4)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L).length === 4 && codes(1L).length === 4)
+    assert(codes(0L).take(3) === codes(1L).take(3),
+      "identical leading subspaces must code identically")
+    assert(codes(0L)(3) !== codes(1L)(3),
+      "a last-dimension difference must survive into the final subspace's code")
+  }
 }
