@@ -22,13 +22,17 @@ import org.apache.spark.sql.functions._
   * edge list). Long chains of pairwise-similar docs (the adversarial shape
   * for near-dup graphs) go from ~diameter rounds to a handful.
   *
-  * Iterative DataFrame loops MUST materialize each round:
-  * `localCheckpoint` truncates the lineage so round N's plan doesn't
-  * re-execute rounds 1..N-1 (and convergence is detected on the driver from
-  * the strictly-decreasing label sum — loop-carried control flow is the one
-  * place a driver-side action is the correct tool, unlike a scalar that can
-  * stay lazy). On a real cluster, swap `localCheckpoint` for reliable
-  * `checkpoint` to survive executor loss.
+  * Iterative DataFrame loops MUST materialize each round: checkpointing
+  * truncates the lineage so round N's plan doesn't re-execute rounds
+  * 1..N-1 (and convergence is detected on the driver from the
+  * strictly-decreasing label sum — loop-carried control flow is the one
+  * place a driver-side action is the correct tool, unlike a scalar that
+  * can stay lazy). Durability is AUTOMATIC by configuration: with
+  * `sc.setCheckpointDir` set (a real cluster) each round uses RELIABLE
+  * `checkpoint` — rounds survive executor loss, at the cost of recompute
+  * + a DFS write per round (enable
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` or sweep the dir to
+  * reclaim files); without one (local dev) it uses `localCheckpoint`.
   */
 object Components {
 
@@ -45,7 +49,12 @@ object Components {
     // materializes the blocks AND computes the sum in ONE job — an eager
     // checkpoint spends a whole extra job per round just to materialize,
     // and at local[32] round cost is job latency, not data.
-    val out = df.localCheckpoint(eager = false)
+    // reliable when a checkpoint dir is configured (cluster durability),
+    // block-manager-local otherwise; the tracked-ids release only applies
+    // to the local flavor (reliable rounds live as files, not blocks)
+    val out =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     (out, sc.getPersistentRDDs.keySet.diff(before))
   }
 

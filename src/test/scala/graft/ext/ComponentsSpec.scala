@@ -47,6 +47,32 @@ class ComponentsSpec extends SparkSuite {
     assert(got.forall(_._2 == 0L), "one path = one component rooted at 0")
   }
 
+  test("reliable checkpointing engages when a checkpoint dir is set, same results") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite assumes no pre-set checkpoint dir")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val nodes = (0L until 30L).toDF("id")
+      val edges = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
+      val got = Components.connectedComponents(nodes, edges, smallGraphMaxEdges = ForceLoop)
+        .as[(Long, Long)].collect().toMap
+      assert(got === (0L until 30L).map(_ -> 0L).toMap)
+      // the rounds actually wrote RELIABLE checkpoint files to the dir
+      def files(p: java.io.File): Long =
+        if (p.isDirectory) p.listFiles().map(files).sum else 1L
+      assert(files(new java.io.File(dir)) > 0,
+        "configured checkpoint dir must receive the rounds' reliable checkpoints")
+    } finally {
+      // restore the block-manager-local default for every later suite (the
+      // private var is only reachable reflectively; null = unset)
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("driver union-find and distributed loop agree on a random graph") {
     val rng = new scala.util.Random(42)
     val n = 400
