@@ -27,12 +27,16 @@ import org.apache.spark.sql.functions._
   * 1..N-1 (and convergence is detected on the driver from the
   * strictly-decreasing label sum — loop-carried control flow is the one
   * place a driver-side action is the correct tool, unlike a scalar that
-  * can stay lazy). Durability is AUTOMATIC by configuration: with
-  * `sc.setCheckpointDir` set (a real cluster) each round uses RELIABLE
-  * `checkpoint` — rounds survive executor loss, at the cost of recompute
-  * + a DFS write per round (enable
-  * `spark.cleaner.referenceTracking.cleanCheckpoints` or sweep the dir to
-  * reclaim files); without one (local dev) it uses `localCheckpoint`.
+  * can stay lazy). Durability is an EXPLICIT OPT-IN: set the session conf
+  * `graft.cc.reliableCheckpoint=true` AND `sc.setCheckpointDir` — every
+  * materialization in the loop (edge list + each round) then uses
+  * RELIABLE `checkpoint` and survives executor loss, at the cost of a
+  * recompute + DFS write per round, with superseded round FILES reclaimed
+  * by `spark.cleaner.referenceTracking.cleanCheckpoints=true` (on driver
+  * GC) or a post-job sweep of the dir — the in-code `release()` frees
+  * only block-manager state. The conf gate (not the dir alone) keeps a
+  * checkpoint dir configured for unrelated reasons from silently
+  * converting every CC query to the 2-jobs-per-round durable mode.
   */
 object Components {
 
@@ -49,14 +53,21 @@ object Components {
     // materializes the blocks AND computes the sum in ONE job — an eager
     // checkpoint spends a whole extra job per round just to materialize,
     // and at local[32] round cost is job latency, not data.
-    // reliable when a checkpoint dir is configured (cluster durability),
+    // reliable when the caller opted in (cluster durability),
     // block-manager-local otherwise; the tracked-ids release only applies
-    // to the local flavor (reliable rounds live as files, not blocks)
+    // to the local flavor (reliable rounds live as files — see the object
+    // doc for how those are reclaimed)
     val out =
-      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+      if (reliableMode(df)) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
     (out, sc.getPersistentRDDs.keySet.diff(before))
   }
+
+  /** Durable-rounds opt-in: BOTH the conf flag and a configured checkpoint
+    * dir (checkpoint() throws without one). */
+  private def reliableMode(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("graft.cc.reliableCheckpoint", "false").toBoolean &&
+      df.sparkSession.sparkContext.getCheckpointDir.isDefined
 
   private def release(df: DataFrame, ids: collection.Set[Int]): Unit = {
     val sc = df.sparkSession.sparkContext
@@ -89,7 +100,11 @@ object Components {
     // (Pre-partitioning the static side on the join key was measured and
     // rejected: localCheckpoint does not carry the partitioning into the
     // next query's planning here, so the extra exchange is pure overhead.)
-    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    // Same durability flavor as the rounds: a reliably-checkpointed loop
+    // re-reads the edge list every superstep, so a block-manager-only edge
+    // list would void the rounds' executor-loss guarantee.
+    val e0 = edges.select(col("a"), col("b"))
+    val e = if (reliableMode(e0)) e0.checkpoint() else e0.localCheckpoint()
     val idIsLong = nodes.schema("id").dataType == org.apache.spark.sql.types.LongType
     // The gate counts RAW edges (null-endpoint rows included) while
     // smallGraphComponents drops them — a deliberate mismatch: the count's

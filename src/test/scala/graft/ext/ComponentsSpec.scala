@@ -47,29 +47,40 @@ class ComponentsSpec extends SparkSuite {
     assert(got.forall(_._2 == 0L), "one path = one component rooted at 0")
   }
 
-  test("reliable checkpointing engages when a checkpoint dir is set, same results") {
+  test("reliable checkpointing is an explicit opt-in; engaged, it writes to the dir") {
     val sc = spark.sparkContext
     assert(sc.getCheckpointDir.isEmpty, "suite assumes no pre-set checkpoint dir")
-    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
-    sc.setCheckpointDir(dir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ck")
+    sc.setCheckpointDir(dir.toString)
+    def fileCount(p: java.io.File): Long =
+      if (p.isDirectory) p.listFiles().map(fileCount).sum else 1L
+    val nodes = (0L until 30L).toDF("id")
+    val edges = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
+    val want = (0L until 30L).map(_ -> 0L).toMap
     try {
-      val nodes = (0L until 30L).toDF("id")
-      val edges = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
-      val got = Components.connectedComponents(nodes, edges, smallGraphMaxEdges = ForceLoop)
-        .as[(Long, Long)].collect().toMap
-      assert(got === (0L until 30L).map(_ -> 0L).toMap)
-      // the rounds actually wrote RELIABLE checkpoint files to the dir
-      def files(p: java.io.File): Long =
-        if (p.isDirectory) p.listFiles().map(files).sum else 1L
-      assert(files(new java.io.File(dir)) > 0,
-        "configured checkpoint dir must receive the rounds' reliable checkpoints")
+      // a configured dir ALONE must not flip the mode (an unrelated global
+      // setting would otherwise silently convert every CC query to the
+      // 2-jobs-per-round durable path): no conf flag -> no files written
+      val localGot = Components.connectedComponents(nodes, edges,
+        smallGraphMaxEdges = ForceLoop).as[(Long, Long)].collect().toMap
+      assert(localGot === want)
+      assert(fileCount(dir.toFile) === 0,
+        "without the opt-in conf, rounds must stay block-manager-local")
+      // opted in: same labels, and the rounds' reliable files land in the dir
+      spark.conf.set("graft.cc.reliableCheckpoint", "true")
+      val got = Components.connectedComponents(nodes, edges,
+        smallGraphMaxEdges = ForceLoop).as[(Long, Long)].collect().toMap
+      assert(got === want)
+      assert(fileCount(dir.toFile) > 0,
+        "opted in, the configured dir must receive the rounds' reliable checkpoints")
     } finally {
-      // restore the block-manager-local default for every later suite (the
-      // private var is only reachable reflectively; null = unset)
-      val f = sc.getClass.getDeclaredField("checkpointDir")
-      f.setAccessible(true)
-      f.set(sc, None)
+      spark.conf.unset("graft.cc.reliableCheckpoint")
+      sc.setCheckpointDir(null) // public-API unset: Option(null) => None
       assert(sc.getCheckpointDir.isEmpty)
+      // don't litter the system temp dir with per-round snapshots
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 
