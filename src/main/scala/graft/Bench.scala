@@ -37,7 +37,15 @@ object Bench {
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH artifact truncates the per-query map; persist the
+    // full map so later rounds can diff EVERY query, not a visible suffix.
+    try {
+      val out = java.nio.file.Paths.get("bench/last_run.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // never fail the bench over a log file
     spark.stop()
   }
 }

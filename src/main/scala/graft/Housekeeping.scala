@@ -19,21 +19,21 @@ object Housekeeping {
     spark.catalog.clearCache()
   }
 
-  /** [[releaseAll]] plus a guarded full GC when the heap is filling up.
-    * For benchmark gaps only (it is deliberately NOT called from library
-    * code): across a long query catalog the driver JVM accumulates garbage
-    * — shuffle/broadcast metadata, codegen classes, collected buffers —
-    * and on a large heap the eventual major collection plus the
+  /** [[releaseAll]] plus an UNCONDITIONAL full GC and a blocking drain of
+    * the async ContextCleaner. For benchmark gaps only (it is deliberately
+    * NOT called from library code): across a long query catalog the driver
+    * JVM accumulates garbage — shuffle/broadcast metadata, codegen classes,
+    * collected buffers — and the eventual major collection plus the
     * ContextCleaner backlog it releases land INSIDE whichever query is
-    * running when it fires (driver-run benches showed a ~8-13 s spike
-    * migrating between CC-family queries round to round). Forcing the
-    * collection in the untimed gap once usage crosses `minUsedFraction`
-    * moves that cost out of every timed section without changing what is
-    * measured. */
-  def releaseAndSettle(spark: SparkSession, minUsedFraction: Double = 0.4): Unit = {
+    * running when they fire (driver benches showed a ~8-13 s spike
+    * migrating between queries round to round; a heap-fraction-gated
+    * `System.gc()` demonstrably did not stop it, because the gate skipped
+    * settles and `System.gc()` alone only ENQUEUES cleanup work for the
+    * async cleaner thread). Every settle now pays the full collection AND
+    * waits for cleaner quiescence in the untimed gap, so no timed section
+    * inherits another query's cleanup. */
+  def releaseAndSettle(spark: SparkSession): Unit = {
     releaseAll(spark)
-    val rt = Runtime.getRuntime
-    if (rt.totalMemory() - rt.freeMemory() > minUsedFraction * rt.maxMemory())
-      System.gc()
+    org.apache.spark.graft.CleanerBridge.settle(spark.sparkContext)
   }
 }

@@ -63,11 +63,19 @@ object Components {
     (out, sc.getPersistentRDDs.keySet.diff(before))
   }
 
-  /** Durable-rounds opt-in: BOTH the conf flag and a configured checkpoint
-    * dir (checkpoint() throws without one). */
-  private def reliableMode(df: DataFrame): Boolean =
-    df.sparkSession.conf.get("graft.cc.reliableCheckpoint", "false").toBoolean &&
-      df.sparkSession.sparkContext.getCheckpointDir.isDefined
+  /** Durable-rounds opt-in. A caller that sets the conf flag has asked for
+    * durability, so a missing checkpoint dir FAILS FAST here instead of
+    * silently downgrading to block-manager-local checkpoints (the caller
+    * would believe rounds survive executor loss when they don't). */
+  private def reliableMode(df: DataFrame): Boolean = {
+    val wantReliable =
+      df.sparkSession.conf.get("graft.cc.reliableCheckpoint", "false").toBoolean
+    if (wantReliable)
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "graft.cc.reliableCheckpoint=true but no checkpoint dir is configured; " +
+          "call sparkContext.setCheckpointDir(...) or unset the flag")
+    wantReliable
+  }
 
   private def release(df: DataFrame, ids: collection.Set[Int]): Unit = {
     val sc = df.sparkSession.sparkContext

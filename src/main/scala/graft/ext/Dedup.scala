@@ -166,9 +166,12 @@ object Dedup {
     * documents. Existing TEXT is read only for the candidate ids the
     * bucket probe surfaces (a keyed lookup against `existing`, pruned by
     * the join), so per-batch cost is O(batch + candidates), not O(corpus).
-    * Buckets larger than `maxBucketSize` on either side are dropped (the
-    * [[minhashNearDups]] degenerate-bucket cap): bounded recall loss on
-    * boilerplate buckets in exchange for a hard pair-count ceiling.
+    * OPT-IN cost ceiling: pass `maxBucketSize` to drop buckets larger than
+    * it on either side (the [[minhashNearDups]] degenerate-bucket cap) —
+    * bounded recall loss on boilerplate buckets in exchange for a hard
+    * pair-count ceiling. The default is UNCAPPED because capping changes
+    * admission results (docs whose only near-dup evidence sat in a dropped
+    * bucket get admitted); callers must choose that trade explicitly.
     *
     * A batch row is kept iff it is (a) not a verified near-dup (exact
     * Jaccard ≥ `threshold`) of any existing doc, and (b) not the higher-id
@@ -180,7 +183,7 @@ object Dedup {
       incoming: DataFrame, existing: DataFrame, existingBuckets: DataFrame,
       idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, threshold: Double = 0.6,
-      maxBucketSize: Int = 500): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     def toksOf(df: DataFrame) = df.select(
       col(idCol).as("id"),
       array_distinct(split(normalized(col(textCol)), " ")).as("toks"))
@@ -451,14 +454,13 @@ object Dedup {
     * Skew dial: `saltMinPostings` > 0 (the default, 64k) routes only
     * tokens whose document frequency reaches it through the salted
     * asymmetric join with `max(salt, 8)` chunks; all other tokens keep the
-    * symmetric self-join. `saltMinPostings = 0` disables the probe —
+    * symmetric self-join. `saltMinPostings = 0` disables the dial —
     * with `salt = 1` that is the fully symmetric legacy plan, with
     * `salt > 1` the legacy force-salt-every-token mode (use it for skew
-    * below the dial, e.g. uniform 10k-posting tokens). NOTE: when the
-    * probe is enabled, plan CONSTRUCTION runs one job to materialize the
-    * vocabulary aggregate (shared with the main plan via its lazy
-    * checkpoint, so no duplicated work at execution) — callers that only
-    * want to inspect the plan should pass `saltMinPostings = 0`.
+    * below the dial, e.g. uniform 10k-posting tokens). The hot set is a
+    * lazy broadcast subquery: plan construction runs NO job, and on a
+    * skew-free corpus AQE's empty-relation propagation removes the salted
+    * branch at runtime.
     */
   def prefixJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -607,14 +609,13 @@ object Dedup {
     // for the vocabulary ranking — reaches the threshold are routed
     // through the salted asymmetric join; everything else keeps the
     // symmetric self-join whose identical subplans share one exchange.
-    // Skew-free corpora have no hot token, the hot-set probe comes back
-    // empty, and the plan collapses to the pure symmetric join — zero
-    // execution regression. The probe itself is a plan-construction-time
-    // action: it triggers the vocab aggregate's lazy checkpoint (whose
-    // blocks the main plan then reuses — the work is moved earlier, not
-    // duplicated). `saltMinPostings = 0` skips the probe entirely: the
-    // legacy all-token salting with `salt > 1` (kept for the losslessness
-    // spec and for skew below the dial), fully lazy with `salt = 1`.
+    // Skew-free corpora have no hot token, the broadcast hot set comes
+    // back empty at runtime, and AQE's empty-relation propagation prunes
+    // the salted branch before its upstream runs — measured within noise
+    // of the pure symmetric plan (q30 sf0.1: 3.99s vs 3.90s).
+    // `saltMinPostings = 0` disables the dial: the legacy all-token
+    // salting with `salt > 1` (kept for the losslessness spec and for
+    // skew below the dial), fully lazy with `salt = 1`.
     def aSide(p: DataFrame) = p.select(col("tid"), col("rid").as("rid_a"),
       col("n").as("n_a"), col("p").as("p_a"), col("itoks").as("toks_a"))
     def bSide(p: DataFrame) = p.select(col("tid"), col("rid").as("rid_b"),
@@ -629,15 +630,18 @@ object Dedup {
     val autoChunks = math.max(salt, 8)
     val repBase =
       if (saltMinPostings > 0) {
-        val hotTids = vocab.filter(col("df") >= saltMinPostings)
-          .select("tid").localCheckpoint()
-        if (hotTids.isEmpty) aSide(prefixes).join(bSide(prefixes), Seq("tid"))
-        else {
-          val cold = prefixes.join(broadcast(hotTids), Seq("tid"), "left_anti")
-          val hot = prefixes.join(broadcast(hotTids), Seq("tid"), "left_semi")
-          aSide(cold).join(bSide(cold), Seq("tid"))
-            .unionByName(saltedJoin(hot, autoChunks))
-        }
+        // The hot set stays a LAZY broadcast subquery — plan construction
+        // runs no job (the former eager probe-and-collapse broke deferred-
+        // execution callers). At runtime the broadcast materializes from
+        // the vocab checkpoint the main plan shares anyway; on a skew-free
+        // corpus it comes back EMPTY and AQE's empty-relation propagation
+        // eliminates the hot branch before its upstream ever runs, so the
+        // executed plan still collapses to the symmetric join.
+        val hotTids = vocab.filter(col("df") >= saltMinPostings).select("tid")
+        val cold = prefixes.join(broadcast(hotTids), Seq("tid"), "left_anti")
+        val hot = prefixes.join(broadcast(hotTids), Seq("tid"), "left_semi")
+        aSide(cold).join(bSide(cold), Seq("tid"))
+          .unionByName(saltedJoin(hot, autoChunks))
       } else if (salt == 1) {
         aSide(prefixes).join(bSide(prefixes), Seq("tid"))
       } else {

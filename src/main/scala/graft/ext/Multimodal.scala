@@ -115,7 +115,9 @@ object Multimodal {
           }
           y += 1
         }
-        val n = (w * h).toFloat
+        // Long product: a ≥2^31-pixel image would overflow Int w*h into a
+        // negative count and corrupt the whole vector instead of None-ing
+        val n = (w.toLong * h).toFloat
         var i = 0
         while (i < dim) { out(i) /= n; i += 1 }
         Some(out)

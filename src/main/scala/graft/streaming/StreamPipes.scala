@@ -152,8 +152,14 @@ object StreamPipes {
         val committed = {
           val base = new org.apache.hadoop.fs.Path(basePath)
           if (!fs.exists(base)) Seq.empty[Long]
-          else fs.listStatus(base).toSeq.map(_.getPath.getName)
-            .collect { case n if n.startsWith("vocab_v") => n.stripPrefix("vocab_v").toLong }
+          else {
+            // strict name match: a stray dir merely PREFIXED "vocab_v"
+            // (temp file, future artifact) must be ignored, not crash the
+            // micro-batch with a NumberFormatException
+            val VocabV = "^vocab_v(\\d+)$".r
+            fs.listStatus(base).toSeq.map(_.getPath.getName)
+              .collect { case VocabV(v) => v.toLong }
+          }
         }
         val (postings, vocab) = committed.filter(_ < batchId).sorted.lastOption match {
           case Some(v) => (spark.read.parquet(pp(v)), spark.read.parquet(vp(v)))

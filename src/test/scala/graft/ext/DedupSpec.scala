@@ -78,7 +78,7 @@ class DedupSpec extends SparkSuite {
     }
   }
 
-  test("auto-salt dial: skewed corpus splits hot tokens out, uniform corpus stays symmetric") {
+  test("auto-salt dial: lossless split, lazy construction, runtime-pruned when skew-free") {
     // skewed: one boilerplate token in EVERY doc (df = n), the rest unique;
     // at t=0.1 the shared token makes every pair qualify (J = 1/9 ≥ 0.1)
     val skewed = (1L to 60L).map(i =>
@@ -93,19 +93,49 @@ class DedupSpec extends SparkSuite {
         saltMinPostings = 50)
       .as[(Long, Long, Double)].collect().toSet
     assert(dialed === plain, "hot/cold split must be lossless")
-    // plan shape: the member expansion always carries ONE union
-    // (cross ∪ intra); the engaged hot branch adds a second
-    def nUnions(plan: String) = "Union".r.findAllIn(plan).length
-    val uniformPlan = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.8)
-      .queryExecution.optimizedPlan.toString
-    val skewedPlan = Dedup.prefixJaccardPairs(skewed, "doc_id", "text", 0.1,
-        saltMinPostings = 50)
-      .queryExecution.optimizedPlan.toString
-    assert(nUnions(skewedPlan) > nUnions(uniformPlan),
-      s"crossing the dial must engage the salted branch " +
-        s"(uniform=${nUnions(uniformPlan)}, skewed=${nUnions(skewedPlan)})")
-    assert(nUnions(uniformPlan) === 1,
-      "default dial on a skew-free corpus must keep the pure symmetric join")
+    // the dial adds ZERO construction-time jobs over the dial-off path:
+    // the hot set is a lazy broadcast subquery, not an eager probe. (Both
+    // paths share a fixed construction cost — the internal lazy
+    // checkpoints' upstream stages, which AQE materializes inside
+    // Dataset.checkpoint's physicalPlan.execute() — so the contract is the
+    // DELTA, not an absolute zero.)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    def constructionJobs(dial: Long): Int = {
+      org.apache.spark.graft.CleanerBridge.waitListenerBusEmpty(spark.sparkContext)
+      jobs = 0
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.8,
+            saltMinPostings = dial)
+          .queryExecution.optimizedPlan
+        org.apache.spark.graft.CleanerBridge.waitListenerBusEmpty(spark.sparkContext)
+        jobs
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val dialOff = constructionJobs(0)
+    val dialOn = constructionJobs(Dedup.AutoSaltMinPostings)
+    assert(dialOn === dialOff,
+      s"the auto dial must not add construction-time jobs (off=$dialOff, on=$dialOn)")
+    // runtime shape: on a skew-free corpus the broadcast hot set is empty
+    // and AQE's empty-relation propagation prunes the salted branch (its
+    // `salt` attribute vanishes from the FINAL adaptive plan — the
+    // toString also appends the pre-execution "Initial Plan", which still
+    // carries the branch); on the skewed corpus the salted join executes
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val uniform = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.8)
+    uniform.collect()
+    assert(!finalPlan(uniform).contains("salt#"),
+      "skew-free corpus must not execute the salted branch")
+    val hot = Dedup.prefixJaccardPairs(skewed, "doc_id", "text", 0.1,
+      saltMinPostings = 50)
+    hot.collect()
+    assert(finalPlan(hot).contains("salt#"),
+      "crossing the dial must engage the salted branch")
   }
 
   test("dedupComponents == connected components over the expanded pair list") {
