@@ -408,8 +408,89 @@ object EmbedQueries {
       WHERE rk <= 10
     """))
 
+  /** IVF×PQ composed top-k ([[Similarity.ivfPqIndex]] +
+    * [[Similarity.ivfPqTopK]]): the q117 PQ codes bucketed into 8 coarse
+    * inverted lists (q92 first-id centroid protocol), each query probing
+    * its 2 nearest lists and ADC-scanning ONLY those lists' codes — the
+    * FAISS IVFPQ search shape, closing r8's flat-ADC full-scan gap.
+    * Deterministic end-to-end (L2 argmins with id tiebreaks, decimal-exact
+    * ADC sums) ⇒ full oracle: DuckDB re-derives coarse assignment, probe
+    * selection, PQ encode, and the list-pruned ADC ranking. */
+  val q120IvfPqTopK: Q = Q(
+    "q120_ivfpq_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      val books = Similarity.pqCodebooks(corpus, m = 4, ksub = 16, iters = 1)
+      val index = Similarity.ivfPqIndex(corpus, cents, books, m = 4)
+      val queries = corpus.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      Similarity.ivfPqTopK(index, cents, books, queries, m = 4, k = 10, nProbe = 2)
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      subs AS (SELECT unnest(generate_series(0, 3)) AS subspace),
+      books AS (
+        SELECT s.subspace, CAST(c.id AS INT) AS bcid,
+          list_slice(c.vec, s.subspace*16+1, s.subspace*16+16) AS cvec
+        FROM corpus c CROSS JOIN subs s WHERE c.id < 16),
+      lists AS (
+        SELECT id, cid FROM (
+          SELECT c.id, k.cid,
+            ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+              list_dot_product(c.vec, c.vec) - 2*list_dot_product(c.vec, k.cvec)
+                + list_dot_product(k.cvec, k.cvec), k.cid) AS rn
+          FROM corpus c CROSS JOIN cents k) WHERE rn = 1),
+      parts AS (
+        SELECT c.id, s.subspace,
+          list_slice(c.vec, s.subspace*16+1, s.subspace*16+16) AS sub
+        FROM corpus c CROSS JOIN subs s),
+      enc AS (
+        SELECT id, subspace, bcid AS code FROM (
+          SELECT p.id, p.subspace, b.bcid,
+            ROW_NUMBER() OVER (PARTITION BY p.id, p.subspace ORDER BY
+              list_dot_product(p.sub, p.sub) - 2*list_dot_product(p.sub, b.cvec)
+                + list_dot_product(b.cvec, b.cvec), b.bcid) AS rn
+          FROM parts p JOIN books b USING (subspace))
+        WHERE rn = 1),
+      probes AS (
+        SELECT qid, cid FROM (
+          SELECT c.id AS qid, k.cid,
+            ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+              list_dot_product(c.vec, c.vec) - 2*list_dot_product(c.vec, k.cvec)
+                + list_dot_product(k.cvec, k.cvec), k.cid) AS rn
+          FROM corpus c CROSS JOIN cents k WHERE c.id < 5) WHERE rn <= 2),
+      dtable AS (
+        SELECT p.id AS qid, p.subspace, b.bcid AS code,
+          list_dot_product(p.sub, p.sub) - 2*list_dot_product(p.sub, b.cvec)
+            + list_dot_product(b.cvec, b.cvec) AS d2
+        FROM parts p JOIN books b USING (subspace) WHERE p.id < 5),
+      scored AS (
+        SELECT d.qid, e.id,
+          CAST(SUM(CAST(round(d.d2, 6) AS DECIMAL(28,8))) AS DOUBLE) AS adc
+        FROM enc e
+        JOIN lists l ON l.id = e.id
+        JOIN probes pr ON pr.cid = l.cid
+        JOIN dtable d ON e.subspace = d.subspace AND e.code = d.code
+          AND d.qid = pr.qid
+        GROUP BY d.qid, e.id)
+      SELECT qid, rank, id, adc FROM (
+        SELECT qid, id, adc,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS BIGINT) AS rank
+        FROM scored)
+      WHERE rank <= 10
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
-    q118ClusterBalancedSample)
+    q118ClusterBalancedSample, q120IvfPqTopK)
 }

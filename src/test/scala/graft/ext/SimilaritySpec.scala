@@ -265,6 +265,60 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF×PQ: index is total, full-probe equals flat ADC, pruning equals restricted ADC") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("vec"))
+    val m = 4
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("cvec"))
+    val books = Similarity.pqCodebooks(corpus, m, ksub = 16, iters = 1)
+    val index = Similarity.ivfPqIndex(corpus, cents, books, m)
+    // index totality + shape: every vector in exactly one list, m codes
+    assert(index.count() === corpus.count())
+    assert(index.filter(size($"codes") =!= m).count() === 0)
+    assert(index.select($"cid").distinct().count() <= 8)
+    val queries = corpus.filter($"id" < 3).select($"id".as("qid"), $"vec".as("qvec"))
+    // probing EVERY list admits everything: must be BIT-IDENTICAL to the
+    // flat ADC scan (same codes, same decimal sums, same tiebreaks)
+    val codes = Similarity.pqEncode(corpus, books, m)
+    val flat = Similarity.pqTopK(codes, books, queries, m, k = 20)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val fullProbe = Similarity.ivfPqTopK(index, cents, books, queries, m,
+        k = 20, nProbe = 8)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(fullProbe === flat, "nProbe = |lists| must reproduce flat ADC exactly")
+    // nProbe=2 pruning: the result must equal the flat ADC ranking
+    // RESTRICTED to ids in the query's probed lists — pruning changes
+    // which candidates are seen, never how they are ranked
+    val nPr = 2
+    val pruned = Similarity.ivfPqTopK(index, cents, books, queries, m,
+        k = 10, nProbe = nPr)
+      .select($"qid", $"rank", $"id").as[(Long, Long, Long)].collect().toSet
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("d2c", Similarity.sqDist($"qvec", $"cvec"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"d2c", $"cid")))
+      .filter($"rn" <= nPr).select($"qid", $"cid")
+    val fullRank = Similarity.pqTopK(codes, books, queries, m, k = Int.MaxValue)
+    val expected = fullRank
+      .join(index.select($"id", $"cid"), Seq("id"))
+      .join(probes, Seq("qid", "cid"), "left_semi")
+      .withColumn("rrank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"rank")).cast("long"))
+      .filter($"rrank" <= 10)
+      .select($"qid", $"rrank", $"id").as[(Long, Long, Long)].collect().toSet
+    assert(pruned === expected,
+      "list-pruned ADC must equal flat ADC restricted to probed lists")
+    // and the pruned scan genuinely prunes: fewer candidates than the corpus
+    val probedIds = index.join(probes, Seq("cid"), "left_semi")
+      .select($"id").distinct().count()
+    assert(probedIds < corpus.count(),
+      "nProbe < |lists| must restrict the scanned code set")
+  }
+
   test("PQ slicing covers every dimension when d is not divisible by m") {
     // 10-dim vectors, m=4 -> subspaces of widths 2,2,2,4: the last (4-wide)
     // slice carries dims 7-10; vectors differing ONLY in dim 10 must code

@@ -183,6 +183,25 @@ class PlanSpec extends SparkSuite {
       "all PQ joins are equi-joins — nested-loop means a key went missing")
   }
 
+  test("q120 IVF×PQ: centroids/codebooks/probes broadcast-only, no cartesian product") {
+    val p = plan(QueryCatalog.queries("q120_ivfpq_topk")(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"IVFPQ must never go all-pairs against the corpus:\n$p")
+    // the only nested-loop joins are the BROADCAST centroid cross joins
+    // (coarse assignment + probe selection) — constant-size build sides
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 3, s"only the centroid cross joins may nest-loop, got $bnl")
+    // equi-broadcasts: codebook encode join, (qid,cid) list-pruning join,
+    // (qid,subspace,code) ADC-table join
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3,
+      s"encode/list-prune/ADC joins must all broadcast, got $bhj in:\n$p")
+    // no sort-merge join anywhere: nothing data-proportional shuffles for
+    // a join in the search path
+    assert(!p.contains("SortMergeJoin"),
+      s"IVFPQ search must not shuffle-join the corpus:\n$p")
+  }
+
   test("q116 fuzzy decontamination: keyed joins only, no cartesian product") {
     val p = plan(QueryCatalog.queries("q116_fuzzy_decontam")(spark, dir))
     assert(!p.contains("CartesianProduct"),
