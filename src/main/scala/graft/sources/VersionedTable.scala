@@ -260,21 +260,30 @@ object VersionedTable {
     * `delete` (key only in `from`), `update_preimage`/`update_postimage`
     * (key in both, row changed). Unchanged rows are never emitted.
     *
-    * Shape: two `exceptAll` passes (one full-row-keyed shuffle each — the
-    * honest cost of deriving CDC post-hoc instead of logging it at write
-    * time) and then key-classification joins over the DIFF ONLY, which for
-    * typical merges is a tiny fraction of the table. Keys are assumed
-    * unique per version (the [[graft.silver.Merge]] invariant). Output:
-    * the UNION of both versions' columns + `_change_type` — schema-evolved
-    * tables diff correctly: each side is null-backfilled for columns it
-    * lacks (the [[appendEvolved]] convention), so an update confined to a
-    * newly added column is classified as an update, not as unchanged, and
-    * a column removed between versions surfaces instead of throwing.
+    * Shape: ONE keyed full-outer join of NARROW (key, row-hash)
+    * projections classifies every key; the wide shuffle of the former
+    * two-`exceptAll` formulation (full rows of both versions, twice) is
+    * gone — the classification exchange carries keys plus one 64-bit hash
+    * per row, and full rows are re-attached by key for the CHANGED keys
+    * only (a diff-sized set AQE turns into broadcast joins on typical
+    * merges). The row hash position-tags every column
+    * (`xxhash64(i, colᵢ)` chained) so a value moving between columns —
+    * e.g. a null layout shift — can never alias the plain null-skipping
+    * multi-arg hash; a missed change then requires a genuine 64-bit
+    * collision. Keys are assumed unique per version (the
+    * [[graft.silver.Merge]] invariant); null key components compare
+    * null-safely (a key present in both versions with a null component is
+    * an update, not a delete+insert). Output: the UNION of both versions'
+    * columns + `_change_type` — schema-evolved tables diff correctly:
+    * each side is null-backfilled for columns it lacks (the
+    * [[appendEvolved]] convention), so an update confined to a newly
+    * added column is classified as an update, not as unchanged, and a
+    * column removed between versions surfaces instead of throwing.
     * Column type changes across the compared versions are rejected (as
     * [[appendEvolved]] already rejects them at write time). */
   def changes(spark: SparkSession, base: String, fromV: Long, toV: Long,
       keyCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when, xxhash64}
     val beforeRaw = readVersion(spark, base, fromV)
     val afterRaw = readVersion(spark, base, toV)
     val afterTypes = afterRaw.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -290,17 +299,37 @@ object VersionedTable {
     }.toSeq: _*)
     val before = conform(beforeRaw)
     val after = conform(afterRaw)
-    val removed = before.exceptAll(after)
-    val added = after.exceptAll(before)
-    val updatedKeys = removed.select(keyCols.map(col): _*)
-      .intersect(added.select(keyCols.map(col): _*))
-    def tag(df: DataFrame, keysIn: Boolean, t: String) =
-      df.join(updatedKeys, keyCols, if (keysIn) "left_semi" else "left_anti")
-        .withColumn("_change_type", lit(t))
-    tag(removed, keysIn = false, "delete")
-      .unionByName(tag(added, keysIn = false, "insert"))
-      .unionByName(tag(removed, keysIn = true, "update_preimage"))
-      .unionByName(tag(added, keysIn = true, "update_postimage"))
+    // position-tagged row hash: each column hashed with its ordinal, the
+    // per-column hashes chained — never null, order- and null-layout-aware
+    val rowHash = unioned.map(_._1).zipWithIndex
+      .map { case (n, i) => xxhash64(lit(i), col(n)) }
+      .reduce((a, b) => xxhash64(a, b))
+    val bk = before.select(
+      keyCols.map(k => col(k).as(s"__bk_$k")) :+ rowHash.as("__bh"): _*)
+    val ak = after.select(
+      keyCols.map(k => col(k).as(s"__ak_$k")) :+ rowHash.as("__ah"): _*)
+    val cls = bk.join(ak,
+        keyCols.map(k => col(s"__bk_$k") <=> col(s"__ak_$k")).reduce(_ && _),
+        "full_outer")
+      .select(
+        keyCols.map(k =>
+          coalesce(col(s"__bk_$k"), col(s"__ak_$k")).as(s"__ck_$k")) :+
+        when(col("__bh").isNull, "insert")
+          .when(col("__ah").isNull, "delete")
+          .when(col("__bh") =!= col("__ah"), "update").as("__cls"): _*)
+      .filter(col("__cls").isNotNull) // unchanged keys drop out here
+    def attach(df: DataFrame, clsFilter: Seq[String], tags: Map[String, String]) =
+      df.join(cls.filter(col("__cls").isin(clsFilter: _*)),
+          keyCols.map(k => col(k) <=> col(s"__ck_$k")).reduce(_ && _))
+        .withColumn("_change_type",
+          tags.foldLeft(lit(null).cast("string")) { case (acc, (c, t)) =>
+            when(col("__cls") === c, lit(t)).otherwise(acc)
+          })
+        .drop("__cls").drop(keyCols.map(k => s"__ck_$k"): _*)
+    attach(before, Seq("delete", "update"),
+        Map("delete" -> "delete", "update" -> "update_preimage"))
+      .unionByName(attach(after, Seq("insert", "update"),
+        Map("insert" -> "insert", "update" -> "update_postimage")))
   }
 
   /** DESCRIBE HISTORY analogue (M1, ref 01:252 / 03:222): one row per

@@ -105,6 +105,32 @@ class VersionedTableSpec extends SparkSuite {
       "unchanged row 3 must not appear; others classified exactly")
   }
 
+  test("changes: null-safe keys, column-shift detected, exceptAll gone from the plan") {
+    val base = tmp() + "/vt-cdc2"
+    val v0 = VersionedTable.commit(spark, base,
+      Seq((Option(1), Option("p"), Option.empty[String]),
+          (Option.empty[Int], Option("x"), Option("z")),
+          (Option(3), Option("s"), Option("t"))).toDF("k", "a", "b"))
+    val v1 = VersionedTable.commit(spark, base,
+      Seq((Option(1), Option.empty[String], Option("p")), // value moved a->b
+          (Option.empty[Int], Option("y"), Option("z")),  // null-key row updated
+          (Option(3), Option("s"), Option("t"))).toDF("k", "a", "b"))
+    val out = VersionedTable.changes(spark, base, v0, v1, Seq("k"))
+    val rows = out.select("k", "a", "b", "_change_type")
+      .as[(Option[Int], Option[String], Option[String], String)].collect().toSet
+    assert(rows === Set(
+      // the position-tagged hash must see a value MOVING between columns
+      (Option(1), Option("p"), None, "update_preimage"),
+      (Option(1), None, Option("p"), "update_postimage"),
+      // a key with a null component present in both versions is an update,
+      // never a delete+insert
+      (None, Option("x"), Option("z"), "update_preimage"),
+      (None, Option("y"), Option("z"), "update_postimage")),
+      "row 3 unchanged; column shift and null-key update both classified")
+    assert(!out.queryExecution.executedPlan.toString.contains("Except"),
+      "diff must run as the keyed narrow-hash join, not exceptAll")
+  }
+
   test("appendEvolved: new columns null-backfill, missing columns null-fill, type change rejected") {
     val base = tmp() + "/vt-evolve"
     VersionedTable.commit(spark, base, Seq((1, "a")).toDF("k", "v"))
