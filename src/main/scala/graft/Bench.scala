@@ -3,8 +3,28 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one warmup pass (JIT + codegen compile + file-index
   * caches), then a timed pass; prints the driver-contract JSON line.
+  *
+  * The JSON carries `calib_pre`/`calib_post`: wall seconds for a FIXED
+  * deterministic CPU-bound job (200M xxhash64 partial-agg) run before the
+  * warmup and after the timed pass. Adjacent full-catalog runs on this
+  * shared host were measured drifting by a uniform ~1.35× with zero
+  * per-query spikes — machine-level speed variance, not harness noise.
+  * The calibration pins the machine factor of THIS run so cross-run and
+  * cross-round comparisons can normalize it out instead of misreading
+  * global drift as regression.
   */
 object Bench {
+
+  /** Fixed CPU-bound calibration: data-independent, shuffle-free (one
+    * partial-agg row per partition), same cost every run on equal
+    * hardware. */
+  def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(200000000L).select(sum(xxhash64(col("id")))).head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,6 +43,7 @@ object Bench {
       case Some(f) => SparkEntry.queries.filter(_._1.contains(f))
       case None => SparkEntry.queries
     }
+    val calibPre = calibrate(spark)
     qs.foreach { case (_, fn) => // warmup
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       Housekeeping.releaseAndSettle(spark) // don't let one query's residue time the next
@@ -34,10 +55,11 @@ object Bench {
       Housekeeping.releaseAndSettle(spark) // outside the timed section
       name -> dt
     }
+    val calibPost = calibrate(spark)
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib_pre":$calibPre,"calib_post":$calibPost,"queries":$qjson,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH artifact truncates the per-query map; persist the
     // full map so later rounds can diff EVERY query, not a visible suffix.

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Measured-accuracy probe for the APPROXIMATE tier — recall of every ANN
+  * path against its exact twin and relative error of every sketch against
+  * its exact aggregate, emitted as committed artifacts (`QUALITY.md` +
+  * `bench/quality.json`). A 100 TB operator needs its accuracy curve on
+  * record, not just spec-threshold assertions: the spec proves "above the
+  * floor", this records WHERE each operator actually sits so a regression
+  * (or a tuning change) is visible round over round.
+  *
+  * Run: `sbt "runMain graft.QualityProbe [sfDir]"` (defaults to sf0.1).
+  */
+object QualityProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ext.Similarity
+
+    // insertion-ordered: (operator, metric, value, vs)
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Double, String)]()
+
+    def pairsOf(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("qid").cast("long"), col("id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    /** Mean per-query recall of `approx`'s (qid, id) set vs `exact`'s. */
+    def recall(name: String, approx: DataFrame, exact: DataFrame, vs: String): Unit = {
+      val a = pairsOf(approx)
+      val e = pairsOf(exact)
+      val per = e.toSeq.map { case (q, ids) =>
+        (a.getOrElse(q, Set.empty) & ids).size.toDouble / ids.size }
+      out += ((name, "recall@10", per.sum / per.size, vs))
+    }
+
+    val q = QueryCatalog.queries
+    val exactCos = q("q33_cosine_topk")(spark, sfDir)
+    recall("q34_ann_lsh", q("q34_ann_lsh")(spark, sfDir), exactCos,
+      "q33 exact cosine top-10")
+    recall("q56_ann_ivf", q("q56_ann_ivf")(spark, sfDir), exactCos,
+      "q33 exact cosine top-10")
+
+    // exact squared-L2 top-10 (self included — the PQ family's semantics)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exactL2 = corpus.crossJoin(broadcast(queries))
+      .withColumn("d2", Similarity.sqDist(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))))
+      .filter(col("rank") <= 10).select(col("qid"), col("id"))
+    recall("q117_pq_adc_topk", q("q117_pq_adc_topk")(spark, sfDir), exactL2,
+      "exact L2 top-10")
+    recall("q120_ivfpq_topk", q("q120_ivfpq_topk")(spark, sfDir), exactL2,
+      "exact L2 top-10")
+
+    // q57 near-dup pair recall/precision vs brute-force cosine >= 0.98
+    // (same corpus construction: raw embeddings + perturbed dups)
+    val dups = emb.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 100000).as("id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") +
+          (pmod(col("vec_id") * (i + lit(1)), lit(7)).cast("double") - 3.0) * 0.005)
+          .cast("float")).as("vec"))
+    val ndCorpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .unionByName(dups)
+    val exactPairs = ndCorpus.select(col("id").as("id_a"), col("vec").as("vec_a"))
+      .crossJoin(ndCorpus.select(col("id").as("id_b"), col("vec").as("vec_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= 0.98)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = q("q57_embed_neardup")(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out += (("q57_embed_neardup", "pair_recall",
+      (gotPairs & exactPairs).size.toDouble / math.max(exactPairs.size, 1),
+      "brute-force cosine pairs >= 0.98"))
+    out += (("q57_embed_neardup", "pair_precision",
+      (gotPairs & exactPairs).size.toDouble / math.max(gotPairs.size, 1),
+      "brute-force cosine pairs >= 0.98"))
+
+    // ---- sketch relative errors ----
+    def relErrs(name: String, approx: DataFrame, exact: DataFrame,
+        keys: Seq[String], vals: Seq[String], vs: String): Unit = {
+      val j = approx.as("a").join(exact.as("e"), keys)
+      val errs = vals.flatMap { v =>
+        j.select((abs(col(s"a.$v").cast("double") - col(s"e.$v").cast("double")) /
+            abs(col(s"e.$v").cast("double"))).as("re"))
+          .collect().map(_.getDouble(0))
+      }
+      out += ((name, "max_rel_err", errs.max, vs))
+      out += ((name, "mean_rel_err", errs.sum / errs.size, vs))
+    }
+
+    relErrs("q115_approx_percentiles",
+      q("q115_approx_percentiles")(spark, sfDir),
+      q("q47_percentiles")(spark, sfDir),
+      Seq("o_orderstatus"), Seq("p50", "p90", "p99"),
+      "q47 exact percentiles")
+
+    val li = Tables.load(spark, sfDir, "lineitem")
+    relErrs("q38_approx_distinct",
+      q("q38_approx_distinct")(spark, sfDir),
+      li.groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("approx_parts")),
+      Seq("l_returnflag"), Seq("approx_orders", "approx_parts"),
+      "exact countDistinct")
+
+    val ev = Tables.events(spark, sfDir)
+    val evExact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("approx_users"))
+      .unionByName(ev.agg(countDistinct(col("user_id")).as("approx_users"))
+        .select(lit("__ALL__").as("event_type"), col("approx_users")))
+    relErrs("q99_hll_merge",
+      q("q99_hll_merge")(spark, sfDir), evExact,
+      Seq("event_type"), Seq("approx_users"),
+      "exact countDistinct (per type + merged)")
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val profExact = docs.agg(
+        countDistinct(col("doc_id")).as("doc_id"),
+        countDistinct(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("lang"),
+        countDistinct(col("source")).as("source"))
+      .select(expr("""stack(4,
+          'doc_id', doc_id, 'n_chars', n_chars,
+          'lang', lang, 'source', source) AS (col_name, approx_nd)"""))
+    relErrs("q119_approx_profile",
+      q("q119_approx_profile")(spark, sfDir), profExact,
+      Seq("col_name"), Seq("approx_nd"),
+      "exact per-column countDistinct")
+
+    // ---- emit artifacts ----
+    val md = new StringBuilder
+    md ++= s"# QUALITY — measured accuracy of the approximate tier\n\n"
+    md ++= s"Data: `$sfDir`. Generated by `graft.QualityProbe` "
+    md ++= "(`sbt \"runMain graft.QualityProbe [sfDir]\"`).\n\n"
+    md ++= "Recall = mean per-query overlap with the exact twin's result set;\n"
+    md ++= "rel err = |approx − exact| / exact over every group × column.\n\n"
+    md ++= "Context for the ANN rows: the testdata embeddings are NEAR-ORTHOGONAL\n"
+    md ++= "random vectors — the hardest case for bucketed ANN (no cluster\n"
+    md ++= "structure, true neighbors barely closer than chance; single-table\n"
+    md ++= "8-plane LSH has analytic expected recall ≈ 0.02 here). The near-dup\n"
+    md ++= "rows (perturbed-duplicate pairs, the actual dedup workload) show the\n"
+    md ++= "same machinery at its operating point. Tuning dials (planes/tables,\n"
+    md ++= "nProbe, m/ksub) trade recall vs cost as documented per operator.\n\n"
+    md ++= "| operator | metric | value | exact twin |\n|---|---|---|---|\n"
+    out.foreach { case (op, m, v, vs) =>
+      md ++= f"| $op | $m | $v%.4f | $vs |\n"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("QUALITY.md"),
+      md.toString.getBytes("UTF-8"))
+    val json = out.groupBy(_._1).map { case (op, ms) =>
+      s""""$op":{${ms.map(m => s""""${m._2}":${m._3}""").mkString(",")}}"""
+    }.mkString("{\"sf\":\"" + sfDir + "\",", ",", "}")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench/quality.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(md.toString)
+    spark.stop()
+  }
+}

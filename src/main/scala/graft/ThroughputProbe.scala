@@ -11,12 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object ThroughputProbe {
   def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("medallion")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "medallion" || mode == "all") medallion(spark)
+    if (mode == "dedup" || mode == "all") dedupIngest(spark)
+    spark.stop()
+  }
+
+  private def medallion(spark: org.apache.spark.sql.SparkSession): Unit = {
     val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
     val clock = java.sql.Timestamp.valueOf("2024-06-02 00:00:00")
     val n = 1000000
@@ -37,6 +44,49 @@ object ThroughputProbe {
     val qRows = n - silverRows
     val sec = (System.nanoTime() - start) / 1e9
     System.err.println(f"[tp] $n rows gen->DQ->silver->gold in $sec%.2f s = ${n / sec}%.0f rows/s (silver=$silverRows quarantine=$qRows gold=$goldRows)")
-    spark.stop()
+  }
+
+  /** STREAMING DEDUP INGESTION throughput: drives the real
+    * [[graft.streaming.StreamPipes.dedupIngest]] (admission against the
+    * persisted prefix index + index extension, exactly-once commit
+    * markers) over `batches` file-source micro-batches of `rows` docs
+    * each, one AvailableNow run per batch against the SAME checkpoint —
+    * the file source processes only unseen files, so batch N admits
+    * against the index built by batches 0..N-1. Per-batch latency should
+    * stay FLAT as the corpus grows (probe cost is O(batch + candidates),
+    * never O(corpus)); ~10% of each batch duplicates the previous batch
+    * to exercise cross-batch rejection. */
+  private def dedupIngest(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val batches = sys.env.getOrElse("TP_BATCHES", "5").toInt
+    val rows = sys.env.getOrElse("TP_ROWS", "100000").toLong
+    val root = java.nio.file.Files.createTempDirectory("tp-dedup").toString
+    val in = s"$root/incoming"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    for (b <- 0 until batches) {
+      // ~30-token docs over a 50k vocab; every 10th doc of batches >= 1
+      // re-derives a BATCH-0 doc's text (doc_id mod rows), so each batch
+      // carries 10% cross-batch dups against the already-persisted index
+      val ids = spark.range(b * rows, (b + 1) * rows).toDF("doc_id")
+      val basis = when(col("doc_id") % 10 === 0 && col("doc_id") >= rows,
+        pmod(col("doc_id"), lit(rows))).otherwise(col("doc_id"))
+      val text = concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("tok"), pmod(xxhash64(basis, lit(j)), lit(50000)))): _*)
+      ids.select(col("doc_id"), text.as("text"))
+        .coalesce(4).write.mode("append").parquet(in)
+      val t0 = System.nanoTime()
+      val q = streaming.StreamPipes.dedupIngest(
+        spark.readStream.schema(schema).parquet(in),
+        s"$root/state", s"$root/ckpt", threshold = 0.9)
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val kept = spark.read.parquet(s"$root/state/corpus/batch=$b").count()
+      System.err.println(f"[tp] dedup batch $b: $rows%d rows in $sec%.2f s = " +
+        f"${rows / sec}%.0f rows/s (admitted=$kept)")
+      Housekeeping.releaseAll(spark)
+    }
   }
 }

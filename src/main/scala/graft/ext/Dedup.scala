@@ -778,6 +778,20 @@ object Dedup {
     * ([[prefixJaccardPairs]]) instead. Output: (id_a, id_b, dist) with
     * id_a < id_b, one row per pair. */
   def editDistancePairs(
+      df: DataFrame, idCol: String, strCol: String): DataFrame =
+    editDistanceCandidates(df, idCol, strCol)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "dist")
+
+  /** The CANDIDATE pair set of [[editDistancePairs]] — everything that
+    * reaches Levenshtein verification: (id_a, id_b, s_a, s_b), distinct.
+    * Exposed (package-private) so scaling audits can count candidates vs
+    * verified pairs per scale factor: candidate growth tracking true-pair
+    * growth is the signature of answer-proportional cost; candidates
+    * outgrowing true pairs means the position restriction needs
+    * tightening. */
+  private[graft] def editDistanceCandidates(
       df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
@@ -820,8 +834,5 @@ object Dedup {
         when(col("id_i") < col("id_d"), col("s_i")).otherwise(col("s_d")).as("s_a"),
         when(col("id_i") < col("id_d"), col("s_d")).otherwise(col("s_i")).as("s_b"))
     samePos.unionByName(identDel).distinct()
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
-      .filter(col("dist") <= 1)
-      .select("id_a", "id_b", "dist")
   }
 }
