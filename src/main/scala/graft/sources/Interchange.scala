@@ -41,4 +41,34 @@ object Interchange {
     * in distributed plans like any table. */
   def fromRows(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toList), schema)
+
+  /** ARROW-FORMAT interchange — the columnar twin of [[toRows]] and the
+    * faithful analogue of what `toPandas()` actually ships (reference
+    * `04:43,311`): the result crosses the driver boundary as Arrow
+    * RECORD BATCHES (the representation pandas/polars/arrow-rs consume
+    * zero-copy) instead of deserialized JVM `Row` objects. Rides Spark's
+    * own Arrow serialization ([[org.apache.spark.sql.graft.ArrowBridge]]
+    * → the machinery under `collectAsArrowToPython`), so types, timezone
+    * handling, and nullability match `toPandas` exactly. Same cap
+    * contract as [[toRows]], enforced by the same limit-pushed probe
+    * BEFORE any batch is serialized. Returns the per-partition batch
+    * byte arrays plus the schema needed to reconstruct. */
+  def toArrowBatches(df: DataFrame, maxRows: Int = DefaultMaxRows): (Seq[Array[Byte]], StructType) = {
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"toArrowBatches: result exceeds the $maxRows-row driver cap; " +
+        "aggregate, sample, or top-k on the cluster side instead of collecting")
+    (org.apache.spark.sql.graft.ArrowBridge.toArrowBatchRdd(df).collect().toSeq,
+      df.schema)
+  }
+
+  /** Lift Arrow record batches back into a DataFrame (the
+    * `createDataFrame(pdf)` direction for Arrow payloads — also the
+    * ingest point for batches produced by an external Arrow-native
+    * library). Small payloads plan as a LocalRelation, large ones as a
+    * parallelized scan — distributed either way. */
+  def fromArrowBatches(spark: SparkSession, batches: Seq[Array[Byte]],
+      schema: StructType): DataFrame =
+    org.apache.spark.sql.graft.ArrowBridge.fromArrowBatches(
+      spark, batches.iterator, schema.json)
 }
