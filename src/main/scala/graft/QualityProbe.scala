@@ -99,11 +99,20 @@ object QualityProbe {
     def relErrs(name: String, approx: DataFrame, exact: DataFrame,
         keys: Seq[String], vals: Seq[String], vs: String): Unit = {
       val j = approx.as("a").join(exact.as("e"), keys)
-      val errs = vals.flatMap { v =>
-        j.select((abs(col(s"a.$v").cast("double") - col(s"e.$v").cast("double")) /
-            abs(col(s"e.$v").cast("double"))).as("re"))
-          .collect().map(_.getDouble(0))
+      // All value columns in ONE select/one job (per-column collects would
+      // re-execute both query plans once per column). Zero-exact groups
+      // are defined explicitly — 0 when both sides are 0, +Inf when only
+      // the exact side is — because Spark's zero divisor yields NULL and
+      // getDouble would NPE the whole probe.
+      val errCols = vals.map { v =>
+        val a = col(s"a.$v").cast("double")
+        val e = col(s"e.$v").cast("double")
+        when(e === 0.0, when(a === 0.0, lit(0.0))
+            .otherwise(lit(Double.PositiveInfinity)))
+          .otherwise(abs(a - e) / abs(e)).as(v)
       }
+      val errs = j.select(errCols: _*).collect()
+        .flatMap(r => vals.indices.map(r.getDouble))
       out += ((name, "max_rel_err", errs.max, vs))
       out += ((name, "mean_rel_err", errs.sum / errs.size, vs))
     }

@@ -41,10 +41,14 @@ object ScalingProbe {
       }
     })
     def timed[T](f: => T): (T, Double, Long) = {
+      // drain stragglers from work PRECEDING this call (corpus.count, a
+      // prior section) so their late task-end events can't race past the
+      // reset and be attributed to the measured run
+      org.apache.spark.graft.CleanerBridge.waitListenerBusEmpty(spark.sparkContext)
       maxTask.set(0)
       val t0 = System.nanoTime()
       val r = f
-      // drain the listener bus so maxTask has seen every task of THIS run
+      // drain again so maxTask has seen every task of THIS run
       org.apache.spark.graft.CleanerBridge.waitListenerBusEmpty(spark.sparkContext)
       (r, (System.nanoTime() - t0) / 1e9, maxTask.get())
     }

@@ -54,8 +54,9 @@ object ThroughputProbe {
     * the file source processes only unseen files, so batch N admits
     * against the index built by batches 0..N-1. Per-batch latency should
     * stay FLAT as the corpus grows (probe cost is O(batch + candidates),
-    * never O(corpus)); ~10% of each batch duplicates the previous batch
-    * to exercise cross-batch rejection. */
+    * never O(corpus)); ~10% of each later batch re-derives BATCH-0 docs
+    * (see the inline comment) to exercise cross-batch rejection against
+    * the persisted index. */
   private def dedupIngest(spark: org.apache.spark.sql.SparkSession): Unit = {
     val batches = sys.env.getOrElse("TP_BATCHES", "5").toInt
     val rows = sys.env.getOrElse("TP_ROWS", "100000").toLong

@@ -636,12 +636,23 @@ object Dedup {
         // the vocab checkpoint the main plan shares anyway; on a skew-free
         // corpus it comes back EMPTY and AQE's empty-relation propagation
         // eliminates the hot branch before its upstream ever runs, so the
-        // executed plan still collapses to the symmetric join.
+        // executed plan still collapses to the symmetric join. That lazy
+        // collapse IS an AQE mechanism — with AQE disabled in the caller's
+        // session there is nothing to prune the empty branch at runtime,
+        // so pay one construction-time probe (the only case where eager
+        // beats lazy: the ~1.8× asymmetric-branch cost would otherwise be
+        // paid on EVERY skew-free run) and emit the symmetric plan direct.
         val hotTids = vocab.filter(col("df") >= saltMinPostings).select("tid")
-        val cold = prefixes.join(broadcast(hotTids), Seq("tid"), "left_anti")
-        val hot = prefixes.join(broadcast(hotTids), Seq("tid"), "left_semi")
-        aSide(cold).join(bSide(cold), Seq("tid"))
-          .unionByName(saltedJoin(hot, autoChunks))
+        val aqeOn = df.sparkSession.conf
+          .get("spark.sql.adaptive.enabled", "true").toBoolean
+        if (!aqeOn && hotTids.isEmpty) {
+          aSide(prefixes).join(bSide(prefixes), Seq("tid"))
+        } else {
+          val cold = prefixes.join(broadcast(hotTids), Seq("tid"), "left_anti")
+          val hot = prefixes.join(broadcast(hotTids), Seq("tid"), "left_semi")
+          aSide(cold).join(bSide(cold), Seq("tid"))
+            .unionByName(saltedJoin(hot, autoChunks))
+        }
       } else if (salt == 1) {
         aSide(prefixes).join(bSide(prefixes), Seq("tid"))
       } else {

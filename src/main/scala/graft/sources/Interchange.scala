@@ -54,12 +54,21 @@ object Interchange {
     * BEFORE any batch is serialized. Returns the per-partition batch
     * byte arrays plus the schema needed to reconstruct. */
   def toArrowBatches(df: DataFrame, maxRows: Int = DefaultMaxRows): (Seq[Array[Byte]], StructType) = {
-    val n = df.limit(maxRows + 1).count()
-    require(n <= maxRows,
-      s"toArrowBatches: result exceeds the $maxRows-row driver cap; " +
-        "aggregate, sample, or top-k on the cluster side instead of collecting")
-    (org.apache.spark.sql.graft.ArrowBridge.toArrowBatchRdd(df).collect().toSeq,
-      df.schema)
+    // limit + cache makes the underlying plan execute ONCE: the probe
+    // count materializes the capped result into the cache and the Arrow
+    // collect reads it back. A probe-then-recompute pair would run the
+    // plan twice — paying the query cost twice and, for nondeterministic
+    // plans, letting the second execution exceed the cap the first one
+    // passed. Cache size is bounded by the cap itself (≤ maxRows + 1 rows).
+    val capped = df.limit(maxRows + 1).cache()
+    try {
+      val n = capped.count()
+      require(n <= maxRows,
+        s"toArrowBatches: result exceeds the $maxRows-row driver cap; " +
+          "aggregate, sample, or top-k on the cluster side instead of collecting")
+      (org.apache.spark.sql.graft.ArrowBridge.toArrowBatchRdd(capped).collect().toSeq,
+        df.schema)
+    } finally capped.unpersist(blocking = false)
   }
 
   /** Lift Arrow record batches back into a DataFrame (the

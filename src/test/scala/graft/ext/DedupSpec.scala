@@ -138,6 +138,34 @@ class DedupSpec extends SparkSuite {
       "crossing the dial must engage the salted branch")
   }
 
+  test("auto-salt dial with AQE disabled: eager collapse, still lossless") {
+    // without AQE there is no runtime empty-relation propagation, so the
+    // dial pays one construction-time probe and emits the symmetric plan
+    // directly on a skew-free corpus; a skewed corpus still engages the
+    // salted branch. Results must be unchanged either way.
+    val plain = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val skewed = (1L to 60L).map(i =>
+      (i, s"common tok${i}a tok${i}b tok${i}c tok${i}d")).toDF("doc_id", "text")
+    val skewTruth = Dedup.prefixJaccardPairs(skewed, "doc_id", "text", 0.1,
+        saltMinPostings = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val uniform = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.8)
+      assert(uniform.as[(Long, Long, Double)].collect().toSet === plain,
+        "AQE-off dial must be lossless on a skew-free corpus")
+      assert(!uniform.queryExecution.executedPlan.toString.contains("salt#"),
+        "AQE-off + skew-free must collapse to the symmetric plan at construction")
+      val hot = Dedup.prefixJaccardPairs(skewed, "doc_id", "text", 0.1,
+        saltMinPostings = 50)
+      assert(hot.as[(Long, Long, Double)].collect().toSet === skewTruth,
+        "AQE-off salted branch must be lossless on a skewed corpus")
+      assert(hot.queryExecution.executedPlan.toString.contains("salt#"),
+        "AQE-off + skew must still engage the salted branch")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("dedupComponents == connected components over the expanded pair list") {
     // richer corpus: a 3-clique of case dups, a chain through a near dup,
     // two isolated docs
