@@ -68,6 +68,8 @@ object QualityProbe {
       "exact L2 top-10")
     recall("q120_ivfpq_topk", q("q120_ivfpq_topk")(spark, sfDir), exactL2,
       "exact L2 top-10")
+    recall("q121_ivfpq_refine", q("q121_ivfpq_refine")(spark, sfDir), exactL2,
+      "exact L2 top-10")
 
     // q57 near-dup pair recall/precision vs brute-force cosine >= 0.98
     // (same corpus construction: raw embeddings + perturbed dups)

@@ -418,6 +418,33 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("adc"))
   }
 
+  /** IVF×PQ search with EXACT RE-RANKING — the FAISS refine stage
+    * (IndexRefineFlat over IndexIVFPQ): [[ivfPqTopK]] produces an ADC
+    * shortlist of `shortlist` candidates per query, then the TRUE
+    * squared-L2 distance re-ranks the shortlist and the top `k` survive.
+    * Recall ≈ the shortlist's (ADC quantization error can demote a true
+    * neighbor only below position `shortlist`, not out of the final k);
+    * rank quality = exact. The raw-vector fetch is a BROADCAST-pruned
+    * keyed join touching |queries|·shortlist corpus rows — at
+    * billion-vector scale the scan-heavy work stays on the m-int codes
+    * and the full-precision vectors are read for ~50 rows per query,
+    * never scanned. Deterministic end-to-end (the exact distance is the
+    * same dot-combination both engines evaluate left-to-right) ⇒
+    * oracle-checkable. Output (qid, rank, id, d2). */
+  def ivfPqRefine(index: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, corpus: DataFrame, m: Int, k: Int,
+      nProbe: Int = 2, shortlist: Int = 50): DataFrame = {
+    val cand = ivfPqTopK(index, centroids, codebooks, queries, m, shortlist, nProbe)
+      .select(col("qid"), col("id"))
+    val fetched = corpus.join(broadcast(cand), Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("d2", sqDist(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))
+    fetched.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("d2"))
+  }
+
   /** Approximate top-k: candidates share a hyperplane-signature bucket with
     * the query; exact cosine ranks within candidates. One corpus scan to
     * bucket, one bucket-keyed join — no cross join at any scale. */

@@ -489,8 +489,104 @@ object EmbedQueries {
       WHERE rank <= 10
     """))
 
+  /** IVF×PQ + EXACT RE-RANK ([[Similarity.ivfPqRefine]], the FAISS
+    * refine stage): q120's list-pruned ADC search over-fetches a
+    * 50-candidate shortlist per query, raw vectors are fetched for THOSE
+    * ROWS ONLY (broadcast-pruned keyed join — full-precision data is
+    * ~50 rows/query at any corpus size, never a scan), and exact
+    * squared-L2 re-ranks the final 10. The refined distance is the
+    * dot-product combination both engines evaluate with identical
+    * left-to-right accumulation (the q33 recipe) ⇒ full oracle with the
+    * RAW double in the output — no rounding step to introduce ties. */
+  val q121IvfPqRefine: Q = Q(
+    "q121_ivfpq_refine",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      val books = Similarity.pqCodebooks(corpus, m = 4, ksub = 16, iters = 1)
+      val index = Similarity.ivfPqIndex(corpus, cents, books, m = 4)
+      val queries = corpus.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      Similarity.ivfPqRefine(index, cents, books, queries, corpus,
+        m = 4, k = 10, nProbe = 2, shortlist = 50)
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      subs AS (SELECT unnest(generate_series(0, 3)) AS subspace),
+      books AS (
+        SELECT s.subspace, CAST(c.id AS INT) AS bcid,
+          list_slice(c.vec, s.subspace*16+1, s.subspace*16+16) AS cvec
+        FROM corpus c CROSS JOIN subs s WHERE c.id < 16),
+      lists AS (
+        SELECT id, cid FROM (
+          SELECT c.id, k.cid,
+            ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+              list_dot_product(c.vec, c.vec) - 2*list_dot_product(c.vec, k.cvec)
+                + list_dot_product(k.cvec, k.cvec), k.cid) AS rn
+          FROM corpus c CROSS JOIN cents k) WHERE rn = 1),
+      parts AS (
+        SELECT c.id, s.subspace,
+          list_slice(c.vec, s.subspace*16+1, s.subspace*16+16) AS sub
+        FROM corpus c CROSS JOIN subs s),
+      enc AS (
+        SELECT id, subspace, bcid AS code FROM (
+          SELECT p.id, p.subspace, b.bcid,
+            ROW_NUMBER() OVER (PARTITION BY p.id, p.subspace ORDER BY
+              list_dot_product(p.sub, p.sub) - 2*list_dot_product(p.sub, b.cvec)
+                + list_dot_product(b.cvec, b.cvec), b.bcid) AS rn
+          FROM parts p JOIN books b USING (subspace))
+        WHERE rn = 1),
+      probes AS (
+        SELECT qid, cid FROM (
+          SELECT c.id AS qid, k.cid,
+            ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+              list_dot_product(c.vec, c.vec) - 2*list_dot_product(c.vec, k.cvec)
+                + list_dot_product(k.cvec, k.cvec), k.cid) AS rn
+          FROM corpus c CROSS JOIN cents k WHERE c.id < 5) WHERE rn <= 2),
+      dtable AS (
+        SELECT p.id AS qid, p.subspace, b.bcid AS code,
+          list_dot_product(p.sub, p.sub) - 2*list_dot_product(p.sub, b.cvec)
+            + list_dot_product(b.cvec, b.cvec) AS d2
+        FROM parts p JOIN books b USING (subspace) WHERE p.id < 5),
+      scored AS (
+        SELECT d.qid, e.id,
+          CAST(SUM(CAST(round(d.d2, 6) AS DECIMAL(28,8))) AS DOUBLE) AS adc
+        FROM enc e
+        JOIN lists l ON l.id = e.id
+        JOIN probes pr ON pr.cid = l.cid
+        JOIN dtable d ON e.subspace = d.subspace AND e.code = d.code
+          AND d.qid = pr.qid
+        GROUP BY d.qid, e.id),
+      shortlist AS (
+        SELECT qid, id FROM (
+          SELECT qid, id,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS srank
+          FROM scored)
+        WHERE srank <= 50),
+      refined AS (
+        SELECT sl.qid, sl.id,
+          list_dot_product(c.vec, c.vec) - 2*list_dot_product(c.vec, q.vec)
+            + list_dot_product(q.vec, q.vec) AS d2
+        FROM shortlist sl
+        JOIN corpus c ON c.id = sl.id
+        JOIN corpus q ON q.id = sl.qid)
+      SELECT qid, rank, id, d2 FROM (
+        SELECT qid, id, d2,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, id) AS BIGINT) AS rank
+        FROM refined)
+      WHERE rank <= 10
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
-    q118ClusterBalancedSample, q120IvfPqTopK)
+    q118ClusterBalancedSample, q120IvfPqTopK, q121IvfPqRefine)
 }

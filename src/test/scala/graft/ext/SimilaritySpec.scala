@@ -319,6 +319,64 @@ class SimilaritySpec extends SparkSuite {
       "nProbe < |lists| must restrict the scanned code set")
   }
 
+  test("IVF×PQ refine: full shortlist equals exact top-k; recall never below unrefined") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("vec"))
+    val m = 4
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("cvec"))
+    val books = Similarity.pqCodebooks(corpus, m, ksub = 16, iters = 1)
+    val index = Similarity.ivfPqIndex(corpus, cents, books, m)
+    val queries = corpus.filter($"id" < 3).select($"id".as("qid"), $"vec".as("qvec"))
+    // exact L2 top-10 RESTRICTED to the probed lists (what refine can at
+    // best recover given the same nProbe): with the shortlist covering all
+    // probed candidates, refine must reproduce it exactly — the re-rank
+    // stage itself is lossless
+    val nc = corpus.count().toInt
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("d2c", Similarity.sqDist($"qvec", $"cvec"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"d2c", $"cid")))
+      .filter($"rn" <= 2).select($"qid", $"cid")
+    val exactInLists = index.select($"id", $"cid").join(probes, Seq("cid"))
+      .join(corpus, Seq("id")).join(broadcast(queries), Seq("qid"))
+      .withColumn("d2", Similarity.sqDist($"vec", $"qvec"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"d2", $"id")).cast("long"))
+      .filter($"rank" <= 10).select($"qid", $"rank", $"id")
+      .as[(Long, Long, Long)].collect().toSet
+    val fullShortlist = Similarity.ivfPqRefine(index, cents, books, queries,
+        corpus, m, k = 10, nProbe = 2, shortlist = nc)
+      .select($"qid", $"rank", $"id").as[(Long, Long, Long)].collect().toSet
+    assert(fullShortlist === exactInLists,
+      "refine with an all-candidate shortlist must equal exact L2 over the probed lists")
+    // exact GLOBAL top-10 per query (the recall target)
+    val exact = corpus.crossJoin(broadcast(queries))
+      .withColumn("d2", Similarity.sqDist($"vec", $"qvec"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"d2", $"id")))
+      .filter($"rank" <= 10).select($"qid", $"id")
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (q, xs) =>
+        q -> xs.map(_._2).toSet }
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"qid", $"id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val per = exact.toSeq.map { case (q, ids) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(ids).size.toDouble / ids.size }
+      per.sum / per.size
+    }
+    val unrefined = recallOf(Similarity.ivfPqTopK(index, cents, books, queries,
+      m, k = 10, nProbe = 2))
+    val refined = recallOf(Similarity.ivfPqRefine(index, cents, books, queries,
+      corpus, m, k = 10, nProbe = 2, shortlist = 50))
+    assert(refined >= unrefined,
+      s"exact re-rank of a 5x shortlist must not lose recall (refined=$refined unrefined=$unrefined)")
+  }
+
   test("PQ slicing covers every dimension when d is not divisible by m") {
     // 10-dim vectors, m=4 -> subspaces of widths 2,2,2,4: the last (4-wide)
     // slice carries dims 7-10; vectors differing ONLY in dim 10 must code

@@ -202,6 +202,22 @@ class PlanSpec extends SparkSuite {
       s"IVFPQ search must not shuffle-join the corpus:\n$p")
   }
 
+  test("q121 IVF×PQ refine: candidate-pruned raw fetch, no cartesian, no shuffle join") {
+    val p = plan(QueryCatalog.queries("q121_ivfpq_refine")(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"refine must never go all-pairs against the corpus:\n$p")
+    // centroid cross joins (coarse assign + probe selection) are the only
+    // permissible nested loops — constant-size build sides
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 3, s"only the centroid cross joins may nest-loop, got $bnl")
+    assert(!p.contains("SortMergeJoin"),
+      s"the raw-vector fetch must be a broadcast-pruned keyed join, not a shuffle:\n$p")
+    // encode/list-prune/ADC joins plus the shortlist fetch + query re-attach
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 5,
+      s"shortlist fetch and query re-attach must broadcast like the search joins, got $bhj in:\n$p")
+  }
+
   test("q116 fuzzy decontamination: keyed joins only, no cartesian product") {
     val p = plan(QueryCatalog.queries("q116_fuzzy_decontam")(spark, dir))
     assert(!p.contains("CartesianProduct"),
