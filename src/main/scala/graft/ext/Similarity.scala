@@ -418,6 +418,97 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("adc"))
   }
 
+  /** RESIDUAL IVF×PQ index — the FAISS IndexIVFPQ DEFAULT encoding:
+    * each vector is quantized as its RESIDUAL to its coarse centroid
+    * (vec − cvec), not raw. Residuals have a fraction of the raw
+    * vectors' variance (the coarse quantizer has already explained the
+    * list-level structure), so the same m×ksub code budget spends its
+    * resolution on the fine detail — the standard recall win over raw
+    * encoding. Codebooks are trained on the residuals themselves (seed
+    * protocol: first `ksub` ids' residual slices, oracle-exact; Lloyd
+    * refinement via `iters`). Plan shape matches [[ivfPqIndex]]: one
+    * broadcast-centroid assignment scan, an element-wise subtract (no
+    * extra shuffle), one broadcast-codebook encode. Returns (index:
+    * (id, cid, codes), codebooks) — the books are derived data here,
+    * unlike the raw path where they're an input. */
+  def ivfPqResidual(corpus: DataFrame, centroids: DataFrame,
+      m: Int, ksub: Int, iters: Int = 1): (DataFrame, DataFrame) = {
+    def residOf(df: DataFrame) = kmeansAssign(df, centroids)
+      .select(col("id"), col("cluster").as("cid"), col("vec"))
+      .join(broadcast(centroids), Seq("cid"))
+      .select(col("id"), col("cid"),
+        zip_with(col("vec"), col("cvec"), (x, y) => x - y).as("vec"))
+    // The codebook branches (one per subspace) each replicate their input
+    // subplan, and the books feed BOTH the encode join and the search's
+    // ADC table — feed them a PRE-PRUNED corpus (the id < ksub seed
+    // filter reaches the parquet scan instead of re-assigning the full
+    // corpus per branch) and PIN the result: the books are an index-build
+    // artifact (m·ksub rows), computed once, not a subplan to re-derive
+    // at every use site. Lazy checkpoint = the Dedup-vocab recipe.
+    val books = pqCodebooks(
+      residOf(corpus.filter(col("id") < ksub)).select(col("id"), col("vec")),
+      m, ksub, iters).localCheckpoint(eager = false)
+    // Encode in ONE pipeline with the list id riding through the
+    // aggregation (the [[ivfPqIndex]] shape) — the full corpus is
+    // assigned and residualized exactly once.
+    val parts = residOf(corpus).select(col("id"), col("cid"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => pqSlice(col("vec"), m, s))).as(Seq("subspace", "sub")))
+    val index = parts
+      .join(broadcast(books.withColumnRenamed("cid", "bcid")), Seq("subspace"))
+      .withColumn("d2", sqDist(col("sub"), col("cvec")))
+      .groupBy(col("id"), col("cid"), col("subspace"))
+      .agg(min_by(col("bcid"), struct(col("d2"), col("bcid"))).as("code"))
+      .groupBy(col("id"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    (index, books)
+  }
+
+  /** Residual IVF×PQ approximate top-k: like [[ivfPqTopK]], but the ADC
+    * lookup table is PER (query, probed list) — the query's residual to
+    * THAT list's centroid is what the list's codes approximate, so the
+    * table is keyed by (qid, cid, subspace, code): nProbe·m·ksub rows
+    * per query, still broadcast-sized at any corpus scale. Search cost
+    * is identical to the raw path (the codes joined are the same rows;
+    * only the broadcast table grew by nProbe×). Deterministic
+    * (decimal-exact ADC sums, id tiebreaks) ⇒ oracle-checkable.
+    * Output (qid, rank, id, adc). */
+  def ivfPqResidualTopK(index: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, queries: DataFrame,
+      m: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    val wq = Window.partitionBy(col("qid")).orderBy(col("d2c"), col("cid"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("d2c", sqDist(col("qvec"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cid"),
+        zip_with(col("qvec"), col("cvec"), (x, y) => x - y).as("qres"))
+    val qparts = probes.select(col("qid"), col("cid"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => pqSlice(col("qres"), m, s))).as(Seq("subspace", "qsub")))
+    // explicit hint: checkpointed codebooks plan as a stats-less
+    // LogicalRDD, which would otherwise default the m·ksub-row table
+    // to a sort-merge join
+    val dtable = qparts.join(
+        broadcast(codebooks.withColumnRenamed("cid", "code")),
+        Seq("subspace"))
+      .select(col("qid"), col("cid"), col("subspace"), col("code"),
+        sqDist(col("qsub"), col("cvec")).as("d2"))
+    val scored = index
+      .join(broadcast(probes.select(col("qid"), col("cid"))), Seq("cid"))
+      .select(col("qid"), col("cid"), col("id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(dtable), Seq("qid", "cid", "subspace", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(round(col("d2"), 6).cast(
+        org.apache.spark.sql.types.DecimalType(28, 8))).cast("double").as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("adc"))
+  }
+
   /** IVF×PQ search with EXACT RE-RANKING — the FAISS refine stage
     * (IndexRefineFlat over IndexIVFPQ): [[ivfPqTopK]] produces an ADC
     * shortlist of `shortlist` candidates per query, then the TRUE

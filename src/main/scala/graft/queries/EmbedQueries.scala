@@ -585,8 +585,104 @@ object EmbedQueries {
       WHERE rank <= 10
     """))
 
+  /** RESIDUAL IVF×PQ top-k ([[Similarity.ivfPqResidual]] +
+    * [[Similarity.ivfPqResidualTopK]]): the FAISS IndexIVFPQ DEFAULT
+    * encoding — each vector quantized as its residual to its coarse
+    * centroid, codebooks trained on the residuals, and the ADC table
+    * built per (query, probed list) from the query's residual to that
+    * list's centroid. Same search cost as q120 (identical code rows
+    * joined; the broadcast table grows nProbe×); the code budget spends
+    * its resolution on post-coarse detail instead of re-describing the
+    * list structure. Deterministic end-to-end ⇒ full oracle: DuckDB
+    * re-derives assignment, residuals, residual codebooks, encode, probe
+    * selection, per-list ADC tables, and the ranking. */
+  val q122IvfPqResidual: Q = Q(
+    "q122_ivfpq_residual",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      val (index, books) = Similarity.ivfPqResidual(corpus, cents, m = 4,
+        ksub = 16, iters = 1)
+      val queries = corpus.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      Similarity.ivfPqResidualTopK(index, cents, books, queries,
+        m = 4, k = 10, nProbe = 2)
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      subs AS (SELECT unnest(generate_series(0, 3)) AS subspace),
+      lists AS (
+        SELECT id, cid FROM (
+          SELECT c.id, k.cid,
+            ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+              list_dot_product(c.vec, c.vec) - 2*list_dot_product(c.vec, k.cvec)
+                + list_dot_product(k.cvec, k.cvec), k.cid) AS rn
+          FROM corpus c CROSS JOIN cents k) WHERE rn = 1),
+      resid AS (
+        SELECT c.id, l.cid,
+          list_transform(list_zip(c.vec, k.cvec), x -> x[1] - x[2]) AS vec
+        FROM corpus c JOIN lists l ON l.id = c.id JOIN cents k ON k.cid = l.cid),
+      books AS (
+        SELECT s.subspace, CAST(r.id AS INT) AS bcid,
+          list_slice(r.vec, s.subspace*16+1, s.subspace*16+16) AS cvec
+        FROM resid r CROSS JOIN subs s WHERE r.id < 16),
+      parts AS (
+        SELECT r.id, s.subspace,
+          list_slice(r.vec, s.subspace*16+1, s.subspace*16+16) AS sub
+        FROM resid r CROSS JOIN subs s),
+      enc AS (
+        SELECT id, subspace, bcid AS code FROM (
+          SELECT p.id, p.subspace, b.bcid,
+            ROW_NUMBER() OVER (PARTITION BY p.id, p.subspace ORDER BY
+              list_dot_product(p.sub, p.sub) - 2*list_dot_product(p.sub, b.cvec)
+                + list_dot_product(b.cvec, b.cvec), b.bcid) AS rn
+          FROM parts p JOIN books b USING (subspace))
+        WHERE rn = 1),
+      probes AS (
+        SELECT qid, cid, cvec FROM (
+          SELECT c.id AS qid, k.cid, k.cvec,
+            ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+              list_dot_product(c.vec, c.vec) - 2*list_dot_product(c.vec, k.cvec)
+                + list_dot_product(k.cvec, k.cvec), k.cid) AS rn
+          FROM corpus c CROSS JOIN cents k WHERE c.id < 5) WHERE rn <= 2),
+      qres AS (
+        SELECT p.qid, p.cid,
+          list_transform(list_zip(c.vec, p.cvec), x -> x[1] - x[2]) AS vec
+        FROM probes p JOIN corpus c ON c.id = p.qid),
+      qparts AS (
+        SELECT q.qid, q.cid, s.subspace,
+          list_slice(q.vec, s.subspace*16+1, s.subspace*16+16) AS qsub
+        FROM qres q CROSS JOIN subs s),
+      dtable AS (
+        SELECT qp.qid, qp.cid, qp.subspace, b.bcid AS code,
+          list_dot_product(qp.qsub, qp.qsub) - 2*list_dot_product(qp.qsub, b.cvec)
+            + list_dot_product(b.cvec, b.cvec) AS d2
+        FROM qparts qp JOIN books b USING (subspace)),
+      scored AS (
+        SELECT d.qid, e.id,
+          CAST(SUM(CAST(round(d.d2, 6) AS DECIMAL(28,8))) AS DOUBLE) AS adc
+        FROM enc e
+        JOIN lists l ON l.id = e.id
+        JOIN dtable d ON d.cid = l.cid AND e.subspace = d.subspace
+          AND e.code = d.code
+        GROUP BY d.qid, e.id)
+      SELECT qid, rank, id, adc FROM (
+        SELECT qid, id, adc,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS BIGINT) AS rank
+        FROM scored)
+      WHERE rank <= 10
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
-    q118ClusterBalancedSample, q120IvfPqTopK, q121IvfPqRefine)
+    q118ClusterBalancedSample, q120IvfPqTopK, q121IvfPqRefine, q122IvfPqResidual)
 }

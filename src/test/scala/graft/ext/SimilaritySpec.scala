@@ -377,6 +377,59 @@ class SimilaritySpec extends SparkSuite {
       s"exact re-rank of a 5x shortlist must not lose recall (refined=$refined unrefined=$unrefined)")
   }
 
+  test("residual IVF×PQ: total index, and recall beats raw encoding on clustered data") {
+    // The residual claim only bites when coarse structure EXISTS: build 8
+    // well-separated clusters (centroid = 10·e_{c·8..c·8+7} blocks in 64-d)
+    // with small deterministic per-id offsets. Raw PQ must describe
+    // absolute positions with 16 codes/subspace; residual PQ spends the
+    // same budget on the offsets alone.
+    val d = 64; val nPer = 40
+    val cvecs = (0 until 8).map { c =>
+      Array.tabulate(d)(i => if (i / 8 == c) 10.0 else 0.0) }
+    val rows = for (c <- 0 until 8; j <- 0 until nPer) yield {
+      val id = (c * nPer + j).toLong
+      val vec = cvecs(c).zipWithIndex.map { case (v, i) =>
+        v + ((id * 31 + i * 7) % 11 - 5) * 0.08 }
+      (id, vec.toSeq)
+    }
+    val corpus = rows.toDF("id", "vec")
+    val cents = cvecs.zipWithIndex.map { case (v, c) => (c.toLong, v.toSeq) }
+      .toDF("cid", "cvec")
+    val queries = corpus.filter($"id" % 40 === 3)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val m = 4
+    val exact = corpus.crossJoin(broadcast(queries))
+      .withColumn("d2", Similarity.sqDist($"vec", $"qvec"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"d2", $"id")))
+      .filter($"rank" <= 10).select($"qid", $"id")
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (q, xs) =>
+        q -> xs.map(_._2).toSet }
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"qid", $"id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val per = exact.toSeq.map { case (q, ids) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(ids).size.toDouble / ids.size }
+      per.sum / per.size
+    }
+    val (rIndex, rBooks) = Similarity.ivfPqResidual(corpus, cents, m,
+      ksub = 16, iters = 1)
+    // index totality: every vector in exactly one list with m codes
+    assert(rIndex.count() === corpus.count())
+    assert(rIndex.filter(size($"codes") =!= m).count() === 0)
+    val rawBooks = Similarity.pqCodebooks(corpus, m, ksub = 16, iters = 1)
+    val rawIndex = Similarity.ivfPqIndex(corpus, cents, rawBooks, m)
+    val rawRecall = recallOf(Similarity.ivfPqTopK(rawIndex, cents, rawBooks,
+      queries, m, k = 10, nProbe = 2))
+    val resRecall = recallOf(Similarity.ivfPqResidualTopK(rIndex, cents, rBooks,
+      queries, m, k = 10, nProbe = 2))
+    assert(resRecall >= rawRecall,
+      s"residual encoding must not lose recall on clustered data (res=$resRecall raw=$rawRecall)")
+    assert(resRecall >= 0.5,
+      s"residual codes must resolve the in-cluster offsets (res=$resRecall)")
+  }
+
   test("PQ slicing covers every dimension when d is not divisible by m") {
     // 10-dim vectors, m=4 -> subspaces of widths 2,2,2,4: the last (4-wide)
     // slice carries dims 7-10; vectors differing ONLY in dim 10 must code

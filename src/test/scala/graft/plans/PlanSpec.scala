@@ -218,6 +218,21 @@ class PlanSpec extends SparkSuite {
       s"shortlist fetch and query re-attach must broadcast like the search joins, got $bhj in:\n$p")
   }
 
+  test("q122 residual IVF×PQ: broadcast-only tables, pruned seed branches, no shuffle join") {
+    val p = plan(QueryCatalog.queries("q122_ivfpq_residual")(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"residual path must never go all-pairs against the corpus:\n$p")
+    // centroid cross joins: ONE full-corpus assignment (encode pipeline)
+    // + one per-query probe selection. The seed-codebook branches live
+    // behind the books' lazy checkpoint (computed once over an
+    // id<ksub-pruned scan), so they must NOT appear as repeated
+    // assignment joins in the search plan.
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 3, s"full-corpus assignment must happen once, got $bnl nest-loops")
+    assert(!p.contains("SortMergeJoin"),
+      s"residual search must not shuffle-join the corpus:\n$p")
+  }
+
   test("q116 fuzzy decontamination: keyed joins only, no cartesian product") {
     val p = plan(QueryCatalog.queries("q116_fuzzy_decontam")(spark, dir))
     assert(!p.contains("CartesianProduct"),
