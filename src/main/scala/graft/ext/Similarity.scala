@@ -448,21 +448,38 @@ object Similarity {
     val books = pqCodebooks(
       residOf(corpus.filter(col("id") < ksub)).select(col("id"), col("vec")),
       m, ksub, iters).localCheckpoint(eager = false)
-    // Encode in ONE pipeline with the list id riding through the
-    // aggregation (the [[ivfPqIndex]] shape) — the full corpus is
-    // assigned and residualized exactly once.
-    val parts = residOf(corpus).select(col("id"), col("cid"),
+    (ivfPqResidualEncode(corpus, centroids, books, m), books)
+  }
+
+  /** Residual encode against FROZEN artifacts — both the second half of
+    * [[ivfPqResidual]] and the INCREMENTAL EXTENSION path: because
+    * assignment and encoding are per-row functions of the (frozen)
+    * centroids and codebooks, encoding a new batch and unioning it into
+    * the index is BIT-IDENTICAL to rebuilding over the union
+    * (spec-pinned) — the production flow where coarse/fine quantizers
+    * retrain offline and the index extends online, existing vectors
+    * never re-read. Same property holds for the raw path: [[ivfPqIndex]]
+    * on a batch IS its extension increment. One pipeline, the list id
+    * riding through the encode aggregation — the batch is assigned and
+    * residualized exactly once. */
+  def ivfPqResidualEncode(batch: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, m: Int): DataFrame = {
+    val resid = kmeansAssign(batch, centroids)
+      .select(col("id"), col("cluster").as("cid"), col("vec"))
+      .join(broadcast(centroids), Seq("cid"))
+      .select(col("id"), col("cid"),
+        zip_with(col("vec"), col("cvec"), (x, y) => x - y).as("vec"))
+    val parts = resid.select(col("id"), col("cid"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => pqSlice(col("vec"), m, s))).as(Seq("subspace", "sub")))
-    val index = parts
-      .join(broadcast(books.withColumnRenamed("cid", "bcid")), Seq("subspace"))
+    parts
+      .join(broadcast(codebooks.withColumnRenamed("cid", "bcid")), Seq("subspace"))
       .withColumn("d2", sqDist(col("sub"), col("cvec")))
       .groupBy(col("id"), col("cid"), col("subspace"))
       .agg(min_by(col("bcid"), struct(col("d2"), col("bcid"))).as("code"))
       .groupBy(col("id"), col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
         x => x.getField("code")).as("codes"))
-    (index, books)
   }
 
   /** Residual IVF×PQ approximate top-k: like [[ivfPqTopK]], but the ADC

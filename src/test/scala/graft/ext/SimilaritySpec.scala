@@ -430,6 +430,40 @@ class SimilaritySpec extends SparkSuite {
       s"residual codes must resolve the in-cluster offsets (res=$resRecall)")
   }
 
+  test("IVF×PQ incremental extension: encoding a batch equals rebuilding over the union") {
+    // the maintained-artifact flow: coarse centroids + codebooks FROZEN,
+    // the index extends by encoding only the new batch. Assignment and
+    // encoding are per-row functions of the frozen artifacts, so
+    // extension must be BIT-IDENTICAL to a full rebuild — for both the
+    // raw and the residual encodings.
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("vec"))
+    val m = 4
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("cvec"))
+    val old = corpus.filter($"id" % 3 =!= 0)
+    val batch = corpus.filter($"id" % 3 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"cid", $"codes")
+        .as[(Long, Long, Seq[Int])].collect().toSet
+    // raw path: ivfPqIndex on a batch IS its extension increment
+    val rawBooks = Similarity.pqCodebooks(corpus, m, ksub = 16, iters = 1)
+    val rawRebuild = rows(Similarity.ivfPqIndex(corpus, cents, rawBooks, m))
+    val rawExtended = rows(Similarity.ivfPqIndex(old, cents, rawBooks, m)) ++
+      rows(Similarity.ivfPqIndex(batch, cents, rawBooks, m))
+    assert(rawExtended === rawRebuild, "raw extension must equal full rebuild")
+    // residual path: books from the initial build, batch encoded frozen
+    val (rIndex, rBooks) = Similarity.ivfPqResidual(corpus, cents, m,
+      ksub = 16, iters = 1)
+    val resRebuild = rows(rIndex)
+    val resExtended =
+      rows(Similarity.ivfPqResidualEncode(old, cents, rBooks, m)) ++
+      rows(Similarity.ivfPqResidualEncode(batch, cents, rBooks, m))
+    assert(resExtended === resRebuild,
+      "residual extension against frozen books must equal full rebuild")
+  }
+
   test("PQ slicing covers every dimension when d is not divisible by m") {
     // 10-dim vectors, m=4 -> subspaces of widths 2,2,2,4: the last (4-wide)
     // slice carries dims 7-10; vectors differing ONLY in dim 10 must code
