@@ -431,23 +431,51 @@ object Similarity {
     * extra shuffle), one broadcast-codebook encode. Returns (index:
     * (id, cid, codes), codebooks) — the books are derived data here,
     * unlike the raw path where they're an input. */
-  def ivfPqResidual(corpus: DataFrame, centroids: DataFrame,
-      m: Int, ksub: Int, iters: Int = 1): (DataFrame, DataFrame) = {
-    def residOf(df: DataFrame) = kmeansAssign(df, centroids)
+  /** Shared residualization: assign to the nearest coarse centroid and
+    * subtract it — the one definition both the codebook training and the
+    * encode path must agree on. */
+  private def residualize(df: DataFrame, centroids: DataFrame): DataFrame =
+    kmeansAssign(df, centroids)
       .select(col("id"), col("cluster").as("cid"), col("vec"))
       .join(broadcast(centroids), Seq("cid"))
       .select(col("id"), col("cid"),
         zip_with(col("vec"), col("cvec"), (x, y) => x - y).as("vec"))
-    // The codebook branches (one per subspace) each replicate their input
-    // subplan, and the books feed BOTH the encode join and the search's
-    // ADC table — feed them a PRE-PRUNED corpus (the id < ksub seed
-    // filter reaches the parquet scan instead of re-assigning the full
-    // corpus per branch) and PIN the result: the books are an index-build
-    // artifact (m·ksub rows), computed once, not a subplan to re-derive
-    // at every use site. Lazy checkpoint = the Dedup-vocab recipe.
-    val books = pqCodebooks(
-      residOf(corpus.filter(col("id") < ksub)).select(col("id"), col("vec")),
-      m, ksub, iters).localCheckpoint(eager = false)
+
+  /** `seedFrom`: first corpus id of the ksub seed rows. When the coarse
+    * centroids are themselves corpus rows (the q92 first-id protocol),
+    * seeding from id 0 duplicates the exact-zero residual across the
+    * overlapping seeds. That cuts the DISTINCT code count — but is not
+    * automatically waste: residual distributions concentrate near zero,
+    * so a zero code represents the densest region (measured BETTER on
+    * the near-orthogonal testdata, where queries sit on centroids:
+    * recall@10 0.28 vs 0.16 with disjoint seeds — QUALITY.md). Use
+    * `seedFrom` past the centroid ids to spend the budget on distinct
+    * residuals, or `iters > 1` to train on the full residual
+    * distribution and let Lloyd place the near-zero codes. */
+  def ivfPqResidual(corpus: DataFrame, centroids: DataFrame,
+      m: Int, ksub: Int, iters: Int = 1, seedFrom: Long = 0L): (DataFrame, DataFrame) = {
+    // Seed rows remapped to ids 0..ksub-1 (pqCodebooks' seed window).
+    // In seed-only mode (iters = 1) the codebook branches see a corpus
+    // pruned to the ksub seed rows — the filter reaches the parquet scan
+    // instead of re-assigning the full corpus per branch. With Lloyd
+    // refinement (iters > 1) the FULL corpus's residuals train the books
+    // (non-seed ids shifted past ksub so only seeds init the codebook);
+    // that is the training path and runs once, at books materialization.
+    val seeds = residualize(
+        corpus.filter(col("id") >= seedFrom && col("id") < seedFrom + ksub),
+        centroids)
+      .select((col("id") - seedFrom).as("id"), col("vec"))
+    val bookInput =
+      if (iters <= 1) seeds
+      else seeds.unionByName(residualize(
+          corpus.filter(col("id") < seedFrom || col("id") >= seedFrom + ksub),
+          centroids)
+        .select((col("id") + ksub).as("id"), col("vec")))
+    // Books feed BOTH the encode join and the search's ADC table — PIN
+    // them: an index-build artifact (m·ksub rows), computed once, not a
+    // subplan to re-derive at every use site (the Dedup-vocab recipe).
+    val books = pqCodebooks(bookInput, m, ksub, iters)
+      .localCheckpoint(eager = false)
     (ivfPqResidualEncode(corpus, centroids, books, m), books)
   }
 
@@ -464,11 +492,7 @@ object Similarity {
     * residualized exactly once. */
   def ivfPqResidualEncode(batch: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, m: Int): DataFrame = {
-    val resid = kmeansAssign(batch, centroids)
-      .select(col("id"), col("cluster").as("cid"), col("vec"))
-      .join(broadcast(centroids), Seq("cid"))
-      .select(col("id"), col("cid"),
-        zip_with(col("vec"), col("cvec"), (x, y) => x - y).as("vec"))
+    val resid = residualize(batch, centroids)
     val parts = resid.select(col("id"), col("cid"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => pqSlice(col("vec"), m, s))).as(Seq("subspace", "sub")))
@@ -495,12 +519,16 @@ object Similarity {
       codebooks: DataFrame, queries: DataFrame,
       m: Int, k: Int, nProbe: Int = 2): DataFrame = {
     val wq = Window.partitionBy(col("qid")).orderBy(col("d2c"), col("cid"))
+    // probes feed BOTH the ADC table and the index prune set; pin them
+    // (nProbe rows per query) so the query×centroid selection runs once
+    // instead of once per consumer
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("d2c", sqDist(col("qvec"), col("cvec")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("cid"),
         zip_with(col("qvec"), col("cvec"), (x, y) => x - y).as("qres"))
+      .localCheckpoint(eager = false)
     val qparts = probes.select(col("qid"), col("cid"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => pqSlice(col("qres"), m, s))).as(Seq("subspace", "qsub")))

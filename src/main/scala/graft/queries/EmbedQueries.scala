@@ -605,6 +605,13 @@ object EmbedQueries {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"),
           col("embedding").cast("array<double>").as("cvec"))
+      // seedFrom = 0 (default): ids 0-7 are the coarse centroids, so 8 of
+      // the 16 seed residuals are the exact zero vector. MEASURED as the
+      // better trade here (recall@10 0.28 vs 0.16 seeding past them):
+      // residual distributions concentrate near zero, so a zero code is
+      // the densest region's representative, not wasted budget. The
+      // seedFrom dial + trained mode (iters > 1) are quality-compared in
+      // QUALITY.md.
       val (index, books) = Similarity.ivfPqResidual(corpus, cents, m = 4,
         ksub = 16, iters = 1)
       val queries = corpus.filter(col("id") < 5)
