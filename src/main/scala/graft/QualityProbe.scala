@@ -87,6 +87,16 @@ object QualityProbe {
         graft.ext.Similarity.ivfPqResidualTopK(trIdx, cents8, trBooks, qs,
           m = 4, k = 10, nProbe = 2),
         exactL2, "exact L2 top-10 (Lloyd-trained books, iters=4)")
+      // residual ADC shortlist + exact re-rank (the q121 lever composed
+      // onto the q122 path via refineShortlist)
+      val (sIdx, sBooks) = graft.ext.Similarity.ivfPqResidual(
+        corpus, cents8, m = 4, ksub = 16, iters = 1)
+      recall("ivfpq_residual_refined",
+        graft.ext.Similarity.refineShortlist(
+          graft.ext.Similarity.ivfPqResidualTopK(sIdx, cents8, sBooks, qs,
+            m = 4, k = 50, nProbe = 2).select(col("qid"), col("id")),
+          qs, corpus, k = 10),
+        exactL2, "exact L2 top-10 (residual shortlist 50, exact re-rank)")
     }
 
     // q57 near-dup pair recall/precision vs brute-force cosine >= 0.98

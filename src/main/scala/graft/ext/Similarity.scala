@@ -569,9 +569,20 @@ object Similarity {
     * oracle-checkable. Output (qid, rank, id, d2). */
   def ivfPqRefine(index: DataFrame, centroids: DataFrame, codebooks: DataFrame,
       queries: DataFrame, corpus: DataFrame, m: Int, k: Int,
-      nProbe: Int = 2, shortlist: Int = 50): DataFrame = {
-    val cand = ivfPqTopK(index, centroids, codebooks, queries, m, shortlist, nProbe)
-      .select(col("qid"), col("id"))
+      nProbe: Int = 2, shortlist: Int = 50): DataFrame =
+    refineShortlist(
+      ivfPqTopK(index, centroids, codebooks, queries, m, shortlist, nProbe)
+        .select(col("qid"), col("id")),
+      queries, corpus, k)
+
+  /** Exact re-rank of an ARBITRARY candidate set `(qid, id)` — the
+    * refine stage decoupled from its candidate generator, so any
+    * approximate searcher composes with it (raw ADC [[ivfPqTopK]],
+    * residual [[ivfPqResidualTopK]], LSH buckets, …). Raw vectors are
+    * fetched for candidate rows only via the broadcast-pruned keyed
+    * join; the exact distance is the engine-portable dot combination. */
+  def refineShortlist(cand: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
     val fetched = corpus.join(broadcast(cand), Seq("id"))
       .join(broadcast(queries), Seq("qid"))
       .withColumn("d2", sqDist(col("vec"), col("qvec")))
