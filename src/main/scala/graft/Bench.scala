@@ -76,6 +76,15 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // never fail the bench over a log file
+    // The driver records only the last ~2000 chars of stdout, so the full
+    // line above never parses in its artifact (its head is cut mid-map).
+    // Emit a COMPACT line LAST — headline queries only, small enough to sit
+    // whole inside the tail window — so BENCH_rN.json self-parses; the full
+    // per-query map lives in bench/last_run.json (and the full line above).
+    val headlineNames = QueryCatalog.all.filter(_.headline).map(_.name).toSet
+    val hjson = results.filter { case (k, _) => headlineNames.contains(k) }
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_pre":$calibPre,"calib_post":$calibPost,"queries":$hjson,"n_queries":${results.size},"full":"bench/last_run.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,8 +15,21 @@ import org.apache.spark.sql.functions._
   *    generator with the hot-token salt dial OFF vs ON, recording wall
   *    time and MAX TASK duration — bounded per-key work under real skew
   *    is a max-task claim, not a wall-time claim.
+  *  - `q112counts`: the q82 accounting extended to the entity-resolution
+  *    pipeline — SymSpell candidates → levenshtein-verified name pairs →
+  *    attribute-confirmed pairs → merged entities, per sf. The defended
+  *    claim is candidates ≈ verified (no wasted verification) with
+  *    attribute confirmation a pair-sized refinement.
+  *  - `annknee`: the IVF×PQ tier ABOVE the fixed-overhead floor — a
+  *    deterministic synthetic corpus ([[gen.VecGen]]) at 10⁴/10⁵/10⁶
+  *    vectors with √n coarse centroids (the documented dial guidance),
+  *    timing the index BUILD (assignment + residual encode, the
+  *    n·√n·d-flop term) separately from ADC SEARCH and exact-refined
+  *    search (∝ nProbe·√n codes — sublinear). The knee claim: search
+  *    stays near-flat while build grows ~n^1.5, which is why the index is
+  *    a maintained artifact, not a per-query rebuild.
   *
-  * Run: `sbt "runMain graft.ScalingProbe [q82counts|skew|all]"`.
+  * Run: `sbt "runMain graft.ScalingProbe [q82counts|q112counts|skew|annknee|all]"`.
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
@@ -60,6 +73,74 @@ object ScalingProbe {
         val cand = ext.Dedup.editDistanceCandidates(cust, "c_custkey", "c_name").count()
         val ver = ext.Dedup.editDistancePairs(cust, "c_custkey", "c_name").count()
         println(f"[sp] q82 $sf: candidates=$cand verified=$ver ratio=${cand.toDouble / ver}%.2f")
+        Housekeeping.releaseAll(spark)
+      }
+    }
+
+    if (mode == "q112counts" || mode == "all") {
+      // the q82 accounting, carried through q112's full pipeline: SymSpell
+      // candidates -> levenshtein-verified name pairs -> attribute-confirmed
+      // pairs -> merged entities (components of size >= 2). candidates ==
+      // verified means zero wasted levenshtein work; attr-confirm and CC are
+      // pair-sized refinements, so verified ~= the pipeline's total cost.
+      for (sfn <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+        val dir = s"/root/testdata/$sfn"
+        val cust = Tables.load(spark, dir, "customer")
+        val attrs = cust.select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        val cand = ext.Dedup.editDistanceCandidates(cust, "c_custkey", "c_name").count()
+        val namePairs = ext.Dedup.editDistancePairs(cust, "c_custkey", "c_name")
+        val verified = namePairs.count()
+        val confirmed = namePairs
+          .join(attrs.select(col("c_custkey").as("id_a"),
+            col("c_nationkey").as("nk_a"), col("c_mktsegment").as("seg_a")), Seq("id_a"))
+          .join(attrs.select(col("c_custkey").as("id_b"),
+            col("c_nationkey").as("nk_b"), col("c_mktsegment").as("seg_b")), Seq("id_b"))
+          .filter(col("nk_a") === col("nk_b") && col("seg_a") === col("seg_b"))
+        val nConfirmed = confirmed.count()
+        val entities = ext.Components.connectedComponents(
+            cust.select(col("c_custkey").as("id")),
+            confirmed.select(col("id_a").as("a"), col("id_b").as("b")))
+          .groupBy(col("comp")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).count()
+        println(f"[sp] q112 $sfn: candidates=$cand verified=$verified " +
+          f"(ratio=${cand.toDouble / verified}%.2f) attr_confirmed=$nConfirmed entities=$entities")
+        Housekeeping.releaseAll(spark)
+      }
+    }
+
+    if (mode == "annknee" || mode == "all") {
+      val d = 64; val m = 4; val ksub = 16; val k = 10; val nProbe = 2
+      for (n <- Seq(10000L, 100000L, 1000000L)) {
+        val nCent = math.max(8L, math.round(math.sqrt(n.toDouble)))
+        // materialize the corpus OUTSIDE the timed sections so build times
+        // measure assignment + encode, not vector synthesis
+        val corpus = gen.VecGen.vectors(spark, n, d).localCheckpoint()
+        corpus.count()
+        val cents = corpus.filter(col("id") < nCent)
+          .select(col("id").as("cid"), col("vec").as("cvec"))
+          .localCheckpoint()
+        val queries = corpus.filter(col("id") < 5)
+          .select(col("id").as("qid"), col("vec").as("qvec")).localCheckpoint()
+        val (ib, buildSec, _) = timed {
+          val (index, books) = ext.Similarity.ivfPqResidual(corpus, cents, m, ksub)
+          // eager checkpoint = the build actually runs HERE, and search
+          // below reads materialized codes (the persisted-index read path)
+          (index.localCheckpoint(), books.localCheckpoint())
+        }
+        val (idx, books) = ib
+        val nCodes = idx.count()
+        val (_, searchSec, _) = timed {
+          ext.Similarity.ivfPqResidualTopK(idx, cents, books, queries,
+            m, k, nProbe).count()
+        }
+        val (_, refineSec, _) = timed {
+          ext.Similarity.refineShortlist(
+            ext.Similarity.ivfPqResidualTopK(idx, cents, books, queries,
+              m, k = 50, nProbe).select(col("qid"), col("id")),
+            queries, corpus, k).count()
+        }
+        println(f"[sp] annknee n=$n%-8d cents=$nCent%-5d build=$buildSec%7.1f s " +
+          f"search=$searchSec%6.2f s refined=$refineSec%6.2f s (codes=$nCodes)")
         Housekeeping.releaseAll(spark)
       }
     }

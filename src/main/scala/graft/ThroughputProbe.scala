@@ -20,6 +20,7 @@ object ThroughputProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "medallion" || mode == "all") medallion(spark)
     if (mode == "dedup" || mode == "all") dedupIngest(spark)
+    if (mode == "ann" || mode == "all") annIngest(spark)
     spark.stop()
   }
 
@@ -87,6 +88,49 @@ object ThroughputProbe {
       val kept = spark.read.parquet(s"$root/state/corpus/batch=$b").count()
       System.err.println(f"[tp] dedup batch $b: $rows%d rows in $sec%.2f s = " +
         f"${rows / sec}%.0f rows/s (admitted=$kept)")
+      Housekeeping.releaseAll(spark)
+    }
+  }
+
+  /** STREAMING ANN-INDEX ingestion throughput: drives the real
+    * [[graft.streaming.StreamPipes.annIngest]] (residual encode against
+    * the FROZEN persisted quantizers, one shard per micro-batch) over
+    * `batches` file-source micro-batches of `rows` vectors each, one
+    * AvailableNow run per batch against the SAME checkpoint. The claim to
+    * measure: per-batch latency stays FLAT as the index grows — encode
+    * cost is O(batch · nCentroids · d), NEVER O(index) (the dedup tier's
+    * flat-ingest claim, now for the vector tier). Quantizers train once
+    * on the first batch's prefix (the production offline-train split). */
+  private def annIngest(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.ext.AnnIndex
+    val batches = sys.env.getOrElse("TP_BATCHES", "5").toInt
+    val rows = sys.env.getOrElse("TP_ROWS", "100000").toLong
+    val d = 64
+    val root = java.nio.file.Files.createTempDirectory("tp-ann").toString
+    val in = s"$root/incoming"
+    val nCent = math.max(8L, math.round(math.sqrt(rows * batches.toDouble)))
+    AnnIndex.train(spark, s"$root/ann",
+      gen.VecGen.vectors(spark, math.max(nCent, 16L), d),
+      nCentroids = nCent.toInt, m = 4, ksub = 16)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    for (b <- 0 until batches) {
+      gen.VecGen.vectors(spark, rows, d)
+        .select((col("id") + b * rows).as("id"), col("vec"))
+        .coalesce(4).write.mode("append").parquet(in)
+      val t0 = System.nanoTime()
+      val q = streaming.StreamPipes.annIngest(
+        spark.readStream.schema(schema).parquet(in),
+        s"$root/ann", s"$root/ckpt")
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val indexed = AnnIndex.readIndex(spark, s"$root/ann").count()
+      System.err.println(f"[tp] ann batch $b: $rows%d rows in $sec%.2f s = " +
+        f"${rows / sec}%.0f rows/s (indexed=$indexed)")
       Housekeeping.releaseAll(spark)
     }
   }

@@ -194,15 +194,23 @@ object Dedup {
     // quadratic in bucket size, contradicting the O(batch + candidates)
     // contract. Index-side sizes are counted only over buckets the batch
     // actually probes (semi-join on the batch's bucket keys), so the cap
-    // itself stays O(candidates), never O(index).
+    // itself stays O(candidates), never O(index). When the caller keeps
+    // the uncapped default the whole cap subplan (two groupBy counts +
+    // two anti-joins) is elided — no cost is paid for a ceiling nobody
+    // asked for; callers that want the former hard ceiling pass the old
+    // value (500) explicitly and accept the admission-results change.
     val probedOld = existingBuckets.select(col("bh"), col("id").as("old_id"))
       .join(inBuckets.select(col("bh")).distinct(), Seq("bh"), "left_semi")
-    val oversizedOld = probedOld.groupBy(col("bh")).agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") > maxBucketSize).select(col("bh"))
-    val cappedOld = probedOld.join(broadcast(oversizedOld), Seq("bh"), "left_anti")
-    val oversizedIn = inBuckets.groupBy(col("bh")).agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") > maxBucketSize).select(col("bh"))
-    val cappedIn = inBuckets.join(broadcast(oversizedIn), Seq("bh"), "left_anti")
+    val (cappedOld, cappedIn) =
+      if (maxBucketSize == Int.MaxValue) (probedOld, inBuckets)
+      else {
+        val oversizedOld = probedOld.groupBy(col("bh")).agg(count(lit(1)).as("bsize"))
+          .filter(col("bsize") > maxBucketSize).select(col("bh"))
+        val oversizedIn = inBuckets.groupBy(col("bh")).agg(count(lit(1)).as("bsize"))
+          .filter(col("bsize") > maxBucketSize).select(col("bh"))
+        (probedOld.join(broadcast(oversizedOld), Seq("bh"), "left_anti"),
+          inBuckets.join(broadcast(oversizedIn), Seq("bh"), "left_anti"))
+      }
     // vs existing: bucket probe -> verify candidates against existing text
     val candOld = cappedIn
       .join(cappedOld, Seq("bh"))
@@ -461,6 +469,14 @@ object Dedup {
     * lazy broadcast subquery: plan construction runs NO job, and on a
     * skew-free corpus AQE's empty-relation propagation removes the salted
     * branch at runtime.
+    *
+    * NOTE: `spark.sql.adaptive.enabled` is sampled at PLAN-CONSTRUCTION
+    * time (it selects between the lazy-AQE-pruned and the eager-probe
+    * plan shapes). Toggling AQE between constructing this DataFrame and
+    * executing it leaves that choice stale — worst case an unpruned
+    * salted branch (~1.8× cost on a skew-free corpus) or one unnecessary
+    * eager probe; results are lossless either way. Construct the plan
+    * under the session conf it will execute with.
     */
   def prefixJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,

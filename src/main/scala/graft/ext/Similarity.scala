@@ -433,8 +433,9 @@ object Similarity {
     * unlike the raw path where they're an input. */
   /** Shared residualization: assign to the nearest coarse centroid and
     * subtract it — the one definition both the codebook training and the
-    * encode path must agree on. */
-  private def residualize(df: DataFrame, centroids: DataFrame): DataFrame =
+    * encode path must agree on (package-visible for [[AnnIndex]]'s
+    * persisted-artifact flow). */
+  private[ext] def residualize(df: DataFrame, centroids: DataFrame): DataFrame =
     kmeansAssign(df, centroids)
       .select(col("id"), col("cluster").as("cid"), col("vec"))
       .join(broadcast(centroids), Seq("cid"))
@@ -592,14 +593,37 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("d2"))
   }
 
-  /** Approximate top-k: candidates share a hyperplane-signature bucket with
-    * the query; exact cosine ranks within candidates. One corpus scan to
-    * bucket, one bucket-keyed join — no cross join at any scale. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 12): DataFrame = {
-    val bc = corpus.withColumn("bucket", hyperplaneSignature(col("vec"), nPlanes))
-    val bq = queries.withColumn("bucket", hyperplaneSignature(col("qvec"), nPlanes))
-    val cand = bc.join(broadcast(bq), Seq("bucket"))
+  /** Approximate top-k with MULTI-TABLE OR-AMPLIFICATION: a candidate
+    * shares a hyperplane-signature bucket with the query in ANY of the
+    * `nTables` independent signature tables (the [[cosineNearDupPairs]]
+    * amplification, recall ≈ 1-(1-pⁿᴾˡᵃⁿᵉˢ)ⁿᵀᵃᵇˡᵉˢ with p = 1-θ/π);
+    * exact cosine ranks within the deduplicated candidates. Still one
+    * corpus scan (all signatures in one projection, exploded to nTables
+    * bucket keys) and one bucket-keyed join against the BROADCAST query
+    * signatures — no cross join at any scale; candidate volume is the
+    * recall/cost dial: nTables × |corpus| / 2ⁿᴾˡᵃⁿᵉˢ expected rows per
+    * query before the pair-distinct. The r9 single-table configuration
+    * (nTables = 1) measured recall@10 = 0.00 on the near-orthogonal
+    * testdata (QUALITY.md); the amplified default is measured materially
+    * above chance there, with the dial curve on record. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 12, nTables: Int = 1): DataFrame = {
+    def buckets(df: DataFrame, idCol: String, vecCol: String) = df.select(
+      col(idCol), explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("table"),
+          hyperplaneSignature(col(vecCol), nPlanes, planeOffset = t * nPlanes)
+            .as("sig"))): _*)).as("bh"))
+    val bc = buckets(corpus, "id", "vec")
+    val bq = buckets(queries, "qid", "qvec")
+    // pair-distinct on the INTEGER keys before the vector attach + verify:
+    // a pair colliding in several tables shuffles one (qid, id) row and is
+    // cosine-verified once — vectors never ride the candidate exchange
+    val cand = bc.join(broadcast(bq), Seq("bh"))
       .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
+      .distinct()
+      .join(corpus, Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
       .withColumn("sim", cosine(col("qvec"), col("vec")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     cand.withColumn("rank", row_number().over(w).cast("long"))

@@ -280,10 +280,18 @@ object VersionedTable {
     * added column is classified as an update, not as unchanged, and a
     * column removed between versions surfaces instead of throwing.
     * Column type changes across the compared versions are rejected (as
-    * [[appendEvolved]] already rejects them at write time). */
+    * [[appendEvolved]] already rejects them at write time).
+    *
+    * The unique-key invariant is ENFORCED, not assumed: each side carries
+    * an in-plan per-key count (window over the same key partitioning the
+    * join already shuffles by — no extra exchange, one sort per side) and
+    * the first duplicate key encountered fails the job loudly instead of
+    * silently emitting join-multiplied / misclassified CDC rows. A
+    * violated invariant is a corrupted-merge signal; failing is the only
+    * honest output. */
   def changes(spark: SparkSession, base: String, fromV: Long, toV: Long,
       keyCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, when, xxhash64}
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, lit, when, xxhash64}
     val beforeRaw = readVersion(spark, base, fromV)
     val afterRaw = readVersion(spark, base, toV)
     val afterTypes = afterRaw.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -304,10 +312,24 @@ object VersionedTable {
     val rowHash = unioned.map(_._1).zipWithIndex
       .map { case (n, i) => xxhash64(lit(i), col(n)) }
       .reduce((a, b) => xxhash64(a, b))
+    // loud uniqueness guard: the hash only surfaces once assert_true has
+    // evaluated (and thrown on a duplicated key) — folding the guard into
+    // the hash column keeps Catalyst from pruning it away as unused
+    def guarded(h: org.apache.spark.sql.Column, side: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      val msg = concat_ws("", lit(s"changes(): duplicate key in $side version (key = "),
+        concat_ws(",", keyCols.map(k => col(k).cast("string")): _*),
+        lit(") — CDC requires unique keys per version"))
+      when(org.apache.spark.sql.functions
+        .assert_true(count(lit(1)).over(w) <= 1, msg).isNull, h)
+    }
     val bk = before.select(
-      keyCols.map(k => col(k).as(s"__bk_$k")) :+ rowHash.as("__bh"): _*)
+      keyCols.map(k => col(k).as(s"__bk_$k")) :+
+        guarded(rowHash, s"from=v$fromV").as("__bh"): _*)
     val ak = after.select(
-      keyCols.map(k => col(k).as(s"__ak_$k")) :+ rowHash.as("__ah"): _*)
+      keyCols.map(k => col(k).as(s"__ak_$k")) :+
+        guarded(rowHash, s"to=v$toV").as("__ah"): _*)
     val cls = bk.join(ak,
         keyCols.map(k => col(s"__bk_$k") <=> col(s"__ak_$k")).reduce(_ && _),
         "full_outer")

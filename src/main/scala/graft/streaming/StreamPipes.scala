@@ -134,6 +134,33 @@ object StreamPipes {
     * route both tables through [[graft.sources.VersionedTable]] COW
     * commits instead; old snapshots are that deployment's vacuum
     * concern). */
+  /** STREAMING ANN-INDEX INGESTION — [[graft.ext.AnnIndex]]'s incremental
+    * extension as a foreachBatch pipeline (the [[dedupIngest]] pattern for
+    * the vector tier): every micro-batch of (id, vec) rows is encoded
+    * against the CURRENT frozen quantizer generation and written as that
+    * generation's shard `batch=<id>`. Caller must have run
+    * [[graft.ext.AnnIndex.train]] first (the production split: quantizers
+    * train offline on a sample; the index extends online forever).
+    *
+    * Replay idempotency is STRUCTURAL here — simpler than dedup's
+    * version-below-batch protocol: encoding depends only on the frozen
+    * quantizers, not on previously ingested batches, so a replayed
+    * micro-batch overwrites its own shard with bit-identical content
+    * (extension == rebuild, SimilaritySpec). No commit markers needed on
+    * the shard side; the quantizer's [[graft.sources.VersionedTable]]
+    * markers version the only mutable state. */
+  def annIngest(
+      vectors: DataFrame, basePath: String, checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.AnnIndex.extendBatch(batch.sparkSession, basePath, batch, batchId)
+        ()
+      }
+      .start()
+
   def dedupIngest(
       docs: DataFrame, basePath: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",

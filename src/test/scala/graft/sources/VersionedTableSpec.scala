@@ -105,6 +105,24 @@ class VersionedTableSpec extends SparkSuite {
       "unchanged row 3 must not appear; others classified exactly")
   }
 
+  test("changes: a duplicated key fails loudly instead of multiplying CDC rows") {
+    val base = tmp() + "/vt-cdc-dup"
+    val v0 = VersionedTable.commit(spark, base,
+      Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    // violate the unique-key invariant in the `to` version
+    val v1 = VersionedTable.commit(spark, base,
+      Seq((1, "a"), (2, "b"), (2, "B")).toDF("k", "v"))
+    val e = intercept[Exception] {
+      VersionedTable.changes(spark, base, v0, v1, Seq("k")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate key")),
+      s"must name the violated invariant, got: ${e.getMessage}")
+    // the guard must not fire on valid inputs of the same shape
+    assert(VersionedTable.changes(spark, base, v0, v0, Seq("k")).count() === 0)
+  }
+
   test("changes: null-safe keys, column-shift detected, exceptAll gone from the plan") {
     val base = tmp() + "/vt-cdc2"
     val v0 = VersionedTable.commit(spark, base,

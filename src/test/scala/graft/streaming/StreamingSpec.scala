@@ -220,6 +220,58 @@ class StreamingSpec extends SparkSuite {
       "extended and rebuilt indexes must admit identically (20 is a near-dup of 11)")
   }
 
+  test("streaming ANN ingest: persisted index extends per batch, replay-idempotent, search == inline") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{AnnIndex, Similarity}
+    val base = tmp() + "/ann-ingest"
+    val ck = tmp() + "/ann-ingest-ck"
+    val emb = graft.Tables.load(spark, sf("e"), "embeddings")
+    val corpus = emb.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("vec"))
+    // production split: quantizers train ONCE (here on the full corpus —
+    // a sample works identically), then the stream only ever extends
+    AnnIndex.train(spark, base, corpus, nCentroids = 8, m = 4, ksub = 16)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val vectors = mem.toDF().toDF("id", "vec")
+    val half = corpus.as[(Long, Seq[Double])].collect()
+    mem.addData(half.filter(_._1 % 2 == 0).toSeq)
+    StreamPipes.annIngest(vectors, base, ck).awaitTermination()
+    val afterB0 = AnnIndex.readIndex(spark, base).count()
+    mem.addData(half.filter(_._1 % 2 == 1).toSeq)
+    StreamPipes.annIngest(vectors, base, ck).awaitTermination()
+    // extension == rebuild THROUGH THE PERSISTED ARTIFACTS: the on-disk
+    // code table after two incremental batches is row-identical to an
+    // inline full rebuild against the same (frozen) quantizers
+    val (_, cents, books, m) = AnnIndex.quantizer(spark, base)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"cid", $"codes").as[(Long, Long, Seq[Int])].collect().toSet
+    val persisted = rows(AnnIndex.readIndex(spark, base))
+    assert(afterB0 < persisted.size, "batch 1 must extend, not replace")
+    assert(persisted === rows(
+      Similarity.ivfPqResidualEncode(corpus, cents, books, m)),
+      "persisted two-batch extension must equal the inline full rebuild")
+    // replay idempotency: re-running the SAME batch id overwrites its own
+    // shard with identical content — no duplicates, no drift
+    AnnIndex.extendBatch(spark, base,
+      corpus.filter($"id" % 2 === 0), batchId = 0L)
+    assert(rows(AnnIndex.readIndex(spark, base)) === persisted,
+      "a replayed micro-batch must leave the index bit-identical")
+    // a completed AvailableNow restart with no new data is a no-op
+    StreamPipes.annIngest(vectors, base, ck).awaitTermination()
+    assert(rows(AnnIndex.readIndex(spark, base)) === persisted)
+    // search over the persisted index == search over inline artifacts
+    val queries = corpus.filter($"id" < 5)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val fromDisk = AnnIndex.search(spark, base, queries, k = 10, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val inline = Similarity.ivfPqResidualTopK(
+        Similarity.ivfPqResidualEncode(corpus, cents, books, m),
+        cents, books, queries, m, k = 10, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(fromDisk === inline,
+      "persisted-index search must match the inline plan exactly")
+  }
+
   test("versioned table: commit/read/time-travel/vacuum") {
     val base = tmp() + "/vt"
     val df1 = Seq((1, "a"), (2, "b")).toDF("k", "v")
