@@ -288,11 +288,25 @@ object QualityProbe {
     md ++= "\nKnees (smallest setting within 90% of the dial's best):\n\n"
     Seq("ivfpq_nprobe", "ivfpq_refine_shortlist", "ivfpq_ncentroids",
       "lsh_ntables").foreach(dl => md ++= kneeLine(dl) + "\n")
-    md ++= "\nReading the dials: nProbe and shortlist buy recall linearly in\n"
-    md ++= "search cost and stay cheap (probed-lists scan / per-query fetches);\n"
-    md ++= "|centroids| sharpens pruning (cost ∝ nProbe/|centroids| of the\n"
-    md ++= "corpus) at the price of recall, which nProbe buys back; LSH tables\n"
-    md ++= "amplify candidate volume ∝ nTables/2^planes of the corpus.\n"
+    md ++= "\nReading the dials (shapes measured on THIS near-orthogonal\n"
+    md ++= "corpus — see the table for values):\n"
+    md ++= "- The exact-re-rank SHORTLIST is the dominant recall lever and has\n"
+    md ++= "  no knee below its own depth: ADC quantization error can demote a\n"
+    md ++= "  true neighbor below position `shortlist` but not out of the fetch,\n"
+    md ++= "  so recall climbs with depth regardless of data structure — at a\n"
+    md ++= "  cost of `shortlist` raw-vector fetches per query, never a scan.\n"
+    md ++= "- nProbe does NOT buy recall on structureless data (the curve is\n"
+    md ++= "  mildly INVERTED here): extra lists add candidates whose noisy ADC\n"
+    md ++= "  distances displace true neighbors from the top-k. It buys recall\n"
+    md ++= "  when coarse structure exists (SimilaritySpec's clustered corpus) —\n"
+    md ++= "  tune it against your corpus, not a rule of thumb.\n"
+    md ++= "- More, SMALLER lists at fixed nProbe mildly help recall here while\n"
+    md ++= "  shrinking the scanned fraction (∝ nProbe/|centroids|) — the 100 TB\n"
+    md ++= "  direction (√n lists) is also the recall direction on this corpus.\n"
+    md ++= "- LSH tables amplify candidate volume ∝ nTables/2^planes of the\n"
+    md ++= "  corpus; recall rises steadily with tables, paying linearly in\n"
+    md ++= "  bucket-join volume. q34 ships the 8-table point; 16 doubles recall\n"
+    md ++= "  again at 2x candidate cost — IVF×PQ+refine dominates it per cost.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("QUALITY.md"),
       md.toString.getBytes("UTF-8"))
     val dialJson = dials.groupBy(_._1).map { case (dl, ps) =>

@@ -121,24 +121,29 @@ object ScalingProbe {
           .localCheckpoint()
         val queries = corpus.filter(col("id") < 5)
           .select(col("id").as("qid"), col("vec").as("qvec")).localCheckpoint()
-        val (ib, buildSec, _) = timed {
+        // MIN OF 2 REPS per measurement: literals (n, nCent) are inlined
+        // into generated code, so every probe point recompiles its whole
+        // plan — rep 1 carries codegen + JIT, rep 2 is steady state. The
+        // min is the noise-floor estimator on this shared host.
+        def rep2(f: => Unit): Double =
+          (1 to 2).map(_ => timed(f)._2).min
+        var built: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
+        val buildSec = rep2 {
           val (index, books) = ext.Similarity.ivfPqResidual(corpus, cents, m, ksub)
           // eager checkpoint = the build actually runs HERE, and search
           // below reads materialized codes (the persisted-index read path)
-          (index.localCheckpoint(), books.localCheckpoint())
+          built = (index.localCheckpoint(), books.localCheckpoint())
         }
-        val (idx, books) = ib
+        val (idx, books) = built
         val nCodes = idx.count()
-        val (_, searchSec, _) = timed {
+        val sPlan = ext.Similarity.ivfPqResidualTopK(idx, cents, books, queries,
+          m, k, nProbe)
+        val searchSec = rep2(sPlan.count())
+        val rPlan = ext.Similarity.refineShortlist(
           ext.Similarity.ivfPqResidualTopK(idx, cents, books, queries,
-            m, k, nProbe).count()
-        }
-        val (_, refineSec, _) = timed {
-          ext.Similarity.refineShortlist(
-            ext.Similarity.ivfPqResidualTopK(idx, cents, books, queries,
-              m, k = 50, nProbe).select(col("qid"), col("id")),
-            queries, corpus, k).count()
-        }
+            m, k = 50, nProbe).select(col("qid"), col("id")),
+          queries, corpus, k)
+        val refineSec = rep2(rPlan.count())
         println(f"[sp] annknee n=$n%-8d cents=$nCent%-5d build=$buildSec%7.1f s " +
           f"search=$searchSec%6.2f s refined=$refineSec%6.2f s (codes=$nCodes)")
         Housekeeping.releaseAll(spark)

@@ -96,11 +96,13 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int = 2): DataFrame = {
+    // narrow argmax + vector re-attach by key (the [[kmeansAssign]] shape)
     val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("sim_c", cosine(col("vec"), col("cvec")))
+      .select(col("id"), col("cid"), cosine(col("vec"), col("cvec")).as("sim_c"))
       .groupBy(col("id"))
-      .agg(max_by(struct(col("cid"), col("vec")), struct(col("sim_c"), -col("cid"))).as("m"))
-      .select(col("id"), col("m.cid").as("cid"), col("m.vec").as("vec"))
+      .agg(max_by(col("cid"), struct(col("sim_c"), -col("cid"))).as("cid"))
+      .join(corpus, Seq("id"))
+      .select(col("id"), col("cid"), col("vec"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("sim_c").desc, col("cid"))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("sim_c", cosine(col("qvec"), col("cvec")))
@@ -180,13 +182,17 @@ object Similarity {
 
   /** Nearest-centroid assignment (deterministic lowest-cid tiebreak), the
     * shared first stage of [[semanticDedup]] and the hybrid dedup path:
-    * one broadcast-centroid corpus scan + per-id argmax. */
+    * one broadcast-centroid corpus scan + per-id argmax over NARROW
+    * (cid, score) rows, vectors re-attached by key afterwards — see
+    * [[kmeansAssign]] for why the payload must not ride the aggregation
+    * buffers. */
   def assignNearestCentroid(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(centroids))
-      .withColumn("sim_c", cosine(col("vec"), col("cvec")))
+      .select(col("id"), col("cid"), cosine(col("vec"), col("cvec")).as("sim_c"))
       .groupBy(col("id"))
-      .agg(max_by(struct(col("cid"), col("vec")), struct(col("sim_c"), -col("cid"))).as("m"))
-      .select(col("id"), col("m.cid").as("cid"), col("m.vec").as("vec"))
+      .agg(max_by(col("cid"), struct(col("sim_c"), -col("cid"))).as("cid"))
+      .join(corpus, Seq("id"))
+      .select(col("id"), col("cid"), col("vec"))
 
   /** Exact-cosine near-dup PAIRS searched within each nearest-centroid
     * cluster of an [[assignNearestCentroid]] output — the SemDeDup pair
@@ -218,16 +224,24 @@ object Similarity {
 
   /** One Lloyd assignment pass: nearest centroid per corpus vector
     * (deterministic tiebreak: lowest centroid id). Centroid set is
-    * broadcast — the corpus is scanned once; the only corpus-sized shuffle
-    * is the per-id argmin. Output: (id, cluster, d2, vec). */
+    * broadcast; the argmin aggregates NARROW (cid, d2) rows only and the
+    * vector is re-attached by key afterwards. The former formulation
+    * carried the full vector through the min_by buffer — every one of the
+    * n·|centroids| aggregation updates compared (and on improvement
+    * copied) a d-dim array, which at 10⁶×1000 candidates is the dominant
+    * cost and a GC storm; the narrow argmin's buffer is 16 bytes, and the
+    * vector re-attach is one n-row keyed join against the corpus (a
+    * second columnar scan — cheap next to payload-laden agg buffers).
+    * Output: (id, cluster, d2, vec). */
   def kmeansAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(centroids))
-      .withColumn("d2", sqDist(col("vec"), col("cvec")))
+      .select(col("id"), col("cid"), sqDist(col("vec"), col("cvec")).as("d2"))
       .groupBy(col("id"))
-      .agg(min_by(struct(col("cid"), col("d2"), col("vec")),
+      .agg(min_by(struct(col("cid"), col("d2")),
         struct(col("d2"), col("cid"))).as("m"))
-      .select(col("id"), col("m.cid").as("cluster"),
-        col("m.d2").as("d2"), col("m.vec").as("vec"))
+      .select(col("id"), col("m.cid").as("cluster"), col("m.d2").as("d2"))
+      .join(corpus, Seq("id"))
+      .select(col("id"), col("cluster"), col("d2"), col("vec"))
 
   /** Centroid update (mean of members, per dimension). Per-component sums
     * round@7 then accumulate in DECIMAL — associative and exact, so the

@@ -233,6 +233,31 @@ class PlanSpec extends SparkSuite {
       s"residual search must not shuffle-join the corpus:\n$p")
   }
 
+  test("q123 residual refine: broadcast-only composition, no cartesian, no shuffle join") {
+    val p = plan(QueryCatalog.queries("q123_ivfpq_residual_refine")(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"residual refine must never go all-pairs against the corpus:\n$p")
+    // one full-corpus assignment (encode) + one probe selection, as q122
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 3, s"only the centroid cross joins may nest-loop, got $bnl")
+    assert(!p.contains("SortMergeJoin"),
+      s"shortlist fetch + re-rank must stay broadcast-pruned keyed joins:\n$p")
+  }
+
+  test("q124 persisted-index search: NO corpus assignment in the plan, broadcast-only") {
+    val p = plan(QueryCatalog.queries("q124_ivfpq_persisted")(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"persisted search must never go all-pairs:\n$p")
+    // THE point of the artifact: the n·|centroids| assignment/encode work
+    // happened at BUILD time — the search plan may nest-loop only the
+    // per-query probe selection (|queries| × |centroids|, both tiny)
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1,
+      s"corpus assignment leaked into the persisted-index search plan ($bnl nest-loops):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"persisted search must not shuffle-join the code table:\n$p")
+  }
+
   test("q116 fuzzy decontamination: keyed joins only, no cartesian product") {
     val p = plan(QueryCatalog.queries("q116_fuzzy_decontam")(spark, dir))
     assert(!p.contains("CartesianProduct"),
