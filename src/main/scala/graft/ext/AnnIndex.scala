@@ -127,4 +127,28 @@ object AnnIndex {
       search(spark, base, queries, shortlist, nProbe)
         .select(col("qid"), col("id")),
       queries, corpus, k)
+
+  /** Drop the SHARDS of every generation older than the current one, and
+    * vacuum the quantizer table's old version DATA (commit markers are
+    * retained, so quantizer [[graft.sources.VersionedTable.history]]
+    * survives — the Delta-VACUUM contract). The current generation is
+    * never touched, even mid-backfill; a generation becomes vacuumable
+    * the moment a newer quantizer commits, because searches only ever
+    * read the current generation. Single-writer assumed, like every
+    * VersionedTable mutation. */
+  def vacuum(spark: SparkSession, base: String): Unit = {
+    val (gen, _, _, _) = quantizer(spark, base)
+    val indexDir = new org.apache.hadoop.fs.Path(s"$base/index")
+    val fs = indexDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(indexDir)) {
+      val GenDir = "^gen=(\\d+)$".r
+      fs.listStatus(indexDir).foreach { st =>
+        st.getPath.getName match {
+          case GenDir(g) if g.toLong < gen => fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    }
+    VersionedTable.vacuum(spark, quantizerPath(base))
+  }
 }

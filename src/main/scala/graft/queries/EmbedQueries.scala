@@ -60,8 +60,12 @@ object EmbedQueries {
     None)
 
   /** IVF-Flat approximate top-k: deterministic sampled centroids, 2-probe.
-    * Assignment ties/centroid geometry are engine-specific ⇒ rows-only;
-    * recall vs brute force is property-tested in SimilaritySpec. */
+    * FULLY oracle-checked since r10 — unlike the hash-bucketed LSH paths,
+    * every step is deterministic arithmetic both engines evaluate
+    * identically (the q33 bit-stable cosine + the q88 argmax-assignment
+    * recipe): DuckDB re-derives assignment, probe selection, and the
+    * in-list exact ranking. Recall vs brute force additionally
+    * property-tested in SimilaritySpec. */
   val q56AnnIvf: Q = Q(
     "q56_ann_ivf",
     (s, dir) => {
@@ -72,7 +76,40 @@ object EmbedQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.ivfTopK(corpus(s, dir), queriesDf(s, dir), cents, 10, nProbe = 2)
     },
-    None)
+    Some("""
+      WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+      k AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+        WHERE vec_id % 31 = 0 AND vec_id < 31 * 64),
+      assigned AS (
+        SELECT id, cid, vec FROM (
+          SELECT c.id, k.cid, c.vec,
+            ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+              list_dot_product(c.vec, k.cvec)
+                / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(k.cvec, k.cvec)))
+              DESC, k.cid) AS rn
+          FROM c CROSS JOIN k) WHERE rn = 1),
+      probes AS (
+        SELECT qid, qvec, cid FROM (
+          SELECT q.qid, q.qvec, k.cid,
+            ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+              list_dot_product(q.qvec, k.cvec)
+                / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(k.cvec, k.cvec)))
+              DESC, k.cid) AS rn
+          FROM q CROSS JOIN k) WHERE rn <= 2),
+      cand AS (
+        SELECT p.qid, a.id,
+          list_dot_product(p.qvec, a.vec)
+            / (sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(a.vec, a.vec))) AS sim
+        FROM assigned a JOIN probes p USING (cid)
+        WHERE a.id <> p.qid)
+      SELECT qid, rank, id, sim FROM (
+        SELECT qid, id, sim,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rank
+        FROM cand)
+      WHERE rank <= 10
+    """))
 
   /** Embedding-cosine near-dup pairs (multi-table hyperplane LSH, exact
     * cosine verify ≥ 0.98) over the corpus ∪ synthesized perturbed dups
