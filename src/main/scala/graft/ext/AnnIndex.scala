@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   *    pure per-row function of the frozen generation-`G` quantizers —
   *    extension == rebuild, spec-pinned in SimilaritySpec), so streaming
   *    replay is idempotent with no read-side dedup.
+  *  - `shards/` — a [[VersionedTable]] of (gen, shard-path) rows: the
+  *    MANIFEST. Readers list the code table through the manifest's current
+  *    snapshot, never by directory listing, which is what makes
+  *    [[compact]] an atomic metadata swap (Delta's log-over-files shape,
+  *    here built from the same commit-marker machinery every other
+  *    versioned artifact in this library already uses): a reader planned
+  *    against the pre-compaction manifest keeps reading the old shard
+  *    files — they stay on disk until [[vacuum]] — while new readers see
+  *    only the compacted shard. Directory listing would instead give a
+  *    non-atomic delete-then-read window and double- or zero-counted rows.
   *
   * Retraining commits quantizer version G+1 and starts an EMPTY
   * `gen=<G+1>` shard set: the caller backfills by re-encoding the corpus
@@ -39,11 +49,15 @@ import org.apache.spark.sql.functions._
   * vector, the ONLY corpus-proportional artifact; per-batch ingest cost is
   * one broadcast-centroid assignment + one broadcast-book encode over the
   * BATCH alone; search scans nProbe/|lists| of the codes
-  * ([[Similarity.ivfPqResidualTopK]]) and never touches raw vectors.
+  * ([[Similarity.ivfPqResidualTopK]]) and never touches raw vectors. The
+  * manifest itself is metadata (one short row per shard): its per-commit
+  * copy-on-write rewrite is O(shard count), which [[compact]] keeps
+  * bounded — the same reason Delta checkpoints its log.
   */
 object AnnIndex {
 
   private def quantizerPath(base: String) = s"$base/quantizer"
+  private def shardsPath(base: String) = s"$base/shards"
   private def genPath(base: String, gen: Long) = s"$base/index/gen=$gen"
   private def shardPath(base: String, gen: Long, batchId: Long) =
     s"${genPath(base, gen)}/batch=$batchId"
@@ -84,25 +98,58 @@ object AnnIndex {
     (gen, cents, books, m)
   }
 
-  /** Encode `batch` ((id, vec)) against the CURRENT frozen quantizers and
-    * write it as that generation's shard `batchId` — the incremental
-    * extension step. Idempotent under replay: the shard is overwritten
-    * with bit-identical content (pure function of the frozen artifacts).
+  /** The manifest's current shard paths for generation `gen` (empty if no
+    * manifest was ever committed or it has no rows for this generation). */
+  private def currentShards(spark: SparkSession, base: String, gen: Long): Seq[String] =
+    VersionedTable.read(spark, shardsPath(base)) match {
+      case None => Seq.empty
+      case Some(df) => df.filter(col("gen") === gen)
+        .select(col("shard")).collect().map(_.getString(0)).toSeq.sorted
+    }
+
+  /** Commit a new manifest snapshot holding exactly `shards` for `gen`.
+    * Rows for OLDER generations are dropped from the current snapshot —
+    * search only ever reads the current generation, and the superseded
+    * listing survives in the manifest's own history (time travel). */
+  private def commitShards(spark: SparkSession, base: String, gen: Long,
+      shards: Seq[String], operation: String): Long = {
+    import spark.implicits._
+    VersionedTable.commit(spark,
+      shardsPath(base),
+      shards.map(s => (gen, s)).toDF("gen", "shard"),
+      operation)
+  }
+
+  /** Encode `batch` ((id, vec)) against the CURRENT frozen quantizers,
+    * write it as that generation's shard `batchId`, and register the shard
+    * in the manifest — the incremental extension step. Idempotent under
+    * replay: the shard is overwritten with bit-identical content (pure
+    * function of the frozen artifacts) and an already-manifested path is
+    * not re-committed. Data precedes metadata (shard write, then manifest
+    * commit), the same ordering [[VersionedTable.commit]] itself uses, so
+    * a reader can never see a manifested shard without complete data.
     * Returns the generation written to. */
   def extendBatch(spark: SparkSession, base: String, batch: DataFrame,
       batchId: Long): Long = {
     val (gen, cents, books, m) = quantizer(spark, base)
+    val shard = shardPath(base, gen, batchId)
     Similarity.ivfPqResidualEncode(batch, cents, books, m)
-      .write.mode("overwrite").parquet(shardPath(base, gen, batchId))
+      .write.mode("overwrite").parquet(shard)
+    val existing = currentShards(spark, base, gen)
+    if (!existing.contains(shard))
+      commitShards(spark, base, gen, existing :+ shard, s"extend batch=$batchId")
     gen
   }
 
   /** The current generation's full code table (id, cid, codes) — the
-    * union of every ingested shard. Throws if nothing was ever ingested
+    * union of the MANIFESTED shards. Throws if nothing was ever ingested
     * into the current generation (fresh retrain awaiting backfill). */
   def readIndex(spark: SparkSession, base: String): DataFrame = {
     val (gen, _, _, _) = quantizer(spark, base)
-    spark.read.parquet(genPath(base, gen))
+    val shards = currentShards(spark, base, gen)
+    if (shards.isEmpty) throw new IllegalStateException(
+      s"generation $gen at $base has no ingested shards — backfill via extendBatch")
+    spark.read.parquet(shards: _*)
       .select(col("id"), col("cid"), col("codes"))
   }
 
@@ -112,10 +159,9 @@ object AnnIndex {
     * read. `queries`: (qid, qvec). */
   def search(spark: SparkSession, base: String, queries: DataFrame,
       k: Int, nProbe: Int = 2): DataFrame = {
-    val (gen, cents, books, m) = quantizer(spark, base)
-    val index = spark.read.parquet(genPath(base, gen))
-      .select(col("id"), col("cid"), col("codes"))
-    Similarity.ivfPqResidualTopK(index, cents, books, queries, m, k, nProbe)
+    val (_, cents, books, m) = quantizer(spark, base)
+    Similarity.ivfPqResidualTopK(readIndex(spark, base), cents, books,
+      queries, m, k, nProbe)
   }
 
   /** [[search]] + exact re-rank ([[Similarity.refineShortlist]]): the ADC
@@ -128,16 +174,52 @@ object AnnIndex {
         .select(col("qid"), col("id")),
       queries, corpus, k)
 
-  /** Drop the SHARDS of every generation older than the current one, and
-    * vacuum the quantizer table's old version DATA (commit markers are
-    * retained, so quantizer [[graft.sources.VersionedTable.history]]
-    * survives — the Delta-VACUUM contract). The current generation is
-    * never touched, even mid-backfill; a generation becomes vacuumable
-    * the moment a newer quantizer commits, because searches only ever
-    * read the current generation. Single-writer assumed, like every
-    * VersionedTable mutation. */
+  /** OPTIMIZE for the code table: rewrite the current generation's
+    * manifested shards as `targetFiles` parquet files and atomically swap
+    * the manifest to the compacted listing. Streaming ingest accretes one
+    * small shard per micro-batch — at scale that is the classic
+    * small-file problem (every search pays per-file open/footer cost and
+    * the manifest's copy-on-write rewrite grows with shard count);
+    * compaction is the standard maintenance answer, exactly as
+    * [[graft.plans.Layout]] provides for data tables. The swap is a
+    * single manifest commit: in-flight readers planned against the old
+    * snapshot keep their files (nothing is deleted here — the superseded
+    * shard dirs become garbage that [[vacuum]] collects), new readers see
+    * only the compacted shard. Size `targetFiles` so each file lands near
+    * the fs block size at the deployment's scale. Returns the number of
+    * shards compacted away (0 = nothing to do, no commit made). */
+  def compact(spark: SparkSession, base: String, targetFiles: Int = 1): Int = {
+    val (gen, _, _, _) = quantizer(spark, base)
+    val shards = currentShards(spark, base, gen)
+    if (shards.size <= 1) return 0
+    // Suffix the dir with the manifest version the swap will commit, so
+    // repeated compactions never collide with a live or garbage dir.
+    val nextV = VersionedTable.currentVersion(spark, shardsPath(base))
+      .getOrElse(-1L) + 1
+    val dest = s"${genPath(base, gen)}/compact=$nextV"
+    spark.read.parquet(shards: _*)
+      .select(col("id"), col("cid"), col("codes"))
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(dest)
+    commitShards(spark, base, gen, Seq(dest), s"compact ${shards.size} shards")
+    shards.size
+  }
+
+  /** Drop the SHARDS of every generation older than the current one, the
+    * current generation's UNMANIFESTED shard dirs (garbage superseded by
+    * [[compact]]), and the old version DATA of the quantizer and manifest
+    * tables (commit markers are retained, so their
+    * [[graft.sources.VersionedTable.history]] survives — the Delta-VACUUM
+    * contract). The manifested current generation is never touched, even
+    * mid-backfill; a generation becomes vacuumable the moment a newer
+    * quantizer commits, because searches only ever read the current
+    * generation. Single-writer assumed, like every VersionedTable
+    * mutation. */
   def vacuum(spark: SparkSession, base: String): Unit = {
     val (gen, _, _, _) = quantizer(spark, base)
+    // scheme-insensitive path identity for the liveness check
+    val live = currentShards(spark, base, gen)
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
     val indexDir = new org.apache.hadoop.fs.Path(s"$base/index")
     val fs = indexDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(indexDir)) {
@@ -145,10 +227,16 @@ object AnnIndex {
       fs.listStatus(indexDir).foreach { st =>
         st.getPath.getName match {
           case GenDir(g) if g.toLong < gen => fs.delete(st.getPath, true)
+          case GenDir(_) => // current generation: sweep unmanifested dirs
+            fs.listStatus(st.getPath).foreach { sh =>
+              if (!live.contains(sh.getPath.toUri.getPath))
+                fs.delete(sh.getPath, true)
+            }
           case _ => ()
         }
       }
     }
     VersionedTable.vacuum(spark, quantizerPath(base))
+    VersionedTable.vacuum(spark, shardsPath(base))
   }
 }

@@ -74,4 +74,68 @@ class AnnIndexSpec extends SparkSuite {
     assert(AnnIndex.search(spark, base, queries, k = 10, nProbe = 2)
       .as[(Long, Long, Long, Double)].collect().toSet === s1)
   }
+
+  test("compact swaps the manifest atomically; replayed extension commits no duplicate") {
+    val base = tmp() + "/ann"
+    val emb = Tables.load(spark, sf("e"), "embeddings")
+    val corpus = emb.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("vec"))
+    val queries = corpus.filter($"id" < 5)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def shardDirs(): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/index/gen=0"))
+        .map(_.getPath.getName).toSet
+    def manifest(): Seq[String] =
+      VersionedTable.read(spark, s"$base/shards").get
+        .select($"shard").as[String].collect().toSeq.sorted
+
+    AnnIndex.train(spark, base, corpus, nCentroids = 8, m = 4, ksub = 16)
+    (0 until 4).foreach { b =>
+      AnnIndex.extendBatch(spark, base, corpus.filter($"id" % 4 === b), b.toLong)
+    }
+    assert(manifest().size === 4)
+
+    // REPLAY batch 2 (the streaming at-least-once case): the shard is
+    // rewritten bit-identically and the manifest must NOT grow — readIndex
+    // would otherwise double-count the batch
+    val v = VersionedTable.currentVersion(spark, s"$base/shards").get
+    AnnIndex.extendBatch(spark, base, corpus.filter($"id" % 4 === 2), 2L)
+    assert(manifest().size === 4, "replayed batch must not re-enter the manifest")
+    assert(VersionedTable.currentVersion(spark, s"$base/shards").get === v,
+      "replayed batch must not commit a new manifest version")
+
+    val s0 = AnnIndex.search(spark, base, queries, k = 10, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val idx0 = AnnIndex.readIndex(spark, base)
+      .as[(Long, Long, Seq[Int])].collect().toSet
+
+    // COMPACT: one manifested shard afterwards, identical code table and
+    // search results; the superseded batch dirs stay on disk (a reader
+    // planned pre-swap keeps its files) until vacuum collects them
+    assert(AnnIndex.compact(spark, base) === 4)
+    assert(manifest().size === 1)
+    assert(manifest().head.contains("compact="))
+    assert(AnnIndex.readIndex(spark, base)
+      .as[(Long, Long, Seq[Int])].collect().toSet === idx0,
+      "compaction must not change the code table")
+    assert(AnnIndex.search(spark, base, queries, k = 10, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet === s0,
+      "compaction must not change search results")
+    assert(shardDirs().exists(_.startsWith("batch=")),
+      "superseded shards survive until vacuum (snapshot isolation)")
+
+    // idempotent second compact: single shard, nothing to do, no commit
+    val v1 = VersionedTable.currentVersion(spark, s"$base/shards").get
+    assert(AnnIndex.compact(spark, base) === 0)
+    assert(VersionedTable.currentVersion(spark, s"$base/shards").get === v1)
+
+    // VACUUM collects the superseded batch dirs, keeps the compacted one
+    AnnIndex.vacuum(spark, base)
+    assert(shardDirs().forall(_.startsWith("compact=")),
+      "vacuum must sweep unmanifested shard dirs of the current generation")
+    assert(AnnIndex.search(spark, base, queries, k = 10, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet === s0)
+  }
 }
