@@ -24,15 +24,32 @@ object Tables {
     case n        => spark.read.parquet(s"$dir/$n.parquet")
   }
 
-  /** `events.ts` is nanosecond-precision INT64 parquet, which Spark rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and floor-convert to a
-    * microsecond TimestampType — same truncation DuckDB applies when casting
-    * TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up exactly.
+  /** `events.ts` has shipped in THREE parquet spellings across testdata
+    * regenerations: nanosecond-precision INT64 (which Spark rejects
+    * outright — [PARQUET_TYPE_ILLEGAL] — unless read as raw longs),
+    * microsecond TIMESTAMP with timezone, and microsecond TIMESTAMP_NTZ.
+    * Dispatch on the surfaced type instead of assuming a layout:
+    *  - LongType (TIMESTAMP_NS under `nanosAsLong`): floor-divide to µs —
+    *    the same truncation DuckDB applies casting TIMESTAMP_NS →
+    *    TIMESTAMP, so oracle comparisons line up exactly;
+    *  - TimestampNTZType: cast to session-TZ TimestampType. Every session
+    *    this library builds pins `spark.sql.session.timeZone=UTC`, so the
+    *    cast is micros-identical to DuckDB's naive-TIMESTAMP read of the
+    *    same file — and downstream `unix_micros`/interval arithmetic
+    *    (which reject NTZ) type-check;
+    *  - TimestampType: pass through untouched.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 }

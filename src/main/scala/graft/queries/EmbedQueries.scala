@@ -866,13 +866,28 @@ object EmbedQueries {
       val corpus = emb.select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("vec"))
       // per-sfDir artifact root; _BUILT is written LAST so a crashed build
-      // is rebuilt, never half-reused. v1 = protocol version: bump on any
-      // change to the train/encode protocol so a stale /tmp artifact from
-      // older code can't serve wrong results.
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_annindex_v1_${
+      // is rebuilt, never half-reused. v2 = protocol version: bump on ANY
+      // change to the train/encode/manifest protocol so a stale /tmp
+      // artifact from older code can't serve wrong results or trip the
+      // reader (the r10 lesson: the manifest landed mid-round without a
+      // bump, and pre-manifest artifacts with a _BUILT marker threw "no
+      // ingested shards" forever).
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_annindex_v2_${
         new java.io.File(dir).getName}"
       val done = new java.io.File(s"$base/_BUILT")
-      if (!done.exists()) {
+      // STRUCTURAL reuse guard, not marker trust: the version tag already
+      // failed once (a human forgot to bump it), so the marker alone is
+      // not evidence. Reuse only if the artifact actually serves: trained
+      // quantizer resolves AND the current generation has readable
+      // manifested shards. Anything else — missing, half-written, or from
+      // an incompatible layout — is wiped and rebuilt from the corpus.
+      val usable = done.exists() && (try {
+        AnnIndex.readIndex(s, base).limit(1).count() == 1L
+      } catch { case _: Throwable => false })
+      if (!usable) {
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
         AnnIndex.train(s, base, corpus, nCentroids = 8, m = 4, ksub = 16)
         AnnIndex.extendBatch(s, base, corpus.filter(col("id") % 2 === 0), 0L)
         AnnIndex.extendBatch(s, base, corpus.filter(col("id") % 2 === 1), 1L)

@@ -142,21 +142,35 @@ object StreamPipes {
     * [[graft.ext.AnnIndex.train]] first (the production split: quantizers
     * train offline on a sample; the index extends online forever).
     *
-    * Replay idempotency is STRUCTURAL here — simpler than dedup's
-    * version-below-batch protocol: encoding depends only on the frozen
-    * quantizers, not on previously ingested batches, so a replayed
-    * micro-batch overwrites its own shard with bit-identical content
-    * (extension == rebuild, SimilaritySpec). No commit markers needed on
-    * the shard side; the quantizer's [[graft.sources.VersionedTable]]
-    * markers version the only mutable state. */
+    * Replay idempotency is BATCH-ID KEYED: [[graft.ext.AnnIndex
+    * .extendBatch]] skips any batchId already present in the shard
+    * manifest (and would re-encode bit-identically even if it didn't —
+    * encoding is a pure function of the frozen quantizers; extension ==
+    * rebuild, SimilaritySpec), so at-least-once delivery never
+    * double-counts a batch, including after compaction folded its shard
+    * away. The quantizer's [[graft.sources.VersionedTable]] markers
+    * version the only mutable state.
+    *
+    * `compactEvery` > 0 folds the accreted per-batch shards into one
+    * every N batches ([[graft.ext.AnnIndex.compact]]) — the maintenance
+    * loop a long-running stream needs: uncompacted, the shard count (and
+    * with it every search's per-file open cost and the manifest's own
+    * copy-on-write rewrite) grows one per micro-batch without bound.
+    * Compaction inside the same foreachBatch keeps the invariant
+    * single-writer and is itself replay-safe: the swap is one manifest
+    * commit, covered batchIds stay registered, and a replayed trigger
+    * either finds one shard (no-op) or compacts again idempotently. */
   def annIngest(
-      vectors: DataFrame, basePath: String, checkpoint: String): StreamingQuery =
+      vectors: DataFrame, basePath: String, checkpoint: String,
+      compactEvery: Int = 0): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ext.AnnIndex.extendBatch(batch.sparkSession, basePath, batch, batchId)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.ext.AnnIndex.compact(batch.sparkSession, basePath)
         ()
       }
       .start()

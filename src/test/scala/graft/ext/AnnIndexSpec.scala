@@ -111,11 +111,15 @@ class AnnIndexSpec extends SparkSuite {
     val idx0 = AnnIndex.readIndex(spark, base)
       .as[(Long, Long, Seq[Int])].collect().toSet
 
-    // COMPACT: one manifested shard afterwards, identical code table and
-    // search results; the superseded batch dirs stay on disk (a reader
-    // planned pre-swap keeps its files) until vacuum collects them
+    // COMPACT: one manifested shard PATH afterwards — but every covered
+    // batchId stays registered against it (replay identity is the batchId,
+    // not the path) — identical code table and search results; the
+    // superseded batch dirs stay on disk (a reader planned pre-swap keeps
+    // its files) until vacuum collects them
     assert(AnnIndex.compact(spark, base) === 4)
-    assert(manifest().size === 1)
+    assert(manifest().distinct.size === 1)
+    assert(manifest().size === 4,
+      "compact must re-register every covered batchId against the compacted shard")
     assert(manifest().head.contains("compact="))
     assert(AnnIndex.readIndex(spark, base)
       .as[(Long, Long, Seq[Int])].collect().toSet === idx0,
@@ -125,6 +129,19 @@ class AnnIndexSpec extends SparkSuite {
       "compaction must not change search results")
     assert(shardDirs().exists(_.startsWith("batch=")),
       "superseded shards survive until vacuum (snapshot isolation)")
+
+    // REPLAY AFTER COMPACT (the at-least-once case the path-keyed dedup
+    // got wrong): batch 1's rows now live inside the compacted shard; a
+    // replayed batch 1 must be recognized by its batchId and skipped —
+    // path-dedup would re-ingest it alongside the compacted rows and
+    // double-count them in readIndex/search
+    val vc = VersionedTable.currentVersion(spark, s"$base/shards").get
+    AnnIndex.extendBatch(spark, base, corpus.filter($"id" % 4 === 1), 1L)
+    assert(VersionedTable.currentVersion(spark, s"$base/shards").get === vc,
+      "replay of a compacted batch must not commit")
+    assert(AnnIndex.readIndex(spark, base)
+      .as[(Long, Long, Seq[Int])].collect().toSet === idx0,
+      "replay of a compacted batch must not double-count its rows")
 
     // idempotent second compact: single shard, nothing to do, no commit
     val v1 = VersionedTable.currentVersion(spark, s"$base/shards").get
@@ -137,5 +154,105 @@ class AnnIndexSpec extends SparkSuite {
       "vacuum must sweep unmanifested shard dirs of the current generation")
     assert(AnnIndex.search(spark, base, queries, k = 10, nProbe = 2)
       .as[(Long, Long, Long, Double)].collect().toSet === s0)
+  }
+
+  test("pre-manifest index: readIndex migrates from disk; vacuum never sweeps an unmanifested generation") {
+    val base = tmp() + "/ann"
+    val emb = Tables.load(spark, sf("e"), "embeddings")
+    val corpus = emb.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("vec"))
+    val queries = corpus.filter($"id" < 5)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+
+    AnnIndex.train(spark, base, corpus, nCentroids = 8, m = 4, ksub = 16)
+    (0 until 2).foreach { b =>
+      AnnIndex.extendBatch(spark, base, corpus.filter($"id" % 2 === b), b.toLong)
+    }
+    val idx0 = AnnIndex.readIndex(spark, base)
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    val s0 = AnnIndex.search(spark, base, queries, k = 10, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    // Simulate an index persisted BEFORE the manifest existed: shards on
+    // disk, no shards/ table. The old code's failure mode was readIndex
+    // throwing "no ingested shards" and vacuum (empty live set) deleting
+    // every current-generation shard — silent data loss.
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/shards"), true)
+
+    // vacuum on the manifest-less index: migration rebuilds the manifest
+    // from the generation's directory listing, so the shards read as live
+    AnnIndex.vacuum(spark, base)
+    assert(AnnIndex.readIndex(spark, base)
+      .as[(Long, Long, Seq[Int])].collect().toSet === idx0,
+      "migration must recover the full pre-manifest code table")
+    assert(AnnIndex.search(spark, base, queries, k = 10, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet === s0)
+    // the rebuilt manifest carries the recovered batchIds: replay dedup works
+    val v = VersionedTable.currentVersion(spark, s"$base/shards").get
+    AnnIndex.extendBatch(spark, base, corpus.filter($"id" % 2 === 0), 0L)
+    assert(VersionedTable.currentVersion(spark, s"$base/shards").get === v,
+      "batchIds recovered by migration must dedup replays")
+  }
+
+  test("two-phase retrain: search serves the old generation through backfill, the new one after promote, and never throws") {
+    val base = tmp() + "/ann"
+    val emb = Tables.load(spark, sf("e"), "embeddings")
+    val corpus = emb.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("vec"))
+    val queries = corpus.filter($"id" < 5)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    def searchNow() = AnnIndex.search(spark, base, queries, k = 10, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    // bootstrap: gen 0 trains (8 lists), ingests, serves
+    AnnIndex.train(spark, base, corpus, nCentroids = 8, m = 4, ksub = 16)
+    AnnIndex.extendBatch(spark, base, corpus, 0L)
+    val s0 = searchNow()
+    assert(s0.nonEmpty)
+
+    // phase 1: retrain (different quantizers: 4 lists) commits PENDING.
+    // Search must keep serving gen 0 — the one-phase path's outage window
+    // (readIndex throwing until backfill completes) must not exist here.
+    val p = AnnIndex.retrain(spark, base, corpus, nCentroids = 4, m = 4, ksub = 16)
+    assert(AnnIndex.pendingGen(spark, base) === Some(p))
+    assert(searchNow() === s0, "mid-retrain search must serve the old generation")
+
+    // promoting an unbackfilled generation must fail loudly
+    intercept[Exception] { AnnIndex.promote(spark, base) }
+
+    // backfill the pending generation batch by batch; searches are
+    // undisturbed at every step (old quantizer + old codes — never a mix)
+    AnnIndex.extendBatch(spark, base, corpus.filter($"id" % 2 === 0), 0L)
+    assert(searchNow() === s0, "mid-backfill search must serve the old generation")
+    AnnIndex.extendBatch(spark, base, corpus.filter($"id" % 2 === 1), 1L)
+    assert(searchNow() === s0)
+
+    // vacuum mid-window must not strand either generation
+    AnnIndex.vacuum(spark, base)
+    assert(searchNow() === s0, "vacuum inside the retrain window must not disturb serving")
+
+    // phase 2: promote — one commit flips serving to the fully-backfilled
+    // generation; results equal a from-scratch gen-1 build (extension ==
+    // rebuild), proving no gen-0 artifact leaked through
+    assert(AnnIndex.promote(spark, base) === p)
+    assert(AnnIndex.pendingGen(spark, base) === None)
+    val (gen1, cents1, books1, m1) = AnnIndex.quantizer(spark, base)
+    assert(gen1 === p)
+    val expected = Similarity.ivfPqResidualTopK(
+        Similarity.ivfPqResidualEncode(corpus, cents1, books1, m1),
+        cents1, books1, queries, m1, k = 10, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(searchNow() === expected,
+      "post-promote search must equal a from-scratch build of the new generation")
+
+    // steady state restored: vacuum now drops the superseded generation
+    AnnIndex.vacuum(spark, base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/index/gen=0")),
+      "post-promote vacuum must drop the superseded generation's shards")
+    assert(searchNow() === expected)
   }
 }
