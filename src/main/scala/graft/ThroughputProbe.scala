@@ -105,6 +105,12 @@ object ThroughputProbe {
     import graft.ext.AnnIndex
     val batches = sys.env.getOrElse("TP_BATCHES", "5").toInt
     val rows = sys.env.getOrElse("TP_ROWS", "100000").toLong
+    // TP_COMPACT_EVERY > 0 exercises the in-stream maintenance loop:
+    // AnnIndex.compact every N micro-batches inside the same foreachBatch.
+    // Run the probe at 0 and at N over 20+ batches to put the smallfile
+    // effect on record: uncompacted, shard count grows one per batch and
+    // search/manifest cost with it; compacted, both stay flat.
+    val compactEvery = sys.env.getOrElse("TP_COMPACT_EVERY", "0").toInt
     val d = 64
     val root = java.nio.file.Files.createTempDirectory("tp-ann").toString
     val in = s"$root/incoming"
@@ -118,6 +124,8 @@ object ThroughputProbe {
       org.apache.spark.sql.types.StructField("vec",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType))))
+    val probes = gen.VecGen.vectors(spark, 5L, d)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
     for (b <- 0 until batches) {
       gen.VecGen.vectors(spark, rows, d)
         .select((col("id") + b * rows).as("id"), col("vec"))
@@ -125,12 +133,20 @@ object ThroughputProbe {
       val t0 = System.nanoTime()
       val q = streaming.StreamPipes.annIngest(
         spark.readStream.schema(schema).parquet(in),
-        s"$root/ann", s"$root/ckpt")
+        s"$root/ann", s"$root/ckpt", compactEvery = compactEvery)
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
       val indexed = AnnIndex.readIndex(spark, s"$root/ann").count()
+      // the quantities compaction is supposed to hold flat: live shard
+      // count and end-to-end search wall over the persisted index
+      val nShards = sources.VersionedTable.read(spark, s"$root/ann/shards")
+        .map(_.select(col("shard")).distinct().count()).getOrElse(0L)
+      val s0 = System.nanoTime()
+      AnnIndex.search(spark, s"$root/ann", probes, k = 10, nProbe = 2).count()
+      val searchSec = (System.nanoTime() - s0) / 1e9
       System.err.println(f"[tp] ann batch $b: $rows%d rows in $sec%.2f s = " +
-        f"${rows / sec}%.0f rows/s (indexed=$indexed)")
+        f"${rows / sec}%.0f rows/s (indexed=$indexed shards=$nShards " +
+        f"search=$searchSec%.2f s compactEvery=$compactEvery)")
       Housekeeping.releaseAll(spark)
     }
   }
