@@ -901,9 +901,54 @@ object EmbedQueries {
     // bit-identical to the inline full rebuild over the same corpus
     q122IvfPqResidual.oracle)
 
+  /** TWO-PHASE RETRAIN END-TO-END ([[graft.ext.AnnIndex.retrain]] →
+    * backfill → [[graft.ext.AnnIndex.promote]]) as an oracle-checked
+    * catalog query: the index bootstraps on a DIFFERENT quantizer config
+    * (4 coarse lists), retrains to the q122 config (8 lists) as a PENDING
+    * generation, backfills it in two batches while the old generation
+    * keeps serving, then promotes. The final search must equal q122's
+    * inline build bit-for-bit — proving the promoted generation is a
+    * clean rebuild under the new quantizers with zero bootstrap-era
+    * artifacts leaking through (AnnIndexSpec pins the mid-flight
+    * serving behavior; this pins the end state against the full DuckDB
+    * re-derivation). Artifact cached per sfDir like q124, reused only
+    * after the same structural validity probe. */
+  val q125AnnRetrainPromote: Q = Q(
+    "q125_ann_retrain_promote",
+    (s, dir) => {
+      import graft.ext.AnnIndex
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_annretrain_v1_${
+        new java.io.File(dir).getName}"
+      val done = new java.io.File(s"$base/_BUILT")
+      val usable = done.exists() && (try {
+        AnnIndex.readIndex(s, base).limit(1).count() == 1L
+      } catch { case _: Throwable => false })
+      if (!usable) {
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        AnnIndex.train(s, base, corpus, nCentroids = 4, m = 4, ksub = 16)
+        AnnIndex.extendBatch(s, base, corpus, 0L)
+        AnnIndex.retrain(s, base, corpus, nCentroids = 8, m = 4, ksub = 16)
+        AnnIndex.extendBatch(s, base, corpus.filter(col("id") % 2 === 0), 0L)
+        AnnIndex.extendBatch(s, base, corpus.filter(col("id") % 2 === 1), 1L)
+        AnnIndex.promote(s, base)
+        done.createNewFile()
+      }
+      val queries = corpus.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      AnnIndex.search(s, base, queries, k = 10, nProbe = 2)
+    },
+    // the promoted generation IS the q122 configuration built from
+    // scratch (extension == rebuild), so the q122 oracle re-derives it
+    q122IvfPqResidual.oracle)
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
     q118ClusterBalancedSample, q120IvfPqTopK, q121IvfPqRefine, q122IvfPqResidual,
-    q123IvfPqResidualRefine, q124IvfPqPersisted)
+    q123IvfPqResidualRefine, q124IvfPqPersisted, q125AnnRetrainPromote)
 }
