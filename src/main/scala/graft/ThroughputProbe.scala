@@ -21,6 +21,7 @@ object ThroughputProbe {
     if (mode == "medallion" || mode == "all") medallion(spark)
     if (mode == "dedup" || mode == "all") dedupIngest(spark)
     if (mode == "ann" || mode == "all") annIngest(spark)
+    if (mode == "annretrain" || mode == "all") annRetrain(spark)
     spark.stop()
   }
 
@@ -149,5 +150,58 @@ object ThroughputProbe {
         f"search=$searchSec%.2f s compactEvery=$compactEvery)")
       Housekeeping.releaseAll(spark)
     }
+  }
+
+  /** TWO-PHASE RETRAIN CONTINUITY: the operational claim behind
+    * [[graft.ext.AnnIndex.retrain]]/[[graft.ext.AnnIndex.promote]] —
+    * a live index can retrain its quantizers WITHOUT a search outage —
+    * measured, not just spec-pinned. Build a generation-0 index batch by
+    * batch, commit a pending retrain (half the coarse lists), then
+    * re-encode the whole corpus into the pending generation while timing
+    * a serving-generation search after EVERY backfill batch: the wall
+    * must stay flat and the serving generation must stay 0 until the one
+    * promote commit flips it. The backfill walls are the retrain's total
+    * cost — paid off the serving path, exactly like the initial ingest. */
+  private def annRetrain(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.ext.AnnIndex
+    val batches = sys.env.getOrElse("TP_BATCHES", "10").toInt
+    val rows = sys.env.getOrElse("TP_ROWS", "10000").toLong
+    val d = 64
+    val root = java.nio.file.Files.createTempDirectory("tp-annrt").toString
+    val base = s"$root/ann"
+    val n = rows * batches
+    val corpus = gen.VecGen.vectors(spark, n, d)
+    def slice(b: Int) =
+      corpus.filter(col("id") >= b * rows && col("id") < (b + 1) * rows)
+    val probes = gen.VecGen.vectors(spark, 5L, d)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    def searchSec(): Double = {
+      val t0 = System.nanoTime()
+      AnnIndex.search(spark, base, probes, k = 10, nProbe = 2).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val nCent0 = math.max(8L, math.round(math.sqrt(n.toDouble))).toInt
+    AnnIndex.train(spark, base, corpus, nCentroids = nCent0, m = 4, ksub = 16)
+    for (b <- 0 until batches) AnnIndex.extendBatch(spark, base, slice(b), b.toLong)
+    System.err.println(f"[tp] annretrain gen0 ready: $n vectors, $nCent0 lists, " +
+      f"search=${searchSec()}%.2f s")
+    val pending = AnnIndex.retrain(spark, base, corpus,
+      nCentroids = nCent0 / 2, m = 4, ksub = 16)
+    System.err.println(f"[tp] annretrain pending gen=$pending committed " +
+      f"(${nCent0 / 2} lists); serving search=${searchSec()}%.2f s")
+    for (b <- 0 until batches) {
+      val t0 = System.nanoTime()
+      AnnIndex.extendBatch(spark, base, slice(b), 1000L + b)
+      val bf = (System.nanoTime() - t0) / 1e9
+      val (servingGen, _, _, _) = AnnIndex.quantizer(spark, base)
+      System.err.println(f"[tp] annretrain backfill $b: $bf%.2f s; " +
+        f"serving gen=$servingGen search=${searchSec()}%.2f s")
+      Housekeeping.releaseAll(spark)
+    }
+    val t0 = System.nanoTime()
+    val promoted = AnnIndex.promote(spark, base)
+    val pr = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[tp] annretrain promoted gen=$promoted in $pr%.2f s; " +
+      f"search=${searchSec()}%.2f s")
   }
 }

@@ -258,6 +258,19 @@ class PlanSpec extends SparkSuite {
       s"persisted search must not shuffle-join the code table:\n$p")
   }
 
+  test("q125 post-promote search: same broadcast-only shape as q124, no corpus assignment") {
+    val p = plan(QueryCatalog.queries("q125_ann_retrain_promote")(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"post-promote search must never go all-pairs:\n$p")
+    // promotion swaps WHICH artifacts serve, not the search plan shape:
+    // the bootstrap generation's build work must be invisible here
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1,
+      s"assignment/encode work leaked into the post-promote search plan ($bnl nest-loops):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"post-promote search must not shuffle-join the code table:\n$p")
+  }
+
   test("q116 fuzzy decontamination: keyed joins only, no cartesian product") {
     val p = plan(QueryCatalog.queries("q116_fuzzy_decontam")(spark, dir))
     assert(!p.contains("CartesianProduct"),
