@@ -156,4 +156,70 @@ object CorpusOps {
 
   def hashSampled(idCol: org.apache.spark.sql.Column, rate: Double): org.apache.spark.sql.Column =
     hashSampled(idCol, lit(rate))
+
+  /** DSIR-style IMPORTANCE WEIGHTS over hashed token features (Xie et al.
+    * 2023, arXiv:2302.03169: select raw data whose hashed-n-gram feature
+    * distribution matches a small in-domain target set): every token maps
+    * to one of `buckets` feature buckets via an ENGINE-PORTABLE hash
+    * (length/first-char/last-char arithmetic — bit-identical in any SQL
+    * engine, unlike murmur/xxhash), and a document's weight is its
+    * add-one-smoothed target-mass over background-mass ratio
+    *
+    *   w(doc) = Σ_b n_b·(ct_b+1)  /  Σ_b n_b·(cb_b+1)
+    *
+    * (n_b = the doc's tokens in bucket b, ct/cb = target/background bucket
+    * totals). This is the LINEAR-affinity variant of DSIR's log-likelihood
+    * ratio: numerator and denominator are pure INTEGER sums, so the single
+    * final division is the only float op and the weight is bit-identical
+    * across engines and partitionings — the log-ratio form would sum
+    * per-bucket doubles in engine-dependent order. Ranking behavior is the
+    * same (monotone in target affinity); the dial that matters is
+    * `buckets`.
+    *
+    * 100 TB shape: the bucket tables are `buckets` rows (BROADCAST at any
+    * corpus size — DSIR's hashed projection exists precisely to make the
+    * feature space constant); the corpus side is one explode scan + one
+    * (id, bucket) partial-agg shuffle + a map-side broadcast join; weights
+    * come out of one id-keyed aggregation. Integer headroom: per-doc
+    * Σ n_b·(cb_b+1) ≤ docTokens · corpusTokens ≈ 10³·10¹² at 100 TB —
+    * inside Long. Returns (id, w). */
+  def importanceWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+      idCol: String, textCol: String, buckets: Int = 64): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), isTarget.as("is_t"),
+        explode(TextStats.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("b",
+        (length(col("tok")) * 31 + ascii(col("tok")) * 7 +
+          ascii(substring(col("tok"), -1, 1))) % buckets)
+    val bcount = toks.groupBy("b").agg(count(lit(1)).as("cb"))
+    val tcount = toks.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
+    toks.groupBy(col("id"), col("b")).agg(count(lit(1)).as("n"))
+      .join(broadcast(bcount), Seq("b"))
+      .join(broadcast(tcount), Seq("b"), "left")
+      .groupBy(col("id"))
+      .agg((sum(col("n") * (coalesce(col("ct"), lit(0L)) + 1)).cast("double") /
+            sum(col("n") * (col("cb") + 1)).cast("double")).as("w"))
+  }
+
+  /** Weighted sampling WITHOUT replacement from (id, w) rows — the
+    * resampling half of DSIR — via Efraimidis–Spirakis A-Res priorities
+    * (2006, Inf. Process. Lett.: draw u~U(0,1) per item, keep the k
+    * smallest -ln(u)/w; exactly weighted-without-replacement). u comes
+    * from the library's engine-portable Knuth multiplicative hash of the
+    * id (the [[hashSampled]] recipe), so the draw is deterministic and
+    * re-derivable in any engine; the priority is rounded to 6 decimals
+    * with an id tiebreak (the q50 discipline) so a last-ulp ln()
+    * difference can never flip ranks. One TakeOrderedAndProject (top-k,
+    * no global sort) + a k-row window. Returns (rank, id, w_r, key_r). */
+  def weightedSample(weights: DataFrame, k: Int): DataFrame = {
+    val u = (((col("id") % 1000003L) * 2654435761L) % 1000000L)
+      .cast("double").plus(0.5) / 1000000.0
+    val keyed = weights.select(col("id"), round(col("w"), 6).as("w_r"),
+      round(-log(u) / col("w"), 6).as("key_r"))
+    keyed.orderBy(col("key_r"), col("id")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("key_r"), col("id"))).cast("long"))
+      .select(col("rank"), col("id"), col("w_r"), col("key_r"))
+  }
 }

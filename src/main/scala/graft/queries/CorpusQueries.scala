@@ -436,8 +436,59 @@ object CorpusQueries {
       FROM withpt, z
     """))
 
+  /** DSIR-style data selection end-to-end ([[CorpusOps.importanceWeights]]
+    * → [[CorpusOps.weightedSample]]): English docs are the in-domain
+    * target; every doc scores its hashed-token-feature affinity to that
+    * target over the whole-corpus background (integer-exact linear
+    * variant of the DSIR log-ratio — see the operator scaladoc), and 200
+    * docs are drawn weighted-without-replacement via deterministic
+    * Efraimidis–Spirakis priorities. Fully re-derivable in DuckDB: the
+    * bucket hash is portable arithmetic, both weight sums are integers,
+    * and the one-ln priority is 6-decimal-rounded with an id tiebreak. */
+  val q126ImportanceResample: Q = Q(
+    "q126_importance_resample",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusOps.weightedSample(
+        CorpusOps.importanceWeights(d, col("lang") === "en", "doc_id", "text"),
+        k = 200)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+      ), tb AS (
+        SELECT doc_id, lang,
+          (length(tok) * 31 + ascii(tok) * 7 + ascii(substr(tok, -1, 1))) % 64 AS b
+        FROM toks WHERE length(tok) > 0
+      ), bcount AS (
+        SELECT b, COUNT(*) AS cb FROM tb GROUP BY 1
+      ), tcount AS (
+        SELECT b, COUNT(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1
+      ), docb AS (
+        SELECT doc_id, b, COUNT(*) AS n FROM tb GROUP BY 1, 2
+      ), scored AS (
+        SELECT doc_id,
+          CAST(SUM(n * (COALESCE(ct, 0) + 1)) AS DOUBLE)
+            / CAST(SUM(n * (cb + 1)) AS DOUBLE) AS w
+        FROM docb JOIN bcount USING (b) LEFT JOIN tcount USING (b)
+        GROUP BY 1
+      ), keyed AS (
+        SELECT doc_id, round(w, 6) AS w_r,
+          round(-ln((((doc_id % 1000003) * 2654435761) % 1000000 + 0.5)
+            / 1000000.0) / w, 6) AS key_r
+        FROM scored
+      )
+      SELECT rank, doc_id, w_r, key_r FROM (
+        SELECT doc_id, w_r, key_r,
+          CAST(ROW_NUMBER() OVER (ORDER BY key_r, doc_id) AS BIGINT) AS rank
+        FROM keyed
+      ) WHERE rank <= 200
+    """))
+
   val all: Seq[Q] = Seq(
     q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample,
     q70QualityFilter, q76ChunkDocuments, q89QualityCutoff, q91ClassSample,
-    q97SourceOverlap, q101TemperatureMix, q116FuzzyDecontam)
+    q97SourceOverlap, q101TemperatureMix, q116FuzzyDecontam,
+    q126ImportanceResample)
 }

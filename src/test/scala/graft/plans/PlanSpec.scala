@@ -271,6 +271,17 @@ class PlanSpec extends SparkSuite {
       s"post-promote search must not shuffle-join the code table:\n$p")
   }
 
+  test("q126 importance resampling: bucket tables broadcast, selection is top-k not global sort") {
+    val p = plan(QueryCatalog.queries("q126_importance_resample")(spark, dir))
+    // DSIR's hashed projection exists to make the feature space constant:
+    // the target/background bucket tables must broadcast at any corpus size
+    assert(!p.contains("SortMergeJoin"),
+      s"constant-size bucket tables must broadcast-join, never shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"k-row selection must plan as top-k, not a global sort:\n$p")
+  }
+
   test("q116 fuzzy decontamination: keyed joins only, no cartesian product") {
     val p = plan(QueryCatalog.queries("q116_fuzzy_decontam")(spark, dir))
     assert(!p.contains("CartesianProduct"),
