@@ -804,10 +804,99 @@ object TextQueries {
       FROM per_source p JOIN distincts d ON p.source = d.source
     """))
 
+  /** CCNet-STYLE PERPLEXITY BUCKETING (Wenzek et al. 2020,
+    * arXiv:1911.00359: score every document's perplexity under an
+    * in-domain LM and split each language into head/middle/tail
+    * percentile buckets — the head is the training-quality cut). The LM
+    * here is the q87 bigram model trained on the TARGET subset only
+    * (lang = 'en' stands in for the clean in-domain corpus), add-one
+    * smoothed over the target vocabulary so out-of-domain bigrams score
+    * as unseen instead of crashing into missing joins; every doc in
+    * every language is scored against it and bucketed at the 30th/70th
+    * per-language percentile (CCNet's convention).
+    *
+    * Shapes (the q87 audit carries over): one explode scan, one
+    * doc-keyed window for bigram formation, count tables keyed on the
+    * bigram/prefix (shuffle ∝ distinct target n-grams — NOT broadcast at
+    * corpus scale), LEFT joins back, one doc-keyed aggregate, one
+    * per-language window for the percentile split. Determinism: per-
+    * bigram log-prob rounded @6 and summed as DECIMAL (partial-agg order
+    * can't drift from DuckDB's serial sum); percent_rank ordered with a
+    * doc_id tiebreak. */
+  val q127CcnetBuckets: Q = Q(
+    "q127_ccnet_buckets",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      val bi = toks.withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      val tgt = bi.filter(col("lang") === "en")
+      val c2t = tgt.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1t = tgt.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = tgt.agg(countDistinct(col("w1")).as("v"))
+      val lp = bi.join(c2t, Seq("w1", "w2"), "left")
+        .join(c1t, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("lang"),
+          round(log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+              (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
+      val doc = lp.groupBy(col("doc_id"), col("lang")).agg(
+        round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("nll"))
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("nll"), col("doc_id"))
+      doc.withColumn("pr", percent_rank().over(pw))
+        .withColumn("bucket",
+          when(col("pr") < 0.3, "head")
+            .when(col("pr") < 0.7, "middle").otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("nll")).as("min_nll"), max(col("nll")).as("max_nll"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w1,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        FROM documents),
+      bi AS (
+        SELECT doc_id, lang, w1, w2 FROM (
+          SELECT doc_id, lang, w1,
+                 lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM toks)
+        WHERE w2 IS NOT NULL),
+      c2t AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi WHERE lang = 'en' GROUP BY 1, 2),
+      c1t AS (SELECT w1, COUNT(*) AS c1 FROM bi WHERE lang = 'en' GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT w1) AS v FROM bi WHERE lang = 'en'),
+      lp AS (
+        SELECT doc_id, lang,
+          CAST(round(ln((COALESCE(c2, 0) + 1.0)
+            / (COALESCE(c1, 0) + (SELECT v FROM v))), 6)
+            AS DECIMAL(18,6)) AS lp
+        FROM bi LEFT JOIN c2t USING (w1, w2) LEFT JOIN c1t USING (w1)),
+      doc AS (
+        SELECT doc_id, lang,
+          round(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 6) AS nll
+        FROM lp GROUP BY 1, 2),
+      bucketed AS (
+        SELECT lang, nll,
+          CASE WHEN pr < 0.3 THEN 'head'
+               WHEN pr < 0.7 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM (SELECT lang, nll, doc_id,
+                percent_rank() OVER (PARTITION BY lang ORDER BY nll, doc_id) AS pr
+              FROM doc))
+      SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        min(nll) AS min_nll, max(nll) AS max_nll
+      FROM bucketed GROUP BY 1, 2
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
     q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
     q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
-    q108HybridDedup, q111DatasetCard)
+    q108HybridDedup, q111DatasetCard, q127CcnetBuckets)
 }
