@@ -208,15 +208,19 @@ object CorpusOps {
     * smallest -ln(u)/w; exactly weighted-without-replacement). u comes
     * from the library's engine-portable Knuth multiplicative hash of the
     * id (the [[hashSampled]] recipe), so the draw is deterministic and
-    * re-derivable in any engine; the priority is rounded to 6 decimals
-    * with an id tiebreak (the q50 discipline) so a last-ulp ln()
-    * difference can never flip ranks. One TakeOrderedAndProject (top-k,
-    * no global sort) + a k-row window. Returns (rank, id, w_r, key_r). */
+    * re-derivable in any engine; the priority is FLOOR-quantized @6 with
+    * an id tiebreak — floor of the identical IEEE product is rule-free
+    * across engines, where round-half on a computed quotient leaves each
+    * engine resolving near-ties by its own path (the q87 sf0.1 lesson).
+    * One TakeOrderedAndProject (top-k, no global sort) + a k-row window.
+    * Returns (rank, id, w_r, key_r). */
   def weightedSample(weights: DataFrame, k: Int): DataFrame = {
     val u = (((col("id") % 1000003L) * 2654435761L) % 1000000L)
       .cast("double").plus(0.5) / 1000000.0
-    val keyed = weights.select(col("id"), round(col("w"), 6).as("w_r"),
-      round(-log(u) / col("w"), 6).as("key_r"))
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0)).cast("double") / lit(1000000.0)
+    val keyed = weights.select(col("id"), q6(col("w")).as("w_r"),
+      q6(-log(u) / col("w")).as("key_r"))
     keyed.orderBy(col("key_r"), col("id")).limit(k)
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("key_r"), col("id"))).cast("long"))

@@ -209,6 +209,40 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** CONTRASTIVE PAIR MINING for embedding-model training data (the
+    * SimCSE/E5-style prep step: per anchor, a POSITIVE = its nearest
+    * in-cluster neighbor and a HARD NEGATIVE = the next-nearest — close
+    * enough to be informative, not close enough to be the positive;
+    * Gao et al. 2021, arXiv:2104.08821). Candidates come from the
+    * anchor's nearest-centroid cluster (an [[assignNearestCentroid]]
+    * output), which bounds the pair scan to O(|anchors| · cluster-size)
+    * — the SemDeDup quadratic-bounding trick reused for mining instead
+    * of dropping. `anchorFilter` bounds the anchor set; anchors (with
+    * vectors) BROADCAST against the cluster-keyed corpus, so the corpus
+    * side never shuffles beyond its existing cid keying — at 100 TB
+    * mine in anchor batches sized to the broadcast budget, clusters
+    * dialed to √n as everywhere else. Fully deterministic (bit-stable
+    * cosine, id tiebreaks) ⇒ oracle-checkable. Output per anchor with
+    * ≥2 cluster-mates: (anchor_id, pos_id, sim_pos, neg_id, sim_neg). */
+  def contrastivePairs(assigned: DataFrame, anchorFilter: Column): DataFrame = {
+    val anchors = assigned.filter(anchorFilter)
+      .select(col("cid"), col("id").as("anchor_id"), col("vec").as("avec"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("id"))
+    assigned.join(broadcast(anchors), Seq("cid"))
+      .filter(col("id") =!= col("anchor_id"))
+      .withColumn("sim", cosine(col("avec"), col("vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("anchor_id"))
+      .agg(
+        max(when(col("rk") === 1, col("id"))).as("pos_id"),
+        max(when(col("rk") === 1, col("sim"))).as("sim_pos"),
+        max(when(col("rk") === 2, col("id"))).as("neg_id"),
+        max(when(col("rk") === 2, col("sim"))).as("sim_neg"))
+      .filter(col("neg_id").isNotNull)
+  }
+
   /** Squared L2 distance (‖a‖² − 2a·b + ‖b‖²) via the native fused-loop
     * expression ([[graft.functions.SqL2Distance]]) — bit-identical to the
     * three-dot HOF formulation (each sum accumulates left-to-right in

@@ -444,7 +444,7 @@ object CorpusQueries {
     * docs are drawn weighted-without-replacement via deterministic
     * Efraimidis–Spirakis priorities. Fully re-derivable in DuckDB: the
     * bucket hash is portable arithmetic, both weight sums are integers,
-    * and the one-ln priority is 6-decimal-rounded with an id tiebreak. */
+    * and the one-ln priority is floor-quantized @6 with an id tiebreak. */
   val q126ImportanceResample: Q = Q(
     "q126_importance_resample",
     (s, dir) => {
@@ -474,9 +474,9 @@ object CorpusQueries {
         FROM docb JOIN bcount USING (b) LEFT JOIN tcount USING (b)
         GROUP BY 1
       ), keyed AS (
-        SELECT doc_id, round(w, 6) AS w_r,
-          round(-ln((((doc_id % 1000003) * 2654435761) % 1000000 + 0.5)
-            / 1000000.0) / w, 6) AS key_r
+        SELECT doc_id, floor(w * 1000000.0) / 1000000.0 AS w_r,
+          floor((-ln((((doc_id % 1000003) * 2654435761) % 1000000 + 0.5)
+            / 1000000.0) / w) * 1000000.0) / 1000000.0 AS key_r
         FROM scored
       )
       SELECT rank, doc_id, w_r, key_r FROM (

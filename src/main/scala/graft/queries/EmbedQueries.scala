@@ -206,6 +206,13 @@ object EmbedQueries {
 
   /** Per-label centroid via posexplode (generator) + exact decimal mean —
     * the elementwise-aggregate shape for embedding analytics. */
+  /** Per-label centroid of the first 8 dimensions. Components are
+    * FLOOR-QUANTIZED at 1e-9 before summing: `floor(x·1e9)` is the same
+    * IEEE multiply + rule-free floor in every engine, and the resulting
+    * LONG sum is exact — where the previous double→DECIMAL(28,12) cast
+    * left each engine rounding the binary value by its own tie rule (one
+    * element in 55k×8 disagreed at sf0.1; hash-parity failures of this
+    * class only surface once the corpus is big enough to hit a boundary). */
   val q36LabelCentroids: Q = Q(
     "q36_label_centroids",
     (s, dir) =>
@@ -213,12 +220,13 @@ object EmbedQueries {
         .select(col("label").cast("int").as("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("label"), col("pos").cast("long").as("pos"))
         .agg(
-          (sum(col("x").cast("double").cast(DecimalType(28, 12))).cast("double") /
-            count(lit(1))).as("centroid"))
+          (sum(floor(col("x").cast("double") * lit(1000000000.0))).cast("double") /
+            lit(1000000000.0) / count(lit(1))).as("centroid"))
         .filter(col("pos") < 8),
     Some("""
       SELECT label, CAST(i - 1 AS BIGINT) AS pos,
-        CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS centroid
+        CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 1000000000.0) AS BIGINT)) AS DOUBLE)
+          / 1000000000.0 / COUNT(*) AS centroid
       FROM embeddings, generate_series(1, 8) t(i)
       GROUP BY label, i
     """))
@@ -946,9 +954,63 @@ object EmbedQueries {
     // scratch (extension == rebuild), so the q122 oracle re-derives it
     q122IvfPqResidual.oracle)
 
+  /** CONTRASTIVE PAIR MINING ([[graft.ext.Similarity.contrastivePairs]]):
+    * for the first 50 vectors as anchors, mine a positive (nearest
+    * in-cluster neighbor) and a hard negative (next-nearest) from the
+    * anchor's nearest-centroid cluster — the embedding-model training-
+    * data prep step. Assignment is the q88 argmax recipe, similarities
+    * the q33 bit-stable cosine, ranks id-tiebroken ⇒ full DuckDB
+    * re-derivation. */
+  val q128ContrastivePairs: Q = Q(
+    "q128_contrastive_pairs",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val all = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      Similarity.contrastivePairs(
+        Similarity.assignNearestCentroid(all, cents), col("id") < 50)
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id % 100 = 0),
+      assigned AS (
+        SELECT id, cid, vec FROM (
+          SELECT id, cid, vec, ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+            list_dot_product(vec, cvec)
+              / (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(cvec, cvec)))
+            DESC, cid) AS rn
+          FROM c CROSS JOIN cents)
+        WHERE rn = 1),
+      cand AS (
+        SELECT a.id AS anchor_id, b.id AS id,
+          list_dot_product(a.vec, b.vec)
+            / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS sim
+        FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id <> b.id
+        WHERE a.id < 50),
+      ranked AS (
+        SELECT anchor_id, id, sim,
+          ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, id) AS rk
+        FROM cand)
+      SELECT anchor_id,
+        MAX(CASE WHEN rk = 1 THEN id END) AS pos_id,
+        MAX(CASE WHEN rk = 1 THEN sim END) AS sim_pos,
+        MAX(CASE WHEN rk = 2 THEN id END) AS neg_id,
+        MAX(CASE WHEN rk = 2 THEN sim END) AS sim_neg
+      FROM ranked WHERE rk <= 2
+      GROUP BY 1
+      HAVING MAX(CASE WHEN rk = 2 THEN id END) IS NOT NULL
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
     q118ClusterBalancedSample, q120IvfPqTopK, q121IvfPqRefine, q122IvfPqResidual,
-    q123IvfPqResidualRefine, q124IvfPqPersisted, q125AnnRetrainPromote)
+    q123IvfPqResidualRefine, q124IvfPqPersisted, q125AnnRetrainPromote,
+    q128ContrastivePairs)
 }

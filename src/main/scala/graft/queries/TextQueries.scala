@@ -295,7 +295,8 @@ object TextQueries {
     * outgrow broadcast), then a doc-keyed aggregate. Determinism: each
     * log-prob is rounded @6 (q50's libm recipe) and summed as DECIMAL so
     * Spark's partial-agg order can't drift from DuckDB's serial sum; final
-    * scores rounded @4. */
+    * scores floor-quantized @4 (see the inline note — rule-free where
+    * round-half is not). */
   val q87BigramLm: Q = Q(
     "q87_bigram_lm",
     (s, dir) => {
@@ -312,10 +313,17 @@ object TextQueries {
         .select(col("doc_id"),
           round(log(col("c2").cast("double") / col("c1").cast("double")), 6)
             .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
+      // FLOOR-quantization @4, not round: the quotient is the same IEEE
+      // double in both engines, so floor(x·1e4)/1e4 is rule-free — while
+      // round-half leaves each engine resolving near-tie quotients by its
+      // own path (exact-decimal vs float-multiply), which flipped one doc
+      // in 5000 at sf0.1.
       scored.groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_bigrams"),
-        round(-(sum(col("lp")).cast("double") / count(lit(1))), 4).as("avg_nll"),
-        round(exp(-(sum(col("lp")).cast("double") / count(lit(1)))), 4).as("ppl"))
+        (floor(-(sum(col("lp")).cast("double") / count(lit(1))) * lit(10000.0))
+          .cast("double") / lit(10000.0)).as("avg_nll"),
+        (floor(exp(-(sum(col("lp")).cast("double") / count(lit(1)))) * lit(10000.0))
+          .cast("double") / lit(10000.0)).as("ppl"))
     },
     Some("""
       WITH toks AS (
@@ -335,8 +343,8 @@ object TextQueries {
             AS DECIMAL(18,6)) AS lp
         FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
       SELECT doc_id, COUNT(*) AS n_bigrams,
-        round(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 4) AS avg_nll,
-        round(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 4) AS ppl
+        floor(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * 10000.0) / 10000.0 AS avg_nll,
+        floor(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))) * 10000.0) / 10000.0 AS ppl
       FROM lp GROUP BY doc_id
     """))
 
@@ -846,7 +854,8 @@ object TextQueries {
               (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
             .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
       val doc = lp.groupBy(col("doc_id"), col("lang")).agg(
-        round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("nll"))
+        (floor(-(sum(col("lp")).cast("double") / count(lit(1))) * lit(1000000.0))
+          .cast("double") / lit(1000000.0)).as("nll"))
       val pw = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("nll"), col("doc_id"))
       doc.withColumn("pr", percent_rank().over(pw))
@@ -879,7 +888,7 @@ object TextQueries {
         FROM bi LEFT JOIN c2t USING (w1, w2) LEFT JOIN c1t USING (w1)),
       doc AS (
         SELECT doc_id, lang,
-          round(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 6) AS nll
+          floor(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * 1000000.0) / 1000000.0 AS nll
         FROM lp GROUP BY 1, 2),
       bucketed AS (
         SELECT lang, nll,

@@ -282,6 +282,18 @@ class PlanSpec extends SparkSuite {
       s"k-row selection must plan as top-k, not a global sort:\n$p")
   }
 
+  test("q128 contrastive mining: anchors broadcast against the cid-keyed corpus, no shuffle join") {
+    val p = plan(QueryCatalog.queries("q128_contrastive_pairs")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    // centroid assignment is the one sanctioned nest-loop (corpus ×
+    // broadcast constant-size centroids, the q88/q92 shape); the mining
+    // join itself must be a broadcast HASH join on cid
+    assert(!p.contains("SortMergeJoin"),
+      s"anchor set must broadcast against the cluster-keyed corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cid-keyed mining join missing:\n$p")
+  }
+
   test("q116 fuzzy decontamination: keyed joins only, no cartesian product") {
     val p = plan(QueryCatalog.queries("q116_fuzzy_decontam")(spark, dir))
     assert(!p.contains("CartesianProduct"),
