@@ -183,24 +183,43 @@ object CorpusOps {
     * come out of one id-keyed aggregation. Integer headroom: per-doc
     * Σ n_b·(cb_b+1) ≤ docTokens · corpusTokens ≈ 10³·10¹² at 100 TB —
     * inside Long. Returns (id, w). */
-  def importanceWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
-      idCol: String, textCol: String, buckets: Int = 64): DataFrame = {
-    val toks = docs
+  /** Per-token feature buckets for the DSIR tier: one row per token
+    * occurrence, (id, is_t, b). The bucket hash is engine-portable
+    * length/char arithmetic — see [[importanceWeights]]. */
+  def tokenBuckets(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+      idCol: String, textCol: String, buckets: Int): DataFrame =
+    docs
       .select(col(idCol).as("id"), isTarget.as("is_t"),
         explode(TextStats.tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
       .withColumn("b",
         (length(col("tok")) * 31 + ascii(col("tok")) * 7 +
           ascii(substring(col("tok"), -1, 1))) % buckets)
-    val bcount = toks.groupBy("b").agg(count(lit(1)).as("cb"))
-    val tcount = toks.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
+      .select(col("id"), col("is_t"), col("b"))
+
+  def importanceWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+      idCol: String, textCol: String, buckets: Int = 64): DataFrame = {
+    val toks = tokenBuckets(docs, isTarget, idCol, textCol, buckets)
+    importanceWeightsAgainst(toks,
+      toks.groupBy("b").agg(count(lit(1)).as("cb")),
+      toks.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct")))
+  }
+
+  /** [[importanceWeights]] scored against GIVEN bucket-count tables
+    * (`bcount`: (b, cb), `tcount`: (b, ct)) instead of counts derived
+    * from the scored docs themselves — the streaming-admission shape,
+    * where the counts are accumulated state from PRIOR batches and the
+    * batch at hand must not score against its own contents. `toks` is a
+    * [[tokenBuckets]] output. Both count tables stay `buckets` rows —
+    * broadcast forever. */
+  def importanceWeightsAgainst(toks: DataFrame, bcount: DataFrame,
+      tcount: DataFrame): DataFrame =
     toks.groupBy(col("id"), col("b")).agg(count(lit(1)).as("n"))
-      .join(broadcast(bcount), Seq("b"))
+      .join(broadcast(bcount), Seq("b"), "left")
       .join(broadcast(tcount), Seq("b"), "left")
       .groupBy(col("id"))
       .agg((sum(col("n") * (coalesce(col("ct"), lit(0L)) + 1)).cast("double") /
-            sum(col("n") * (col("cb") + 1)).cast("double")).as("w"))
-  }
+            sum(col("n") * (coalesce(col("cb"), lit(0L)) + 1)).cast("double")).as("w"))
 
   /** Weighted sampling WITHOUT replacement from (id, w) rows — the
     * resampling half of DSIR — via Efraimidis–Spirakis A-Res priorities

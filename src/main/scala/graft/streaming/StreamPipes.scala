@@ -216,4 +216,85 @@ object StreamPipes {
         ()
       }
       .start()
+
+  /** STREAMING DSIR ADMISSION — [[graft.ext.CorpusOps.importanceWeights]]
+    * as an ingest pipeline (the [[dedupIngest]] protocol for the
+    * data-selection tier): each micro-batch of documents is scored
+    * against the target/background bucket counts ACCUMULATED FROM PRIOR
+    * BATCHES (never against its own contents — the online estimator), docs
+    * with weight ≥ `threshold` are admitted to `corpus/batch=<id>`, and
+    * the counts are extended by the WHOLE batch (admitted or not:
+    * background statistics describe what arrived, not what survived;
+    * target counts from rows where `targetCol` is true).
+    *
+    * Replay idempotency is [[dedupIngest]]'s version-below-batch protocol
+    * verbatim: scoring reads the newest `counts_v<id>` with id strictly
+    * below the current batch, every write is a per-batch-directory
+    * overwrite, and `counts_v<id>` is written LAST as the batch's commit
+    * marker — a replayed batch re-scores against the same prior state and
+    * rewrites identical outputs. Cold start: with no prior counts every
+    * bucket is unseen, all weights are exactly 1.0, and a threshold ≤ 1
+    * admits the whole first batch — the bootstrap a selection loop wants
+    * (document the dial; raise the threshold once the estimator warms).
+    *
+    * 100 TB shape: state is two `buckets`-row count tables (broadcast
+    * forever, the point of DSIR's hashed projection); per-batch cost is
+    * one explode scan of the batch + a batch-keyed aggregate — never
+    * O(corpus). */
+  def dsirIngest(
+      docs: DataFrame, basePath: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      targetCol: String = "is_target", threshold: Double = 1.0,
+      buckets: Int = 64): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ext.CorpusOps
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def cp(v: Long) = s"$basePath/counts_v$v"
+        val committed = {
+          val base = new org.apache.hadoop.fs.Path(basePath)
+          if (!fs.exists(base)) Seq.empty[Long]
+          else {
+            val CountsV = "^counts_v(\\d+)$".r
+            fs.listStatus(base).toSeq.map(_.getPath.getName)
+              .collect { case CountsV(v) => v.toLong }
+          }
+        }
+        // prior state, strictly below this batch (replay-stable)
+        val prior = committed.filter(_ < batchId).sorted.lastOption
+          .map(v => spark.read.parquet(cp(v)))
+        def priorKind(k: String) = prior match {
+          case Some(df) => df.filter(col("kind") === k)
+            .select(col("b"), col("c"))
+          case None => spark.range(0)
+            .select(col("id").cast("int").as("b"), col("id").as("c"))
+        }
+        val toks = CorpusOps.tokenBuckets(
+          batch, col(targetCol), idCol, textCol, buckets).localCheckpoint()
+        val w = CorpusOps.importanceWeightsAgainst(toks,
+          priorKind("b").withColumnRenamed("c", "cb"),
+          priorKind("t").withColumnRenamed("c", "ct"))
+        batch.join(w.filter(col("w") >= threshold)
+            .select(col("id").as(idCol), col("w")), Seq(idCol))
+          .write.mode("overwrite").parquet(s"$basePath/corpus/batch=$batchId")
+        // extend counts by the whole batch; written LAST = commit marker
+        val batchCounts = toks.groupBy(col("b")).agg(count(lit(1)).as("c"))
+          .select(lit("b").as("kind"), col("b"), col("c"))
+          .unionByName(toks.filter(col("is_t")).groupBy(col("b"))
+            .agg(count(lit(1)).as("c"))
+            .select(lit("t").as("kind"), col("b"), col("c")))
+        val merged = prior match {
+          case Some(df) => df.unionByName(batchCounts)
+            .groupBy(col("kind"), col("b")).agg(sum(col("c")).as("c"))
+          case None => batchCounts
+        }
+        merged.write.mode("overwrite").parquet(cp(batchId))
+        ()
+      }
+      .start()
 }

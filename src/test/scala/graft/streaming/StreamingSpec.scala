@@ -220,6 +220,60 @@ class StreamingSpec extends SparkSuite {
       "extended and rebuilt indexes must admit identically (20 is a near-dup of 11)")
   }
 
+  test("streaming DSIR admission: scores against prior-batch counts only, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmp() + "/dsir-ingest"
+    val ck = tmp() + "/dsir-ingest-ck"
+    // tokens chosen for DISTINCT feature buckets (aa→6, bb→14, cc→22,
+    // dd→30 under the portable hash) so count arithmetic is readable
+    val mem = MemoryStream[(Long, String, Boolean)]
+    val docs = mem.toDF().toDF("doc_id", "text", "is_target")
+    // batch 0 — cold start: no prior counts exist, so every bucket is
+    // unseen and every weight is EXACTLY 1.0 (num = den = Σ n·1);
+    // threshold 1.0 admits the whole bootstrap batch
+    mem.addData((1L, "aa bb aa", true), (2L, "cc dd cc", false))
+    StreamPipes.dsirIngest(docs, base, ck).awaitTermination()
+    val b0 = spark.read.parquet(s"$base/corpus/batch=0")
+    assert(b0.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(b0.select($"w").as[Double].collect().forall(_ == 1.0),
+      "cold-start weights must be exactly 1.0")
+    // batch 1 — scored against batch 0's accumulated counts: doc 10
+    // re-uses only TARGET tokens (ct == cb in its buckets ⇒ w = 1.0,
+    // admitted); doc 11 re-uses only BACKGROUND tokens (ct = 0 ⇒
+    // w = Σn·1 / Σn·(cb+1) = 4/10 = 0.4, rejected). Neither batch-1 doc
+    // influences its own score — the online-estimator contract.
+    mem.addData((10L, "aa bb aa bb", false), (11L, "cc dd cc dd", false))
+    StreamPipes.dsirIngest(docs, base, ck).awaitTermination()
+    assert(spark.read.parquet(s"$base/corpus/batch=1")
+      .select($"doc_id").as[Long].collect().toSeq === Seq(10L),
+      "in-domain doc admitted at 1.0, background-only doc rejected at 0.4")
+    // counts accumulate over the WHOLE batch (rejected docs included):
+    // bucket 6 (aa) saw 2 from batch 0 + 2 from doc 10
+    val c1 = spark.read.parquet(s"$base/counts_v1")
+    assert(c1.filter($"kind" === "b" && $"b" === 6).select($"c")
+      .as[Long].head() === 4L)
+    assert(c1.filter($"kind" === "t" && $"b" === 6).select($"c")
+      .as[Long].head() === 2L, "target counts only from is_target rows")
+    // REPLAY batch 0 (fresh checkpoint, same state dir): scoring reads
+    // counts strictly BELOW the batch id — none for batch 0 — so the
+    // replay re-scores cold and rewrites bit-identical outputs even
+    // though counts_v0/v1 already exist
+    val before = spark.read.parquet(s"$base/corpus/batch=0")
+      .select($"doc_id", $"w").as[(Long, Double)].collect().toSet
+    val mem2 = MemoryStream[(Long, String, Boolean)]
+    mem2.addData((1L, "aa bb aa", true), (2L, "cc dd cc", false))
+    StreamPipes.dsirIngest(mem2.toDF().toDF("doc_id", "text", "is_target"),
+      base, tmp() + "/dsir-replay-ck").awaitTermination()
+    assert(spark.read.parquet(s"$base/corpus/batch=0")
+      .select($"doc_id", $"w").as[(Long, Double)].collect().toSet === before,
+      "replayed batch must rewrite identical admissions")
+    assert(spark.read.parquet(s"$base/counts_v0")
+      .select($"kind", $"b", $"c").as[(String, Int, Long)].collect().toSet
+      === Set(("b", 6, 2L), ("b", 14, 1L), ("b", 22, 2L), ("b", 30, 1L),
+        ("t", 6, 2L), ("t", 14, 1L)),
+      "replayed batch must rewrite identical counts")
+  }
+
   test("streaming ANN ingest: persisted index extends per batch, replay-idempotent, search == inline") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.{AnnIndex, Similarity}
