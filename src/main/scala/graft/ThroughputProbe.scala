@@ -22,6 +22,7 @@ object ThroughputProbe {
     if (mode == "dedup" || mode == "all") dedupIngest(spark)
     if (mode == "ann" || mode == "all") annIngest(spark)
     if (mode == "annretrain" || mode == "all") annRetrain(spark)
+    if (mode == "dsir" || mode == "all") dsirIngest(spark)
     spark.stop()
   }
 
@@ -148,6 +149,50 @@ object ThroughputProbe {
       System.err.println(f"[tp] ann batch $b: $rows%d rows in $sec%.2f s = " +
         f"${rows / sec}%.0f rows/s (indexed=$indexed shards=$nShards " +
         f"search=$searchSec%.2f s compactEvery=$compactEvery)")
+      Housekeeping.releaseAll(spark)
+    }
+  }
+
+  /** STREAMING DSIR ADMISSION throughput: drives the real
+    * [[graft.streaming.StreamPipes.dsirIngest]] (per-batch scoring
+    * against the accumulated 64-bucket counts + whole-batch count
+    * extension) over `batches` file-source micro-batches of `rows` docs
+    * each. The claim to measure: per-batch wall stays FLAT as the corpus
+    * grows — state is two broadcast-sized count tables and per-batch cost
+    * is one explode scan of the batch, never O(corpus). Docs alternate an
+    * in-domain vocabulary (even ids, flagged target) and a disjoint
+    * background vocabulary (odd ids), so admission tightens as the
+    * estimator warms. */
+  private def dsirIngest(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val batches = sys.env.getOrElse("TP_BATCHES", "5").toInt
+    val rows = sys.env.getOrElse("TP_ROWS", "100000").toLong
+    val root = java.nio.file.Files.createTempDirectory("tp-dsir").toString
+    val in = s"$root/incoming"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("is_target",
+        org.apache.spark.sql.types.BooleanType)))
+    for (b <- 0 until batches) {
+      // even ids draw 30 tokens from a 5k in-domain vocab (and are the
+      // target sample); odd ids from a disjoint 50k background vocab
+      val ids = spark.range(b * rows, (b + 1) * rows).toDF("doc_id")
+      val dom = col("doc_id") % 2 === 0
+      val text = concat_ws(" ", (0 until 30).map(j =>
+        when(dom, concat(lit("in"), pmod(xxhash64(col("doc_id"), lit(j)), lit(5000))))
+          .otherwise(concat(lit("bg"), pmod(xxhash64(col("doc_id"), lit(j)), lit(50000))))): _*)
+      ids.select(col("doc_id"), text.as("text"), dom.as("is_target"))
+        .coalesce(4).write.mode("append").parquet(in)
+      val t0 = System.nanoTime()
+      streaming.StreamPipes.dsirIngest(
+        spark.readStream.schema(schema).parquet(in),
+        s"$root/state", s"$root/ckpt", threshold = 0.9).awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val admitted = spark.read.parquet(s"$root/state/corpus/batch=$b").count()
+      System.err.println(f"[tp] dsir batch $b: $rows%d rows in $sec%.2f s = " +
+        f"${rows / sec}%.0f rows/s (admitted=$admitted)")
       Housekeeping.releaseAll(spark)
     }
   }
