@@ -902,10 +902,98 @@ object TextQueries {
       FROM bucketed GROUP BY 1, 2
     """))
 
+  /** DUPLICATE-SPAN REMOVAL — the ACTION to q90's detection (Lee et al.
+    * 2022, arXiv:2107.06499: remove repeated ≥w-token spans from training
+    * data, keeping one occurrence): every multi-document w-gram keeps its
+    * occurrence in the LOWEST doc_id containing it (the deterministic
+    * canonical), every other document drops the token positions that
+    * span covers, and the cleaned text is rebuilt from the surviving
+    * positions in order. Docs shorter than w tokens pass through
+    * untouched; a fully-covered doc comes out empty (n_kept = 0) —
+    * the honest signal that nothing in it was original.
+    *
+    * Shapes: the q90 shingle scan (∝ corpus tokens) + one shingle-keyed
+    * aggregate for the canonical map, the covered-position explode, one
+    * position-keyed anti-join, and a doc-keyed rebuild aggregate — no
+    * all-pairs anywhere; span width w is the dial that bounds shingle
+    * cardinality. Rebuild order is exact (sort by position inside the
+    * aggregate), so the output text is deterministic and the whole
+    * operator hash-matches its DuckDB twin. */
+  val q129DupSpanRemoval: Q = Q(
+    "q129_dup_span_removal",
+    (s, dir) => {
+      val w = 8
+      val toks = corpusWithDups(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+      val sh = toks.filter(size(col("toks")) >= w)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(toks) - ${w - 1}),
+              i -> struct(i AS start, concat_ws(' ', slice(toks, i, $w)) AS s))"""))
+          .as("g"))
+        .select(col("doc_id"), col("g.start").as("start"), col("g.s").as("s"))
+      val multi = sh.groupBy(col("s"))
+        .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("canon"))
+        .filter(col("nd") >= 2)
+        .select(col("s"), col("canon"))
+      val removed = sh.join(multi, Seq("s"))
+        .filter(col("doc_id") =!= col("canon"))
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + (w - 1))).as("tpos"))
+        .distinct()
+      val pos = toks
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("tpos"), col("tok"))
+      val rebuilt = pos.join(removed, Seq("doc_id", "tpos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ",
+            transform(sort_array(collect_list(struct(col("tpos"), col("tok")))),
+              x => x.getField("tok"))).as("clean_text"))
+      toks.select(col("doc_id"), col("n_tokens"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    },
+    Some(s"""
+      WITH corpus AS ($corpusSql),
+      t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+      sh AS (
+        SELECT doc_id,
+          unnest(generate_series(1, CAST(len(toks) AS INT) - 7)) AS start,
+          unnest(list_transform(generate_series(1, CAST(len(toks) AS INT) - 7),
+            i -> concat_ws(' ', toks[i:i+7]))) AS s
+        FROM t WHERE len(toks) >= 8),
+      multi AS (
+        SELECT s, MIN(doc_id) AS canon FROM sh
+        GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+      removed AS (
+        SELECT DISTINCT doc_id, tpos FROM (
+          SELECT sh.doc_id, unnest(generate_series(start, start + 7)) AS tpos
+          FROM sh JOIN multi USING (s) WHERE sh.doc_id <> multi.canon)),
+      pos AS (
+        SELECT doc_id, unnest(generate_series(1, CAST(len(toks) AS INT))) AS tpos,
+               unnest(toks) AS tok
+        FROM t),
+      kept AS (
+        SELECT p.doc_id, p.tpos, p.tok FROM pos p
+        ANTI JOIN removed r ON p.doc_id = r.doc_id AND p.tpos = r.tpos),
+      rebuilt AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        COALESCE(r.n_kept, 0) AS n_kept,
+        COALESCE(r.clean_text, '') AS clean_text
+      FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
     q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
     q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
-    q108HybridDedup, q111DatasetCard, q127CcnetBuckets)
+    q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval)
 }
