@@ -156,6 +156,47 @@ class AnnIndexSpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].collect().toSet === s0)
   }
 
+  test("stacked pendings: promote blesses the newest; the abandoned pending is reclaimed after promote") {
+    val base = tmp() + "/ann"
+    val emb = Tables.load(spark, sf("e"), "embeddings")
+    val corpus = emb.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("vec"))
+    val queries = corpus.filter($"id" < 5)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    def searchNow() = AnnIndex.search(spark, base, queries, k = 10, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    AnnIndex.train(spark, base, corpus, nCentroids = 8, m = 4, ksub = 16)
+    AnnIndex.extendBatch(spark, base, corpus, 0L)
+    val s0 = searchNow()
+
+    // two retrains before any promote: an operator abandoning one plan
+    // for another mid-window. Serving is undisturbed throughout; the
+    // NEWEST pending is the promote target; the abandoned one (p1, with
+    // a partial backfill) must never serve and must be reclaimed.
+    val p1 = AnnIndex.retrain(spark, base, corpus, nCentroids = 4, m = 4, ksub = 16)
+    AnnIndex.extendBatch(spark, base, corpus.filter($"id" % 2 === 0), 0L) // partial backfill of p1
+    val p2 = AnnIndex.retrain(spark, base, corpus, nCentroids = 8, m = 4, ksub = 16)
+    assert(AnnIndex.pendingGen(spark, base) === Some(p2))
+    assert(searchNow() === s0, "stacked pendings must not disturb serving")
+    AnnIndex.extendBatch(spark, base, corpus, 0L) // backfill of p2 (latest)
+    assert(AnnIndex.promote(spark, base) === p2)
+    val (gen, _, _, _) = AnnIndex.quantizer(spark, base)
+    assert(gen === p2, "promote must bless the NEWEST pending, never the abandoned one")
+    assert(searchNow().nonEmpty)
+
+    // post-promote vacuum reclaims both the superseded serving generation
+    // and the abandoned pending's partial backfill
+    AnnIndex.vacuum(spark, base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/index/gen=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/index/gen=$p1")),
+      "abandoned pending's shards must be reclaimed once a newer generation serves")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/index/gen=$p2")))
+    assert(searchNow().nonEmpty)
+  }
+
   test("pre-manifest index: readIndex migrates from disk; vacuum never sweeps an unmanifested generation") {
     val base = tmp() + "/ann"
     val emb = Tables.load(spark, sf("e"), "embeddings")

@@ -294,6 +294,14 @@ class PlanSpec extends SparkSuite {
       s"cid-keyed mining join missing:\n$p")
   }
 
+  test("q129 span removal: shingle/position-keyed joins only, no cartesian product") {
+    val p = plan(QueryCatalog.queries("q129_dup_span_removal")(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"span removal must never go all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"every join is equi-keyed (shingle, then (doc,pos)):\n$p")
+  }
+
   test("q116 fuzzy decontamination: keyed joins only, no cartesian product") {
     val p = plan(QueryCatalog.queries("q116_fuzzy_decontam")(spark, dir))
     assert(!p.contains("CartesianProduct"),
