@@ -197,6 +197,47 @@ class AnnIndexSpec extends SparkSuite {
     assert(searchNow().nonEmpty)
   }
 
+  test("compact during a pending backfill folds the pending shards and leaves serving untouched") {
+    val base = tmp() + "/ann"
+    val emb = Tables.load(spark, sf("e"), "embeddings")
+    val corpus = emb.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("vec"))
+    val queries = corpus.filter($"id" < 5)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    def searchNow() = AnnIndex.search(spark, base, queries, k = 10, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"cid", $"codes").as[(Long, Long, Seq[Int])].collect().toSet
+
+    AnnIndex.train(spark, base, corpus, nCentroids = 8, m = 4, ksub = 16)
+    AnnIndex.extendBatch(spark, base, corpus, 0L)
+    val s0 = searchNow()
+
+    // pending retrain backfilled in 4 shards, then compacted MID-WINDOW:
+    // compact targets the latest (pending) generation — the streaming
+    // maintenance loop keeps running through a retrain — while serving
+    // keeps reading generation 0's manifest rows
+    val p = AnnIndex.retrain(spark, base, corpus, nCentroids = 4, m = 4, ksub = 16)
+    (0 until 4).foreach { b =>
+      AnnIndex.extendBatch(spark, base, corpus.filter($"id" % 4 === b), b.toLong)
+    }
+    assert(AnnIndex.compact(spark, base) === 4,
+      "compact must fold the PENDING generation's shards mid-window")
+    assert(searchNow() === s0, "compacting the pending must not disturb serving")
+
+    // the compacted pending promotes and equals a from-scratch build
+    assert(AnnIndex.promote(spark, base) === p)
+    val (_, cents1, books1, m1) = AnnIndex.quantizer(spark, base)
+    assert(rows(AnnIndex.readIndex(spark, base)) ===
+      rows(Similarity.ivfPqResidualEncode(corpus, cents1, books1, m1)),
+      "compacted + promoted pending must equal a from-scratch rebuild")
+    // a replayed backfill batch is still recognized post-compact+promote
+    val v = VersionedTable.currentVersion(spark, s"$base/shards").get
+    AnnIndex.extendBatch(spark, base, corpus.filter($"id" % 4 === 2), 2L)
+    assert(VersionedTable.currentVersion(spark, s"$base/shards").get === v,
+      "batchId dedup must survive compact-then-promote")
+  }
+
   test("pre-manifest index: readIndex migrates from disk; vacuum never sweeps an unmanifested generation") {
     val base = tmp() + "/ann"
     val emb = Tables.load(spark, sf("e"), "embeddings")
