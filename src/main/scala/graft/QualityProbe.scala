@@ -289,6 +289,36 @@ object QualityProbe {
       Seq("col_name"), Seq("approx_nd"),
       "exact per-column countDistinct")
 
+    // ---- q133 random projection: measured JL distance distortion ----
+    // For every consecutive-id vector pair, compare projected squared-L2
+    // (E[||P·d||²] = dOut·||d||² for a ±1 sign matrix) against the exact
+    // squared-L2 of the quantized originals: ratio ||Pd||²/(dOut·||d||²)
+    // concentrates at 1 with deviation O(1/√dOut) — this records where the
+    // 64→16 catalog dial actually sits on this corpus.
+    {
+      val dOut = 16
+      val qv = emb.select(col("vec_id").as("id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        .as("v"))
+      val pj = Similarity.randomProject(emb, "vec_id", "embedding", dOut)
+        .select(col("vec_id").as("id"), col("proj").as("p"))
+      val both = qv.join(pj, "id")
+      val sq = (a: String, b: String) =>
+        s"aggregate(zip_with($a, $b, (x, y) -> CAST(x - y AS DOUBLE) * CAST(x - y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+      val ratios = both
+        .join(both.select((col("id") - 1).as("id"), col("v").as("v2"),
+          col("p").as("p2")), "id")
+        .select((expr(sq("p", "p2")) / (lit(dOut) * expr(sq("v", "v2"))))
+          .as("r"))
+      val st = ratios.agg(
+        avg(abs(col("r") - 1)).as("mad"),
+        expr("percentile(abs(r - 1), 0.95)").as("p95")).head()
+      out += (("q133_random_projection", "jl_mean_abs_distortion",
+        st.getDouble(0), "exact pairwise sq-L2, quantized 64-dim originals"))
+      out += (("q133_random_projection", "jl_p95_abs_distortion",
+        st.getDouble(1), "exact pairwise sq-L2, quantized 64-dim originals"))
+    }
+
     // ---- emit artifacts ----
     val md = new StringBuilder
     md ++= s"# QUALITY — measured accuracy of the approximate tier\n\n"

@@ -206,7 +206,8 @@ object QueryCatalog {
     _root_.graft.queries.MedallionQuery.all ++
     _root_.graft.queries.CorpusQueries.all ++
     _root_.graft.queries.ScaleQueries.all ++
-    _root_.graft.queries.ProfileQueries.all
+    _root_.graft.queries.ProfileQueries.all ++
+    _root_.graft.queries.GraphQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

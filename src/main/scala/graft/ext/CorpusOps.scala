@@ -245,4 +245,70 @@ object CorpusOps {
         .over(Window.orderBy(col("key_r"), col("id"))).cast("long"))
       .select(col("rank"), col("id"), col("w_r"), col("key_r"))
   }
+
+  /** UniMax waterfilling (Chung et al. 2023, arXiv:2304.09151): spread a
+    * total token `budget` over sources, capping each at its capacity —
+    * ascending by capacity, each source takes `min(cap, remaining /
+    * sources_left)`, so small sources are never over-sampled past their
+    * cap (the repetition ceiling temperature sampling ignores) and the
+    * budget they can't absorb flows to larger ones. Exact Long floor
+    * arithmetic; ties broken by source name — the DuckDB oracle re-derives
+    * the identical recurrence as a linear recursive CTE.
+    *
+    * Runs on the DRIVER over the per-source capacity list: source count
+    * is metadata-scale (dozens at 100 TB, never corpus-proportional) and
+    * the recurrence is inherently sequential in rank — the same justified
+    * driver-side control flow as [[graft.ext.Components]]' convergence
+    * check. The corpus-proportional work stays in-plan: capacity
+    * aggregation before, selection scan after.
+    *
+    * @return (source, cap, alloc) in input capacity order.
+    */
+  def budgetAllocation(caps: Seq[(String, Long)], budget: Long): Seq[(String, Long, Long)] = {
+    var remaining = budget
+    var left = caps.size
+    caps.sortBy { case (s, c) => (c, s) }.map { case (src, cap) =>
+      val alloc = math.min(cap, remaining / left)
+      remaining -= alloc
+      left -= 1
+      (src, cap, alloc)
+    }
+  }
+
+  /** Apply a [[budgetAllocation]] to the corpus: per source, take docs in
+    * portable-hash order (stable under reruns and ingest order — the q91
+    * recipe) until the running token total reaches the source's
+    * allocation. Two corpus scans (capacity agg + selection), one
+    * broadcast of the source-count-sized allocation table, and a
+    * per-source cumulative-sum window whose WindowGroupLimit-style cost
+    * is the per-source sort — at 100 TB the hash order can be
+    * pre-materialized as a layout (Layout.zorder) to make this a scan.
+    *
+    * @return (source, cap, alloc, n_docs, tokens_selected) per source.
+    */
+  def budgetedSelect(docs: DataFrame, srcCol: String, tokens: org.apache.spark.sql.Column,
+      idCol: String, budgetPct: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col(srcCol).as("source"), col(idCol).as("id"),
+      tokens.cast("long").as("n_tok"))
+    val caps = tok.groupBy(col("source")).agg(sum(col("n_tok")).as("cap"))
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    val budget = budgetPct.toLong * caps.map(_._2).sum / 100
+    val alloc = budgetAllocation(caps, budget)
+      .toDF("source", "cap", "alloc")
+    val h = ((col("id") % 1000003L) * 2654435761L) % 1000000007L
+    val w = Window.partitionBy(col("source")).orderBy(h, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = tok.withColumn("cum", sum(col("n_tok")).over(w))
+      .join(broadcast(alloc.select(col("source"), col("alloc").as("a"))), Seq("source"))
+      .filter(col("cum") <= col("a"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens_selected"))
+    alloc.join(sel, Seq("source"), "left")
+      .select(col("source"), col("cap"), col("alloc"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("tokens_selected"), lit(0L)).as("tokens_selected"))
+      .orderBy(col("source"))
+  }
 }

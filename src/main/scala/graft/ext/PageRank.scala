@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge list — iterative graph analytics beyond the
+  * reachability class [[Components]] covers: a per-node IMPORTANCE score
+  * (stationary mass of the damped random walk), the standard centrality
+  * measure for entity graphs a training-data pipeline derives (co-purchase
+  * / co-occurrence / citation networks), used to weight or filter sources
+  * by authority.
+  *
+  * Arithmetic is INTEGER-EXACT by construction: ranks are BIGINT
+  * micromass units (`scale` total ≈ 1.0), every division is a floor
+  * division, and every per-iteration sum is a BIGINT sum — associative
+  * and order-free, so Spark's partial aggregation over any partitioning
+  * produces bit-identical ranks to a serial engine evaluating the same
+  * recurrence (the DuckDB oracle re-derives all iterations with `//`).
+  * Floating-point PageRank cannot make that promise: the neighbor-sum's
+  * rounding depends on reduction order. The floor divisions leak ≤1 unit
+  * of mass per (edge + node) per iteration — at `scale`=1e12 a relative
+  * error ≤ ~1e-6 for million-edge graphs, far below ranking resolution,
+  * and identically reproduced by any engine implementing the same
+  * recurrence.
+  *
+  * Per iteration the plan is: ranks ⋈ edges on src (hash join, shuffles
+  * only the rank table — two narrow columns), per-edge floor-div
+  * contribution, one keyed sum onto dst (partial agg map-side). Cost is
+  * O(|E|) per iteration with no global sorts and no driver data paths;
+  * the edge list (with out-degrees attached) is materialized ONCE via
+  * localCheckpoint so iterations don't re-derive it, and the rank
+  * recurrence chains lazily (a fixed small iteration count keeps the
+  * linear plan cheap to analyze; a long-running variant would checkpoint
+  * ranks every ~5 rounds exactly as [[Components]] does per-round).
+  *
+  * Dangling nodes: callers pass a SYMMETRIZED edge list (both directions
+  * of each undirected edge) so every node has out-degree ≥ 1 and the
+  * walk is ergodic without a dangling-mass redistribution term; the
+  * teleport term `(1-d)/n` is folded in as an integer constant.
+  */
+object PageRank {
+
+  /** Ranks after `iters` damped power-method rounds.
+    *
+    * @param edges (src: long, dst: long) directed edges; every node that
+    *              appears must have out-degree ≥ 1 (symmetrize first).
+    * @return (node: long, rank: long) — rank in units of `scale`⁻¹.
+    */
+  def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outd"))
+    // one materialization: iterations re-read this, never the base tables
+    val ew = edges.join(deg, "src").localCheckpoint()
+    val nNodes = ew.select(col("src")).distinct().count()
+    val base = scale / nNodes
+    val teleport = (100 - dampingPct) * base / 100 // exact Long arithmetic
+    var ranks = ew.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(base))
+    for (_ <- 1 to iters) {
+      ranks = ew.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank div outd").as("contrib"))
+        .groupBy("dst").agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(teleport) + expr(s"($dampingPct * s) div 100")).as("rank"))
+    }
+    ranks
+  }
+}

@@ -678,4 +678,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
+
+  /** Sign-matrix random projection (Achlioptas 2003: ±1 entries satisfy
+    * the Johnson–Lindenstrauss distance-preservation bound with the same
+    * constants as Gaussian projections) — dimensionality reduction for
+    * the embedding tier: project d-dim vectors to `dOut` dims as a
+    * PREPROCESSING step that shrinks every downstream distance
+    * computation (brute-force cosine, IVF assignment, k-means) by d/dOut
+    * while distorting pairwise distances by O(√(log n / dOut)).
+    *
+    * The projection is INTEGER-EXACT so it hash-matches across engines:
+    * components are floor-quantized to 1e-6 Longs (float→double is exact,
+    * the 1e6 multiply is one IEEE op both engines evaluate identically —
+    * the r11 floor-quantization rule), and the ±1 sign for (input dim j,
+    * output dim i) comes from the portable Knuth hash
+    * `(j*1000003 + i) * 2654435761 mod 1000000007 mod 2` — a pure
+    * function, so the "matrix" is never materialized, broadcast, or
+    * stored: any executor, any engine, any batch regenerates the same
+    * projection (the property that makes incremental extension trivial —
+    * new vectors project identically forever).
+    *
+    * One codegen'd projection scan, no shuffle, no UDF: d·dOut
+    * multiply-adds per row inside `transform`/`aggregate` HOFs.
+    */
+  def randomProject(vecs: DataFrame, idCol: String, vecCol: String,
+      dOut: Int): DataFrame =
+    vecs.select(col(idCol),
+      expr(
+        s"""transform(sequence(0, ${dOut - 1}), i ->
+            aggregate(sequence(0, size($vecCol) - 1), CAST(0 AS BIGINT),
+              (acc, j) -> acc
+                + CAST(floor(CAST(element_at($vecCol, j + 1) AS DOUBLE)
+                    * 1000000.0) AS BIGINT)
+                  * (1 - 2 * (((j * 1000003 + i) * 2654435761)
+                      % 1000000007 % 2))))""").as("proj"))
 }

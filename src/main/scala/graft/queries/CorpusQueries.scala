@@ -486,9 +486,66 @@ object CorpusQueries {
       ) WHERE rank <= 200
     """))
 
+  /** UniMax budget-capped mixing ([[CorpusOps.budgetAllocation]], Chung
+    * et al. 2023): waterfill 40% of the corpus token budget over sources
+    * ascending by capacity — each source gets `min(cap, remaining /
+    * sources_left)` so small sources cap out instead of being
+    * over-sampled (the failure mode of q101's temperature weights) — then
+    * apply the allocation with per-source portable-hash-ordered
+    * cumulative-token selection. Exact Long floor arithmetic end to end;
+    * the DuckDB twin re-derives the sequential waterfilling as a linear
+    * recursive CTE over capacity-ranked sources. */
+  val q132BudgetMix: Q = Q(
+    "q132_budget_mix",
+    (s, dir) =>
+      CorpusOps.budgetedSelect(t(s, dir, "documents"), "source",
+        size(split(col("text"), " ")), "doc_id", budgetPct = 40),
+    Some("""
+      WITH RECURSIVE tok AS (
+        SELECT source, doc_id AS id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+      ), caps AS (
+        SELECT source, CAST(SUM(n_tok) AS BIGINT) AS cap FROM tok GROUP BY source
+      ), b AS (
+        SELECT CAST(40 * SUM(cap) // 100 AS BIGINT) AS budget FROM caps
+      ), ranked AS (
+        SELECT source, cap,
+          CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM caps
+      ), walloc AS (
+        SELECT r.i, r.source, r.cap,
+          LEAST(r.cap, b.budget // r.n) AS alloc,
+          b.budget - LEAST(r.cap, b.budget // r.n) AS rem
+        FROM ranked r, b WHERE r.i = 1
+        UNION ALL
+        SELECT r.i, r.source, r.cap,
+          LEAST(r.cap, w.rem // (r.n - w.i)) AS alloc,
+          w.rem - LEAST(r.cap, w.rem // (r.n - w.i)) AS rem
+        FROM ranked r JOIN walloc w ON r.i = w.i + 1
+      ), sel AS (
+        SELECT t.source, t.n_tok,
+          SUM(t.n_tok) OVER (PARTITION BY t.source
+            ORDER BY (t.id % 1000003) * 2654435761 % 1000000007, t.id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM tok t
+      ), stats AS (
+        SELECT s.source, COUNT(*) AS n_docs,
+          CAST(SUM(s.n_tok) AS BIGINT) AS tokens_selected
+        FROM sel s JOIN walloc a ON s.source = a.source
+        WHERE s.cum <= a.alloc GROUP BY s.source
+      )
+      SELECT a.source, a.cap, a.alloc,
+        COALESCE(st.n_docs, 0) AS n_docs,
+        COALESCE(st.tokens_selected, 0) AS tokens_selected
+      FROM walloc a LEFT JOIN stats st ON a.source = st.source
+      ORDER BY a.source
+    """))
+
   val all: Seq[Q] = Seq(
     q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample,
     q70QualityFilter, q76ChunkDocuments, q89QualityCutoff, q91ClassSample,
     q97SourceOverlap, q101TemperatureMix, q116FuzzyDecontam,
-    q126ImportanceResample)
+    q126ImportanceResample, q132BudgetMix)
 }

@@ -1007,10 +1007,38 @@ object EmbedQueries {
       HAVING MAX(CASE WHEN rk = 2 THEN id END) IS NOT NULL
     """))
 
+  /** Sign-matrix random projection 64→16 dims ([[Similarity
+    * .randomProject]], Achlioptas 2003): integer-exact JL dimensionality
+    * reduction — components floor-quantized @1e-6, ±1 signs from the
+    * portable Knuth hash of (input dim, output dim), BIGINT sums. The
+    * DuckDB twin regenerates the identical implicit matrix; QUALITY.md
+    * carries the measured pairwise-distance distortion this dial buys.
+    * One projection scan, no shuffle, nothing materialized. */
+  val q133RandomProjection: Q = Q(
+    "q133_random_projection",
+    (s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dOut = 16)
+        // flattened (vec_id, dim, val) — arrow list child names differ
+        // across engines, scalar rows compare exactly
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "val")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("val")),
+    Some("""
+      SELECT vec_id,
+        unnest(generate_series(0, 15)) AS dim,
+        unnest(list_transform(generate_series(0, 15), i ->
+          CAST(list_sum(list_transform(
+            generate_series(0, CAST(len(embedding) AS INT) - 1), j ->
+              CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000000.0) AS BIGINT)
+              * (1 - 2 * ((j * 1000003 + i) * 2654435761 % 1000000007 % 2))))
+          AS BIGINT))) AS val
+      FROM embeddings
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
     q118ClusterBalancedSample, q120IvfPqTopK, q121IvfPqRefine, q122IvfPqResidual,
     q123IvfPqResidualRefine, q124IvfPqPersisted, q125AnnRetrainPromote,
-    q128ContrastivePairs)
+    q128ContrastivePairs, q133RandomProjection)
 }

@@ -990,10 +990,67 @@ object TextQueries {
       FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
     """))
 
+  /** BPE merge learning ([[graft.ext.BpeLearn]], Sennrich et al. 2016):
+    * the corpus trains its own tokenizer — top-512 word-frequency table
+    * (the only corpus-proportional stage), then 6 greedy rounds of
+    * pair-count argmax + leftmost-first fused rewrite over the
+    * vocabulary-bounded table. Output: the rank-ordered merge table.
+    * The DuckDB twin unrolls all 6 rounds as CTE stages whose rewrite is
+    * the identical left fold (`list_reduce` over a space-joined
+    * accumulator — symbols are `[a-z]+` so the space separator and the
+    * `LIKE '% ' || lhs` last-symbol test are unambiguous). */
+  val q131BpeMerges: Q = {
+    val k = 6
+    val maxWords = 512
+    val stages = (1 to k).map { i =>
+      s"""p$i AS (
+        SELECT u.a AS a, u.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+          SELECT freq, unnest(list_transform(
+            generate_series(1, CAST(len(symbols) AS INT) - 1),
+            j -> {'a': symbols[j], 'b': symbols[j + 1]})) AS u
+          FROM s${i - 1} WHERE len(symbols) >= 2)
+        GROUP BY u.a, u.b
+      ), top$i AS (
+        SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1
+      ), s$i AS (
+        SELECT CASE WHEN len(symbols) <= 1 THEN symbols ELSE
+          string_split(list_reduce(symbols, (acc, x) -> CASE
+            WHEN x = t.b AND (acc = t.a OR acc LIKE '% ' || t.a)
+            THEN left(acc, length(acc) - length(t.a)) || t.a || t.b
+            ELSE acc || ' ' || x END), ' ') END AS symbols, freq
+        FROM s${i - 1} CROSS JOIN top$i t
+      )"""
+    }.mkString(", ")
+    val unions = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM top$i")
+      .mkString(" UNION ALL ")
+    Q(
+      "q131_bpe_merges",
+      (s, dir) => {
+        val words = graft.ext.BpeLearn.wordFreq(t(s, dir, "documents"), "text", maxWords)
+        graft.ext.BpeLearn.learnMerges(s, words, k)
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents)
+          GROUP BY word ORDER BY freq DESC, word LIMIT $maxWords
+        ), s0 AS (
+          SELECT list_transform(generate_series(1, CAST(length(word) AS INT)),
+            i -> substr(word, i, 1)) AS symbols, freq
+          FROM w
+        ), $stages
+        SELECT merge_rank, lhs, rhs, pair_count FROM ($unions)
+        ORDER BY merge_rank
+      """))
+  }
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
     q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
     q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
-    q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval)
+    q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval,
+    q131BpeMerges)
 }

@@ -85,4 +85,42 @@ class CorpusOpsSpec extends SparkSuite {
       .filter(CorpusOps.hashSampled(col("id"), 0.5)).as[Long].collect().toSet
     assert(small === s50.filter(_ < 1000L))
   }
+
+  test("budgetAllocation waterfills ascending with caps binding first") {
+    val got = CorpusOps.budgetAllocation(
+      Seq(("big", 1000L), ("small", 10L), ("mid", 100L)), budget = 300L)
+    // ascending: small takes min(10, 300/3)=10; mid min(100, 290/2)=100;
+    // big the remaining 190
+    assert(got === Seq(("small", 10L, 10L), ("mid", 100L, 100L), ("big", 1000L, 190L)))
+    assert(got.map(_._3).sum === 300L)
+  }
+
+  test("budgetAllocation: budget above total capacity caps every source") {
+    val caps = Seq(("a", 50L), ("b", 70L))
+    val got = CorpusOps.budgetAllocation(caps, budget = 1000L)
+    assert(got.map(g => g._1 -> g._3).toMap === Map("a" -> 50L, "b" -> 70L))
+  }
+
+  test("budgetAllocation ties break by source name") {
+    val got = CorpusOps.budgetAllocation(Seq(("y", 10L), ("x", 10L)), budget = 11L)
+    // x first: min(10, 11/2)=5; y: min(10, 6/1)=6
+    assert(got === Seq(("x", 10L, 5L), ("y", 10L, 6L)))
+  }
+
+  test("budgetedSelect never exceeds a source's allocation and is deterministic") {
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 3 == 0) "s_big" else if (i % 3 == 1) "s_mid" else "s_small",
+        "w " * (i % 7 + 1).toInt))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.budgetedSelect(docs, "source",
+      size(split(col("text"), " ")), "doc_id", budgetPct = 40)
+      .as[(String, Long, Long, Long, Long)].collect()
+    for ((_, cap, alloc, _, tokSel) <- out) {
+      assert(tokSel <= alloc && alloc <= cap)
+    }
+    val again = CorpusOps.budgetedSelect(docs.repartition(7), "source",
+      size(split(col("text"), " ")), "doc_id", budgetPct = 40)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === again.toSeq)
+  }
 }

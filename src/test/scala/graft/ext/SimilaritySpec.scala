@@ -481,4 +481,47 @@ class SimilaritySpec extends SparkSuite {
     assert(codes(0L)(3) !== codes(1L)(3),
       "a last-dimension difference must survive into the final subspace's code")
   }
+
+  /** Serial reference of [[Similarity.randomProject]]'s exact recurrence. */
+  private def refProject(v: Seq[Float], dOut: Int): Seq[Long] =
+    (0 until dOut).map { i =>
+      v.zipWithIndex.map { case (x, j) =>
+        val q = math.floor(x.toDouble * 1000000.0).toLong
+        val sign = 1 - 2 * (((j * 1000003L + i) * 2654435761L) % 1000000007L % 2)
+        q * sign
+      }.sum
+    }
+
+  test("randomProject matches the serial integer recurrence") {
+    val vs = Seq((1L, Seq(0.5f, -0.25f, 1.0f, 0.125f)),
+      (2L, Seq(-1.5f, 0.0f, 0.375f, 2.0f)))
+    val got = Similarity.randomProject(vs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dOut = 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, v) <- vs) assert(got(id) === refProject(v, 3))
+  }
+
+  test("randomProject is linear in the input (projection of difference = difference of projections)") {
+    // linearity holds on the QUANTIZED vectors when quantization is exact:
+    // use values exactly representable at 1e-6 scale via integer/2^k floats
+    val u = Seq(1.0f, 2.0f, -1.0f, 0.5f)
+    val v = Seq(0.25f, -0.75f, 2.0f, 1.5f)
+    val diff = u.zip(v).map { case (a, b) => a - b }
+    val pu = refProject(u, 4)
+    val pv = refProject(v, 4)
+    val pd = refProject(diff, 4)
+    assert(pd === pu.zip(pv).map { case (a, b) => a - b })
+  }
+
+  test("randomProject on testdata: 16 dims, bit-identical across partitionings") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val a = Similarity.randomProject(emb.repartition(1), "vec_id", "embedding", 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    val b = Similarity.randomProject(emb.repartition(8), "vec_id", "embedding", 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(a === b)
+    assert(a.values.forall(_.length === 16))
+    // signs must not collapse: some projected component differs across dims
+    assert(a.values.exists(p => p.distinct.length > 1))
+  }
 }
