@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.{Q, QueryDsl}
+import QueryDsl._
+import graft.ext.{IncrementalAgg, Scd}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance tier: SCD Type 2 dimension building and
+  * incrementally maintained gold aggregates — the two standard "keep the
+  * serving tables fresh" ETL patterns one notch past the reference's
+  * Type 1 MERGE (`03_Gold_Analytics_Tables.py`).
+  */
+object DimQueries {
+
+  /** SCD TYPE 2 DIMENSION BUILD ([[graft.ext.Scd.scd2FromHistory]]): each
+    * customer's order-priority history collapsed into version rows with
+    * `[effective_from, effective_to)` validity intervals, dense per-key
+    * version numbers, and an `is_current` flag — every attribute change
+    * opens a new version, repeats collapse into the run that introduced
+    * the value. One shuffle on the dimension key; the oracle is the same
+    * two-window derivation in plain SQL. The incremental twin
+    * ([[graft.ext.Scd.scd2Apply]], `apply == rebuild`) is pinned in
+    * ScdSpec. */
+  val q134Scd2Dimension: Q = Q(
+    "q134_scd2_dimension",
+    (s, dir) => {
+      val dim = Scd.scd2FromHistory(
+        t(s, dir, "orders")
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"),
+        keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+        tieCol = "o_orderkey", attrCols = Seq("o_orderpriority"))
+      // current rows get the conventional far-future end date instead of
+      // NULL (the warehouse idiom — BETWEEN probes need no null branch;
+      // also keeps the compared output free of null timestamps). The
+      // sentinel is cast to the interval columns' OWN type so a
+      // TIMESTAMP_NTZ source (the regenerated testdata) doesn't get
+      // promoted to session-TZ by a typed literal.
+      dim.withColumn("effective_to", coalesce(col("effective_to"),
+        lit("9999-12-31 00:00:00").cast(dim.schema("effective_from").dataType)))
+    },
+    Some("""
+      WITH h AS (
+        SELECT o_custkey, o_orderdate AS ts, o_orderkey AS tie, o_orderpriority,
+          LAG(o_orderpriority) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders),
+      changes AS (
+        SELECT o_custkey, ts, tie, o_orderpriority FROM h
+        WHERE prev IS NULL OR o_orderpriority <> prev)
+      SELECT o_custkey, o_orderpriority,
+        ts AS effective_from,
+        COALESCE(LEAD(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS effective_to,
+        CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        (LEAD(ts) OVER w IS NULL) AS is_current
+      FROM changes
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, tie)
+    """))
+
+  /** INCREMENTALLY MAINTAINED GOLD AGGREGATE
+    * ([[graft.ext.IncrementalAgg]]): the lineitem pricing rollup built by
+    * folding three disjoint fact batches into a versioned aggregate table
+    * — each fold touches only its batch + the |keys|-row aggregate, never
+    * re-reads applied history — then read back with avg derived
+    * exact-sum/exact-count. The artifact is wiped and rebuilt every call
+    * so the measured time IS the three-fold maintenance cost; mergeable
+    * decimal partials make the result bit-identical to the one-shot
+    * GROUP BY the oracle runs. */
+  val q135IncrementalAgg: Q = Q(
+    "q135_incremental_agg",
+    (s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_incragg_v1_${
+        new java.io.File(dir).getName}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val li = t(s, dir, "lineitem")
+      (0L until 3L).foreach { b =>
+        IncrementalAgg.update(s, base,
+          li.filter(pmod(col("l_linenumber"), lit(3)) === b),
+          keys = Seq("l_returnflag", "l_linestatus"),
+          valueCol = "l_extendedprice", batchId = b)
+      }
+      IncrementalAgg.read(s, base).get.select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("n_rows"),
+        col("sum_val").cast("double").as("sum_price"),
+        col("min_val").as("min_price"),
+        col("max_val").as("max_price"),
+        (col("sum_val").cast("double") / col("n_rows")).as("avg_price"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        MIN(l_extendedprice) AS min_price,
+        MAX(l_extendedprice) AS max_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """))
+
+  val all: Seq[Q] = Seq(q134Scd2Dimension, q135IncrementalAgg)
+}
