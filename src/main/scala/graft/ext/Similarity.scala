@@ -243,6 +243,30 @@ object Similarity {
       .filter(col("neg_id").isNotNull)
   }
 
+  /** K-NEAREST-NEIGHBOR GRAPH over an [[assignNearestCentroid]] output:
+    * per vector, its top-`k` in-cluster neighbors by exact cosine — the
+    * standard substrate for graph-based corpus analysis (kNN-clustering,
+    * label propagation, triangle/community structure) and the batch
+    * construction step of graph-ANN indexes. Candidate generation is
+    * bounded by the nearest-centroid cluster (the same SemDeDup trick
+    * every quadratic-avoiding stage here uses): cost
+    * O(Σ cluster-size²·d), never O(n²·d), with |centroids| the √n dial.
+    * The plan is one cid-keyed self-join (both sides shuffle once on
+    * cid) + a src-keyed window top-k; fully deterministic (bit-stable
+    * cosine, id tiebreak) ⇒ oracle-checkable. Output (src, dst, sim,
+    * rk), rk 1-based by falling similarity. */
+  def knnGraph(assigned: DataFrame, k: Int): DataFrame = {
+    val a = assigned.select(col("cid"), col("id").as("src"), col("vec").as("svec"))
+    val b = assigned.select(col("cid"), col("id").as("dst"), col("vec").as("dvec"))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    a.join(b, Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim", cosine(col("svec"), col("dvec")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), col("sim"), col("rk"))
+  }
+
   /** Squared L2 distance (‖a‖² − 2a·b + ‖b‖²) via the native fused-loop
     * expression ([[graft.functions.SqL2Distance]]) — bit-identical to the
     * three-dot HOF formulation (each sum accumulates left-to-right in

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryDsl}
 import QueryDsl._
-import graft.ext.PageRank
+import graft.ext.{GraphOps, PageRank, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over derived entity graphs ([[graft.ext
@@ -86,5 +86,97 @@ object GraphQueries {
     """
     })
 
-  val all: Seq[Q] = Seq(q130PageRank)
+  /** The shared embedding→graph derivation: nearest-centroid assignment
+    * (every 100th vector as centroid, the catalog's standard protocol)
+    * feeding [[Similarity.knnGraph]]. */
+  private def knn(s: org.apache.spark.sql.SparkSession, dir: String, k: Int) = {
+    val emb = t(s, dir, "embeddings")
+    val all = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val cents = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cvec"))
+    Similarity.knnGraph(Similarity.assignNearestCentroid(all, cents), k)
+  }
+
+  /** The shared assignment + kNN CTE prefix of the q136/q137 oracles
+    * (q128's bit-stable cosine recipe). */
+  private val knnCte = """
+      WITH c AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id % 100 = 0),
+      assigned AS (
+        SELECT id, cid, vec FROM (
+          SELECT id, cid, vec, ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+            list_dot_product(vec, cvec)
+              / (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(cvec, cvec)))
+            DESC, cid) AS rn
+          FROM c CROSS JOIN cents)
+        WHERE rn = 1),
+      knn AS (
+        SELECT src, dst, sim, rk FROM (
+          SELECT a.id AS src, b.id AS dst,
+            list_dot_product(a.vec, b.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+              list_dot_product(a.vec, b.vec)
+                / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+              DESC, b.id) AS BIGINT) AS rk
+          FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id <> b.id)
+        WHERE rk <= 5)"""
+
+  /** K-NEAREST-NEIGHBOR GRAPH over the embedding corpus
+    * ([[Similarity.knnGraph]]): per vector its top-5 in-cluster neighbors
+    * by exact cosine — the substrate for graph-based corpus analysis and
+    * batch graph-ANN construction. Candidates bounded by the
+    * nearest-centroid cluster (cost Σ cluster², the √n dial), one
+    * cid-keyed self-join + per-src window top-k; deterministic ⇒ the
+    * DuckDB twin re-derives assignment, pairs, and ranks exactly. */
+  val q136KnnGraph: Q = Q(
+    "q136_knn_graph",
+    (s, dir) => knn(s, dir, 5),
+    Some(s"""$knnCte
+      SELECT src, dst, sim, rk FROM knn
+    """))
+
+  /** TRIANGLE CENSUS of the mutual-kNN similarity graph
+    * ([[GraphOps.mutualEdges]] → [[GraphOps.triangles]]): symmetrize the
+    * q136 graph to edges both endpoints agree on, then count closed
+    * wedges — the local-clustering signal that separates tight semantic
+    * groups from hub noise. Wedge join keyed on the shared vertex,
+    * closure check a pair-keyed semi-join; every count is one exact
+    * BIGINT. The oracle re-derives the identical census from the shared
+    * kNN CTE. */
+  val q137TriangleCensus: Q = Q(
+    "q137_triangle_census",
+    (s, dir) => {
+      val edges = GraphOps.mutualEdges(knn(s, dir, 5).select(col("src"), col("dst")))
+      val tri = GraphOps.triangles(edges)
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        .crossJoin(tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+          .agg(countDistinct(col("node")).as("n_tri_nodes")))
+    },
+    Some(s"""$knnCte,
+      edges AS (
+        SELECT k1.src, k1.dst FROM knn k1
+        JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
+        WHERE k1.src < k1.dst),
+      tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.dst = e2.src
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+      SELECT
+        (SELECT COUNT(*) FROM edges) AS n_edges,
+        (SELECT COUNT(*) FROM tri) AS n_triangles,
+        (SELECT COUNT(DISTINCT node) FROM (
+          SELECT a AS node FROM tri UNION ALL
+          SELECT b FROM tri UNION ALL
+          SELECT c FROM tri)) AS n_tri_nodes
+    """))
+
+  val all: Seq[Q] = Seq(q130PageRank, q136KnnGraph, q137TriangleCensus)
 }

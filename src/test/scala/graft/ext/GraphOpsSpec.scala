@@ -1,0 +1,84 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Graph counting primitives ([[GraphOps]]) + the kNN-graph construction
+  * ([[Similarity.knnGraph]]).
+  */
+class GraphOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def edges(e: (Long, Long)*) = e.toDF("src", "dst")
+
+  test("mutualEdges keeps only reciprocated pairs, once, oriented src<dst") {
+    val directed = edges((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (4L, 1L))
+    val m = GraphOps.mutualEdges(directed).as[(Long, Long)].collect().toSet
+    assert(m === Set((1L, 2L), (2L, 3L))) // 1→3 and 4→1 unreciprocated
+  }
+
+  test("triangles enumerates each closed wedge exactly once; counts per vertex") {
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant 4-5 (no new triangle)
+    val und = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val tri = GraphOps.triangles(und).as[(Long, Long, Long)].collect().toSet
+    assert(tri === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    val per = GraphOps.triangleCounts(und).as[(Long, Long)].collect().toMap
+    assert(per === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)) // K4: each vertex in C(3,2)=3
+  }
+
+  test("triangle-free graph yields zero triangles") {
+    // C5 cycle: no triangles
+    val und = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))
+    assert(GraphOps.triangles(und).isEmpty)
+    assert(GraphOps.triangleCounts(und).isEmpty)
+  }
+
+  test("knnGraph: per-src exactly min(k, cluster-1) edges, ranked by falling cosine") {
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d * 0.9)))
+    }.toDF("id", "vec")
+    val cents = vecs.filter($"id" % 10 === 0)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    val g = Similarity.knnGraph(Similarity.assignNearestCentroid(vecs, cents), 3)
+      .select($"src", $"dst", $"sim", $"rk")
+      .as[(Long, Long, Double, Long)].collect()
+    val bySrc = g.groupBy(_._1)
+    // ranks dense 1..n, sims non-increasing within src, no self-edges
+    bySrc.foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length))
+      assert(sorted.length <= 3)
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq(x, y) => x._3 >= y._3
+        case _ => true
+      })
+      assert(rows.forall(_._2 != src))
+    }
+    // every vector with ≥1 cluster-mate appears as a src
+    assert(bySrc.size === 30)
+  }
+
+  test("knnGraph top-1 matches brute-force argmax within the cluster") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(6)(d => math.cos(i * 2.3 + d)))
+    }.toDF("id", "vec")
+    val cents = vecs.filter($"id" % 7 === 0).select($"id".as("cid"), $"vec".as("cvec"))
+    val assigned = Similarity.assignNearestCentroid(vecs, cents)
+    val top1 = Similarity.knnGraph(assigned, 1)
+      .select($"src", $"dst").as[(Long, Long)].collect().toMap
+    // brute force within each cluster
+    val rows = assigned.select($"id", $"cid", $"vec").as[(Long, Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.groupBy(_._2).values.foreach { members =>
+      if (members.length > 1) members.foreach { case (id, _, v) =>
+        val best = members.filter(_._1 != id)
+          .map { case (oid, _, ov) => (oid, cos(v, ov)) }
+          .minBy { case (oid, s) => (-s, oid) }._1
+        assert(top1(id) === best, s"src=$id")
+      }
+    }
+  }
+}
