@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.sources.VersionedTable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,5 +151,38 @@ object Scd {
       .withColumn(From, col(tsCol))
       .select(outCols.map(col): _*)
     closed.unionByName(collapsed)
+  }
+
+  private val OpPrefix = "scd2 batch="
+
+  /** BatchIds already folded into the dimension at `path` (commit-log
+    * metadata only — no data read). */
+  def appliedBatches(spark: SparkSession, path: String): Set[Long] =
+    VersionedTable.commits(spark, path).collect {
+      case (_, _, op) if op.startsWith(OpPrefix) =>
+        op.stripPrefix(OpPrefix).toLong
+    }.toSet
+
+  /** Fold observation batch `batchId` into the PERSISTED SCD2 dimension at
+    * `path` (a [[VersionedTable]]): bootstrap via [[scd2FromHistory]] on
+    * the first batch, [[scd2Apply]] after — each commit costs
+    * O(|batch| + |current rows|), never a history rescan. Returns false
+    * iff the batch was already applied: replay identity is the BATCH ID
+    * in the commit log, so at-least-once streaming delivery
+    * ([[graft.streaming.StreamPipes.scd2Ingest]]) can't double-apply — a
+    * crashed attempt's unmarked commit is invisible
+    * ([[VersionedTable.commit]] writes its marker last) and the retry
+    * re-applies onto the pre-crash snapshot. Batches must arrive in
+    * per-key observation order (the scd2Apply late-data contract). */
+  def applyBatch(spark: SparkSession, path: String, batch: DataFrame,
+      keyCols: Seq[String], tsCol: String, tieCol: String,
+      attrCols: Seq[String], batchId: Long): Boolean = {
+    if (appliedBatches(spark, path).contains(batchId)) return false
+    val next = VersionedTable.read(spark, path) match {
+      case None => scd2FromHistory(batch, keyCols, tsCol, tieCol, attrCols)
+      case Some(dim) => scd2Apply(dim, batch, keyCols, tsCol, tieCol, attrCols)
+    }
+    VersionedTable.commit(spark, path, next, OpPrefix + batchId)
+    true
   }
 }

@@ -297,4 +297,51 @@ object StreamPipes {
         ()
       }
       .start()
+
+  /** STREAMING SCD2 MAINTENANCE — [[graft.ext.Scd]]'s incremental
+    * dimension kept fresh from a change feed: each micro-batch of
+    * observations folds into the persisted dimension via
+    * [[graft.ext.Scd.applyBatch]] (bootstrap on the first batch,
+    * current-rows-only incremental apply after — never a history
+    * rescan). Replay idempotency is batchId-keyed in the dimension's own
+    * commit log, the [[annIngest]] protocol: an at-least-once redelivery
+    * is recognized and skipped, a crashed half-commit is invisible
+    * (marker-last). The source must deliver per-key observations in
+    * order (the CDC-feed contract); late data fails loudly inside the
+    * batch rather than silently rewriting closed history. */
+  def scd2Ingest(
+      observations: DataFrame, basePath: String, checkpoint: String,
+      keyCols: Seq[String], tsCol: String, tieCol: String,
+      attrCols: Seq[String]): StreamingQuery =
+    observations.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Scd.applyBatch(batch.sparkSession, basePath, batch,
+          keyCols, tsCol, tieCol, attrCols, batchId)
+        ()
+      }
+      .start()
+
+  /** STREAMING AGGREGATE MAINTENANCE — [[graft.ext.IncrementalAgg]] fed
+    * per micro-batch: the per-key rollup extends by one batch-sized
+    * partial aggregation + one |keys|-row merge per trigger, with the
+    * same batchId-keyed commit-log replay dedup as [[scd2Ingest]]. The
+    * alternative to a stateful streaming agg when the result must live
+    * in a versioned, time-travelable TABLE rather than a state store —
+    * and the maintenance loop never grows with corpus size. */
+  def aggIngest(
+      facts: DataFrame, basePath: String, checkpoint: String,
+      keys: Seq[String], valueCol: String): StreamingQuery =
+    facts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.IncrementalAgg.update(batch.sparkSession, basePath, batch,
+          keys, valueCol, batchId)
+        ()
+      }
+      .start()
 }

@@ -422,4 +422,70 @@ class StreamingSpec extends SparkSuite {
     // vacuum drops old DATA but history retains the commit record
     assert(h2.toSeq === Seq((0L, false), (1L, true)))
   }
+
+  test("streaming SCD2 ingest: incremental dimension == full-history rebuild, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Scd
+    val base = tmp() + "/scd2"
+    val ck = tmp() + "/scd2-ck"
+    val b1 = Seq((1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), (2L, 10L, 3L, "X"))
+    val b2 = Seq((1L, 30L, 4L, "B"), (1L, 40L, 5L, "C"), (2L, 15L, 6L, "X"),
+      (3L, 12L, 7L, "N"))
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val obs = mem.toDF().toDF("k", "ts", "tie", "attr")
+    def run() = StreamPipes.scd2Ingest(obs, base, ck,
+      Seq("k"), "ts", "tie", Seq("attr")).awaitTermination()
+    mem.addData(b1); run()
+    mem.addData(b2); run()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"attr", $"effective_from", $"effective_to", $"version", $"is_current")
+        .as[(Long, String, Long, Option[Long], Long, Boolean)].collect().toSet
+    val streamed = canon(VersionedTable.read(spark, base).get)
+    val rebuilt = canon(Scd.scd2FromHistory(
+      (b1 ++ b2).toDF("k", "ts", "tie", "attr"), Seq("k"), "ts", "tie", Seq("attr")))
+    assert(streamed === rebuilt,
+      "two streamed batches must equal the full-history rebuild")
+    // at-least-once replay of an applied batch: recognized, skipped
+    assert(!Scd.applyBatch(spark, base, b2.toDF("k", "ts", "tie", "attr"),
+      Seq("k"), "ts", "tie", Seq("attr"), batchId = 1L))
+    assert(canon(VersionedTable.read(spark, base).get) === streamed)
+    // completed AvailableNow restart with no new data is a no-op
+    run()
+    assert(canon(VersionedTable.read(spark, base).get) === streamed)
+  }
+
+  test("streaming aggregate ingest: per-batch folds == one-shot aggregation, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.IncrementalAgg
+    val base = tmp() + "/agg-ingest"
+    val ck = tmp() + "/agg-ingest-ck"
+    val li = graft.Tables.load(spark, sf("li"), "lineitem")
+      .select($"l_returnflag", $"l_quantity").as[(String, Double)].collect()
+    val mem = MemoryStream[(String, Double)]
+    val facts = mem.toDF().toDF("l_returnflag", "l_quantity")
+    def run() = StreamPipes.aggIngest(facts, base, ck,
+      Seq("l_returnflag"), "l_quantity").awaitTermination()
+    val (h1, h2) = li.splitAt(li.length / 2)
+    mem.addData(h1.toSeq); run()
+    mem.addData(h2.toSeq); run()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"l_returnflag", $"n_rows", $"sum_val".cast("string"),
+          $"min_val", $"max_val")
+        .as[(String, Long, String, Double, Double)].collect().toSet
+    val streamed = canon(IncrementalAgg.read(spark, base).get)
+    val oneShot = li.toSeq.toDF("l_returnflag", "l_quantity")
+      .groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(28,2)")).cast("decimal(28,2)").as("sum_val"),
+        min($"l_quantity").as("min_val"),
+        max($"l_quantity").as("max_val"))
+    assert(streamed === canon(oneShot))
+    assert(IncrementalAgg.appliedBatches(spark, base) === Set(0L, 1L))
+    // replay + empty restart are no-ops
+    assert(!IncrementalAgg.update(spark, base,
+      h1.toSeq.toDF("l_returnflag", "l_quantity"),
+      Seq("l_returnflag"), "l_quantity", 0L))
+    run()
+    assert(canon(IncrementalAgg.read(spark, base).get) === streamed)
+  }
 }
