@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation over an edge list — community detection
+  * for the derived entity graphs ([[PageRank]]'s importance, this
+  * module's grouping): every node starts as its own label (its id) and
+  * each round adopts the most frequent label among its neighbors,
+  * deterministic tiebreak (higher count wins, then the SMALLEST label —
+  * communities converge toward their minimum member id, the
+  * [[Components]] labeling convention). A fixed synchronous round count
+  * makes the algorithm a pure integer recurrence: label counts are exact
+  * BIGINT aggregation, argmax is (count, −label) max — order-free and
+  * engine-portable, so a SQL oracle can unroll the same rounds as plain
+  * CTE stages (the [[PageRank]] trick; classic async LPA with random
+  * visit order is unreproducible by construction).
+  *
+  * Per round: labels ⋈ edges on src (shuffles only the two-column label
+  * table), count per (dst, label), argmax per dst — all keyed shuffles
+  * with map-side partials, O(|E|) per round, no driver paths. The edge
+  * list is materialized once; callers pass SYMMETRIZED edges (both
+  * directions) so adoption is mutual and every node has neighbors.
+  */
+object LabelProp {
+
+  /** Labels after `iters` synchronous rounds.
+    * @param edges (src: long, dst: long), symmetrized.
+    * @return (node: long, label: long). */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      labels = e.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("label"))
+        .select(col("dst").as("node"), col("label"))
+    }
+    labels
+  }
+}

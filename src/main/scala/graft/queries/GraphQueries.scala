@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryDsl}
 import QueryDsl._
-import graft.ext.{GraphOps, PageRank, Similarity}
+import graft.ext.{GraphOps, LabelProp, PageRank, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over derived entity graphs ([[graft.ext
@@ -178,5 +178,61 @@ object GraphQueries {
           SELECT c FROM tri)) AS n_tri_nodes
     """))
 
-  val all: Seq[Q] = Seq(q130PageRank, q136KnnGraph, q137TriangleCensus)
+  private val LpIters = 4
+
+  /** LABEL PROPAGATION COMMUNITIES ([[LabelProp]]) on the same
+    * customer–supplier co-purchase graph as q130: four synchronous
+    * rounds of adopt-the-majority-neighbor-label, deterministic
+    * (count-desc, label-asc) tiebreak — the standard cheap community
+    * detector for derived entity graphs, here as a pure BIGINT
+    * recurrence so the DuckDB twin unrolls the identical rounds as CTE
+    * stages. Per round: one src-keyed join of the two-column label
+    * table + two keyed aggregations, O(|E|), map-side partials
+    * throughout. */
+  val q138LabelProp: Q = Q(
+    "q138_label_propagation",
+    (s, dir) => {
+      val cs = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cnode"),
+          (col("l_suppkey") * 2 + 1).as("snode"))
+        .distinct()
+      val edges = cs.select(col("cnode").as("src"), col("snode").as("dst"))
+        .unionAll(cs.select(col("snode").as("src"), col("cnode").as("dst")))
+      LabelProp.run(edges, LpIters)
+        .select(col("node"),
+          when(col("node") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+          expr("node div 2").as("key"), col("label"))
+    },
+    Some {
+      val stages = (1 to LpIters).map { i =>
+        s"""l$i AS (
+        SELECT node, label FROM (
+          SELECT e.dst AS node, l.label,
+            ROW_NUMBER() OVER (PARTITION BY e.dst
+              ORDER BY COUNT(*) DESC, l.label) AS rn
+          FROM edges e JOIN l${i - 1} l ON e.src = l.node
+          GROUP BY e.dst, l.label)
+        WHERE rn = 1
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH cs AS (
+        SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ), edges AS (
+        SELECT cnode AS src, snode AS dst FROM cs
+        UNION ALL
+        SELECT snode AS src, cnode AS dst FROM cs
+      ), l0 AS (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+      ), $stages
+      SELECT node,
+        CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        node // 2 AS key, label
+      FROM l$LpIters
+    """
+    })
+
+  val all: Seq[Q] = Seq(q130PageRank, q136KnnGraph, q137TriangleCensus, q138LabelProp)
 }

@@ -33,6 +33,29 @@ class GraphOpsSpec extends SparkSuite {
     assert(GraphOps.triangleCounts(und).isEmpty)
   }
 
+  test("label propagation: two cliques converge to their min-id labels") {
+    // triangle {1,2,3} and triangle {10,11,12} joined by bridge 3-10
+    def undirected(e: (Long, Long)*) =
+      edges(e ++ e.map(_.swap): _*)
+    val g = undirected((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val labels = LabelProp.run(g, 4).as[(Long, Long)].collect().toMap
+    // each clique's majority pulls members to the min id in the clique
+    assert(labels(1L) === 1L && labels(2L) === 1L)
+    assert(Set(labels(11L), labels(12L)).forall(_ <= 10L))
+    assert(labels.size === 6)
+  }
+
+  test("label propagation round is the majority-neighbor label with (count, -label) argmax") {
+    // star: center 5 with neighbors 1,1-labeled after round 1?
+    // direct check of one round: node 5's neighbors {1,2,3} all distinct
+    // labels count 1 each → tiebreak smallest label = 1
+    val g = edges((1L, 5L), (2L, 5L), (3L, 5L), (5L, 1L), (5L, 2L), (5L, 3L))
+    val labels = LabelProp.run(g, 1).as[(Long, Long)].collect().toMap
+    assert(labels(5L) === 1L)
+    assert(labels(1L) === 5L && labels(2L) === 5L && labels(3L) === 5L)
+  }
+
   test("knnGraph: per-src exactly min(k, cluster-1) edges, ranked by falling cosine") {
     val vecs = (0L until 30L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d * 0.9)))
