@@ -98,5 +98,66 @@ object DimQueries {
       FROM lineitem GROUP BY l_returnflag, l_linestatus
     """))
 
-  val all: Seq[Q] = Seq(q134Scd2Dimension, q135IncrementalAgg)
+  /** SCD2 POINT-IN-TIME LOOKUP — the consuming half of q134: every
+    * lineitem joined to the priority version its customer had AT SHIP
+    * TIME (`effective_from <= l_shipdate < effective_to`, the half-open
+    * interval the dimension guarantees partitions time), then revenue
+    * rolled up by that historical attribute. The dimension side is
+    * BROADCAST (versions ≈ keys × few changes — dimension-sized at any
+    * fact scale), so the fact table never shuffles for the lookup; a
+    * dimension too large to broadcast routes through the as-of machinery
+    * ([[graft.ext.AsOfJoin]]) instead. Exactly-one-match is structural:
+    * intervals tile `[first observation, sentinel)` per key and every
+    * shipdate follows its own order's observation. */
+  val q139Scd2Lookup: Q = Q(
+    "q139_scd2_lookup",
+    (s, dir) => {
+      val dim = Scd.scd2FromHistory(
+        t(s, dir, "orders")
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"),
+        keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+        tieCol = "o_orderkey", attrCols = Seq("o_orderpriority"))
+      val versions = dim.select(
+        col("o_custkey").as("d_custkey"),
+        col("o_orderpriority").as("priority_at_ship"),
+        col("effective_from"), col("effective_to"))
+      val facts = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+      facts.join(broadcast(versions),
+          col("o_custkey") === col("d_custkey") &&
+          col("l_shipdate") >= col("effective_from") &&
+          (col("effective_to").isNull || col("l_shipdate") < col("effective_to")))
+        .groupBy(col("priority_at_ship"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT o_custkey, o_orderdate AS ts, o_orderkey AS tie, o_orderpriority,
+          LAG(o_orderpriority) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders),
+      changes AS (
+        SELECT o_custkey, ts, tie, o_orderpriority FROM h
+        WHERE prev IS NULL OR o_orderpriority <> prev),
+      dim AS (
+        SELECT o_custkey AS d_custkey, o_orderpriority AS priority_at_ship,
+          ts AS effective_from,
+          LEAD(ts) OVER (PARTITION BY o_custkey ORDER BY ts, tie) AS effective_to
+        FROM changes)
+      SELECT priority_at_ship,
+        COUNT(*) AS n_lines,
+        %s AS revenue,
+        COUNT(DISTINCT o_custkey) AS n_customers
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN dim ON o_custkey = d_custkey
+        AND l_shipdate >= effective_from
+        AND (effective_to IS NULL OR l_shipdate < effective_to)
+      GROUP BY priority_at_ship
+    """.format(QueryDsl.oracleDsum("l_extendedprice * (1 - l_discount)", 4))))
+
+  val all: Seq[Q] = Seq(q134Scd2Dimension, q135IncrementalAgg, q139Scd2Lookup)
 }

@@ -308,4 +308,35 @@ class PlanSpec extends SparkSuite {
       s"benchmark probe must be a token-keyed join, never all-pairs:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), "no non-equi join in the probe path")
   }
+
+  test("q134 SCD2 build: both windows share ONE exchange on the dimension key") {
+    val p = plan(QueryCatalog.queries("q134_scd2_dimension")(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges === 1,
+      s"run-collapse and versionize windows both partition by key — one shuffle total:\n$p")
+    assert(!p.contains("Join"), s"the rebuild path is join-free:\n$p")
+  }
+
+  test("q136 kNN graph: centroid assignment broadcast, pair join cid-keyed, no cartesian") {
+    val p = plan(QueryCatalog.queries("q136_knn_graph")(spark, dir))
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"only the broadcast centroid cross join may be nested-loop:\n$p")
+    // the in-cluster pair join must be an equi join on cid, never all-pairs
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"pair stage must be a keyed join:\n$p")
+  }
+
+  test("q137 triangle census: wedge/closure joins equi-keyed, never all-pairs") {
+    val p = plan(QueryCatalog.queries("q137_triangle_census")(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"triangle enumeration must be keyed joins:\n$p")
+  }
+
+  test("q139 SCD2 lookup: the version table broadcasts — facts never shuffle for the interval join") {
+    val p = plan(QueryCatalog.queries("q139_scd2_lookup")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension versions are broadcast-sized at any fact scale:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval probe rides the custkey equi join, not a non-equi join:\n$p")
+  }
 }
