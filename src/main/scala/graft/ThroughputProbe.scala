@@ -23,6 +23,7 @@ object ThroughputProbe {
     if (mode == "ann" || mode == "all") annIngest(spark)
     if (mode == "annretrain" || mode == "all") annRetrain(spark)
     if (mode == "dsir" || mode == "all") dsirIngest(spark)
+    if (mode == "scd2" || mode == "all") scd2Fold(spark)
     spark.stop()
   }
 
@@ -248,5 +249,33 @@ object ThroughputProbe {
     val pr = (System.nanoTime() - t0) / 1e9
     System.err.println(f"[tp] annretrain promoted gen=$promoted in $pr%.2f s; " +
       f"search=${searchSec()}%.2f s")
+  }
+
+  /** SCD2 FOLD throughput: drives [[graft.ext.Scd.applyBatch]] (the
+    * [[graft.streaming.StreamPipes.scd2Ingest]] body) over `batches`
+    * change-feed batches of one observation per key (~2/3 of keys change
+    * their attribute each batch, hash-deterministic). The claim under
+    * measurement: per-fold wall stays FLAT while the dimension's closed
+    * history grows linearly — fold cost is O(batch + keys) in BOTH
+    * compute (current-rows-only collapse) and I/O (append-only closed
+    * delta + keys-sized current COW), never O(history). */
+  private def scd2Fold(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.ext.Scd
+    val batches = sys.env.getOrElse("TP_BATCHES", "6").toInt
+    val keys = sys.env.getOrElse("TP_ROWS", "200000").toLong
+    val root = java.nio.file.Files.createTempDirectory("tp-scd2").toString + "/dim"
+    for (b <- 0 until batches) {
+      val obs = spark.range(keys).select(
+        col("id").as("k"), lit(b.toLong).as("ts"),
+        (lit(b.toLong) * keys + col("id")).as("tie"),
+        concat(lit("v"), pmod(xxhash64(col("id"), lit(b)), lit(3))).as("attr"))
+      val t0 = System.nanoTime()
+      Scd.applyBatch(spark, root, obs, Seq("k"), "ts", "tie", Seq("attr"), b.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val dimRows = Scd.readDim(spark, root).get.count()
+      System.err.println(f"[tp] scd2 fold $b: $keys%d obs in $sec%.2f s = " +
+        f"${keys / sec}%.0f rows/s (dimension=$dimRows%d version rows)")
+      Housekeeping.releaseAll(spark)
+    }
   }
 }

@@ -103,9 +103,25 @@ object Scd {
     * column so it cannot be pruned; rebuild from full history instead. */
   def scd2Apply(dim: DataFrame, updates: DataFrame, keyCols: Seq[String],
       tsCol: String, tieCol: String, attrCols: Seq[String]): DataFrame = {
-    val keyC = keyCols.map(col)
     val outCols = (keyCols ++ attrCols) ++ Seq(From, To, Ver, Cur)
     val closed = dim.filter(!col(Cur)).select(outCols.map(col): _*)
+    closed.unionByName(
+      applyCollapsed(dim.filter(col(Cur)), updates, keyCols, tsCol, tieCol, attrCols))
+  }
+
+  /** The re-collapsed portion of an incremental apply: every key's
+    * (current-row seed ∥ its updates) runs, versionized with per-key
+    * offsets. Covers EVERY key of `current` (touched by the batch or
+    * not) plus keys new in `updates` — so its `is_current` slice is the
+    * complete next current set, and its closed slice is exactly the
+    * batch's newly-closed rows (prior closed history is not its concern:
+    * [[scd2Apply]] unions it back; [[applyBatch]] leaves it on disk
+    * untouched). */
+  private def applyCollapsed(current: DataFrame, updates: DataFrame,
+      keyCols: Seq[String], tsCol: String, tieCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    val keyC = keyCols.map(col)
+    val outCols = (keyCols ++ attrCols) ++ Seq(From, To, Ver, Cur)
     // Current row → pseudo-observation seeding the run-collapse. Its
     // version numbers the run it opens; updates inherit via the offset.
     // `__seq` = 0 orders the seed before any update sharing its instant
@@ -114,11 +130,11 @@ object Scd {
     // whatever it is) — only one seed exists per key and `__seq` already
     // orders it first, the slot just has to union cleanly.
     val tieType = updates.schema(tieCol).dataType
-    val curSeed = dim.filter(col(Cur)).select(
+    val curSeed = current.select(
       keyC ++ attrCols.map(col) ++ Seq(
         col(From).as(tsCol), lit(0L).as("__seq"), lit(null).cast(tieType).as(tieCol),
         col(Ver).as("__base")): _*)
-    val curFrom = dim.filter(col(Cur)).select(
+    val curFrom = current.select(
       keyC :+ col(From).as("__cur_from"): _*)
     // Fold the late-data guard into the ORDERING column: assert_true
     // yields NULL on pass, so coalesce keeps the real instant and the
@@ -138,7 +154,7 @@ object Scd {
       .orderBy(col(tsCol), col("__seq"), col(tieCol))
     val attrs = struct(attrCols.map(col): _*)
     val wKey = Window.partitionBy(keyC: _*)
-    val collapsed = curSeed.unionByName(guardedUpdates)
+    curSeed.unionByName(guardedUpdates)
       .withColumn("__boundary", !(lag(attrs, 1).over(w) <=> attrs))
       .filter(col("__boundary"))
       .withColumn(To, lead(col(tsCol), 1).over(w))
@@ -150,39 +166,66 @@ object Scd {
       .withColumn(Cur, col(To).isNull)
       .withColumn(From, col(tsCol))
       .select(outCols.map(col): _*)
-    closed.unionByName(collapsed)
   }
 
   private val OpPrefix = "scd2 batch="
+  private def currentPath(path: String) = s"$path/current"
+  private def closedPath(path: String, batchId: Long) = s"$path/closed/batch=$batchId"
 
   /** BatchIds already folded into the dimension at `path` (commit-log
     * metadata only — no data read). */
   def appliedBatches(spark: SparkSession, path: String): Set[Long] =
-    VersionedTable.commits(spark, path).collect {
+    VersionedTable.commits(spark, currentPath(path)).collect {
       case (_, _, op) if op.startsWith(OpPrefix) =>
         op.stripPrefix(OpPrefix).toLong
     }.toSet
 
-  /** Fold observation batch `batchId` into the PERSISTED SCD2 dimension at
-    * `path` (a [[VersionedTable]]): bootstrap via [[scd2FromHistory]] on
-    * the first batch, [[scd2Apply]] after — each commit costs
-    * O(|batch| + |current rows|), never a history rescan. Returns false
-    * iff the batch was already applied: replay identity is the BATCH ID
-    * in the commit log, so at-least-once streaming delivery
-    * ([[graft.streaming.StreamPipes.scd2Ingest]]) can't double-apply — a
-    * crashed attempt's unmarked commit is invisible
-    * ([[VersionedTable.commit]] writes its marker last) and the retry
-    * re-applies onto the pre-crash snapshot. Batches must arrive in
-    * per-key observation order (the scd2Apply late-data contract). */
+  /** Fold observation batch `batchId` into the PERSISTED SCD2 dimension
+    * at `path`. Storage splits along the rows' own lifecycle so the write
+    * cost matches the compute cost, O(|batch| + |keys|) per fold:
+    *  - `closed/batch=<id>/` — this batch's newly-closed version rows,
+    *    APPEND-ONLY (a closed row never changes again; rewriting the
+    *    ever-growing history per commit — plain COW — would make fold
+    *    cost grow linearly with dimension age);
+    *  - `current/` — the complete keys-sized current-row set, one
+    *    [[VersionedTable]] COW commit per batch (bounded by |keys|
+    *    forever), whose op tag `scd2 batch=<id>` is the BATCH's commit
+    *    marker.
+    *
+    * Replay protocol: an applied batchId (in `current`'s log) is skipped
+    * outright. A crashed attempt may leave `closed/batch=<id>` behind
+    * with no marker — invisible to readers ([[readDim]] only reads
+    * closed dirs of MARKED batches) and overwritten by the retry. Data
+    * precedes metadata: closed delta first, current commit (the marker)
+    * last. Batches must arrive in per-key observation order (the
+    * [[scd2Apply]] late-data contract). Returns false iff skipped. */
   def applyBatch(spark: SparkSession, path: String, batch: DataFrame,
       keyCols: Seq[String], tsCol: String, tieCol: String,
       attrCols: Seq[String], batchId: Long): Boolean = {
     if (appliedBatches(spark, path).contains(batchId)) return false
-    val next = VersionedTable.read(spark, path) match {
+    val collapsed = (VersionedTable.read(spark, currentPath(path)) match {
       case None => scd2FromHistory(batch, keyCols, tsCol, tieCol, attrCols)
-      case Some(dim) => scd2Apply(dim, batch, keyCols, tsCol, tieCol, attrCols)
-    }
-    VersionedTable.commit(spark, path, next, OpPrefix + batchId)
+      case Some(cur) =>
+        applyCollapsed(cur, batch, keyCols, tsCol, tieCol, attrCols)
+    }).localCheckpoint() // one evaluation feeds both slices
+    collapsed.filter(!col(Cur))
+      .write.mode("overwrite").parquet(closedPath(path, batchId))
+    VersionedTable.commit(spark, currentPath(path),
+      collapsed.filter(col(Cur)), OpPrefix + batchId)
     true
   }
+
+  /** The full dimension at `path` (closed history of every MARKED batch ∪
+    * current rows) — identical, spec-pinned, to [[scd2FromHistory]] over
+    * the concatenated batches. None if nothing was ever applied. */
+  def readDim(spark: SparkSession, path: String): Option[DataFrame] =
+    VersionedTable.read(spark, currentPath(path)).map { cur =>
+      val batches = appliedBatches(spark, path)
+      if (batches.isEmpty) cur
+      else cur.unionByName(
+        // explicit schema: a batch that closed nothing leaves an empty
+        // (part-file-less) dir, which schema inference can't read
+        spark.read.schema(cur.schema)
+          .parquet(batches.toSeq.sorted.map(closedPath(path, _)): _*))
+    }
 }

@@ -440,18 +440,21 @@ class StreamingSpec extends SparkSuite {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select($"k", $"attr", $"effective_from", $"effective_to", $"version", $"is_current")
         .as[(Long, String, Long, Option[Long], Long, Boolean)].collect().toSet
-    val streamed = canon(VersionedTable.read(spark, base).get)
+    val streamed = canon(Scd.readDim(spark, base).get)
     val rebuilt = canon(Scd.scd2FromHistory(
       (b1 ++ b2).toDF("k", "ts", "tie", "attr"), Seq("k"), "ts", "tie", Seq("attr")))
     assert(streamed === rebuilt,
       "two streamed batches must equal the full-history rebuild")
+    // the storage split holds: current/ is keys-sized, closed/ append-only
+    assert(VersionedTable.read(spark, base + "/current").get.count() === 3,
+      "current table carries exactly one row per key")
     // at-least-once replay of an applied batch: recognized, skipped
     assert(!Scd.applyBatch(spark, base, b2.toDF("k", "ts", "tie", "attr"),
       Seq("k"), "ts", "tie", Seq("attr"), batchId = 1L))
-    assert(canon(VersionedTable.read(spark, base).get) === streamed)
+    assert(canon(Scd.readDim(spark, base).get) === streamed)
     // completed AvailableNow restart with no new data is a no-op
     run()
-    assert(canon(VersionedTable.read(spark, base).get) === streamed)
+    assert(canon(Scd.readDim(spark, base).get) === streamed)
   }
 
   test("streaming aggregate ingest: per-batch folds == one-shot aggregation, replay-idempotent") {
