@@ -638,13 +638,57 @@ object Analytics {
       FROM w GROUP BY 1, 2
     """))
 
+  /** ROBUST OUTLIER DETECTION — q96's z-score hardened against the very
+    * outliers it hunts (mean/stddev are dragged by heavy tails; the
+    * median/MAD pair is not): per event type, median via exact
+    * `percentile`, MAD = median absolute deviation from it, and the
+    * count of values beyond 3.5·MAD. Two grouped exact-percentile passes
+    * with the per-group stats BROADCAST back between them (the q96
+    * shape), so the fact scan never shuffles; all comparisons are on
+    * identically-derived doubles — no rounding anywhere. */
+  val q141RobustZscore: Q = Q(
+    "q141_robust_zscore",
+    (s, dir) => {
+      val base = t(s, dir, "events").select(col("event_type"), col("value"))
+      val med = base.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("median"))
+      val scored = base.join(broadcast(med), Seq("event_type"))
+      val mad = scored.groupBy(col("event_type"))
+        .agg(expr("percentile(abs(value - median), 0.5)").as("mad"))
+      scored.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("median")).as("median"),
+          max(col("mad")).as("mad"),
+          countIf(abs(col("value") - col("median")) > lit(3.5) * col("mad"))
+            .as("n_outliers"))
+    },
+    Some("""
+      WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS median
+        FROM events GROUP BY 1),
+      mad AS (
+        SELECT e.event_type, quantile_cont(abs(e.value - m.median), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type) GROUP BY 1)
+      SELECT e.event_type,
+        COUNT(*) AS n,
+        MAX(m.median) AS median,
+        MAX(d.mad) AS mad,
+        CAST(SUM(CASE WHEN abs(e.value - m.median) > 3.5 * d.mad
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM events e
+      JOIN med m USING (event_type)
+      JOIN mad d USING (event_type)
+      GROUP BY 1
+    """))
+
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
     q47Percentiles, q115ApproxPercentiles, q48CollectList, q49AsOfJoin, q58Unpivot,
     q61Cube, q62Correlated,
     q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q78TopKAgg,
     q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize, q103GlobalRank,
-    q104ExistsChain, q109SlidingWindow, q110FromJson)
+    q104ExistsChain, q109SlidingWindow, q110FromJson, q141RobustZscore)
 
   /** Schema-full JSON parsing — `from_json` with a declared struct (vs
     * q45's per-path `get_json_object`): one parse per row into a typed

@@ -1035,10 +1035,66 @@ object EmbedQueries {
       FROM embeddings
     """))
 
+  /** EMBEDDING DRIFT MONITORING — the vector-tier PSI (q100's scalar
+    * drift check lifted to embedding space): the corpus split into two
+    * epochs (even/odd ids standing in for before/after snapshots), and
+    * each label's centroid compared across them by cosine. A shifted
+    * cosine flags the label whose representation moved — the retrain
+    * trigger for downstream ANN/classifier artifacts. Exactness recipe:
+    * per-dim sums floor-quantized @1e-9 (the q36 rule) are integer-exact
+    * per (label, epoch, dim); cosine is taken on the SUM vectors
+    * (scaling cancels — cos(sum) == cos(mean), no division before the
+    * bit-stable sequential dot). One posexplode aggregate (|labels|·2·d
+    * groups) + a labels-sized join: no per-vector shuffle, counts from a
+    * second single scan. */
+  val q140EmbeddingDrift: Q = Q(
+    "q140_embedding_drift",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val sums = e.select(col("label").cast("int").as("label"),
+          (col("vec_id") % 2 === 0).as("snap_a"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("snap_a"), col("pos"))
+        .agg(sum(floor(col("x").cast("double") * lit(1000000000.0)))
+          .cast("double").as("sc"))
+      val vecs = sums.groupBy(col("label"), col("snap_a"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("sc")))),
+          f => f.getField("sc")).as("v"))
+      val a = vecs.filter(col("snap_a")).select(col("label"), col("v").as("va"))
+      val b = vecs.filter(!col("snap_a")).select(col("label"), col("v").as("vb"))
+      val cnt = e.groupBy(col("label").cast("int").as("label")).agg(
+        countIf(col("vec_id") % 2 === 0).as("n_a"),
+        countIf(col("vec_id") % 2 =!= 0).as("n_b"))
+      a.join(b, Seq("label")).join(cnt, Seq("label"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          Similarity.cosine(col("va"), col("vb")).as("centroid_cosine"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT label, vec_id % 2 = 0 AS snap_a, i - 1 AS pos,
+          CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 1000000000.0) AS BIGINT)) AS DOUBLE) AS sc
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY 1, 2, 3),
+      v AS (
+        SELECT label, snap_a, list(sc ORDER BY pos) AS v FROM s GROUP BY 1, 2),
+      cnt AS (
+        SELECT label,
+          CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM embeddings GROUP BY 1)
+      SELECT a.label, cnt.n_a, cnt.n_b,
+        list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          AS centroid_cosine
+      FROM v a
+      JOIN v b ON a.label = b.label AND a.snap_a AND NOT b.snap_a
+      JOIN cnt ON cnt.label = a.label
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
     q118ClusterBalancedSample, q120IvfPqTopK, q121IvfPqRefine, q122IvfPqResidual,
     q123IvfPqResidualRefine, q124IvfPqPersisted, q125AnnRetrainPromote,
-    q128ContrastivePairs, q133RandomProjection)
+    q128ContrastivePairs, q133RandomProjection, q140EmbeddingDrift)
 }
