@@ -95,4 +95,27 @@ object BpeLearn {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
       .orderBy("merge_rank")
   }
+
+  /** TOKENIZE a corpus with a learned merge table — the application half
+    * of BPE ([[learnMerges]] trains it): each document's lowercase
+    * `[a-z]+` words are split to characters and every merge rule is
+    * applied in RANK ORDER as one composed left-fold column (rule i's
+    * fold feeds rule i+1's — the same leftmost-first non-overlapping
+    * semantics as training, so a word that appeared in training encodes
+    * to exactly its trained symbol sequence). The merge table is a
+    * driver-side Seq: it is vocabulary-bounded (k rows — the persisted
+    * tokenizer artifact, broadcast-trivial), and folding it INTO the
+    * expression keeps the whole encode a single codegen'd projection
+    * scan — no join, no shuffle, cost O(corpus chars · k).
+    * Output: one row per word instance (id, word, tokens). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+    val encoded = merges.foldLeft(split(col("word"), "")) {
+      case (c, (lhs, rhs)) => applyMerge(c, lhs, rhs)
+    }
+    words.select(col("id"), col("word"), encoded.as("tokens"))
+  }
 }

@@ -999,9 +999,13 @@ object TextQueries {
     * the identical left fold (`list_reduce` over a space-joined
     * accumulator — symbols are `[a-z]+` so the space separator and the
     * `LIKE '% ' || lhs` last-symbol test are unambiguous). */
-  val q131BpeMerges: Q = {
-    val k = 6
-    val maxWords = 512
+  private val BpeK = 6
+  private val BpeMaxWords = 512
+
+  /** The shared training CTE chain of the q131/q142 oracles: word-freq
+    * table → char split → k rounds of (pair count, top-1, leftmost-first
+    * rewrite via the `list_reduce` fold). */
+  private def bpeTrainCtes(k: Int, maxWords: Int): String = {
     val stages = (1 to k).map { i =>
       s"""p$i AS (
         SELECT u.a AS a, u.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -1021,17 +1025,7 @@ object TextQueries {
         FROM s${i - 1} CROSS JOIN top$i t
       )"""
     }.mkString(", ")
-    val unions = (1 to k).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM top$i")
-      .mkString(" UNION ALL ")
-    Q(
-      "q131_bpe_merges",
-      (s, dir) => {
-        val words = graft.ext.BpeLearn.wordFreq(t(s, dir, "documents"), "text", maxWords)
-        graft.ext.BpeLearn.learnMerges(s, words, k)
-      },
-      Some(s"""
-        WITH w AS (
+    s"""w AS (
           SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
             SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
             FROM documents)
@@ -1040,9 +1034,76 @@ object TextQueries {
           SELECT list_transform(generate_series(1, CAST(length(word) AS INT)),
             i -> substr(word, i, 1)) AS symbols, freq
           FROM w
-        ), $stages
+        ), $stages"""
+  }
+
+  val q131BpeMerges: Q = {
+    val unions = (1 to BpeK).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM top$i")
+      .mkString(" UNION ALL ")
+    Q(
+      "q131_bpe_merges",
+      (s, dir) => {
+        val words = graft.ext.BpeLearn.wordFreq(t(s, dir, "documents"), "text", BpeMaxWords)
+        graft.ext.BpeLearn.learnMerges(s, words, BpeK)
+      },
+      Some(s"""
+        WITH ${bpeTrainCtes(BpeK, BpeMaxWords)}
         SELECT merge_rank, lhs, rhs, pair_count FROM ($unions)
         ORDER BY merge_rank
+      """))
+  }
+
+  /** BPE ENCODING — the application half of q131 ([[graft.ext.BpeLearn
+    * .encode]]): the corpus tokenized with its OWN learned merge table
+    * (train → persist → apply, collapsed into one deterministic query),
+    * reported per document as word / alpha-char / token counts —
+    * n_tokens < n_alpha_chars is the merge table doing its job. The
+    * merge rules fold into a single composed projection expression
+    * (k nested leftmost-first folds, no join, no shuffle — the tokenizer
+    * artifact is k rows, broadcast-trivial at any corpus size); the
+    * oracle re-derives training via the shared CTE chain and applies the
+    * identical `list_reduce` fold per rank. */
+  val q142BpeEncode: Q = {
+    val encStages = (1 to BpeK).map { i =>
+      s"""e$i AS (
+        SELECT doc_id, wlen, CASE WHEN len(symbols) <= 1 THEN symbols ELSE
+          string_split(list_reduce(symbols, (acc, x) -> CASE
+            WHEN x = t.b AND (acc = t.a OR acc LIKE '% ' || t.a)
+            THEN left(acc, length(acc) - length(t.a)) || t.a || t.b
+            ELSE acc || ' ' || x END), ' ') END AS symbols
+        FROM e${i - 1} CROSS JOIN top$i t
+      )"""
+    }.mkString(", ")
+    Q(
+      "q142_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val words = graft.ext.BpeLearn.wordFreq(docs, "text", BpeMaxWords)
+        val merges = graft.ext.BpeLearn.learnMerges(s, words, BpeK)
+          .select($"lhs", $"rhs").as[(String, String)].collect().toSeq
+        graft.ext.BpeLearn.encode(docs, "doc_id", "text", merges)
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("word"))).as("n_alpha_chars"),
+            sum(size(col("tokens"))).as("n_tokens"))
+          .select(col("id").as("doc_id"), col("n_words"),
+            col("n_alpha_chars"), col("n_tokens"))
+      },
+      Some(s"""
+        WITH ${bpeTrainCtes(BpeK, BpeMaxWords)}, e0 AS (
+          SELECT doc_id, length(word) AS wlen,
+            list_transform(generate_series(1, CAST(length(word) AS INT)),
+              i -> substr(word, i, 1)) AS symbols
+          FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                FROM documents)
+        ), $encStages
+        SELECT doc_id,
+          COUNT(*) AS n_words,
+          CAST(SUM(wlen) AS BIGINT) AS n_alpha_chars,
+          CAST(SUM(len(symbols)) AS BIGINT) AS n_tokens
+        FROM e$BpeK GROUP BY doc_id
       """))
   }
 
@@ -1052,5 +1113,5 @@ object TextQueries {
     q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
     q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
     q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval,
-    q131BpeMerges)
+    q131BpeMerges, q142BpeEncode)
 }

@@ -74,6 +74,26 @@ class BpeLearnSpec extends SparkSuite {
     assert(wf === Seq(("a", 3L), ("b", 3L)))
   }
 
+  test("encode applies the merge table in rank order; trained words reach their trained form") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = reference(words, 6).map { case (a, b, _) => (a, b) }
+    val docs = Seq((1L, "newest lower zzz"), (2L, "low low")).toDF("doc_id", "text")
+    val enc = BpeLearn.encode(docs, "doc_id", "text", merges)
+      .as[(Long, String, Seq[String])].collect()
+      .groupBy(_._2).map { case (w, rs) => w -> rs.head._3 }
+    // serial application of the same rules, word by word
+    def serial(w: String) = merges.foldLeft(w.split("").toVector) { case (s, (a, b)) =>
+      s.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    }
+    for (w <- Seq("newest", "lower", "zzz", "low"))
+      assert(enc(w) === serial(w), s"word=$w")
+    // the paper corpus' top merge chain fuses "newest" into few tokens
+    assert(enc("newest").length < 6)
+  }
+
   test("bit-identical across partitionings") {
     val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
     val df = words.toSeq.toDF("word", "freq")
