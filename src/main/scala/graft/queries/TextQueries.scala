@@ -1107,11 +1107,87 @@ object TextQueries {
       """))
   }
 
+  /** BM25 RETRIEVAL SCORING (Robertson–Spärck Jones; k1=1.2, b=0.75) —
+    * the ranking half of the q50 TF-IDF index: top-20 documents for a
+    * 3-term query. Plan shape at scale: one tokenize scan feeds tf/dl;
+    * df and the corpus stats are |vocab|- and 1-row tables; the QUERY
+    * TERMS broadcast against the term-keyed postings so only matching
+    * postings survive before any doc-keyed work; final ranking is
+    * TakeOrderedAndProject. Determinism: idf uses the RATIONAL form
+    * (N−df+0.5)/(df+0.5) — a monotone transform of the classic
+    * log-idf that keeps every value a fixed-order division of
+    * identically-derived doubles (ln's last-ulp varies by libm, the same
+    * reason q126 ships the linear DSIR variant); per-doc summation is
+    * over the three FIXED term slots in written order, never an
+    * unordered float reduce. */
+  val q143Bm25: Q = Q(
+    "q143_bm25",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val qterms = s.range(1).select(
+        explode(typedLit(Seq("spark", "join", "window"))).as("term"))
+      val avgdl = col("total").cast("double") / col("n_docs")
+      val scored = tf.join(broadcast(qterms), Seq("term"))
+        .join(broadcast(df), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("score_t",
+          (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)) *
+            ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      scored.groupBy(col("doc_id")).agg(
+          max(when(col("term") === "spark", col("score_t"))).as("s_spark"),
+          max(when(col("term") === "join", col("score_t"))).as("s_join"),
+          max(when(col("term") === "window", col("score_t"))).as("s_window"))
+        .select(col("doc_id"),
+          (coalesce(col("s_spark"), lit(0.0)) + coalesce(col("s_join"), lit(0.0))
+            + coalesce(col("s_window"), lit(0.0))).as("bm25"),
+          col("s_spark"), col("s_join"), col("s_window"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+      df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      scored AS (
+        -- e-notation literals parse as DOUBLE (a bare 0.75 is DECIMAL in
+        -- DuckDB, which silently reroutes the arithmetic through exact
+        -- decimal ops and lands one ulp away from the double path)
+        SELECT tf.doc_id, tf.term,
+          (tf.tf * 2.2e0)
+            / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / (CAST(stats.total AS DOUBLE) / stats.n_docs)))
+            * ((stats.n_docs - df.df + 0.5e0) / (df.df + 0.5e0)) AS score_t
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        WHERE tf.term IN ('spark', 'join', 'window')),
+      agg AS (
+        SELECT doc_id,
+          MAX(CASE WHEN term = 'spark' THEN score_t END) AS s_spark,
+          MAX(CASE WHEN term = 'join' THEN score_t END) AS s_join,
+          MAX(CASE WHEN term = 'window' THEN score_t END) AS s_window
+        FROM scored GROUP BY 1)
+      SELECT doc_id,
+        COALESCE(s_spark, 0.0) + COALESCE(s_join, 0.0) + COALESCE(s_window, 0.0) AS bm25,
+        s_spark, s_join, s_window
+      FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
     q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
     q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
     q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval,
-    q131BpeMerges, q142BpeEncode)
+    q131BpeMerges, q142BpeEncode, q143Bm25)
 }
