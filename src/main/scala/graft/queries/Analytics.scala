@@ -682,13 +682,64 @@ object Analytics {
       GROUP BY 1
     """))
 
+  /** LAST-TOUCH ATTRIBUTION — each purchase credited to its user's most
+    * recent prior click/view (72 h lookback; older or absent → 'direct'),
+    * then purchases and revenue rolled up per channel. The classic
+    * marketing twin of q49's as-of join expressed as ONE window pass: a
+    * running last-non-null touch struct over (user, time) — no self-join,
+    * so the event stream shuffles once on user_id and never against
+    * itself. Deterministic: (ts, event_id) total order, integer-µs
+    * lookback comparison, decimal-exact revenue. */
+  val q144Attribution: Q = Q(
+    "q144_attribution",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .withColumn("touch",
+          last(when(col("event_type").isin("click", "view"),
+            struct(col("ts").as("t_ts"), col("event_type").as("t_type"))),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("touch").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("touch.t_ts")) > 259200000000L,
+            lit("direct")).otherwise(col("touch.t_type")))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value"), 6).as("revenue"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""
+      WITH tagged AS (
+        SELECT event_id, user_id, ts, value, event_type,
+          last_value(CASE WHEN event_type IN ('click', 'view')
+              THEN struct_pack(t_ts := ts, t_type := event_type) END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        FROM events),
+      purchases AS (
+        SELECT *,
+          CASE WHEN touch IS NULL
+                 OR epoch_us(ts) - epoch_us(touch.t_ts) > 259200000000
+            THEN 'direct' ELSE touch.t_type END AS channel
+        FROM tagged WHERE event_type = 'purchase')
+      SELECT channel,
+        COUNT(*) AS n_purchases,
+        %s AS revenue,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM purchases GROUP BY channel
+    """.format(QueryDsl.oracleDsum("value", 6))))
+
   val all: Seq[Q] = Seq(
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
     q47Percentiles, q115ApproxPercentiles, q48CollectList, q49AsOfJoin, q58Unpivot,
     q61Cube, q62Correlated,
     q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q78TopKAgg,
     q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize, q103GlobalRank,
-    q104ExistsChain, q109SlidingWindow, q110FromJson, q141RobustZscore)
+    q104ExistsChain, q109SlidingWindow, q110FromJson, q141RobustZscore,
+    q144Attribution)
 
   /** Schema-full JSON parsing — `from_json` with a declared struct (vs
     * q45's per-path `get_json_object`): one parse per row into a typed

@@ -118,6 +118,52 @@ object MiscQueries {
     },
     None)
 
+  /** RFM SEGMENTATION — the classic customer-value grid: per customer,
+    * Recency (latest order), Frequency (order count), Monetary (decimal-
+    * exact spend), each quintile-scored by a global `ntile(5)` with a
+    * custkey tiebreak (total order ⇒ the SQL-standard tile-size rule
+    * lands identically in any engine). Global ntile needs a global sort
+    * — correct for exact quantile assignment; at 100 TB swap in
+    * percentile CUTOFFS (q47's recipe) and score by comparison, which
+    * this query's aggregate stage feeds unchanged. Output is one row per
+    * customer with scores + the concatenated segment key. */
+  val q145RfmSegments: Q = Q(
+    "q145_rfm_segments",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rfm = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          dsum(col("o_totalprice"), 2).as("monetary"))
+      val wr = Window.orderBy(col("last_order").desc, col("o_custkey"))
+      val wf = Window.orderBy(col("frequency").desc, col("o_custkey"))
+      val wm = Window.orderBy(col("monetary").desc, col("o_custkey"))
+      rfm.withColumn("r_score", ntile(5).over(wr).cast("long"))
+        .withColumn("f_score", ntile(5).over(wf).cast("long"))
+        .withColumn("m_score", ntile(5).over(wm).cast("long"))
+        .withColumn("segment",
+          concat(col("r_score"), lit("-"), col("f_score"), lit("-"), col("m_score")))
+        .select("o_custkey", "last_order", "frequency", "monetary",
+          "r_score", "f_score", "m_score", "segment")
+    },
+    Some("""
+      WITH rfm AS (
+        SELECT o_custkey,
+          MAX(o_orderdate) AS last_order,
+          COUNT(*) AS frequency,
+          %s AS monetary
+        FROM orders GROUP BY o_custkey)
+      SELECT o_custkey, last_order, frequency, monetary,
+        CAST(NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT) AS r_score,
+        CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+        CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score,
+        CAST(NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS VARCHAR) || '-' ||
+          CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR) || '-' ||
+          CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR) AS segment
+      FROM rfm
+    """.format(QueryDsl.oracleDsum("o_totalprice", 2))))
+
   val all: Seq[Q] = Seq(q37Stddev, q38ApproxDistinct, q39SimhashNearDup, q51CorrCovar,
-    q99HllMerge)
+    q99HllMerge, q145RfmSegments)
 }
