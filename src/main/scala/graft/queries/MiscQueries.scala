@@ -164,6 +164,68 @@ object MiscQueries {
       FROM rfm
     """.format(QueryDsl.oracleDsum("o_totalprice", 2))))
 
+  /** CHI-SQUARE INDEPENDENCE TEST (lang × source over the corpus) — the
+    * dataset-bias screen: is document source independent of language?
+    * Counts are integer-exact; expected cells are row·col/N double
+    * divisions of identical inputs; and the χ² SUM — a float reduction
+    * whose result depends on addition order — is made engine-portable by
+    * folding the per-cell terms IN (lang, source) ORDER: Spark sorts the
+    * collected cell structs and left-folds with `aggregate`, DuckDB
+    * builds `list(term ORDER BY …)` and left-folds with `list_reduce`.
+    * The ordered-fold is the general recipe for any cross-engine float
+    * reduction too irregular for the decimal or floor-quantize rules.
+    * Cell count is |langs|·|sources| (tiny); everything before the fold
+    * is one grouped count. */
+  val q146ChiSquare: Q = Q(
+    "q146_chi_square",
+    (s, dir) => {
+      val cells = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val wl = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      val ws = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy()
+      val terms = cells
+        .withColumn("row_t", sum(col("o")).over(wl))
+        .withColumn("col_t", sum(col("o")).over(ws))
+        .withColumn("n", sum(col("o")).over(wn))
+        .withColumn("e", col("row_t") * col("col_t") / col("n").cast("double"))
+        .withColumn("term", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+      terms.agg(
+          max(col("n")).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          aggregate(
+            transform(sort_array(collect_list(struct(col("lang"), col("source"), col("term")))),
+              f => f.getField("term")),
+            lit(0.0), (acc, x) => acc + x).as("chi2"))
+        .withColumn("dof", (col("n_langs") - 1) * (col("n_sources") - 1))
+        .select("n_docs", "n_langs", "n_sources", "dof", "chi2")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2),
+      terms AS (
+        SELECT lang, source, o,
+          SUM(o) OVER (PARTITION BY lang) AS row_t,
+          SUM(o) OVER (PARTITION BY source) AS col_t,
+          SUM(o) OVER () AS n
+        FROM cells),
+      scored AS (
+        SELECT lang, source, o, n,
+          (o - row_t * col_t / CAST(n AS DOUBLE))
+            * (o - row_t * col_t / CAST(n AS DOUBLE))
+            / (row_t * col_t / CAST(n AS DOUBLE)) AS term
+        FROM terms)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+        COUNT(DISTINCT lang) AS n_langs,
+        COUNT(DISTINCT source) AS n_sources,
+        (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS dof,
+        list_reduce(list_prepend(0.0e0, list(term ORDER BY lang, source)),
+          (acc, x) -> acc + x) AS chi2
+      FROM scored
+    """))
+
   val all: Seq[Q] = Seq(q37Stddev, q38ApproxDistinct, q39SimhashNearDup, q51CorrCovar,
-    q99HllMerge, q145RfmSegments)
+    q99HllMerge, q145RfmSegments, q146ChiSquare)
 }
