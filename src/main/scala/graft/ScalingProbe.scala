@@ -150,6 +150,31 @@ object ScalingProbe {
       }
     }
 
+    if (mode == "graph" || mode == "all") {
+      // Iterative-graph-tier growth: PageRank (5 rounds) and LabelProp
+      // (4 rounds) over synthetic hash-random graphs, |E| spanning 100×
+      // at constant avg degree 10. The claim: per-run wall grows ~LINEAR
+      // in |E| (each round is one src-keyed join + keyed aggregates over
+      // the edge table, no quadratic term, no driver-side per-node work).
+      def rep2g(f: => Unit): Double = (1 to 2).map(_ => timed(f)._2).min
+      for (ne <- Seq(100000L, 1000000L, 10000000L)) {
+        val n = ne / 10
+        val base = spark.range(ne).select(
+          pmod(xxhash64(col("id")), lit(n)).as("src"),
+          pmod(xxhash64(col("id"), lit(7)), lit(n)).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val edges = base.unionAll(
+          base.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint()
+        val ecount = edges.count()
+        val prSec = rep2g(ext.PageRank.run(edges, 5).count())
+        val lpSec = rep2g(ext.LabelProp.run(edges, 4).count())
+        println(f"[sp] graph |E|=$ecount%-9d nodes≈$n%-8d " +
+          f"pagerank5=$prSec%6.2f s labelprop4=$lpSec%6.2f s")
+        Housekeeping.releaseAll(spark)
+      }
+    }
+
     if (mode == "skew" || mode == "all") {
       // A hot PREFIX token requires being among a doc's plen rarest —
       // PPJoin's rarest-first ordering keeps common tokens OUT of
