@@ -175,6 +175,94 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit AVERAGE-HASH perceptual fingerprint of an image payload (the
+    * classic aHash): decode, integer 8×8 average-pool the Rec.601
+    * luminance, set bit (r,c) iff its cell mean exceeds the global mean.
+    * Robust to resizing/re-encoding (the pooling discards resolution),
+    * which byte-level hashing is not — the standard cheap screen for
+    * near-duplicate IMAGES in a multimodal corpus. All-integer: the
+    * mean comparison is the exact cross-multiplication
+    * `cellSum·nTotal > totalSum·nCell` (no float, no division), so the
+    * hash is bit-stable across JVMs/platforms. Images ≥ 2^31 px return
+    * None before the products could overflow. None for undecodable
+    * payloads, same contract as [[decodeImage]]. */
+  def aHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth.toLong * img.getHeight >= Int.MaxValue) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            val cell = (y * 8 / h) * 8 + (x * 8 / w)
+            sums(cell) += lum
+            cnts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val totalSum = sums.sum
+        val nTotal = w.toLong * h
+        var hash = 0L
+        var c = 0
+        while (c < 64) {
+          if (cnts(c) > 0 && sums(c) * nTotal > totalSum * cnts(c))
+            hash |= (1L << c)
+          c += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** (media_id, ahash) for every DECODABLE image row — per-partition
+    * decode like [[featurize]]; undecodable rows drop (they can't be
+    * perceptually compared). */
+  def aHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.filter(col("kind") === "image").select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          aHash(r.getAs[Array[Byte]]("payload")).map(h => Row(r.getLong(0), h))
+        }
+      }(enc)
+  }
+
+  /** NEAR-DUPLICATE IMAGE PAIRS by perceptual hash: [[aHash]] every
+    * image, block candidates on 4×16-bit hash bands (the SimHash
+    * pigeonhole — any pair within hamming ≤ 3 shares at least one intact
+    * band, so the blocking is LOSSLESS for `maxHamming` ≤ 3; beyond that
+    * it's the recall dial), verify by exact `bit_count(xor)`. One decode
+    * scan + a band-keyed self-join — candidate volume is per-bucket
+    * bounded, never all-pairs, the [[Dedup]] LSH shape applied to the
+    * image modality. Output (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val h = aHashes(media)
+    val bands = h.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("ahash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.select(col("band"), col("key"), col("media_id").as("id_a"), col("ahash").as("h_a"))
+    val b = bands.select(col("band"), col("key"), col("media_id").as("id_b"), col("ahash").as("h_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling plumbing for video rows: one output row per sampled
     * frame index (every `stride`-th frame) — the explode-shaped generator a
     * real frame extractor plugs into. */

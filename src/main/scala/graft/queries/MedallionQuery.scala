@@ -118,6 +118,26 @@ object MedallionQuery {
     },
     None)
 
+  /** PERCEPTUAL IMAGE NEAR-DUP ([[graft.ext.Multimodal.imageNearDupPairs]]):
+    * aHash fingerprints over the REAL PNG decode path, 4×16-bit band
+    * blocking (lossless at hamming ≤ 3), exact bit_count verify — image
+    * dedup as a first-class corpus operator beside the text/embedding
+    * tiers. The corpus is the q60 synthetic media table plus planted
+    * re-ingests (every 30th image duplicated under a new id), which the
+    * pairs must surface at hamming 0. No SQL oracle (DuckDB cannot
+    * decode PNG): rows-only + MultimodalSpec's pixel-level invariance
+    * tests. */
+  val q147ImageNearDup: Q = Q(
+    "q147_image_neardup",
+    (s, _) => {
+      import graft.ext.Multimodal
+      val media = Multimodal.synthesize(s, 3000L)
+      val dups = media.filter(col("kind") === "image" && col("media_id") % 30 === 0)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      Multimodal.imageNearDupPairs(media.unionByName(dups), maxHamming = 3)
+    },
+    None)
+
   /** Deterministic train/test split (§2.11, ref 04:93-95): the reference
     * does a driver-side sklearn split; the Spark-native analogue assigns
     * each row by a stable key function — reproducible across runs/engines,
@@ -200,5 +220,6 @@ object MedallionQuery {
       GROUP BY kind
     """))
 
-  val all: Seq[Q] = Seq(q54Medallion, q60Multimodal, q64TrainTestSplit, q79MultimodalMeta)
+  val all: Seq[Q] = Seq(q54Medallion, q60Multimodal, q64TrainTestSplit,
+    q79MultimodalMeta, q147ImageNearDup)
 }

@@ -133,4 +133,63 @@ class MultimodalSpec extends SparkSuite {
     assert(bad.count() === 0)
     assert(resized.filter($"kind" === "audio" && $"meta.sample_rate" =!= 16000).count() === 0)
   }
+
+  /** Gray 8×8-patterned PNG: `pattern` bit (r·8+c) dark/light, each cell
+    * `scale`×`scale` pixels. */
+  private def patternPng(pattern: Long, scale: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8 * scale, 8 * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8 * scale; x <- 0 until 8 * scale) {
+      val bit = (pattern >>> ((y / scale) * 8 + (x / scale))) & 1L
+      val v = if (bit == 1L) 230 else 20
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash is resolution-invariant and recovers the planted cell pattern") {
+    val p = 0x0F0F00FFCCAA3355L
+    val h1 = Multimodal.aHash(patternPng(p, 1)).get
+    val h4 = Multimodal.aHash(patternPng(p, 4)).get
+    assert(h1 === h4, "average pooling must erase resolution")
+    assert(h1 === p, "bright cells sit above the global mean exactly at the pattern bits")
+    assert(Multimodal.aHash(null).isEmpty)
+    assert(Multimodal.aHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("imageNearDupPairs: banding is lossless at hamming <= 3, verify filter exact") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = 0x0F0F00FFCCAA3355L
+    val twoOff = base ^ 0x0000000000000009L // flip cells 0 and 3: hamming 2
+    val farOff = ~base // hamming 64
+    val rows = Seq(
+      Row(1L, "image", patternPng(base, 2), Row(null, null, null, null)),
+      Row(2L, "image", patternPng(base, 3), Row(null, null, null, null)), // same hash, diff res
+      Row(3L, "image", patternPng(twoOff, 2), Row(null, null, null, null)),
+      Row(4L, "image", patternPng(farOff, 2), Row(null, null, null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val pairs = Multimodal.imageNearDupPairs(df, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0L), (1L, 3L, 2L), (2L, 3L, 2L)),
+      "exact dup at 0, two-bit pair at 2, far image excluded")
+    // tighter dial drops the hamming-2 pairs but keeps the exact dup
+    val tight = Multimodal.imageNearDupPairs(df, maxHamming = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tight === Set((1L, 2L, 0L)))
+  }
+
+  test("q147 corpus: every planted duplicate id is recovered at hamming 0") {
+    val media = Multimodal.synthesize(spark, 300L)
+    val dups = media.filter($"kind" === "image" && $"media_id" % 30 === 0)
+      .withColumn("media_id", $"media_id" + 1000000L)
+    val pairs = Multimodal.imageNearDupPairs(media.unionByName(dups), maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    val planted = pairs.filter(p => p._2 == p._1 + 1000000L)
+    assert(planted.length === 10, "300 rows -> ids 0,30,...,270 planted")
+    assert(planted.forall(_._3 === 0L), "identical payloads must hash identically")
+  }
 }
