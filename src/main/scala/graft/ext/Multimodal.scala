@@ -37,12 +37,13 @@ object Multimodal {
 
   /** Deterministic synthetic media table — stands in for a real ingest;
     * executors synthesize their own partitions. Image rows carry REAL PNG
-    * bytes (a small deterministic thumbnail, decodable by any PNG reader);
-    * audio/video payloads are opaque hash bytes, matching the stubbed
-    * decode path for those kinds. Payload thumbnails are deliberately small
-    * (≤19×15) so synthesis stays O(rows); `meta` carries the full-size
-    * dimensions the resize/sampling plumbing operates on, as a real
-    * ingest's sidecar metadata would. */
+    * bytes (a small deterministic thumbnail, decodable by any PNG reader)
+    * and audio rows REAL RIFF/WAVE PCM bytes (decodable by the JDK's own
+    * javax.sound reader); video payloads are opaque hash bytes, matching
+    * the stubbed decode path for that kind. Payloads are deliberately
+    * small (≤19×15 px / ≤319 samples) so synthesis stays O(rows); `meta`
+    * carries the full-size dimensions the resize/sampling plumbing
+    * operates on, as a real ingest's sidecar metadata would. */
   def synthesize(spark: SparkSession, n: Long): DataFrame = {
     val kinds = array(lit("image"), lit("audio"), lit("video"))
     val base = spark.range(n)
@@ -52,15 +53,19 @@ object Multimodal {
       .withColumn("meta", struct(
         when(col("kind") === "image", (col("id") % 1024 + 64).cast("int")).as("width"),
         when(col("kind") === "image", (col("id") % 768 + 64).cast("int")).as("height"),
-        when(col("kind") === "audio", lit(16000)).as("sample_rate"),
+        when(col("kind") === "audio", lit(8000)).as("sample_rate"),
         when(col("kind") === "video", (col("id") % 300 + 30).cast("int")).as("n_frames")))
       .select("media_id", "kind", "payload", "meta")
     val enc = org.apache.spark.sql.Encoders.row(base.schema)
     base.mapPartitions { rows =>
       rows.map { r =>
-        if (r.getString(1) == "image")
-          Row(r.getLong(0), r.getString(1), synthImagePng(r.getLong(0)), r.getStruct(3))
-        else r
+        r.getString(1) match {
+          case "image" =>
+            Row(r.getLong(0), r.getString(1), synthImagePng(r.getLong(0)), r.getStruct(3))
+          case "audio" =>
+            Row(r.getLong(0), r.getString(1), synthAudioWav(r.getLong(0)), r.getStruct(3))
+          case _ => r
+        }
       }
     }(enc)
   }
@@ -132,13 +137,82 @@ object Multimodal {
     }
   }
 
-  /** Codec dispatch: real ImageIO decode for images (stub fallback only if
-    * the payload isn't a decodable image), deterministic stub for
-    * audio/video (no audio/video codec libs in this environment — this
-    * `(bytes, kind) => Array[Float]` signature is the swap point). */
+  /** Deterministic tiny PCM WAV (mono, 16-bit, 8 kHz): an integer
+    * sawtooth with LCG jitter — pure integer synthesis, bit-identical on
+    * any platform, and a genuine RIFF/WAVE container the JDK's own
+    * javax.sound reader decodes. The audio twin of [[synthImagePng]]. */
+  def synthAudioWav(id: Long): Array[Byte] = {
+    val n = (id % 256 + 64).toInt
+    val samples = new Array[Short](n)
+    var s = id * 2654435761L + 12345L
+    var i = 0
+    while (i < n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val saw = ((i * (id % 17 + 3)) % 64).toInt * 512 - 16384
+      val jitter = (s >>> 48).toShort / 8
+      samples(i) = (saw + jitter).toShort
+      i += 1
+    }
+    val bytes = new Array[Byte](n * 2)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(samples)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` — WAV/PCM support ships
+    * IN the JDK, no external codec needed (compressed formats like
+    * MP3/AAC would; those still stub). Emits a `dim`-bin mean-|amplitude|
+    * time envelope normalized to [0,1]: integer sample sums per bin, one
+    * float division at the end — deterministic, duration-invariant
+    * binning. None for null/non-WAV/non-16-bit payloads, the
+    * [[decodeImage]] contract. */
+  def decodeAudio(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (payload == null) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return None
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      if (n == 0) return None
+      val sb = java.nio.ByteBuffer.wrap(raw)
+        .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        .asShortBuffer()
+      val sums = new Array[Long](dim)
+      val cnts = new Array[Long](dim)
+      var i = 0
+      while (i < n) {
+        sums((i.toLong * dim / n).toInt) += math.abs(sb.get(i).toLong)
+        cnts((i.toLong * dim / n).toInt) += 1
+        i += 1
+      }
+      val out = new Array[Float](dim)
+      var c = 0
+      while (c < dim) {
+        out(c) = if (cnts(c) == 0) 0f else (sums(c).toFloat / cnts(c)) / 32768f
+        c += 1
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Codec dispatch: real ImageIO decode for images, real javax.sound
+    * decode for WAV/PCM audio (stub fallback only when the payload isn't
+    * decodable), deterministic stub for video (no container demuxer in
+    * the JDK — this `(bytes, kind) => Array[Float]` signature is the
+    * swap point). */
   def decode(payload: Array[Byte], kind: String, dim: Int): Array[Float] =
     kind match {
       case "image" => decodeImage(payload, dim).getOrElse(decodeStub(payload, kind, dim))
+      case "audio" => decodeAudio(payload, dim).getOrElse(decodeStub(payload, kind, dim))
       case _       => decodeStub(payload, kind, dim)
     }
 

@@ -91,7 +91,7 @@ class MultimodalSpec extends SparkSuite {
     assert(viaBmp.toSeq === viaPng.toSeq, "lossless formats must decode to identical features")
   }
 
-  test("featurize routes images through the real decoder, audio/video through the stub") {
+  test("featurize routes image+audio through real decoders, video through the stub") {
     val feats = Multimodal.featurize(media, dim = 16)
       .join(media.select($"media_id", $"payload"), "media_id")
       .collect()
@@ -99,11 +99,37 @@ class MultimodalSpec extends SparkSuite {
       val kind = r.getString(1)
       val got = r.getSeq[Float](2)
       val payload = r.getAs[Array[Byte]]("payload")
-      if (kind == "image")
-        assert(got === Multimodal.decodeImage(payload, 16).get.toSeq)
-      else
-        assert(got === Multimodal.decodeStub(payload, kind, 16).toSeq)
+      kind match {
+        case "image" =>
+          assert(got === Multimodal.decodeImage(payload, 16).get.toSeq)
+        case "audio" =>
+          assert(got === Multimodal.decodeAudio(payload, 16).get.toSeq)
+          assert(got !== Multimodal.decodeStub(payload, kind, 16).toSeq,
+            "real WAV decode must not silently fall back to the stub")
+        case _ =>
+          assert(got === Multimodal.decodeStub(payload, kind, 16).toSeq)
+      }
     }
+  }
+
+  test("decodeAudio reads real PCM frames: envelope matches a serial WAV parse") {
+    val wav = Multimodal.synthAudioWav(7L)
+    val got = Multimodal.decodeAudio(wav, 8).get
+    // serial reference: skip the 44-byte canonical RIFF header, little-
+    // endian 16-bit mono samples, mean |amplitude| per of 8 bins
+    val data = wav.drop(44)
+    val n = data.length / 2
+    val samples = (0 until n).map { i =>
+      (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff)).toShort
+    }
+    val ref = (0 until 8).map { b =>
+      val bin = samples.zipWithIndex.filter { case (_, i) => i.toLong * 8 / n == b }
+      (bin.map(s => math.abs(s._1.toLong)).sum.toFloat / bin.size) / 32768f
+    }
+    assert(got.toSeq === ref)
+    // non-WAV bytes decode to None (and dispatch falls back to the stub)
+    assert(Multimodal.decodeAudio(Array[Byte](9, 9, 9, 9), 8).isEmpty)
+    assert(Multimodal.decodeAudio(null, 8).isEmpty)
   }
 
   test("undecodable image payload falls back to the stub, never throws") {
@@ -131,7 +157,7 @@ class MultimodalSpec extends SparkSuite {
     val bad = resized.filter($"kind" === "image" &&
       (coalesce($"meta.width", lit(0)) > 256 || coalesce($"meta.height", lit(0)) > 256))
     assert(bad.count() === 0)
-    assert(resized.filter($"kind" === "audio" && $"meta.sample_rate" =!= 16000).count() === 0)
+    assert(resized.filter($"kind" === "audio" && $"meta.sample_rate" =!= 8000).count() === 0)
   }
 
   /** Gray 8×8-patterned PNG: `pattern` bit (r·8+c) dark/light, each cell
