@@ -313,22 +313,22 @@ object Multimodal {
       }(enc)
   }
 
-  /** NEAR-DUPLICATE IMAGE PAIRS by perceptual hash: [[aHash]] every
-    * image, block candidates on 4×16-bit hash bands (the SimHash
-    * pigeonhole — any pair within hamming ≤ 3 shares at least one intact
-    * band, so the blocking is LOSSLESS for `maxHamming` ≤ 3; beyond that
-    * it's the recall dial), verify by exact `bit_count(xor)`. One decode
-    * scan + a band-keyed self-join — candidate volume is per-bucket
-    * bounded, never all-pairs, the [[Dedup]] LSH shape applied to the
-    * image modality. Output (id_a, id_b, hamming), id_a < id_b. */
-  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val h = aHashes(media)
-    val bands = h.select(col("media_id"), col("ahash"),
+  /** NEAR-DUPLICATE PAIRS over any 64-bit perceptual fingerprint table
+    * ((media_id, hash)): block candidates on 4×16-bit hash bands (the
+    * SimHash pigeonhole — any pair within hamming ≤ 3 shares at least
+    * one intact band, so the blocking is LOSSLESS for `maxHamming` ≤ 3;
+    * beyond that it's the recall dial), verify by exact
+    * `bit_count(xor)`. One band-keyed self-join — candidate volume is
+    * per-bucket bounded, never all-pairs, the [[Dedup]] LSH shape for
+    * fixed-width fingerprints. Output (id_a, id_b, hamming), id_a <
+    * id_b. */
+  def hashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = hashes.select(col("media_id"), col("hash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
-      .select(col("media_id"), col("ahash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = bands.select(col("band"), col("key"), col("media_id").as("id_a"), col("ahash").as("h_a"))
-    val b = bands.select(col("band"), col("key"), col("media_id").as("id_b"), col("ahash").as("h_b"))
+        shiftrightunsigned(col("hash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("hash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.select(col("band"), col("key"), col("media_id").as("id_a"), col("hash").as("h_a"))
+    val b = bands.select(col("band"), col("key"), col("media_id").as("id_b"), col("hash").as("h_b"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -336,6 +336,42 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Image near-dup pairs: [[aHash]] fingerprints → [[hashNearDupPairs]]
+    * (one real-decode scan feeds the band join). */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    hashNearDupPairs(aHashes(media).withColumnRenamed("ahash", "hash"), maxHamming)
+
+  /** 64-bit audio fingerprint over the REAL WAV decode: bit b set iff
+    * the 64-bin mean-|amplitude| envelope exceeds its own mean in bin b
+    * — the [[aHash]] construction on the time axis, invariant to
+    * duration (binning) and overall gain (mean threshold). */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    decodeAudio(payload, 64).map { env =>
+      val mean = env.sum / 64f
+      var h = 0L
+      var b = 0
+      while (b < 64) { if (env(b) > mean) h |= (1L << b); b += 1 }
+      h
+    }
+
+  /** (media_id, hash) for every decodable audio row. */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("hash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.filter(col("kind") === "audio").select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          audioFingerprint(r.getAs[Array[Byte]]("payload")).map(h => Row(r.getLong(0), h))
+        }
+      }(enc)
+  }
+
+  /** Audio near-dup pairs: envelope fingerprints → [[hashNearDupPairs]]. */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    hashNearDupPairs(audioFingerprints(media), maxHamming)
 
   /** Frame sampling plumbing for video rows: one output row per sampled
     * frame index (every `stride`-th frame) — the explode-shaped generator a

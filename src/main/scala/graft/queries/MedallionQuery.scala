@@ -220,6 +220,23 @@ object MedallionQuery {
       GROUP BY kind
     """))
 
+  /** AUDIO NEAR-DUP ([[graft.ext.Multimodal.audioNearDupPairs]]): the
+    * q147 construction on the audio modality — 64-bit envelope
+    * fingerprints over the REAL javax.sound WAV decode, same band-
+    * blocked hamming join. Planted re-ingests (every 30th audio row
+    * duplicated) must surface at hamming 0. Rows-only (DuckDB decodes
+    * no WAV); MultimodalSpec covers the fingerprint + blocking. */
+  val q148AudioNearDup: Q = Q(
+    "q148_audio_neardup",
+    (s, _) => {
+      import graft.ext.Multimodal
+      val media = Multimodal.synthesize(s, 3000L)
+      val dups = media.filter(col("kind") === "audio" && col("media_id") % 30 === 1)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      Multimodal.audioNearDupPairs(media.unionByName(dups), maxHamming = 3)
+    },
+    None)
+
   val all: Seq[Q] = Seq(q54Medallion, q60Multimodal, q64TrainTestSplit,
-    q79MultimodalMeta, q147ImageNearDup)
+    q79MultimodalMeta, q147ImageNearDup, q148AudioNearDup)
 }

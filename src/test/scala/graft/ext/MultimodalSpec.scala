@@ -208,6 +208,24 @@ class MultimodalSpec extends SparkSuite {
     assert(tight === Set((1L, 2L, 0L)))
   }
 
+  test("audio fingerprints: duration/gain-invariant construction, planted dups recovered") {
+    // identical payload -> identical fingerprint, distinct ids -> (almost
+    // surely) distinct waveforms
+    val f1 = Multimodal.audioFingerprint(Multimodal.synthAudioWav(5L)).get
+    val f1b = Multimodal.audioFingerprint(Multimodal.synthAudioWav(5L)).get
+    val f2 = Multimodal.audioFingerprint(Multimodal.synthAudioWav(6L)).get
+    assert(f1 === f1b)
+    assert(f1 !== f2)
+    assert(Multimodal.audioFingerprint(Array[Byte](1, 2, 3)).isEmpty)
+    val media = Multimodal.synthesize(spark, 300L)
+    val dups = media.filter($"kind" === "audio" && $"media_id" % 30 === 1)
+      .withColumn("media_id", $"media_id" + 1000000L)
+    val pairs = Multimodal.audioNearDupPairs(media.unionByName(dups), maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    val planted = pairs.filter(p => p._2 == p._1 + 1000000L)
+    assert(planted.length === 10 && planted.forall(_._3 === 0L))
+  }
+
   test("q147 corpus: every planted duplicate id is recovered at hamming 0") {
     val media = Multimodal.synthesize(spark, 300L)
     val dups = media.filter($"kind" === "image" && $"media_id" % 30 === 0)
