@@ -215,17 +215,84 @@ object Scd {
     true
   }
 
+  private val CompactRe = "^scd2 compact=(\\d+) upto=(\\d+)$".r
+  private def compactDir(path: String, v: Long) = s"$path/closed/compact=$v"
+
+  /** The latest committed closed-history compaction, as (dir version,
+    * covered-through batchId). */
+  private def latestCompaction(spark: SparkSession, path: String): Option[(Long, Long)] =
+    VersionedTable.commits(spark, currentPath(path)).collect {
+      case (_, _, CompactRe(v, u)) => (v.toLong, u.toLong)
+    }.lastOption
+
+  /** The current closed-history read set: the latest compacted dir (if
+    * any) + per-batch dirs of batches applied after it. */
+  private def closedDirs(spark: SparkSession, path: String): Seq[String] = {
+    val batches = appliedBatches(spark, path)
+    latestCompaction(spark, path) match {
+      case None => batches.toSeq.sorted.map(closedPath(path, _))
+      case Some((v, upto)) => compactDir(path, v) +:
+        batches.filter(_ > upto).toSeq.sorted.map(closedPath(path, _))
+    }
+  }
+
   /** The full dimension at `path` (closed history of every MARKED batch ∪
     * current rows) — identical, spec-pinned, to [[scd2FromHistory]] over
     * the concatenated batches. None if nothing was ever applied. */
   def readDim(spark: SparkSession, path: String): Option[DataFrame] =
     VersionedTable.read(spark, currentPath(path)).map { cur =>
-      val batches = appliedBatches(spark, path)
-      if (batches.isEmpty) cur
+      val dirs = closedDirs(spark, path)
+      if (dirs.isEmpty) cur
       else cur.unionByName(
         // explicit schema: a batch that closed nothing leaves an empty
         // (part-file-less) dir, which schema inference can't read
-        spark.read.schema(cur.schema)
-          .parquet(batches.toSeq.sorted.map(closedPath(path, _)): _*))
+        spark.read.schema(cur.schema).parquet(dirs: _*))
+    }
+
+  /** OPTIMIZE for the closed history: fold the current read set (batch
+    * deltas + any previous compaction) into one `closed/compact=<V>` dir
+    * of `targetFiles` files and commit the marker — long-running
+    * maintenance accretes one closed dir per fold forever (the small-
+    * files problem; every [[readDim]] pays per-dir listing + per-file
+    * open cost), and compaction is the standard answer, exactly as
+    * [[AnnIndex.compact]] closes the same loop for ANN shards. Data
+    * precedes metadata: the compacted dir lands first, then ONE
+    * current-table commit (op `scd2 compact=<V> upto=<B>`) publishes it
+    * — a crashed compaction leaves an unreferenced dir that the next
+    * [[vacuumClosed]] sweeps, never a half-visible read set. BatchId
+    * replay dedup is untouched (batch markers stay in the log). Returns
+    * the number of dirs folded (0 = nothing to do, no commit). */
+  def compactClosed(spark: SparkSession, path: String, targetFiles: Int = 1): Int = {
+    val dirs = closedDirs(spark, path)
+    if (dirs.size <= 1) return 0
+    val cur = VersionedTable.read(spark, currentPath(path)).get
+    val nextV = VersionedTable.currentVersion(spark, currentPath(path)).get + 1
+    spark.read.schema(cur.schema).parquet(dirs: _*)
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(compactDir(path, nextV))
+    VersionedTable.commit(spark, currentPath(path), cur,
+      s"scd2 compact=$nextV upto=${appliedBatches(spark, path).max}")
+    dirs.size
+  }
+
+  /** Drop closed-history dirs no longer in the read set: batch deltas
+    * covered by the latest committed compaction, and superseded or
+    * uncommitted (crashed) compact dirs. Current-table old versions are
+    * vacuumed through [[VersionedTable.vacuum]] as usual. Single-writer,
+    * like every versioned mutation here. */
+  def vacuumClosed(spark: SparkSession, path: String): Unit =
+    latestCompaction(spark, path).foreach { case (v, upto) =>
+      val closedRoot = new org.apache.hadoop.fs.Path(s"$path/closed")
+      val fs = closedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(closedRoot)) return
+      val BatchDir = "^batch=(\\d+)$".r
+      val CompactDirRe = "^compact=(\\d+)$".r
+      fs.listStatus(closedRoot).foreach { st =>
+        st.getPath.getName match {
+          case BatchDir(b) if b.toLong <= upto => fs.delete(st.getPath, true)
+          case CompactDirRe(cv) if cv.toLong != v => fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
     }
 }

@@ -312,7 +312,7 @@ object StreamPipes {
   def scd2Ingest(
       observations: DataFrame, basePath: String, checkpoint: String,
       keyCols: Seq[String], tsCol: String, tieCol: String,
-      attrCols: Seq[String]): StreamingQuery =
+      attrCols: Seq[String], compactEvery: Int = 0): StreamingQuery =
     observations.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -320,6 +320,11 @@ object StreamPipes {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ext.Scd.applyBatch(batch.sparkSession, basePath, batch,
           keyCols, tsCol, tieCol, attrCols, batchId)
+        // same maintenance dial as annIngest: fold accreted closed-delta
+        // dirs every N batches so a long-running stream's read set stays
+        // bounded (single-writer inside the same foreachBatch)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.ext.Scd.compactClosed(batch.sparkSession, basePath)
         ()
       }
       .start()

@@ -96,6 +96,41 @@ class ScdSpec extends SparkSuite {
     assert(canon(applied) === canon(build(b1.unionByName(b2))))
   }
 
+  test("closed-history compaction: read set identical, replay dedup intact, vacuum sweeps covered dirs") {
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2c").toString + "/dim"
+    def fold(b: Long, rows: Seq[(Long, Long, Long, String)]): Boolean =
+      Scd.applyBatch(spark, base, hist(rows: _*), keys, "ts", "tie", Seq("attr"), b)
+    fold(0L, Seq((1L, 10L, 1L, "A"), (2L, 10L, 2L, "X")))
+    fold(1L, Seq((1L, 20L, 3L, "B"), (2L, 20L, 4L, "Y")))
+    fold(2L, Seq((1L, 30L, 5L, "C")))
+    val before = canon(Scd.readDim(spark, base).get)
+    // three per-batch closed dirs fold into one compacted dir
+    assert(Scd.compactClosed(spark, base) === 3)
+    assert(canon(Scd.readDim(spark, base).get) === before,
+      "compaction is a pure layout change")
+    // replay of an already-applied batch is STILL recognized after compact
+    assert(!fold(1L, Seq((1L, 20L, 3L, "B"), (2L, 20L, 4L, "Y"))))
+    assert(canon(Scd.readDim(spark, base).get) === before)
+    // new folds append fresh deltas next to the compacted dir
+    fold(3L, Seq((2L, 40L, 6L, "Z")))
+    val after = canon(Scd.readDim(spark, base).get)
+    assert(after !== before)
+    // second compaction folds (compacted + new delta); vacuum then drops
+    // the superseded dirs and the read is unchanged
+    assert(Scd.compactClosed(spark, base) === 2)
+    Scd.vacuumClosed(spark, base)
+    assert(canon(Scd.readDim(spark, base).get) === after)
+    val closedRoot = new java.io.File(s"$base/closed")
+    val names = closedRoot.listFiles().map(_.getName).toSet
+    assert(names.count(_.startsWith("compact=")) === 1, s"one live compact dir, got $names")
+    assert(!names.exists(_.startsWith("batch=")), s"covered batch dirs swept, got $names")
+    // the whole lifecycle still equals a from-scratch rebuild
+    val rebuilt = canon(build(hist(
+      (1L, 10L, 1L, "A"), (2L, 10L, 2L, "X"), (1L, 20L, 3L, "B"),
+      (2L, 20L, 4L, "Y"), (1L, 30L, 5L, "C"), (2L, 40L, 6L, "Z"))))
+    assert(after === rebuilt)
+  }
+
   test("q134 shape on real orders: one current row per key, dense versions, chained intervals") {
     val dim = Scd.scd2FromHistory(
       Tables.load(spark, sf("o"), "orders")
