@@ -171,5 +171,60 @@ object ProfileQueries {
             'source',  n_rows, source_nd) AS (col_name, n_rows, approx_nd)""")),
     None)
 
-  val all: Seq[Q] = Seq(q86Profile, q100PsiDrift, q119ApproxProfile)
+  /** COUNT-MIN SKETCH heavy-hitter estimation — the only sketch in the
+    * tier with a FULL oracle, because its hashes are the catalog's
+    * engine-portable modular-BIGINT recipe (no xxhash in DuckDB) and its
+    * counts are exact integers: 4 rows × 256 buckets built in one
+    * grouped pass over lineitem part keys (sketch = ≤1024 rows,
+    * broadcast forever — the point of CMS at 100 TB: fixed-size state,
+    * mergeable by addition, any key queryable after one corpus scan),
+    * then the 10 true-top parts estimated by the min-over-rows rule.
+    * `overestimate = est − true` is structurally ≥ 0 (CMS never
+    * undercounts) and lands in the output so the error is measured, not
+    * asserted away. */
+  val q149CountMin: Q = Q(
+    "q149_countmin_heavy_hitters",
+    (s, dir) => {
+      val d = 4
+      def hj(k: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+        pmod(pmod(k * (j + lit(1L)), lit(1000003L)) * lit(2654435761L), lit(256L))
+      val keys = t(s, dir, "lineitem").select(col("l_partkey").as("k"))
+      val sketch = keys
+        .withColumn("j", explode(typedLit((0L until d.toLong).toSeq)))
+        .groupBy(col("j"), hj(col("k"), col("j")).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val truth = keys.groupBy(col("k")).agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("k")).limit(10)
+      truth
+        .withColumn("j", explode(typedLit((0L until d.toLong).toSeq)))
+        .withColumn("b", hj(col("k"), col("j")))
+        .join(broadcast(sketch), Seq("j", "b"))
+        .groupBy(col("k"), col("true_cnt"))
+        .agg(min(col("c")).as("cms_est"))
+        .select(col("k").as("l_partkey"), col("true_cnt"), col("cms_est"),
+          (col("cms_est") - col("true_cnt")).as("overestimate"))
+    },
+    Some("""
+      WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+      sketch AS (
+        SELECT j, ((k * (j + 1)) % 1000003 * 2654435761) % 256 AS b,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM keys, generate_series(0, 3) t(j)
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        FROM keys GROUP BY k
+        ORDER BY true_cnt DESC, k LIMIT 10),
+      est AS (
+        SELECT truth.k, truth.true_cnt, MIN(sketch.c) AS cms_est
+        FROM truth CROSS JOIN generate_series(0, 3) t(j)
+        JOIN sketch ON sketch.j = t.j
+          AND sketch.b = ((truth.k * (t.j + 1)) % 1000003 * 2654435761) % 256
+        GROUP BY 1, 2)
+      SELECT k AS l_partkey, true_cnt, cms_est,
+        cms_est - true_cnt AS overestimate
+      FROM est
+    """))
+
+  val all: Seq[Q] = Seq(q86Profile, q100PsiDrift, q119ApproxProfile, q149CountMin)
 }
