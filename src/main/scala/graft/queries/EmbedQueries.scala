@@ -1091,10 +1091,79 @@ object EmbedQueries {
       JOIN cnt ON cnt.label = a.label
     """))
 
+  /** CLUSTER LABELING by class-based TF-IDF (the BERTopic topic-naming
+    * step, Grootendorst 2022): nearest-centroid embedding clusters joined
+    * to their documents' text (the doc_id == vec_id fixture convention),
+    * each cluster named by its top-5 terms under c-TF-IDF — term count in
+    * the cluster × rational idf over CLUSTERS-containing-term (the q143
+    * rule: no ln, fixed-order divisions of identical doubles). Candidates:
+    * one tokenize scan keyed by cluster; cluster-df and the cluster count
+    * are broadcast-small; per-cluster top-5 is a window over |vocab·C|
+    * scored rows. Bridges the embedding and text tiers into the
+    * curation-report operator a corpus pipeline actually ships. */
+  val q150ClusterLabels: Q = Q(
+    "q150_cluster_labels",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val all = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      val assigned = Similarity.assignNearestCentroid(all, cents).select("id", "cid")
+      val toks = t(s, dir, "documents")
+        .join(assigned, col("doc_id") === col("id"))
+        .select(col("cid"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("term"))
+      val tf = toks.groupBy(col("cid"), col("term")).agg(count(lit(1)).as("tf"))
+      val cdf = tf.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+      val nC = assigned.agg(countDistinct(col("cid")).as("n_clusters"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cid")).orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(cdf), Seq("term"))
+        .crossJoin(broadcast(nC))
+        .withColumn("score",
+          col("tf") * ((col("n_clusters") - col("cdf") + lit(0.5)) / (col("cdf") + lit(0.5))))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("cid"), col("rk"), col("term"), col("tf"), col("score"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id % 100 = 0),
+      assigned AS (
+        SELECT id, cid FROM (
+          SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+            list_dot_product(vec, cvec)
+              / (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(cvec, cvec)))
+            DESC, cid) AS rn
+          FROM c CROSS JOIN cents)
+        WHERE rn = 1),
+      toks AS (
+        SELECT a.cid, unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS term
+        FROM documents d JOIN assigned a ON d.doc_id = a.id),
+      tf AS (SELECT cid, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      cdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cdf FROM tf GROUP BY 1),
+      nc AS (SELECT CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clusters FROM assigned),
+      scored AS (
+        SELECT tf.cid, tf.term, tf.tf,
+          tf.tf * ((nc.n_clusters - cdf.cdf + 0.5e0) / (cdf.cdf + 0.5e0)) AS score
+        FROM tf JOIN cdf USING (term) CROSS JOIN nc)
+      SELECT cid, rk, term, tf, score FROM (
+        SELECT cid, term, tf, score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY score DESC, term) AS BIGINT) AS rk
+        FROM scored)
+      WHERE rk <= 5
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
     q118ClusterBalancedSample, q120IvfPqTopK, q121IvfPqRefine, q122IvfPqResidual,
     q123IvfPqResidualRefine, q124IvfPqPersisted, q125AnnRetrainPromote,
-    q128ContrastivePairs, q133RandomProjection, q140EmbeddingDrift)
+    q128ContrastivePairs, q133RandomProjection, q140EmbeddingDrift,
+    q150ClusterLabels)
 }
