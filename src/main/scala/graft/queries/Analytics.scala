@@ -739,7 +739,37 @@ object Analytics {
     q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q78TopKAgg,
     q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize, q103GlobalRank,
     q104ExistsChain, q109SlidingWindow, q110FromJson, q141RobustZscore,
-    q144Attribution)
+    q144Attribution, q151Ewma)
+
+  /** EWMA PER ENTITY (α = 0.25) — the exponentially-weighted running
+    * level every monitoring stack keeps, as a batch catalog query: an
+    * ORDERED RECURRENCE (each step depends on the previous smoothed
+    * value), which no unordered aggregate can express — computed by the
+    * q146 ordered-fold recipe generalized from sums to recurrences: sort
+    * the per-user value sequence by (ts, event_id) and left-fold
+    * `acc·0.75 + x·0.25` identically on both engines. α exactly binary
+    * ⇒ every step is the same IEEE ops in the same order. Memory bounds
+    * to the max per-key sequence (collect_list per user) — at 100 TB
+    * chunk long histories by time window and chain the folds, or move to
+    * the streaming twin ([[graft.streaming.Stateful]] keeps exactly this
+    * running state incrementally). */
+  lazy val q151Ewma: Q = Q(
+    "q151_ewma",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          aggregate(
+            transform(
+              sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+              f => f.getField("value")),
+            lit(0.0), (acc, x) => acc * lit(0.75) + x * lit(0.25)).as("ewma")),
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+        list_reduce(list_prepend(0.0e0, list(value ORDER BY ts, event_id)),
+          (acc, x) -> acc * 0.75e0 + x * 0.25e0) AS ewma
+      FROM events GROUP BY user_id
+    """))
 
   /** Schema-full JSON parsing — `from_json` with a declared struct (vs
     * q45's per-path `get_json_object`): one parse per row into a typed

@@ -1183,11 +1183,70 @@ object TextQueries {
       FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20
     """))
 
+  /** PREFERENCE-PAIR MINING for reward/DPO training data: per language,
+    * the corpus' best document (highest [[graft.ext.TextStats
+    * .qualityScore]], doc_id tiebreak) paired as CHOSEN against its
+    * worst as REJECTED, with the quality margin — the heuristic-label
+    * bootstrap for preference data when human rankings don't exist yet
+    * (quality-classifier distillation, the q128 contrastive idea on the
+    * text tier). One scored scan + two per-lang window extremes; exact
+    * integer scores make it fully oracle-checkable. */
+  val q152PreferencePairs: Q = Q(
+    "q152_preference_pairs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextStats.qualityScore(col("text"), stops).as("quality"))
+      val wTop = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val wBot = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").asc, col("doc_id"))
+      val top = scored.withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
+        .select(col("lang"), col("doc_id").as("chosen_id"), col("quality").as("chosen_q"))
+      val bot = scored.withColumn("rk", row_number().over(wBot)).filter(col("rk") === 1)
+        .select(col("lang"), col("doc_id").as("rejected_id"), col("quality").as("rejected_q"))
+      top.join(bot, Seq("lang"))
+        .filter(col("chosen_id") =!= col("rejected_id"))
+        .withColumn("margin", col("chosen_q") - col("rejected_q"))
+    },
+    Some(s"""
+      WITH feats AS (
+        SELECT doc_id, lang, text,
+          len(string_split(text, ' ')) AS n_tok,
+          len(list_distinct(string_split(text, ' '))) AS n_dis,
+          CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS atl,
+          CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopsSqlList))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS swr
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang,
+          CAST((CASE WHEN length(text) BETWEEN 50 AND 2000 THEN 25 ELSE 0 END)
+             + (CASE WHEN swr > 0.03 THEN 25 ELSE 0 END)
+             + (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 25 ELSE 0 END)
+             + (CASE WHEN CAST(n_dis AS DOUBLE) / n_tok > 0.3 THEN 25 ELSE 0 END)
+            AS INT) AS quality
+        FROM feats),
+      top AS (
+        SELECT lang, doc_id AS chosen_id, quality AS chosen_q FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY quality DESC, doc_id) AS rk FROM scored) WHERE rk = 1),
+      bot AS (
+        SELECT lang, doc_id AS rejected_id, quality AS rejected_q FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY quality ASC, doc_id) AS rk FROM scored) WHERE rk = 1)
+      SELECT top.lang, chosen_id, chosen_q, rejected_id, rejected_q,
+        chosen_q - rejected_q AS margin
+      FROM top JOIN bot ON top.lang = bot.lang
+      WHERE chosen_id <> rejected_id
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
     q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
     q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
     q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval,
-    q131BpeMerges, q142BpeEncode, q143Bm25)
+    q131BpeMerges, q142BpeEncode, q143Bm25, q152PreferencePairs)
 }
