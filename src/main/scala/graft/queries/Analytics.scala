@@ -739,7 +739,94 @@ object Analytics {
     q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q78TopKAgg,
     q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize, q103GlobalRank,
     q104ExistsChain, q109SlidingWindow, q110FromJson, q141RobustZscore,
-    q144Attribution, q151Ewma)
+    q144Attribution, q151Ewma, q153TemporalSplit, q154SessionTransitions)
+
+  /** TEMPORAL HOLDOUT SPLIT — the time-based train/test assignment every
+    * leakage-aware fraud/forecast model needs (q64's hash split is i.i.d.;
+    * a temporal model must train strictly BEFORE its test window): the
+    * cutoff is the exact 0.8-quantile of event time in integer µs
+    * (`percentile` on unix_micros — exact, engine-identical), events at
+    * or before it are train, after are test. One global aggregate
+    * broadcast back to a projection scan; per-split × event-type counts
+    * and spans prove the assignment. */
+  lazy val q153TemporalSplit: Q = Q(
+    "q153_temporal_split",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val cut = ev.agg(expr("percentile(us, 0.8)").as("cut_us"))
+      ev.crossJoin(broadcast(cut))
+        .withColumn("split", when(col("us") <= col("cut_us"), "train").otherwise("test"))
+        .groupBy(col("split"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, epoch_us(ts) AS us FROM events),
+      cut AS (SELECT quantile_cont(us, 0.8) AS cut_us FROM ev)
+      SELECT CASE WHEN us <= cut_us THEN 'train' ELSE 'test' END AS split,
+        event_type, COUNT(*) AS n,
+        MIN(us) AS first_us, MAX(us) AS last_us
+      FROM ev CROSS JOIN cut
+      GROUP BY 1, 2
+    """))
+
+  /** SESSION TRANSITION MATRIX — behavioral path analysis over the
+    * sessionized event stream: consecutive event-type pairs WITHIN a
+    * session (30-minute inactivity boundary, the [[graft.ext
+    * .Sessionize]] rule re-derived in-plan: session id = running count
+    * of >30 min gaps per user), counted into the from→to matrix with
+    * per-from totals — the input to Markov-chain path models and funnel
+    * discovery. Two window passes + one grouped count, all partitioned
+    * by user; nothing global. */
+  lazy val q154SessionTransitions: Q = Q(
+    "q154_session_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("new_session",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(w))
+      val ws = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(ws))
+        .filter(col("next_type").isNotNull)
+      pairs.groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("from_total",
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .withColumn("p", col("n") / col("from_total").cast("double"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+          epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+            THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+          AS session_id
+        FROM ev),
+      pairs AS (
+        SELECT event_type AS from_type,
+          LEAD(event_type, 1) OVER (PARTITION BY user_id, session_id
+            ORDER BY ts, event_id) AS to_type
+        FROM sess),
+      counts AS (
+        SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+        WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+        n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      FROM counts
+    """))
 
   /** EWMA PER ENTITY (α = 0.25) — the exponentially-weighted running
     * level every monitoring stack keeps, as a batch catalog query: an
