@@ -739,7 +739,102 @@ object Analytics {
     q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q78TopKAgg,
     q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize, q103GlobalRank,
     q104ExistsChain, q109SlidingWindow, q110FromJson, q141RobustZscore,
-    q144Attribution, q151Ewma, q153TemporalSplit, q154SessionTransitions)
+    q144Attribution, q151Ewma, q153TemporalSplit, q154SessionTransitions,
+    q155TrendSlope, q156DayOverDay)
+
+  /** PER-SEGMENT LINEAR TREND — OLS slope/intercept of event value over
+    * time per event type, the drift detector behind q100/q140 expressed
+    * as a closed form. Spark's own `regr_slope` merges float covariance
+    * buffers in partition order (not cross-engine-stable); instead the
+    * classic sums formula runs on EXACT integers — x = whole MINUTES
+    * from corpus start, y floor-quantized @1e-3 — sized so every sum
+    * stays BELOW 2^53: the int→double casts are then EXACT, where a
+    * wider integer hits each engine's own >2^53 conversion rounding
+    * (measured: HUGEINT→double and DECIMAL→double disagree by 1 ulp on
+    * a 5.5e17 numerator). The mean-form ratio divides those exact
+    * doubles in one mirrored order. At corpus sizes where the sums
+    * would cross 2^53, coarsen the quantization dials — the formula is
+    * scale-free. One scan + one broadcast min. */
+  lazy val q155TrendSlope: Q = Q(
+    "q155_trend_slope",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      val m = ev.agg(min(col("us")).as("min_us"))
+      val p = ev.crossJoin(broadcast(m))
+        .withColumn("x", expr("(us - min_us) div 60000000"))
+        .withColumn("yq", floor(col("value") * lit(1000.0)).cast("long"))
+      val agg = p.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("yq")).as("sy"),
+        sum(col("x") * col("yq")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val (n, sx, sy, sxy, sxx) = (col("n").cast("double"),
+        col("sx").cast("double"), col("sy").cast("double"),
+        col("sxy").cast("double"), col("sxx").cast("double"))
+      agg
+        .withColumn("slope_per_sec",
+          (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))
+            / lit(60000.0))
+        .withColumn("intercept",
+          sy / lit(1000.0) / n - col("slope_per_sec") * (sx * lit(60.0) / n))
+        .select(col("event_type"), col("n"), col("slope_per_sec"), col("intercept"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, epoch_us(ts) AS us, value FROM events),
+      m AS (SELECT MIN(us) AS min_us FROM ev),
+      p AS (
+        SELECT event_type,
+          (us - min_us) // 60000000 AS x,
+          CAST(floor(value * 1000.0e0) AS BIGINT) AS yq
+        FROM ev CROSS JOIN m),
+      agg AS (
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(yq) AS DOUBLE) AS sy,
+          CAST(SUM(x * yq) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM p GROUP BY 1),
+      sl AS (
+        SELECT event_type, n, sx, sy,
+          (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))
+            / 60000.0e0 AS slope_per_sec
+        FROM agg)
+      SELECT event_type, n, slope_per_sec,
+        sy / 1000.0e0 / n - slope_per_sec * (sx * 60.0e0 / n) AS intercept
+      FROM sl
+    """))
+
+  /** DAY-OVER-DAY PERIOD COMPARISON — the reporting staple: daily event
+    * counts + decimal-exact revenue per type, each day's relative change
+    * against the previous day via one lag window (NULL on each type's
+    * first day, as a report shows it). Daily rollup shuffles once on
+    * (type, day); the lag partitions by type only — tiny. */
+  lazy val q156DayOverDay: Q = Q(
+    "q156_day_over_day",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("revenue"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("dod_change",
+          (col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          COUNT(*) AS n_events,
+          %s AS revenue
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, day, n_events, revenue,
+        LAG(revenue, 1) OVER w AS prev_revenue,
+        (revenue - LAG(revenue, 1) OVER w) / LAG(revenue, 1) OVER w AS dod_change
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """.format(QueryDsl.oracleDsum("value", 6))))
 
   /** TEMPORAL HOLDOUT SPLIT — the time-based train/test assignment every
     * leakage-aware fraud/forecast model needs (q64's hash split is i.i.d.;
