@@ -226,6 +226,129 @@ object MiscQueries {
       FROM scored
     """))
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST — does source src0's document-
+    * length distribution match src1's? The distribution-drift screen
+    * that catches what mean/stddev monitoring (q37) misses. Exact
+    * construction: per distinct length, cumulative counts for each
+    * sample via running windows over the SORTED support (integer-exact),
+    * D = max |F0(x) − F1(x)| with the two CDF ratios divided from
+    * identical integers at every support point — the max over exact
+    * doubles is order-free. One grouped count + windows over the
+    * (tiny) support. */
+  val q157KsTest: Q = Q(
+    "q157_ks_test",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("n_chars"))
+      val counts = d.groupBy(col("n_chars")).agg(
+        countIf(col("source") === "src0").as("c0"),
+        countIf(col("source") === "src1").as("c1"))
+      val w = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totals = d.agg(
+        countIf(col("source") === "src0").as("n0"),
+        countIf(col("source") === "src1").as("n1"))
+      counts
+        .withColumn("cum0", sum(col("c0")).over(w))
+        .withColumn("cum1", sum(col("c1")).over(w))
+        .crossJoin(broadcast(totals))
+        .withColumn("d_at",
+          abs(col("cum0").cast("double") / col("n0")
+            - col("cum1").cast("double") / col("n1")))
+        .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+          max(col("d_at")).as("ks_d"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source, n_chars FROM documents WHERE source IN ('src0', 'src1')),
+      counts AS (
+        SELECT n_chars,
+          CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+          CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM d GROUP BY 1),
+      totals AS (
+        SELECT CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM d),
+      cdf AS (
+        SELECT
+          CAST(SUM(c0) OVER (ORDER BY n_chars
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum0,
+          CAST(SUM(c1) OVER (ORDER BY n_chars
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1
+        FROM counts)
+      SELECT totals.n0, totals.n1,
+        MAX(abs(CAST(cum0 AS DOUBLE) / n0 - CAST(cum1 AS DOUBLE) / n1)) AS ks_d
+      FROM cdf CROSS JOIN totals
+      GROUP BY 1, 2
+    """))
+
+  /** MARKET-SHARE DEEP JOIN (the TPC-H Q8 shape): a region's revenue
+    * share delivered by one supplier nation, per order year — 7 relations
+    * (lineitem ⋈ orders ⋈ customer ⋈ part + supplier + both nation
+    * roles + region), a date-range filter, and a conditional-share
+    * aggregate. The join-planning stress row of the relational tier: the
+    * two fact joins shuffle on their keys, part/supplier shuffle once,
+    * every nation/region leg broadcasts — no join here should ever
+    * materialize a product. Decimal-exact volumes; share = exact/exact
+    * division. */
+  val q158MarketShare: Q = Q(
+    "q158_market_share",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val p = t(s, dir, "part")
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_regionkey").as("c_rk"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")) &&
+          col("p_type") === "PROMO")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("total_volume"),
+          dsum(when(col("supp_nation") === "NATION_7",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)), 4)
+            .as("nation_volume"))
+        .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+    },
+    Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        %s AS total_volume,
+        %s AS nation_volume,
+        %s / %s AS mkt_share
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+        AND p_type = 'PROMO'
+      GROUP BY 1
+    """.format(
+      QueryDsl.oracleDsum("l_extendedprice * (1 - l_discount)", 4),
+      QueryDsl.oracleDsum("CASE WHEN n2.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4),
+      QueryDsl.oracleDsum("CASE WHEN n2.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4),
+      QueryDsl.oracleDsum("l_extendedprice * (1 - l_discount)", 4))))
+
   val all: Seq[Q] = Seq(q37Stddev, q38ApproxDistinct, q39SimhashNearDup, q51CorrCovar,
-    q99HllMerge, q145RfmSegments, q146ChiSquare)
+    q99HllMerge, q145RfmSegments, q146ChiSquare, q157KsTest, q158MarketShare)
 }
