@@ -339,4 +339,26 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"interval probe rides the custkey equi join, not a non-equi join:\n$p")
   }
+
+  test("q144 attribution: ONE window pass — the event stream never self-joins") {
+    val p = plan(QueryCatalog.queries("q144_attribution")(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"last-touch is a running window, not an events⋈events join:\n$p")
+  }
+
+  test("q158 market share: every nation/region leg broadcasts, no products") {
+    val p = plan(QueryCatalog.queries("q158_market_share")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a 7-relation join must stay equi-keyed throughout:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"nation(×2)+region legs broadcast (got $bhj):\n$p")
+  }
+
+  test("q149 count-min: the sketch side broadcasts against the queried keys") {
+    val p = plan(QueryCatalog.queries("q149_countmin_heavy_hitters")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤1024-row sketch must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
