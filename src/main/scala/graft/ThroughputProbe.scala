@@ -24,6 +24,7 @@ object ThroughputProbe {
     if (mode == "annretrain" || mode == "all") annRetrain(spark)
     if (mode == "dsir" || mode == "all") dsirIngest(spark)
     if (mode == "scd2" || mode == "all") scd2Fold(spark)
+    if (mode == "agg" || mode == "all") aggFold(spark)
     spark.stop()
   }
 
@@ -249,6 +250,33 @@ object ThroughputProbe {
     val pr = (System.nanoTime() - t0) / 1e9
     System.err.println(f"[tp] annretrain promoted gen=$promoted in $pr%.2f s; " +
       f"search=${searchSec()}%.2f s")
+  }
+
+  /** INCREMENTAL-AGGREGATE FOLD throughput: drives
+    * [[graft.ext.IncrementalAgg.update]] (the
+    * [[graft.streaming.StreamPipes.aggIngest]] body) over `batches`
+    * fact batches against a fixed 1000-key rollup. The claim: per-fold
+    * wall FLAT forever — fold cost is O(batch + keys) (one batch partial
+    * + one keys-sized merge + one keys-sized COW commit), with NOTHING
+    * growing per fold (the aggregate table is keys-sized by
+    * construction; contrast the naive rebuild, O(total facts) per
+    * refresh). */
+  private def aggFold(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.ext.IncrementalAgg
+    val batches = sys.env.getOrElse("TP_BATCHES", "6").toInt
+    val rows = sys.env.getOrElse("TP_ROWS", "1000000").toLong
+    val root = java.nio.file.Files.createTempDirectory("tp-agg").toString + "/agg"
+    for (b <- 0 until batches) {
+      val facts = spark.range(b * rows, (b + 1) * rows).select(
+        pmod(xxhash64(col("id")), lit(1000)).as("k"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(100000)).cast("double") / 100.0).as("v"))
+      val t0 = System.nanoTime()
+      IncrementalAgg.update(spark, root, facts, Seq("k"), "v", b.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[tp] agg fold $b: $rows%d facts in $sec%.2f s = " +
+        f"${rows / sec}%.0f rows/s (history=${(b + 1) * rows}%d facts, table=1000 keys)")
+      Housekeeping.releaseAll(spark)
+    }
   }
 
   /** SCD2 FOLD throughput: drives [[graft.ext.Scd.applyBatch]] (the
