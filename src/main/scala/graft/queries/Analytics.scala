@@ -740,7 +740,64 @@ object Analytics {
     q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize, q103GlobalRank,
     q104ExistsChain, q109SlidingWindow, q110FromJson, q141RobustZscore,
     q144Attribution, q151Ewma, q153TemporalSplit, q154SessionTransitions,
-    q155TrendSlope, q156DayOverDay)
+    q155TrendSlope, q156DayOverDay, q159ConversionLatency)
+
+  /** CONVERSION LATENCY DISTRIBUTION — how long from a user's first
+    * signup to their first subsequent purchase (q84's funnel asks IF
+    * users convert; product teams price the HOW LONG): per-user min
+    * timestamps via one grouped pass with conditional aggregates (the
+    * purchase min is taken only over events after the signup — a
+    * min_by-free conditional min), deltas in exact integer seconds,
+    * exact percentiles + conversion rate in one global aggregate.
+    * No window, no self-join: two grouped aggregations total. */
+  lazy val q159ConversionLatency: Q = Q(
+    "q159_conversion_latency",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "signup", col("us"))).as("signup_us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(perUser, Seq("user_id"))
+        .filter(col("signup_us").isNotNull && col("us") >= col("signup_us"))
+        .groupBy(col("user_id"), col("signup_us"))
+        .agg(min(col("us")).as("purchase_us"))
+        .withColumn("latency_s", expr("(purchase_us - signup_us) div 1000000"))
+      val nSignup = perUser.filter(col("signup_us").isNotNull)
+        .agg(count(lit(1)).as("n_signup_users"))
+      conv.agg(
+          count(lit(1)).as("n_converted"),
+          expr("percentile(latency_s, 0.5)").as("p50_latency_s"),
+          expr("percentile(latency_s, 0.9)").as("p90_latency_s"),
+          max(col("latency_s")).as("max_latency_s"))
+        .crossJoin(broadcast(nSignup))
+        .withColumn("conversion_rate",
+          col("n_converted").cast("double") / col("n_signup_users"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      per_user AS (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'signup' THEN us END) AS signup_us
+        FROM ev GROUP BY 1),
+      conv AS (
+        SELECT e.user_id, (MIN(e.us) - p.signup_us) // 1000000 AS latency_s
+        FROM ev e JOIN per_user p USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND p.signup_us IS NOT NULL AND e.us >= p.signup_us
+        GROUP BY e.user_id, p.signup_us),
+      ns AS (
+        SELECT COUNT(*) AS n_signup_users FROM per_user WHERE signup_us IS NOT NULL)
+      SELECT COUNT(*) AS n_converted,
+        quantile_cont(latency_s, 0.5) AS p50_latency_s,
+        quantile_cont(latency_s, 0.9) AS p90_latency_s,
+        MAX(latency_s) AS max_latency_s,
+        ns.n_signup_users,
+        CAST(COUNT(*) AS DOUBLE) / ns.n_signup_users AS conversion_rate
+      FROM conv CROSS JOIN ns
+      GROUP BY ns.n_signup_users
+    """))
 
   /** PER-SEGMENT LINEAR TREND — OLS slope/intercept of event value over
     * time per event type, the drift detector behind q100/q140 expressed
