@@ -547,5 +547,35 @@ object CorpusQueries {
     q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample,
     q70QualityFilter, q76ChunkDocuments, q89QualityCutoff, q91ClassSample,
     q97SourceOverlap, q101TemperatureMix, q116FuzzyDecontam,
-    q126ImportanceResample, q132BudgetMix)
+    q126ImportanceResample, q132BudgetMix, q160KfoldAssignment)
+
+  /** K-FOLD CROSS-VALIDATION ASSIGNMENT — the evaluation-prep step after
+    * the train/test splits (q64 hash, q153 temporal): every document
+    * dealt into one of 5 folds by the engine-portable modular-BIGINT
+    * hash (reproducible across runs, engines, and partitionings — the
+    * q126/q149 recipe), with per-(fold, lang) counts and each fold's
+    * share of its language proving the deal is stratification-neutral.
+    * Pure projection + one grouped count; at any scale the fold id is a
+    * free column, never a shuffle. */
+  lazy val q160KfoldAssignment: Q = Q(
+    "q160_kfold_assignment",
+    (s, dir) => {
+      val d = t(s, dir, "documents").withColumn("fold",
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(5L)))
+      val byLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      d.groupBy(col("fold"), col("lang")).agg(count(lit(1)).as("n"))
+        .join(broadcast(byLang), Seq("lang"))
+        .withColumn("lang_share", col("n").cast("double") / col("n_lang"))
+        .select(col("fold"), col("lang"), col("n"), col("n_lang"), col("lang_share"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT lang, (doc_id % 1000003 * 2654435761) % 5 AS fold FROM documents),
+      by_lang AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM d GROUP BY 1)
+      SELECT fold, d.lang, CAST(COUNT(*) AS BIGINT) AS n, n_lang,
+        CAST(COUNT(*) AS DOUBLE) / n_lang AS lang_share
+      FROM d JOIN by_lang USING (lang)
+      GROUP BY fold, d.lang, n_lang
+    """))
 }
