@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as JSON. Two sbt behaviors broke that for three rounds:
+// the forked JVM's stdout is re-logged with an "[info] " prefix (not
+// bare JSON), and a "[success] Total time..." epilogue prints after it.
+// StdoutOutput passes the forked process's stdout through verbatim, and
+// showSuccess drops the epilogue — so Bench's compact summary line is
+// the literal final line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -103,10 +103,12 @@ object Bench {
     // tail but sbt's [success] epilogue followed it and the driver parsed
     // null — so print it AFTER spark.stop() (whose shutdown chatter goes
     // to stderr/log4j, not stdout) as the final act of main.
-    val headlineNames = QueryCatalog.all.filter(_.headline).map(_.name).toSet
-    val hjson = results.filter { case (k, _) => headlineNames.contains(k) }
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","calib_pre":$calibPre,"calib_post":$calibPost,"n_failed":${failures.size},"failures":$fjson,"queries":$hjson,"n_queries":${results.size},"full":"bench/last_run.json","sf":"$sfDir"}"""
+    // No per-query map here — even the 5-headline subset pushed past what
+    // the tail window reliably holds; everything per-query lives in
+    // bench/last_run.json. Failure NAMES are capped at 5 (count is always
+    // exact in n_failed) to bound the line under ~500 bytes.
+    val fCapped = failures.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","calib_pre":$calibPre,"calib_post":$calibPost,"n_failed":${failures.size},"failures":$fCapped,"n_queries":${results.size},"full":"bench/last_run.json","sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("bench/summary.json")
       java.nio.file.Files.createDirectories(out.getParent)

@@ -33,8 +33,17 @@ class BenchGuardSpec extends SparkSuite {
     // which best-of-3 retries cannot absorb because the slowdown is
     // PERSISTENT, not a spike — so budgets scale by the live machine
     // factor, floored at 1 so a fast machine never loosens the bar.
+    // Take the MIN of three samples (a single noisy-high calibrate — GC
+    // pause, transient contention — would otherwise inflate every budget
+    // for the whole run) and CAP the factor at 3×: past that the host is
+    // too degraded for any timing to mean anything, and an uncapped
+    // factor silently disables the guard. Log what was applied so an
+    // inflated run is visible in test output.
     Bench.calibrate(spark) // pay the calibration plan's own JIT untimed
-    val machineFactor = math.max(1.0, Bench.calibrate(spark) / 0.30)
+    val calibSamples = Seq.fill(3)(Bench.calibrate(spark))
+    val machineFactor = math.min(3.0, math.max(1.0, calibSamples.min / 0.30))
+    info(f"machine factor ${machineFactor}%.2f applied to budgets " +
+      s"(calib samples ${calibSamples.map(c => f"$c%.3f").mkString(", ")})")
     def timeOnce(q: graft.Q): Double = {
       val t0 = System.nanoTime()
       q.fn(spark, sfDir).count()
