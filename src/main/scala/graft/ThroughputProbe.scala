@@ -25,7 +25,53 @@ object ThroughputProbe {
     if (mode == "dsir" || mode == "all") dsirIngest(spark)
     if (mode == "scd2" || mode == "all") scd2Fold(spark)
     if (mode == "agg" || mode == "all") aggFold(spark)
+    if (mode == "triangles" || mode == "all") trianglesSkew(spark)
     spark.stop()
+  }
+
+  /** Triangle counting under power-law skew: a hub of degree `TP_HUB`
+    * embedded MID-ID-RANGE in a `TP_ROWS`-vertex random sparse graph —
+    * the placement that hurts id orientation most: with ids on both
+    * sides, the hub's oriented in×out product is ~(hub/2)², and since
+    * the wedge join pivots on the MIDDLE vertex, id orientation
+    * enumerates all ~hub²/4 wedges through it. Degree orientation
+    * ([[graft.ext.GraphOps.trianglesByDegree]]) points every hub edge
+    * INTO the hub (out-degree 0 — a wedge target, never a pivot) and
+    * bounds every pivot at O(√|E|). Both run to completion and must
+    * agree on the count. */
+  private def trianglesSkew(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.ext.GraphOps
+    val n = sys.env.getOrElse("TP_ROWS", "200000").toLong
+    val hub = sys.env.getOrElse("TP_HUB", "20000").toLong
+    val hubId = n / 2
+    // hash-spread leaves straddle the hub's id; ring over consecutive
+    // leaves closes one triangle through the hub per consecutive pair
+    def leaf(i: org.apache.spark.sql.Column) = {
+      val h = pmod(i * lit(2654435761L), lit(n))
+      when(h === hubId, lit(n)).otherwise(h) // never the hub itself
+    }
+    val ids = spark.range(1, hub + 1)
+    val star = ids.select(lit(hubId).as("src"), leaf(col("id")).as("dst"))
+    val ring = ids.filter(col("id") < hub)
+      .select(leaf(col("id")).as("src"), leaf(col("id") + 1).as("dst"))
+    val rand = spark.range(3 * n).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(n)).as("src"),
+        pmod(xxhash64(col("id"), lit(2)), lit(n)).as("dst"))
+    val edges = star.unionByName(ring).unionByName(rand)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint()
+    def time(tag: String, f: => Long): Long = {
+      val t0 = System.nanoTime()
+      val c = f
+      System.err.println(f"[tp] triangles $tag: $c%d triangles in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s (|E|=${edges.count()}%d, hub=$hub%d)")
+      c
+    }
+    val byDeg = time("degree-oriented", GraphOps.trianglesByDegree(edges).count())
+    val byId = time("id-oriented     ", GraphOps.triangles(edges).count())
+    assert(byDeg == byId, s"orientation changed the count: $byDeg != $byId")
   }
 
   private def medallion(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -65,6 +111,7 @@ object ThroughputProbe {
   private def dedupIngest(spark: org.apache.spark.sql.SparkSession): Unit = {
     val batches = sys.env.getOrElse("TP_BATCHES", "5").toInt
     val rows = sys.env.getOrElse("TP_ROWS", "100000").toLong
+    val compactEvery = sys.env.getOrElse("TP_COMPACT_EVERY", "0").toInt
     val root = java.nio.file.Files.createTempDirectory("tp-dedup").toString
     val in = s"$root/incoming"
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -86,12 +133,18 @@ object ThroughputProbe {
       val t0 = System.nanoTime()
       val q = streaming.StreamPipes.dedupIngest(
         spark.readStream.schema(schema).parquet(in),
-        s"$root/state", s"$root/ckpt", threshold = 0.9)
+        s"$root/state", s"$root/ckpt", threshold = 0.9,
+        compactEvery = compactEvery)
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
-      val kept = spark.read.parquet(s"$root/state/corpus/batch=$b").count()
+      // compaction-aware metrics: the total admitted corpus (via the
+      // sanctioned read set) and how many dirs a consumer's read touches —
+      // the small-files dial compactEvery exists to bound
+      val corpus = graft.ext.Dedup.readCorpus(spark, s"$root/state")
+        .map(_.count()).getOrElse(0L)
+      val dirs = graft.ext.Dedup.corpusDirs(spark, s"$root/state").size
       System.err.println(f"[tp] dedup batch $b: $rows%d rows in $sec%.2f s = " +
-        f"${rows / sec}%.0f rows/s (admitted=$kept)")
+        f"${rows / sec}%.0f rows/s (corpus=$corpus%d, read-set dirs=$dirs%d)")
       Housekeeping.releaseAll(spark)
     }
   }

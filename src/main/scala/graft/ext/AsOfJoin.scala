@@ -56,4 +56,39 @@ object AsOfJoin {
       .select(left.columns.map(col) ++
         payload.map(p => col("__match").getField(p).as(s"asof_$p")): _*)
   }
+
+  /** FORWARD as-of join: match each left row to the EARLIEST right row
+    * with `rightTime >= leftTime`, per key — pandas `merge_asof
+    * direction='forward'`, the time-to-next-event shape (next deploy
+    * after an alert, next purchase after a click). Mirror of [[asOf]]:
+    * same single keyed shuffle + one timeline sort, but the carried
+    * payload comes from `first(_, ignoreNulls)` over the FOLLOWING frame,
+    * and left rows sort BEFORE right rows at equal instants so an
+    * equal-timestamp right row matches (`>=`, DuckDB
+    * `ASOF JOIN ... ON l.ts <= r.ts` semantics). */
+  def asOfForward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val lPrep = payload.foldLeft(
+      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(0))) {
+      (df, p) => df.withColumn(p, lit(null).cast(right.schema(p).dataType))
+    }
+    val rBase = right
+      .select(col(key) +: col(rightTime).as("__t") +: payload.map(col): _*)
+      .withColumn("__side", lit(1))
+    val rPrep = left.columns.filterNot(_ == key).foldLeft(rBase) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    // left rows sort BEFORE right rows at equal __t ⇒ >= match semantics
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = lPrep.unionByName(rPrep.select(lPrep.columns.map(col): _*))
+      .withColumn("__match",
+        first(when(col("__side") === 1, struct(payload.map(col): _*)),
+          ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 0)
+      .select(left.columns.map(col) ++
+        payload.map(p => col("__match").getField(p).as(s"asof_$p")): _*)
+  }
 }

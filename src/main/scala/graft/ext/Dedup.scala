@@ -862,4 +862,133 @@ object Dedup {
         when(col("id_i") < col("id_d"), col("s_d")).otherwise(col("s_i")).as("s_b"))
     samePos.unionByName(identDel).distinct()
   }
+
+  // ─────────────── streaming-dedup state maintenance ───────────────
+  //
+  // [[graft.streaming.StreamPipes.dedupIngest]] accretes two kinds of
+  // state per micro-batch: an admitted-docs dir `corpus/batch=<id>` and a
+  // full index snapshot pair `postings_v<id>` / `vocab_v<id>` (vocab
+  // written last = the batch's commit marker). Uncompacted, a long-running
+  // stream grows one dir of each per batch forever — the small-files
+  // pathology SCALING.md measured for ANN shards. These helpers close the
+  // loop the way [[Scd.compactClosed]] / [[AnnIndex.compact]] do:
+  // data-precedes-metadata commits, batchId replay dedup intact,
+  // single-writer (the foreachBatch thread) like every versioned mutation
+  // in this repo.
+
+  private val VocabVRe = "^vocab_v(\\d+)$".r
+  private val CorpusBatchRe = "^batch=(\\d+)$".r
+  private val CorpusCompactRe = "^compact=(\\d+)$".r
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+  private def listNames(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) Seq.empty else fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+  private def hasSuccess(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val (fs, p) = fsOf(spark, dir)
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+  }
+
+  /** Committed index versions at `base` (a version is committed iff its
+    * `vocab_v<id>` marker dir exists — the ingest's write-last rule). */
+  def committedVersions(spark: org.apache.spark.sql.SparkSession,
+      base: String): Seq[Long] =
+    listNames(spark, base).collect { case VocabVRe(v) => v.toLong }.sorted
+
+  /** The latest committed corpus compaction's covered-through batchId:
+    * the highest `corpus/compact=<B>` dir whose `_SUCCESS` marker landed
+    * (a crashed compaction writes no marker and is invisible — swept by
+    * [[vacuumDedupState]], rebuilt by the next compaction). */
+  private def latestCorpusCompaction(spark: org.apache.spark.sql.SparkSession,
+      base: String): Option[Long] =
+    listNames(spark, s"$base/corpus")
+      .collect { case CorpusCompactRe(b) => b.toLong }
+      .filter(b => hasSuccess(spark, s"$base/corpus/compact=$b"))
+      .sorted.lastOption
+
+  /** The admitted-corpus read set: the latest committed compaction dir
+    * (if any) + per-batch dirs it does not cover. A replayed batch that
+    * rewrites a covered `batch=<id>` dir is therefore invisible to
+    * readers — same contract as [[Scd.readDim]]'s marked-batches rule. */
+  def corpusDirs(spark: org.apache.spark.sql.SparkSession,
+      base: String): Seq[String] = {
+    val batches = listNames(spark, s"$base/corpus")
+      .collect { case CorpusBatchRe(b) => b.toLong }.sorted
+    latestCorpusCompaction(spark, base) match {
+      case None => batches.map(b => s"$base/corpus/batch=$b")
+      case Some(upto) => s"$base/corpus/compact=$upto" +:
+        batches.filter(_ > upto).map(b => s"$base/corpus/batch=$b")
+    }
+  }
+
+  /** The full admitted corpus at `base` (compaction-aware — use this, not
+    * a raw read of `corpus/`: once a `compact=<B>` dir exists alongside
+    * `batch=<id>` dirs, partition-discovery over the parent errors out on
+    * the mixed dir names, and covered batch dirs must be EXCLUDED anyway
+    * or a replayed batch would double-read). None before any admission. */
+  def readCorpus(spark: org.apache.spark.sql.SparkSession,
+      base: String): Option[DataFrame] = {
+    val dirs = corpusDirs(spark, base)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Fold the corpus read set into ONE `corpus/compact=<B>` dir (B = the
+    * newest committed batch). Data precedes metadata: the committer's
+    * `_SUCCESS` is the publish — readers never see a half-written fold,
+    * and a crash leaves an unpublished dir for [[vacuumDedupState]].
+    * Safe under replay: after a fold at B, a replayed batch B rewrites
+    * its (ignored) `batch=B` dir and re-triggers compaction, which finds
+    * a 1-dir read set and no-ops. Returns dirs folded (0 = nothing to
+    * do). */
+  def compactCorpus(spark: org.apache.spark.sql.SparkSession, base: String,
+      targetFiles: Int = 1): Int = {
+    val dirs = corpusDirs(spark, base)
+    val versions = committedVersions(spark, base)
+    if (dirs.size <= 1 || versions.isEmpty) return 0
+    val upto = versions.max
+    // an all-rejected stream leaves only file-less dirs — nothing to fold,
+    // and no files to infer the fold's schema from
+    try {
+      spark.read.parquet(dirs: _*).coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$base/corpus/compact=$upto")
+      dirs.size
+    } catch { case _: org.apache.spark.sql.AnalysisException => 0 }
+  }
+
+  /** Sweep superseded streaming-dedup state at `base`:
+    *  - corpus `batch=<id>` dirs covered by the latest committed
+    *    compaction, and compact dirs other than it (superseded or
+    *    crashed-unpublished);
+    *  - index snapshots older than the NEWEST TWO committed versions.
+    *    Two, not one: a replayed batch N re-scores against the latest
+    *    version STRICTLY BELOW N (the ingest's replay rule), so N−1 must
+    *    survive N's compaction. Deeper replay means a deleted
+    *    checkpoint — a rebuild scenario, documented, not defended.
+    *    The vocab marker is deleted FIRST so a crashed sweep leaves an
+    *    unmarked (invisible) postings dir, never a marker without data. */
+  def vacuumDedupState(spark: org.apache.spark.sql.SparkSession,
+      base: String): Unit = {
+    val (fs, _) = fsOf(spark, base)
+    latestCorpusCompaction(spark, base).foreach { upto =>
+      listNames(spark, s"$base/corpus").foreach {
+        case n @ CorpusBatchRe(b) if b.toLong <= upto =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$base/corpus/$n"), true)
+        case n @ CorpusCompactRe(b) if b.toLong != upto =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$base/corpus/$n"), true)
+        case _ => ()
+      }
+    }
+    val keep = committedVersions(spark, base).takeRight(2).toSet
+    listNames(spark, base).foreach {
+      case n @ VocabVRe(v) if !keep.contains(v.toLong) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/postings_v$v"), true)
+      case _ => ()
+    }
+  }
 }

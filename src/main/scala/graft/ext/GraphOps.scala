@@ -34,12 +34,11 @@ object GraphOps {
     *
     * Scale shape: the wedge join is keyed on the shared vertex, the
     * closing check on the (a, c) pair — both plain shuffles AQE can
-    * re-plan. The id-orientation here is the deterministic (oracle-
-    * matchable) choice; the classic skew hardening — orient each edge
-    * from its lower-degree endpoint so no wedge pivot exceeds
-    * O(√|E|) fan-out — is a drop-in reorientation of the input when a
-    * power-law graph needs it (same counting identity, different
-    * orientation key). */
+    * re-plan. The id-orientation here is the simplest deterministic
+    * choice but is SKEW-FRAGILE: a power-law hub with a small id keeps
+    * all its edges outgoing and pivots O(deg²) wedges. Production
+    * counting should use [[trianglesByDegree]] — identical output set,
+    * lower-degree-endpoint orientation, √|E|-bounded wedge fan-out. */
   def triangles(undirected: DataFrame): DataFrame = {
     val e1 = undirected.select(col("src").as("a"), col("dst").as("b"))
     val e2 = undirected.select(col("src").as("b"), col("dst").as("c"))
@@ -47,6 +46,56 @@ object GraphOps {
       .join(undirected.select(col("src").as("a"), col("dst").as("c")),
         Seq("a", "c"), "left_semi")
       .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Orient each undirected (src < dst) edge from its LOWER-(degree, id)
+    * endpoint — the standard skew hardening for wedge enumeration: after
+    * this orientation every vertex's OUT-degree is O(√|E|) (a vertex
+    * with out-degree d has d neighbors of degree ≥ its own, so
+    * d² ≤ Σdeg = 2|E|), which bounds the wedge join's per-key fan-out no
+    * matter how skewed the degree distribution is. Ties break by id, so
+    * the orientation is total and deterministic. Output carries the
+    * head endpoint's degree (`dstdeg`) so the wedge stage can order
+    * neighbor pairs without re-joining degrees. One degree aggregation +
+    * two broadcast-or-shuffle equi-joins. */
+  def orientByDegree(undirected: DataFrame): DataFrame = {
+    val deg = undirected.select(col("src").as("node"))
+      .unionAll(undirected.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val srcFirst = (col("sdeg") < col("ddeg")) ||
+      (col("sdeg") === col("ddeg") && col("src") < col("dst"))
+    undirected
+      .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), Seq("dst"))
+      .select(
+        when(srcFirst, col("src")).otherwise(col("dst")).as("src"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("dst"),
+        when(srcFirst, col("ddeg")).otherwise(col("sdeg")).as("dstdeg"))
+  }
+
+  /** Exact triangle enumeration with DEGREE ORIENTATION — the same
+    * output set as [[triangles]] (triples re-sorted to id order), but
+    * wedges pivot on each triangle's lowest-(degree, id) vertex: in a
+    * power-law graph the hot hub becomes a wedge TARGET (in-edges),
+    * never a pivot, so no join key fans out past O(√|E|). In every
+    * triangle x→y, x→z, y→z of the acyclic orientation, the wedge
+    * (y, z) is enumerated once from x (ordered by the carried head
+    * degree) and closed by the oriented y→z edge — the counting
+    * identity is unchanged, only the orientation key differs. The
+    * oriented edge set feeds three plan branches, so it is lazily
+    * localCheckpointed (one materialization, no extra job). */
+  def trianglesByDegree(undirected: DataFrame): DataFrame = {
+    val o = orientByDegree(undirected).localCheckpoint(eager = false)
+    val e1 = o.select(col("src").as("x"), col("dst").as("b"), col("dstdeg").as("bdeg"))
+    val e2 = o.select(col("src").as("x"), col("dst").as("c"), col("dstdeg").as("cdeg"))
+    val wedges = e1.join(e2, Seq("x"))
+      .filter(col("bdeg") < col("cdeg") ||
+        (col("bdeg") === col("cdeg") && col("b") < col("c")))
+    wedges
+      .join(o.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"), "left_semi")
+      .select(array_sort(array(col("x"), col("b"), col("c"))).as("t"))
+      .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c"))
   }
 
   /** Per-vertex triangle participation counts (vertices in no triangle

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Incrementally maintained per-key aggregate — the gold-tier rollup
-  * (reference shape: `03_Gold_Analytics_Tables.py`'s summary tables) kept
+  * (reference shape: `03_Gold_Aggregates_Features.py`'s summary tables) kept
   * fresh WITHOUT rescanning history. Each [[update]] folds one new fact
   * batch into the stored aggregate: cost is O(|batch| + |keys|) — one
   * partial aggregation over the batch, one keyed merge against the

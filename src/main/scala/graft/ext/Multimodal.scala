@@ -257,14 +257,18 @@ object Multimodal {
     * near-duplicate IMAGES in a multimodal corpus. All-integer: the
     * mean comparison is the exact cross-multiplication
     * `cellSum·nTotal > totalSum·nCell` (no float, no division), so the
-    * hash is bit-stable across JVMs/platforms. Images ≥ 2^31 px return
-    * None before the products could overflow. None for undecodable
-    * payloads, same contract as [[decodeImage]]. */
+    * hash is bit-stable across JVMs/platforms. Images ≥ 2^30 px return
+    * None before the products could overflow: the worst cross-product is
+    * cellSum·nTotal ≈ 255·(n/64)·n ≈ 4n², which clears Long.MaxValue
+    * from n ≈ 1.5e9 — so the cutoff must sit BELOW that, not at
+    * Int.MaxValue (2.15e9). 2^30 px leaves a 2× margin (4·(2^30)² ≈
+    * 4.6e18 < 9.2e18). None for undecodable payloads, same contract as
+    * [[decodeImage]]. */
   def aHash(payload: Array[Byte]): Option[Long] = {
     if (payload == null) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null || img.getWidth.toLong * img.getHeight >= Int.MaxValue) None
+      if (img == null || img.getWidth.toLong * img.getHeight >= (1L << 30)) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)
         val sums = new Array[Long](64)

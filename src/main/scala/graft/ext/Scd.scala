@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 /** Slowly-Changing-Dimension Type 2 builders — the warehouse-dimension
   * maintenance step of a medallion ETL (the reference's Silver→Gold tier
-  * stops at Type 1 upsert, `03_Gold_Analytics_Tables.py`'s MERGE; SCD2 is
+  * stops at Type 1 upsert, `03_Gold_Aggregates_Features.py`'s MERGE; SCD2 is
   * the standard next notch: keep every historical attribute version with
   * its validity interval instead of overwriting).
   *
@@ -96,11 +96,16 @@ object Scd {
     * bootstrap at version 1. Version numbering continues from the
     * current row's version via a per-key offset.
     *
-    * LATE DATA IS REFUSED LOUDLY: an update observed before its key's
-    * current `effective_from` would rewrite closed history — the plan
-    * embeds `assert_true` (the CDC duplicate-key precedent,
+    * LATE DATA IS REFUSED LOUDLY: an update observed AT OR before its
+    * key's current `effective_from` would rewrite closed history — the
+    * plan embeds `assert_true` (the CDC duplicate-key precedent,
     * [[graft.sources.VersionedTable.changes]]) folded into the ordering
-    * column so it cannot be pruned; rebuild from full history instead. */
+    * column so it cannot be pruned; rebuild from full history instead.
+    * The guard is STRICT on purpose: the dimension does not retain the
+    * tie value of the observation that opened the current run, so an
+    * update sharing that exact instant cannot be ordered against it the
+    * way a rebuild (which sees both ties) would — equal-instant updates
+    * are therefore refused rather than risk `apply != rebuild`. */
   def scd2Apply(dim: DataFrame, updates: DataFrame, keyCols: Seq[String],
       tsCol: String, tieCol: String, attrCols: Seq[String]): DataFrame = {
     val outCols = (keyCols ++ attrCols) ++ Seq(From, To, Ver, Cur)
@@ -124,11 +129,12 @@ object Scd {
     val outCols = (keyCols ++ attrCols) ++ Seq(From, To, Ver, Cur)
     // Current row → pseudo-observation seeding the run-collapse. Its
     // version numbers the run it opens; updates inherit via the offset.
-    // `__seq` = 0 orders the seed before any update sharing its instant
-    // (updates get 1): the seed's interval opened at that instant first.
-    // The seed's tie slot is a typed NULL (tie type taken from `updates`,
-    // whatever it is) — only one seed exists per key and `__seq` already
-    // orders it first, the slot just has to union cleanly.
+    // `__seq` = 0 is a belt-and-braces order anchor: the strict late-data
+    // guard already refuses any update AT the seed's instant (the seed's
+    // original tie value is not retained, so equal-instant order vs a
+    // rebuild would be unrecoverable), so every admitted update sorts
+    // strictly after the seed by ts alone. The seed's tie slot is a typed
+    // NULL (tie type taken from `updates`) — it only has to union cleanly.
     val tieType = updates.schema(tieCol).dataType
     val curSeed = current.select(
       keyC ++ attrCols.map(col) ++ Seq(
@@ -144,8 +150,8 @@ object Scd {
       .join(curFrom, keyCols, "left")
       .select(keyC ++ attrCols.map(col) ++ Seq(
         coalesce(
-          assert_true(col("__cur_from").isNull || col(tsCol) >= col("__cur_from"),
-            lit(s"scd2Apply: update observed before its key's current $From — " +
+          assert_true(col("__cur_from").isNull || col(tsCol) > col("__cur_from"),
+            lit(s"scd2Apply: update observed at or before its key's current $From — " +
               "late data rewrites closed history; rebuild via scd2FromHistory"))
             .cast(updates.schema(tsCol).dataType),
           col(tsCol)).as(tsCol),

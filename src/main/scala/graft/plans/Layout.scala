@@ -70,4 +70,24 @@ object Layout {
     * partition pruning for time-range queries at any scale. */
   def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
+  /** BUCKETED table write — the co-located-join layout lever: both sides
+    * of a recurring equi-join written with the SAME bucket count on the
+    * join key are hash-distributed identically ON DISK, so the join
+    * plans with NO Exchange on either side (spec-pinned) — at 100 TB
+    * that deletes the single most expensive stage a fact⋈fact join has
+    * (two full-table shuffles), and `sortCols` pre-sorts within buckets
+    * so sort-merge can skip its sorts too when bucket files are single.
+    * This is Spark's native analogue of the warehouse CLUSTER BY /
+    * Delta liquid-clustering join optimization; unlike
+    * [[writePartitioned]] it composes with high-cardinality keys
+    * (buckets hash, partitions enumerate). Managed-table form because
+    * bucket metadata lives in the catalog, not the files. */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

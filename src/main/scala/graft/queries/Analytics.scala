@@ -740,7 +740,81 @@ object Analytics {
     q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize, q103GlobalRank,
     q104ExistsChain, q109SlidingWindow, q110FromJson, q141RobustZscore,
     q144Attribution, q151Ewma, q153TemporalSplit, q154SessionTransitions,
-    q155TrendSlope, q156DayOverDay, q159ConversionLatency)
+    q155TrendSlope, q156DayOverDay, q159ConversionLatency,
+    q162EquidepthHist, q165AsOfForward)
+
+  /** EQUI-DEPTH HISTOGRAM (10 buckets) of order totals — the statistics
+    * object every cost-based optimizer and skew detector keeps: bucket
+    * BOUNDARIES adapt so populations stay balanced, unlike fixed-width
+    * histograms that collapse on skewed value distributions. Built with
+    * the q145 cutoff recipe in pure form: one mergeable exact-percentile
+    * aggregate (q47's `percentile` ↔ `quantile_cont` pairing, swap
+    * `approx_percentile` past 10⁹ rows), 9 cutoffs broadcast back, the
+    * bucket id a pure comparison count — NO global sort, NO ntile.
+    * min/max per bucket are exact input doubles; counts exact BIGINTs. */
+  lazy val q162EquidepthHist: Q = Q(
+    "q162_equidepth_hist",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_totalprice").as("v"))
+        .localCheckpoint(eager = false) // feeds cutoffs AND bucketing
+      val cuts = o.agg(expr(
+        "percentile(v, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))").as("qs"))
+      val bucket = (1 until 10).map(i =>
+        (col("v") > element_at(col("qs"), i)).cast("long")).reduce(_ + _) + lit(1L)
+      o.crossJoin(broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .select(col("bucket"), col("n"), col("lo"), col("hi"))
+    },
+    Some("""
+      WITH cuts AS (
+        SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        FROM orders)
+      SELECT 1 + CAST(o_totalprice > qs[1] AS BIGINT) + CAST(o_totalprice > qs[2] AS BIGINT)
+          + CAST(o_totalprice > qs[3] AS BIGINT) + CAST(o_totalprice > qs[4] AS BIGINT)
+          + CAST(o_totalprice > qs[5] AS BIGINT) + CAST(o_totalprice > qs[6] AS BIGINT)
+          + CAST(o_totalprice > qs[7] AS BIGINT) + CAST(o_totalprice > qs[8] AS BIGINT)
+          + CAST(o_totalprice > qs[9] AS BIGINT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      FROM orders, cuts
+      GROUP BY 1
+    """))
+
+  /** FORWARD AS-OF JOIN ([[graft.ext.AsOfJoin.asOfForward]]) — each
+    * click matched to the user's NEXT purchase at-or-after it (pandas
+    * `merge_asof direction='forward'`): the time-to-next-event lookup
+    * that complements q49's backward point-in-time semantics and q159's
+    * first-conversion aggregate. Same scale shape as q49: tag + union +
+    * one keyed timeline sort, payload carried by `first(...ignoreNulls)`
+    * over the following frame — one shuffle, linear work, no range
+    * explosion. DuckDB expresses it natively (`ASOF LEFT JOIN ... ON
+    * l.ts <= r.ts`), pinning the semantics. */
+  lazy val q165AsOfForward: Q = Q(
+    "q165_asof_forward",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.ext.AsOfJoin.asOfForward(clicks, purchases, "user_id", "ts", "ts",
+          Seq("purchase_id", "purchase_value"))
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("click_ts"),
+          col("asof_purchase_id"), col("asof_purchase_value"))
+    },
+    Some("""
+      SELECT c.user_id, c.event_id,
+        CAST(c.ts AS TIMESTAMP) AS click_ts,
+        p.event_id AS asof_purchase_id,
+        p.value AS asof_purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+    """))
 
   /** CONVERSION LATENCY DISTRIBUTION — how long from a user's first
     * signup to their first subsequent purchase (q84's funnel asks IF
@@ -983,31 +1057,76 @@ object Analytics {
   /** EWMA PER ENTITY (α = 0.25) — the exponentially-weighted running
     * level every monitoring stack keeps, as a batch catalog query: an
     * ORDERED RECURRENCE (each step depends on the previous smoothed
-    * value), which no unordered aggregate can express — computed by the
-    * q146 ordered-fold recipe generalized from sums to recurrences: sort
-    * the per-user value sequence by (ts, event_id) and left-fold
-    * `acc·0.75 + x·0.25` identically on both engines. α exactly binary
-    * ⇒ every step is the same IEEE ops in the same order. Memory bounds
-    * to the max per-key sequence (collect_list per user) — at 100 TB
-    * chunk long histories by time window and chain the folds, or move to
-    * the streaming twin ([[graft.streaming.Stateful]] keeps exactly this
-    * running state incrementally). */
+    * value), which no unordered aggregate can express.
+    *
+    * SEGMENTED FOLD (r12, replacing the single per-key collect_list
+    * whose buffer was one hot user's ENTIRE history — the OOM row at
+    * 100 TB): number each user's events (keyed window — sort-based,
+    * spillable, never an agg buffer), cut into fixed 256-event chunks,
+    * fold each chunk independently, then combine chunks in order as
+    * affine maps — a chunk's whole effect on the running level is
+    * `acc·w + r` with `w = 0.75^len` (folded by repeated multiply, not
+    * pow(), so both engines run identical IEEE ops) and `r` the chunk's
+    * own fold. Same recurrence algebra; every aggregation buffer is now
+    * ≤ 256 values + n/256 chunk triples. The struct-fold combine is the
+    * q146 ordered-fold recipe lifted from scalars to (r, w) pairs —
+    * cross-engine float determinism by running the SAME ops in the SAME
+    * order, never by hoping reassociation is harmless. The streaming
+    * twin ([[graft.streaming.Stateful]]) keeps the same level
+    * incrementally with O(1) state. */
+  /** The segmented-fold EWMA core (see [[q151Ewma]]'s scaladoc for the
+    * algebra). `events` carries (user_id, ts, event_id, value); output is
+    * one (user_id, n_events, ewma) row per user. `chunkLen` bounds every
+    * aggregation buffer. */
+  private[graft] def ewmaChunked(events: org.apache.spark.sql.DataFrame,
+      chunkLen: Int = 256): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val chunks = events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("chunk", floor((col("rn") - 1) / lit(chunkLen)))
+      .groupBy(col("user_id"), col("chunk"))
+      .agg(count(lit(1)).as("cnt"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("rn"), col("value")))),
+            f => f.getField("value")),
+          lit(0.0), (acc, x) => acc * lit(0.75) + x * lit(0.25)).as("r"))
+      .withColumn("wgt",
+        aggregate(sequence(lit(1L), col("cnt")), lit(1.0), (a, _) => a * lit(0.75)))
+    chunks.groupBy(col("user_id"))
+      .agg(sum(col("cnt")).as("n_events"),
+        aggregate(
+          sort_array(collect_list(struct(col("chunk"), col("r"), col("wgt")))),
+          struct(lit(0.0).as("a"), lit(1.0).as("w")),
+          (acc, c) => struct(
+            (acc.getField("a") * c.getField("wgt") + c.getField("r")).as("a"),
+            (acc.getField("w") * c.getField("wgt")).as("w")),
+          acc => acc.getField("a")).as("ewma"))
+  }
+
   lazy val q151Ewma: Q = Q(
     "q151_ewma",
-    (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          aggregate(
-            transform(
-              sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))),
-              f => f.getField("value")),
-            lit(0.0), (acc, x) => acc * lit(0.75) + x * lit(0.25)).as("ewma")),
+    (s, dir) => ewmaChunked(t(s, dir, "events")),
     Some("""
-      SELECT user_id, COUNT(*) AS n_events,
-        list_reduce(list_prepend(0.0e0, list(value ORDER BY ts, event_id)),
-          (acc, x) -> acc * 0.75e0 + x * 0.25e0) AS ewma
-      FROM events GROUP BY user_id
+      WITH ev AS (
+        SELECT user_id, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      ch AS (
+        SELECT user_id, (rn - 1) // 256 AS chunk, COUNT(*) AS cnt,
+          list_reduce(list_prepend(0.0e0, list(value ORDER BY rn)),
+            (acc, x) -> acc * 0.75e0 + x * 0.25e0) AS r
+        FROM ev GROUP BY user_id, (rn - 1) // 256),
+      chw AS (
+        SELECT *, list_reduce(list_prepend(1.0e0,
+            list_transform(range(cnt), x -> 0.75e0)), (a, b) -> a * b) AS wgt
+        FROM ch)
+      SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_events,
+        (list_reduce(
+          list_prepend({'a': 0.0e0, 'w': 1.0e0},
+            list({'a': r, 'w': wgt} ORDER BY chunk)),
+          (acc, c) -> {'a': acc.a * c.w + c.a, 'w': acc.w * c.w})).a AS ewma
+      FROM chw GROUP BY user_id
     """))
 
   /** Schema-full JSON parsing — `from_json` with a declared struct (vs

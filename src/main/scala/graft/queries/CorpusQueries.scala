@@ -543,11 +543,59 @@ object CorpusQueries {
       ORDER BY a.source
     """))
 
+  /** C4-STYLE PER-SOURCE CAP — the domain-cap pass every web-scale corpus
+    * runs before mixing (C4 capped pages per domain so no single site
+    * dominates training): each source keeps at most CAP documents,
+    * selected by the engine-portable modular hash (reproducible sampling,
+    * the q149/q160 recipe) with a doc_id tiebreak. One keyed window
+    * (row_number per source — never a global sort) + grouped audit
+    * counts; `id_sum` checksums the exact selected set so the oracle
+    * pins WHICH docs survived, not just how many. At 100 TB the window
+    * shuffles on source; a pathological single-source corpus would salt
+    * by hash-prefix first (the q98 recipe) — documented dial. */
+  lazy val q161DomainCap: Q = Q(
+    "q161_domain_cap",
+    (s, dir) => {
+      val cap = 300
+      val d = t(s, dir, "documents").withColumn("h",
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000003L)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      val kept = d.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .join(
+          d.groupBy(col("source")).agg(count(lit(1)).as("n_total")),
+          Seq("source"))
+        .select(col("source"), col("n_total"), col("n_kept"),
+          col("chars_kept"), col("id_sum"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT *, (doc_id % 1000003) * 2654435761 % 1000003 AS h
+        FROM documents),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        FROM h),
+      kept AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM ranked WHERE rk <= 300 GROUP BY source),
+      totals AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM documents GROUP BY source)
+      SELECT source, n_total, n_kept, chars_kept, id_sum
+      FROM kept JOIN totals USING (source)
+    """))
+
   val all: Seq[Q] = Seq(
     q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample,
     q70QualityFilter, q76ChunkDocuments, q89QualityCutoff, q91ClassSample,
     q97SourceOverlap, q101TemperatureMix, q116FuzzyDecontam,
-    q126ImportanceResample, q132BudgetMix, q160KfoldAssignment)
+    q126ImportanceResample, q132BudgetMix, q160KfoldAssignment, q161DomainCap)
 
   /** K-FOLD CROSS-VALIDATION ASSIGNMENT — the evaluation-prep step after
     * the train/test splits (q64 hash, q153 temporal): every document
@@ -560,8 +608,16 @@ object CorpusQueries {
   lazy val q160KfoldAssignment: Q = Q(
     "q160_kfold_assignment",
     (s, dir) => {
+      // Reduce mod p, multiply, reduce mod p AGAIN, then fold to 5. The
+      // previous ((id % p) * c) % 5 was degenerate: 2654435761 ≡ 1
+      // (mod 5), so it collapsed to round-robin on the id, correlating
+      // folds with any id pattern periodic in 5. The mod-p after the
+      // multiply is what mixes (the q149 recipe); the mod-p BEFORE it
+      // bounds the product at 1e6·2.65e9 ≈ 2.6e15, overflow-safe (ANSI)
+      // for ANY doc_id, unlike multiplying the raw id (overflows > 3.4e9).
       val d = t(s, dir, "documents").withColumn("fold",
-        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(5L)))
+        pmod(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+          lit(1000003L)), lit(5L)))
       val byLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
       d.groupBy(col("fold"), col("lang")).agg(count(lit(1)).as("n"))
         .join(broadcast(byLang), Seq("lang"))
@@ -570,7 +626,7 @@ object CorpusQueries {
     },
     Some("""
       WITH d AS (
-        SELECT lang, (doc_id % 1000003 * 2654435761) % 5 AS fold FROM documents),
+        SELECT lang, ((doc_id % 1000003) * 2654435761 % 1000003) % 5 AS fold FROM documents),
       by_lang AS (
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM d GROUP BY 1)
       SELECT fold, d.lang, CAST(COUNT(*) AS BIGINT) AS n, n_lang,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 /** Warehouse-maintenance tier: SCD Type 2 dimension building and
   * incrementally maintained gold aggregates — the two standard "keep the
   * serving tables fresh" ETL patterns one notch past the reference's
-  * Type 1 MERGE (`03_Gold_Analytics_Tables.py`).
+  * Type 1 MERGE (`03_Gold_Aggregates_Features.py`).
   */
 object DimQueries {
 

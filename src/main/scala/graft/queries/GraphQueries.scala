@@ -142,18 +142,20 @@ object GraphQueries {
     """))
 
   /** TRIANGLE CENSUS of the mutual-kNN similarity graph
-    * ([[GraphOps.mutualEdges]] → [[GraphOps.triangles]]): symmetrize the
-    * q136 graph to edges both endpoints agree on, then count closed
-    * wedges — the local-clustering signal that separates tight semantic
-    * groups from hub noise. Wedge join keyed on the shared vertex,
-    * closure check a pair-keyed semi-join; every count is one exact
-    * BIGINT. The oracle re-derives the identical census from the shared
-    * kNN CTE. */
+    * ([[GraphOps.mutualEdges]] → [[GraphOps.trianglesByDegree]]):
+    * symmetrize the q136 graph to edges both endpoints agree on, then
+    * count closed wedges — the local-clustering signal that separates
+    * tight semantic groups from hub noise. DEGREE-ORIENTED enumeration
+    * (r12): wedges pivot on each triangle's lowest-degree vertex, so a
+    * power-law hub in the similarity graph is a wedge target, never a
+    * pivot — fan-out bounded O(√|E|) with the SAME exact triple set
+    * (spec-pinned), which is why the id-oriented DuckDB twin still
+    * matches bit-for-bit. Every count is one exact BIGINT. */
   val q137TriangleCensus: Q = Q(
     "q137_triangle_census",
     (s, dir) => {
       val edges = GraphOps.mutualEdges(knn(s, dir, 5).select(col("src"), col("dst")))
-      val tri = GraphOps.triangles(edges)
+      val tri = GraphOps.trianglesByDegree(edges)
       edges.agg(count(lit(1)).as("n_edges"))
         .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
         .crossJoin(tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, QueryDsl}
 import QueryDsl._
 import graft.functions.SimHash64.simhash64
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Remaining aggregate/expression coverage: stddev (A5), HLL approximate
@@ -120,28 +121,55 @@ object MiscQueries {
 
   /** RFM SEGMENTATION — the classic customer-value grid: per customer,
     * Recency (latest order), Frequency (order count), Monetary (decimal-
-    * exact spend), each quintile-scored by a global `ntile(5)` with a
-    * custkey tiebreak (total order ⇒ the SQL-standard tile-size rule
-    * lands identically in any engine). Global ntile needs a global sort
-    * — correct for exact quantile assignment; at 100 TB swap in
-    * percentile CUTOFFS (q47's recipe) and score by comparison, which
-    * this query's aggregate stage feeds unchanged. Output is one row per
-    * customer with scores + the concatenated segment key. */
+    * exact spend), each quintile-scored by PERCENTILE CUTOFFS: one
+    * global exact-percentile aggregate (the q47 `percentile` ↔
+    * `quantile_cont` pairing) computes the 0.2/0.4/0.6/0.8 cutoffs per
+    * dimension, a 1-row broadcast carries them back, and the score is a
+    * pure comparison count — `1 + |{cutoffs ≥ value}|`, tile 1 = top
+    * quintile, matching the DESC direction of the classic ntile form.
+    *
+    * WHY cutoffs and not ntile: `ntile(5)` needs an unpartitioned
+    * `Window.orderBy` — a single-partition GLOBAL SORT of every
+    * customer, three times over. That was the catalog's one
+    * scale-killer shape (r11 verdict). The cutoff form replaces all
+    * three sorts with one mergeable aggregate + a broadcast join; the
+    * scoring stage is a narrow projection that never shuffles. Semantic
+    * delta vs ntile, on purpose: equal values now get EQUAL scores
+    * (ntile splits ties across tiles by the arbitrary custkey tiebreak),
+    * and tile populations are interpolation-boundary-sized rather than
+    * exactly N/5 — the defensible segmentation semantics, and equally
+    * SQL-expressible. At 10⁹+ customers swap `percentile` →
+    * `approx_percentile` (q115's pairing): one token, bounded buffers.
+    *
+    * Cross-engine determinism: cutoffs are doubles from the SAME
+    * (n−1)p interpolation over the same sorted data (q47-proven);
+    * values compare as doubles on both sides; recency compares in
+    * day-space (`datediff` ↔ date subtraction). */
   val q145RfmSegments: Q = Q(
     "q145_rfm_segments",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
       val rfm = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_order"),
           count(lit(1)).as("frequency"),
           dsum(col("o_totalprice"), 2).as("monetary"))
-      val wr = Window.orderBy(col("last_order").desc, col("o_custkey"))
-      val wf = Window.orderBy(col("frequency").desc, col("o_custkey"))
-      val wm = Window.orderBy(col("monetary").desc, col("o_custkey"))
-      rfm.withColumn("r_score", ntile(5).over(wr).cast("long"))
-        .withColumn("f_score", ntile(5).over(wf).cast("long"))
-        .withColumn("m_score", ntile(5).over(wm).cast("long"))
+        .withColumn("r_days", datediff(col("last_order"), lit("1970-01-01")))
+        .withColumn("m_dbl", col("monetary").cast("double"))
+        // both the cutoff aggregate and the scoring projection read rfm:
+        // materialize it once (lazy — no extra job barrier) instead of
+        // scanning + re-aggregating orders twice
+        .localCheckpoint(eager = false)
+      val cuts = rfm.agg(
+        expr(s"percentile(r_days, $qs)").as("rq"),
+        expr(s"percentile(frequency, $qs)").as("fq"),
+        expr(s"percentile(m_dbl, $qs)").as("mq"))
+      def score(v: Column, cutArr: Column): Column =
+        lit(1L) + (0 until 4).map(i => (v <= element_at(cutArr, i + 1)).cast("long")).reduce(_ + _)
+      rfm.crossJoin(broadcast(cuts))
+        .withColumn("r_score", score(col("r_days").cast("double"), col("rq")))
+        .withColumn("f_score", score(col("frequency").cast("double"), col("fq")))
+        .withColumn("m_score", score(col("m_dbl"), col("mq")))
         .withColumn("segment",
           concat(col("r_score"), lit("-"), col("f_score"), lit("-"), col("m_score")))
         .select("o_custkey", "last_order", "frequency", "monetary",
@@ -153,15 +181,30 @@ object MiscQueries {
           MAX(o_orderdate) AS last_order,
           COUNT(*) AS frequency,
           %s AS monetary
-        FROM orders GROUP BY o_custkey)
+        FROM orders GROUP BY o_custkey),
+      r2 AS (
+        SELECT *, CAST(last_order AS DATE) - DATE '1970-01-01' AS r_days,
+          CAST(monetary AS DOUBLE) AS m_dbl
+        FROM rfm),
+      cuts AS (
+        SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+          quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+          quantile_cont(m_dbl, [0.2, 0.4, 0.6, 0.8]) AS mq
+        FROM r2),
+      scored AS (
+        SELECT o_custkey, last_order, frequency, monetary,
+          1 + CAST(CAST(r_days AS DOUBLE) <= rq[1] AS BIGINT) + CAST(CAST(r_days AS DOUBLE) <= rq[2] AS BIGINT)
+            + CAST(CAST(r_days AS DOUBLE) <= rq[3] AS BIGINT) + CAST(CAST(r_days AS DOUBLE) <= rq[4] AS BIGINT) AS r_score,
+          1 + CAST(CAST(frequency AS DOUBLE) <= fq[1] AS BIGINT) + CAST(CAST(frequency AS DOUBLE) <= fq[2] AS BIGINT)
+            + CAST(CAST(frequency AS DOUBLE) <= fq[3] AS BIGINT) + CAST(CAST(frequency AS DOUBLE) <= fq[4] AS BIGINT) AS f_score,
+          1 + CAST(m_dbl <= mq[1] AS BIGINT) + CAST(m_dbl <= mq[2] AS BIGINT)
+            + CAST(m_dbl <= mq[3] AS BIGINT) + CAST(m_dbl <= mq[4] AS BIGINT) AS m_score
+        FROM r2, cuts)
       SELECT o_custkey, last_order, frequency, monetary,
-        CAST(NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT) AS r_score,
-        CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
-        CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score,
-        CAST(NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS VARCHAR) || '-' ||
-          CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR) || '-' ||
-          CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR) AS segment
-      FROM rfm
+        r_score, f_score, m_score,
+        CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR) || '-' ||
+          CAST(m_score AS VARCHAR) AS segment
+      FROM scored
     """.format(QueryDsl.oracleDsum("o_totalprice", 2))))
 
   /** CHI-SQUARE INDEPENDENCE TEST (lang × source over the corpus) — the

@@ -226,5 +226,62 @@ object ProfileQueries {
       FROM est
     """))
 
-  val all: Seq[Q] = Seq(q86Profile, q100PsiDrift, q119ApproxProfile, q149CountMin)
+  /** BENFORD FIRST-DIGIT SCREEN over order totals — the classic
+    * fabricated-numbers / broken-generator test an audit layer runs on
+    * monetary columns: observed leading-digit shares vs Benford's
+    * log10(1 + 1/d) expectation. Digit extraction is STRING-OF-INTEGER
+    * (price → exact DECIMAL(28,2) cents → BIGINT → first char), never
+    * log10 — float log near powers of ten is the classic cross-engine
+    * ulp flip, while integer-to-string is exact and identical
+    * everywhere. Shares are exact-integer divisions; the Benford
+    * expectations are EMBEDDED LITERALS (identical doubles by parse) so
+    * the deviation column is the same IEEE subtraction on both engines.
+    * One grouped count over the scan — trivially 100 TB-shaped. */
+  lazy val q164Benford: Q = Q(
+    "q164_benford",
+    (s, dir) => {
+      val benford = Seq(
+        1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+        3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+        5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+        9 -> 0.04575749056067514)
+      val p = benford.tail.foldLeft(
+        when(col("digit") === 1, lit(benford.head._2))) {
+        case (acc, (d, v)) => acc.when(col("digit") === d, lit(v))
+      }
+      val o = t(s, dir, "orders")
+        .withColumn("cents",
+          (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(28, 2))
+            * 100).cast("long"))
+        .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("long"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy()
+      o.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("share", col("n").cast("double") / sum(col("n")).over(wn))
+        .withColumn("benford_p", p)
+        .withColumn("deviation", col("share") - col("benford_p"))
+        .select("digit", "n", "share", "benford_p", "deviation")
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(LEFT(CAST(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+          AS VARCHAR), 1) AS BIGINT) AS digit
+        FROM orders),
+      counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+      b(digit, benford_p) AS (VALUES
+        (1, 0.3010299956639812e0), (2, 0.17609125905568124e0),
+        (3, 0.12493873660829992e0), (4, 0.09691001300805642e0),
+        (5, 0.07918124604762482e0), (6, 0.06694678963061322e0),
+        (7, 0.05799194697768673e0), (8, 0.05115252244738129e0),
+        (9, 0.04575749056067514e0))
+      SELECT counts.digit, n,
+        CAST(n AS DOUBLE) / SUM(n) OVER () AS share,
+        benford_p,
+        CAST(n AS DOUBLE) / SUM(n) OVER () - benford_p AS deviation
+      FROM counts JOIN b ON counts.digit = b.digit
+    """))
+
+  val all: Seq[Q] = Seq(q86Profile, q100PsiDrift, q119ApproxProfile, q149CountMin,
+    q164Benford)
 }

@@ -1242,11 +1242,71 @@ object TextQueries {
       WHERE chosen_id <> rejected_id
     """))
 
+  /** TOP-N-GRAM MASS (the Gopher repetition rule): per document, the
+    * fraction of tokens covered by its single most-repeated bigram — the
+    * cheap screen for boilerplate/template pages whose WITHIN-document
+    * repetition q26's distinct-token ratio underweights (a page that
+    * alternates two phrases has high distinct bigram count but one
+    * dominant bigram). Per-doc argmax with a full (count desc, bigram)
+    * tiebreak so both engines pick the identical winner; the fraction is
+    * one exact-integer division (correctly rounded, engine-identical);
+    * `flagged` applies Gopher's 0.2 threshold. All stages are doc-keyed
+    * shuffles — token explode, grouped count, per-doc window — nothing
+    * global. */
+  lazy val q163TopNgramMass: Q = Q(
+    "q163_top_ngram_mass",
+    (s, dir) => {
+      val wpos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val wtop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      val bi = toks.withColumn("w2", lead(col("w1"), 1).over(wpos))
+        .filter(col("w2").isNotNull)
+      val top = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(wtop))
+        .filter(col("rk") === 1)
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      top.join(sizes, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          concat(col("w1"), lit(" "), col("w2")).as("top_bigram"),
+          col("n").as("top_n"),
+          ((col("n") * 2).cast("double") / col("n_tokens")).as("mass"),
+          ((col("n") * 2).cast("double") / col("n_tokens") > 0.2).as("flagged"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w1,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        FROM documents),
+      bi AS (
+        SELECT doc_id, w1, w2 FROM (
+          SELECT doc_id, w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM toks)
+        WHERE w2 IS NOT NULL),
+      top AS (
+        SELECT doc_id, w1, w2, n FROM (
+          SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, w1, w2) AS rk
+          FROM bi GROUP BY doc_id, w1, w2)
+        WHERE rk = 1),
+      sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+        w1 || ' ' || w2 AS top_bigram, n AS top_n,
+        CAST(n * 2 AS DOUBLE) / n_tokens AS mass,
+        CAST(n * 2 AS DOUBLE) / n_tokens > 0.2e0 AS flagged
+      FROM top JOIN sizes USING (doc_id)
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
     q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
     q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
     q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval,
-    q131BpeMerges, q142BpeEncode, q143Bm25, q152PreferencePairs)
+    q131BpeMerges, q142BpeEncode, q143Bm25, q152PreferencePairs, q163TopNgramMass)
 }

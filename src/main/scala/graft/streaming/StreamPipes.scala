@@ -130,10 +130,19 @@ object StreamPipes {
     * attempt's partial writes are invisible to the decision — and every
     * write is a per-batch-directory overwrite, so re-running batch N
     * rewrites exactly batch N's outputs. `vocab_v<id>` is written last and
-    * acts as the version's commit marker (a production deployment would
-    * route both tables through [[graft.sources.VersionedTable]] COW
-    * commits instead; old snapshots are that deployment's vacuum
-    * concern). */
+    * acts as the version's commit marker.
+    *
+    * `compactEvery` > 0 runs the maintenance loop every N batches —
+    * [[graft.ext.Dedup.compactCorpus]] folds the accreted per-batch
+    * corpus dirs into one committed `corpus/compact=<B>` dir, and
+    * [[graft.ext.Dedup.vacuumDedupState]] sweeps covered corpus dirs plus
+    * index snapshots older than the newest two (two so a replayed batch
+    * can still read the version strictly below itself). Uncompacted, a
+    * long-running stream accretes one corpus dir + one full index
+    * snapshot per micro-batch forever — the exact small-files pathology
+    * the ANN shard sweep measured (SCALING.md). Consumers read the
+    * corpus via [[graft.ext.Dedup.readCorpus]] (compaction-aware read
+    * set), not a raw partition-discovery read of `corpus/`. */
   /** STREAMING ANN-INDEX INGESTION — [[graft.ext.AnnIndex]]'s incremental
     * extension as a foreachBatch pipeline (the [[dedupIngest]] pattern for
     * the vector tier): every micro-batch of (id, vec) rows is encoded
@@ -178,7 +187,7 @@ object StreamPipes {
   def dedupIngest(
       docs: DataFrame, basePath: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.9): StreamingQuery =
+      threshold: Double = 0.9, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -213,6 +222,10 @@ object StreamPipes {
           kept, postings, vocab, idCol, textCol, threshold)
         p2.write.mode("overwrite").parquet(pp(batchId))
         v2.write.mode("overwrite").parquet(vp(batchId)) // commit marker, last
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          Dedup.compactCorpus(spark, basePath)
+          Dedup.vacuumDedupState(spark, basePath)
+        }
         ()
       }
       .start()

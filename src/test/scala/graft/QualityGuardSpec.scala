@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Accuracy regression guard for the APPROXIMATE tier — the quality twin
+  * of [[BenchGuardSpec]]: QUALITY.md's recall/error numbers are measured
+  * per round but were previously UNGUARDED, so a dial change that silently
+  * zeroed recall (exactly r9's LSH 0.00 incident) would pass every test.
+  * These floors are machine-independent (recall has no machine factor) and
+  * deliberately sit WELL BELOW the measured values at this sf — they catch
+  * "the operator stopped finding things", not honest dial drift:
+  * measured at sf0.01 this session: q34 0.62, q121 0.96, q57 1.00,
+  * sketch max rel-errs ≤ ~0.07. Update a floor only with a QUALITY.md
+  * note explaining the accepted trade. Runs at sf0.01 — big enough for
+  * sketches to leave their exact-counting regime, small enough for the
+  * brute-force oracles. */
+class QualityGuardSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private def q(name: String): DataFrame =
+    QueryCatalog.queries(name)(spark, sfDir)
+
+  private def pairsOf(df: DataFrame): Map[Long, Set[Long]] =
+    df.select(col("qid").cast("long"), col("id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+
+  private def recall(approx: DataFrame, exact: DataFrame): Double = {
+    val a = pairsOf(approx)
+    val e = pairsOf(exact)
+    val per = e.toSeq.map { case (k, ids) =>
+      (a.getOrElse(k, Set.empty) & ids).size.toDouble / ids.size }
+    per.sum / per.size
+  }
+
+  test("q34 LSH recall@10 >= 0.25 vs exact cosine") {
+    val r = recall(q("q34_ann_lsh"), q("q33_cosine_topk"))
+    assert(r >= 0.25, f"q34 LSH recall collapsed: $r%.3f < 0.25")
+  }
+
+  test("q121 IVF-PQ refined recall@10 >= 0.5 vs exact L2") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exactL2 = corpus.crossJoin(broadcast(queries))
+      .withColumn("d2", graft.ext.Similarity.sqDist(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))))
+      .filter(col("rank") <= 10).select(col("qid"), col("id"))
+    val r = recall(q("q121_ivfpq_refine"), exactL2)
+    assert(r >= 0.5, f"q121 refined recall collapsed: $r%.3f < 0.5")
+  }
+
+  test("q57 near-dup pair recall >= 0.95 vs brute-force cosine >= 0.98") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // the same perturbed-dup corpus construction as q57 itself
+    val dups = emb.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 100000).as("id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") +
+          (pmod(col("vec_id") * (i + lit(1)), lit(7)).cast("double") - 3.0) * 0.005)
+          .cast("float")).as("vec"))
+    val ndCorpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .unionByName(dups)
+    val exactPairs = ndCorpus.select(col("id").as("id_a"), col("vec").as("vec_a"))
+      .crossJoin(ndCorpus.select(col("id").as("id_b"), col("vec").as("vec_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.ext.Similarity.cosine(col("vec_a"), col("vec_b")) >= 0.98)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = q("q57_embed_neardup")
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = (gotPairs & exactPairs).size.toDouble / math.max(exactPairs.size, 1)
+    assert(r >= 0.95, f"q57 pair recall collapsed: $r%.3f < 0.95 " +
+      s"(${exactPairs.size} true pairs)")
+  }
+
+  /** Max relative error of `vals` columns, approx vs exact, joined on
+    * `keys` (QUALITY.md's relErrs rule: 0/0 → 0, x/0 → +Inf). */
+  private def maxRelErr(approx: DataFrame, exact: DataFrame,
+      keys: Seq[String], vals: Seq[String]): Double = {
+    val j = approx.as("a").join(exact.as("e"), keys)
+    val errCols = vals.map { v =>
+      val a = col(s"a.$v").cast("double")
+      val e = col(s"e.$v").cast("double")
+      when(e === 0.0, when(a === 0.0, lit(0.0))
+          .otherwise(lit(Double.PositiveInfinity)))
+        .otherwise(abs(a - e) / abs(e)).as(v)
+    }
+    j.select(errCols: _*).collect()
+      .flatMap(r => vals.indices.map(r.getDouble)).max
+  }
+
+  test("sketch tier max relative error <= 10%") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val distinctErr = maxRelErr(
+      q("q38_approx_distinct"),
+      li.groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("approx_parts")),
+      Seq("l_returnflag"), Seq("approx_orders", "approx_parts"))
+    assert(distinctErr <= 0.10, f"q38 HLL error blew up: $distinctErr%.3f")
+
+    val ev = Tables.events(spark, sfDir)
+    val evExact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("approx_users"))
+      .unionByName(ev.agg(countDistinct(col("user_id")).as("approx_users"))
+        .select(lit("__ALL__").as("event_type"), col("approx_users")))
+    val hllErr = maxRelErr(q("q99_hll_merge"), evExact,
+      Seq("event_type"), Seq("approx_users"))
+    assert(hllErr <= 0.10, f"q99 HLL-merge error blew up: $hllErr%.3f")
+
+    val pctErr = maxRelErr(q("q115_approx_percentiles"), q("q47_percentiles"),
+      Seq("o_orderstatus"), Seq("p50", "p90", "p99"))
+    assert(pctErr <= 0.10, f"q115 approx-percentile error blew up: $pctErr%.3f")
+  }
+}

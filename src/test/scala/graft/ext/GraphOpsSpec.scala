@@ -26,6 +26,30 @@ class GraphOpsSpec extends SparkSuite {
     assert(per === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)) // K4: each vertex in C(3,2)=3
   }
 
+  test("trianglesByDegree: identical triangle set, hub never pivots a wedge") {
+    // STAR: hub 0 joined to leaves 1..20, plus ring edges closing a
+    // triangle through the hub at every leaf pair (i, i+1). Id
+    // orientation makes hub 0 the pivot of ALL C(20,2)=190 wedges; the
+    // degree orientation must instead pivot each triangle at one of its
+    // degree-3 leaves and give the hub out-degree 0.
+    val star = (1L to 20L).map(l => (0L, l)) ++ (1L until 20L).map(l => (l, l + 1))
+    val und = edges(star: _*)
+    val byDeg = GraphOps.trianglesByDegree(und).as[(Long, Long, Long)].collect().toSet
+    val byId = GraphOps.triangles(und).as[(Long, Long, Long)].collect().toSet
+    assert(byDeg === byId, "orientation must not change the triangle set")
+    assert(byDeg === (1L until 20L).map(l => (0L, l, l + 1)).toSet)
+    // the skew claim itself: max out-degree after orientation is bounded
+    // (hub deg 20 → all hub edges point INTO it; leaves keep ≤ 3)
+    val outDeg = GraphOps.orientByDegree(und)
+      .groupBy($"src").agg(count(lit(1)).as("d"))
+      .agg(max($"d")).as[Long].head()
+    assert(outDeg <= 3, s"wedge pivot fan-out must stay leaf-sized, got $outDeg")
+    // K4 + pendant regression set from the id-oriented test, same answer
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    assert(GraphOps.trianglesByDegree(k4).as[(Long, Long, Long)].collect().toSet ===
+      GraphOps.triangles(k4).as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("triangle-free graph yields zero triangles") {
     // C5 cycle: no triangles
     val und = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))

@@ -59,11 +59,22 @@ class ScdSpec extends SparkSuite {
     assert(canon(applied) === canon(rebuilt))
   }
 
-  test("scd2Apply update at the current row's own instant matches rebuild") {
+  test("scd2Apply refuses an update at the current row's own instant (tie order unrecoverable)") {
+    // The dimension does not retain the opening observation's tie value,
+    // so an update at the exact current effective_from cannot be ordered
+    // against it the way a rebuild would: a SMALLER tie (here 0 < 1)
+    // would rebuild as (B@tie0, A@tie1) but apply would seed A first —
+    // apply != rebuild. The strict guard refuses BOTH tie directions at
+    // the shared instant rather than silently diverge on one of them.
     val batch1 = hist((1L, 10L, 1L, "A"))
-    val batch2 = hist((1L, 10L, 2L, "B")) // same ts as current effective_from
-    val applied = Scd.scd2Apply(build(batch1), batch2, keys, "ts", "tie", Seq("attr"))
-    assert(canon(applied) === canon(build(batch1.unionByName(batch2))))
+    for (tie <- Seq(0L, 2L)) {
+      val batch2 = hist((1L, 10L, tie, "B")) // same ts as current effective_from
+      val e = intercept[Exception] {
+        Scd.scd2Apply(build(batch1), batch2, keys, "ts", "tie", Seq("attr")).collect()
+      }
+      assert(e.getMessage.contains("late data") ||
+        e.getCause != null && e.getCause.getMessage.contains("late data"))
+    }
   }
 
   test("scd2Apply refuses late data loudly") {
@@ -86,7 +97,7 @@ class ScdSpec extends SparkSuite {
       (k, ts, i.toLong, attr)
     }
     val (h1, h2) = obs.splitAt(260)
-    // batch2 must be per-key at/after batch1's current effective_from:
+    // batch2 must be per-key strictly after batch1's current effective_from:
     // shift its timestamps past batch1's global max — the apply contract
     // (late data is refused, separately pinned above)
     val shift = 1000L

@@ -355,6 +355,23 @@ class PlanSpec extends SparkSuite {
     assert(bhj >= 3, s"nation(×2)+region legs broadcast (got $bhj):\n$p")
   }
 
+  test("q145 RFM: no unpartitioned Window (no global sort); cutoffs broadcast back") {
+    val df = QueryCatalog.queries("q145_rfm_segments")(spark, dir)
+    // the logical plan must carry NO Window at all (the ntile form had
+    // three unpartitioned ones = three single-partition global sorts)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"cutoff scoring must not plan a Window:\n${windows.mkString}")
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row cutoff table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // no Sort anywhere — the cutoff form's only single-partition stage is
+    // the percentile partials MERGE (buffers, not rows)
+    assert(!p.contains("Sort "), s"no sort may appear in the cutoff form:\n$p")
+  }
+
   test("q149 count-min: the sketch side broadcasts against the queried keys") {
     val p = plan(QueryCatalog.queries("q149_countmin_heavy_hitters")(spark, dir))
     assert(p.contains("BroadcastHashJoin"),

@@ -220,6 +220,61 @@ class StreamingSpec extends SparkSuite {
       "extended and rebuilt indexes must admit identically (20 is a near-dup of 11)")
   }
 
+  test("streaming dedup ingest with compaction: read set folds to one dir, admission and replay unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    def mk(n: Int, seed: String) =
+      (0 until n).map(i => s"${seed}tok$i ${seed}word$i ${seed}item$i").mkString(" ")
+    def run(base: String, ck: String, compactEvery: Int): Seq[Long] = {
+      val mem = MemoryStream[(Long, String)]
+      val docs = mem.toDF().toDF("doc_id", "text")
+      def step(data: (Long, String)*): Unit = {
+        mem.addData(data: _*)
+        StreamPipes.dedupIngest(docs, base, ck,
+          compactEvery = compactEvery).awaitTermination()
+      }
+      step((1L, mk(12, "alpha")), (2L, mk(12, "beta")))
+      step((10L, mk(12, "alpha") + " extratok"), (11L, mk(12, "gamma")))
+      step((20L, mk(12, "delta")), (21L, mk(12, "gamma") + " moretok"))
+      Dedup.readCorpus(spark, base).get
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+    }
+    val base = tmp() + "/dedup-compact"
+    val got = run(base, tmp() + "/dedup-compact-ck", compactEvery = 1)
+    // compaction is a pure LAYOUT change: same admissions as the
+    // uncompacted twin run
+    val twin = run(tmp() + "/dedup-nocompact", tmp() + "/dedup-nocompact-ck", 0)
+    assert(got === twin && got === Seq(1L, 2L, 11L, 20L),
+      "10 = cross-batch near-dup of 1, 21 = near-dup of 11 — both caught " +
+        "through the persisted index across compactions")
+    // the read set folded to ONE dir (the point of the cadence), covered
+    // batch dirs and stale index snapshots were vacuumed (newest two kept
+    // — a replayed batch reads the version strictly below itself)
+    assert(Dedup.corpusDirs(spark, base) === Seq(s"$base/corpus/compact=2"))
+    def exists(p: String) = new java.io.File(p).exists
+    assert(!exists(s"$base/corpus/batch=0") && !exists(s"$base/corpus/batch=1"))
+    assert(!exists(s"$base/vocab_v0") && !exists(s"$base/postings_v0"),
+      "index snapshots older than the newest two are swept")
+    assert(exists(s"$base/vocab_v1") && exists(s"$base/vocab_v2"))
+    // completed-trigger restart with no new data: a no-op
+    val before = got
+    val memIdle = MemoryStream[(Long, String)]
+    StreamPipes.dedupIngest(memIdle.toDF().toDF("doc_id", "text"), base,
+      tmp() + "/dedup-compact-ck2", compactEvery = 1).awaitTermination()
+    assert(Dedup.readCorpus(spark, base).get
+      .select($"doc_id").as[Long].collect().sorted.toSeq === before)
+    // REPLAY a covered batch (fresh checkpoint restarts at batchId 0, the
+    // dsir replay pattern): the rewritten batch=0 dir is COVERED by
+    // compact=2, so the read set must not double-count docs 1 and 2
+    val memR = MemoryStream[(Long, String)]
+    memR.addData((1L, mk(12, "alpha")), (2L, mk(12, "beta")))
+    StreamPipes.dedupIngest(memR.toDF().toDF("doc_id", "text"), base,
+      tmp() + "/dedup-replay-ck", compactEvery = 0).awaitTermination()
+    assert(Dedup.readCorpus(spark, base).get
+      .select($"doc_id").as[Long].collect().sorted.toSeq === before,
+      "a replayed covered batch rewrites an invisible dir — no double-read")
+  }
+
   test("streaming DSIR admission: scores against prior-batch counts only, replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmp() + "/dsir-ingest"
