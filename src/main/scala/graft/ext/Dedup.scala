@@ -863,6 +863,84 @@ object Dedup {
     samePos.unionByName(identDel).distinct()
   }
 
+  /** ASYMMETRIC CONTAINMENT near-dup pairs: emit (a, b) where
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ `threshold` — "a is
+    * (mostly) contained in b". Jaccard resemblance ([[prefixJaccardPairs]])
+    * misses exactly this case: an excerpt quoted inside a much longer
+    * document has low Jaccard (the union is large) but containment ≈ 1 —
+    * the duplicated-passage / quotation screen a training-corpus pipeline
+    * needs alongside symmetric near-dup.
+    *
+    * Shingle space (word `ngram`s, default 3) rather than single tokens:
+    * on a small-vocabulary corpus every doc's TOKEN set is contained in
+    * every other's (measured: 32% of all pairs at threshold 0.9 on the
+    * test corpus); shingles restore the positional structure containment
+    * is supposed to detect.
+    *
+    * Scale shape — the PPJoin prefix idea adapted to the asymmetric
+    * predicate: if C(a→b) ≥ t, then a can miss at most ⌊(1−t)·n_a⌋ of its
+    * shingles in b, so among a's (n_a − ⌈t·n_a⌉ + 1) RAREST shingles
+    * (global df order, ties by shingle) at least one occurs in b. Probe
+    * side explodes only that prefix; index side is the FULL postings
+    * list (asymmetry: b must index everything — there is no length
+    * filter on b). Candidates → distinct → exact verify via
+    * `array_intersect` on the carried shingle arrays. Every join is
+    * shingle- or id-keyed; no all-pairs stage. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, ngram: Int = 3): DataFrame = {
+    // Tokenize ONCE per doc and pin the array behind a checkpoint
+    // barrier before the shingle transform reads it. Without the
+    // barrier, CollapseProject inlines `split(...)` into every
+    // element_at — ngram array reads per shingle × ~n shingles per doc
+    // re-tokenizes each document O(n·ngram) times (measured: the whole
+    // query 2.5× slower with the split inlined).
+    val toked = docs
+      .select(col(idCol).as("id"), split(normalized(col(textCol)), " ").as("arr"))
+      .localCheckpoint(eager = false)
+    // guard n < ngram: Spark's sequence(1, n-2) runs DOWNHILL for n < 3.
+    // Shingles are carried as xxhash64 LONGS, not strings — every later
+    // stage (postings joins, df sort, per-pair array_intersect) compares
+    // them, and 8-byte compares beat ~20-char strings. 64-bit collisions
+    // are negligible at any realistic per-corpus shingle cardinality
+    // (birthday bound ~2^32); a collision could only ever ADD a shared
+    // shingle, nudging one containment quotient up by 1/n_a.
+    val arr = col("arr")
+    val shingle = when(size(arr) >= ngram,
+      array_distinct(transform(sequence(lit(1), size(arr) - (ngram - 1)),
+        i => xxhash64(concat_ws(" ",
+          (0 until ngram).map(j => element_at(arr, i + lit(j))): _*)))))
+      .otherwise(array().cast("array<long>"))
+    val sets = toked.select(col("id"), shingle.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(eager = false) // feeds postings, prefix, and verify
+    val postings = sets.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val dfS = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = postings.join(dfS, Seq("s"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"),
+        count(lit(1)).as("n"))
+    val plen = (col("n") - ceil(col("n") * lit(threshold)).cast("long") + 1).cast("int")
+    val prefix = ranked.select(col("id").as("id_a"), col("n").as("n_a"),
+      explode(slice(transform(col("ord"), x => x.getField("s")), lit(1), plen)).as("s"))
+    val cands = prefix
+      .join(postings.select(col("id").as("id_b"), col("n").as("n_b"), col("s")), Seq("s"))
+      // containment HAS a one-sided length bound: |A∩B| ≤ |B|, so
+      // C(a→b) ≥ t forces n_b ≥ ⌈t·n_a⌉ — prune before the (expensive,
+      // array-carrying) verify join. The other direction has no bound
+      // (b may be arbitrarily larger), which is the asymmetry.
+      .filter(col("id_a") =!= col("id_b") &&
+        col("n_b") >= ceil(col("n_a") * lit(threshold)))
+      .select(col("id_a"), col("n_a"), col("id_b")).distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("containment", col("inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("inter"), col("containment"))
+  }
+
   // ─────────────── streaming-dedup state maintenance ───────────────
   //
   // [[graft.streaming.StreamPipes.dedupIngest]] accretes two kinds of

@@ -741,7 +741,7 @@ object Analytics {
     q104ExistsChain, q109SlidingWindow, q110FromJson, q141RobustZscore,
     q144Attribution, q151Ewma, q153TemporalSplit, q154SessionTransitions,
     q155TrendSlope, q156DayOverDay, q159ConversionLatency,
-    q162EquidepthHist, q165AsOfForward)
+    q162EquidepthHist, q165AsOfForward, q166SessionConcurrency)
 
   /** EQUI-DEPTH HISTOGRAM (10 buckets) of order totals — the statistics
     * object every cost-based optimizer and skew detector keeps: bucket
@@ -780,6 +780,74 @@ object Analytics {
         MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
       FROM orders, cuts
       GROUP BY 1
+    """))
+
+  /** PEAK SESSION CONCURRENCY (interval sweep) — how many user sessions
+    * are simultaneously active, per hour: the capacity-planning number a
+    * platform team reads off its traffic. The scalable pattern is the
+    * SWEEP, not an interval self-join: sessions (q154's 30-min-gap
+    * recipe) become ±1 deltas at their minute-truncated start / end+1
+    * (half-open), deltas aggregate per minute, and concurrency is the
+    * running sum over the AGGREGATED minute series — a single-partition
+    * window, but over |active minutes| rows (bounded by the time span,
+    * not the data; the q157 sorted-support precedent), after which an
+    * hour-grouped max finishes. An interval⋈interval overlap join would
+    * be O(sessions²) in dense hours; the sweep is O(sessions + minutes).
+    * All integers exact. */
+  lazy val q166SessionConcurrency: Q = Q(
+    "q166_session_concurrency",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("new_session",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(w))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(date_trunc("minute", min(col("ts"))).as("m_start"),
+          (date_trunc("minute", max(col("ts"))) + expr("INTERVAL 1 MINUTE")).as("m_end"))
+      val deltas = sess.select(col("m_start").as("m"), lit(1L).as("d"))
+        .unionAll(sess.select(col("m_end").as("m"), lit(-1L).as("d")))
+        .groupBy(col("m")).agg(sum(col("d")).as("d"))
+      val run = deltas.withColumn("conc",
+        sum(col("d")).over(Window.orderBy(col("m"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      run.groupBy(date_trunc("hour", col("m")).cast("timestamp_ntz").as("hour"))
+        .agg(max(col("conc")).as("peak_concurrency"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+          epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id,
+          CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+            THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS session_id,
+          ts
+        FROM ev),
+      bounds AS (
+        SELECT date_trunc('minute', MIN(ts)) AS m_start,
+          date_trunc('minute', MAX(ts)) + INTERVAL 1 MINUTE AS m_end
+        FROM sess GROUP BY user_id, session_id),
+      deltas AS (
+        SELECT m, CAST(SUM(d) AS BIGINT) AS d FROM (
+          SELECT m_start AS m, 1 AS d FROM bounds
+          UNION ALL
+          SELECT m_end AS m, -1 AS d FROM bounds)
+        GROUP BY m),
+      run AS (
+        SELECT m, CAST(SUM(d) OVER (ORDER BY m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+        FROM deltas)
+      SELECT date_trunc('hour', m) AS hour,
+        MAX(conc) AS peak_concurrency
+      FROM run GROUP BY 1
     """))
 
   /** FORWARD AS-OF JOIN ([[graft.ext.AsOfJoin.asOfForward]]) — each

@@ -1302,11 +1302,61 @@ object TextQueries {
       FROM top JOIN sizes USING (doc_id)
     """))
 
+  /** documents ∪ planted EXCERPTS: every 7th doc contributes a new doc
+    * holding its first half (token-wise) — ground truth for asymmetric
+    * containment (the excerpt's shingles all occur in its parent). */
+  private def corpusWithExcerpts(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1),
+            (size(split(col("text"), " ")) / 2).cast("int")), " ").as("text")))
+  }
+
+  /** CONTAINMENT NEAR-DUP PAIRS ([[Dedup.containmentPairs]]): asymmetric
+    * |A∩B|/|A| ≥ 0.9 over 3-word shingles — catches excerpts/quotations
+    * that symmetric Jaccard (q30) structurally misses (a half-length
+    * excerpt of its parent has Jaccard ≈ 0.5 but containment 1.0). The
+    * corpus plants every 7th doc's first half as ground truth. Prefix
+    * filter on each probe doc's rarest shingles bounds candidates; the
+    * oracle re-derives the identical pair set from a shared-shingle join
+    * (never all-pairs). Counts and the quotient are exact integers /
+    * one exact-int division — engine-identical. */
+  lazy val q167ContainmentPairs: Q = Q(
+    "q167_containment_pairs",
+    (s, dir) => Dedup.containmentPairs(corpusWithExcerpts(s, dir), "doc_id", "text", 0.9),
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000,
+          array_to_string(string_split(text, ' ')[1 : len(string_split(text, ' ')) // 2], ' ')
+        FROM documents WHERE doc_id % 7 = 0),
+      toks AS (
+        SELECT doc_id AS id, string_split(lower(trim(text)), ' ') AS arr FROM corpus),
+      sh AS (
+        SELECT id, list_distinct(list_transform(generate_series(1, len(arr) - 2),
+          i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+        FROM toks),
+      tok AS (
+        SELECT id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+      shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM tok a JOIN tok b ON a.s = b.s AND a.id <> b.id
+        GROUP BY 1, 2, 3)
+      SELECT id_a, id_b, CAST(n_a AS BIGINT) AS n_a, inter,
+        CAST(inter AS DOUBLE) / n_a AS containment
+      FROM shared
+      WHERE CAST(inter AS DOUBLE) / n_a >= 0.9e0
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
     q63DedupClusters, q67CanonicalDocs, q71LeakageSafeSplit, q72IncrementalDedup,
     q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
     q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval,
-    q131BpeMerges, q142BpeEncode, q143Bm25, q152PreferencePairs, q163TopNgramMass)
+    q131BpeMerges, q142BpeEncode, q143Bm25, q152PreferencePairs, q163TopNgramMass,
+    q167ContainmentPairs)
 }

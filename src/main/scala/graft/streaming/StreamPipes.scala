@@ -258,7 +258,7 @@ object StreamPipes {
       docs: DataFrame, basePath: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",
       targetCol: String = "is_target", threshold: Double = 1.0,
-      buckets: Int = 64): StreamingQuery =
+      buckets: Int = 64, vacuumEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -307,6 +307,18 @@ object StreamPipes {
           case None => batchCounts
         }
         merged.write.mode("overwrite").parquet(cp(batchId))
+        // vacuumEvery > 0: every version is a FULL count snapshot, so all
+        // but the newest TWO are dead weight (two, not one — a replayed
+        // batch reads the version strictly below itself). Uncompacted the
+        // state dir accretes one counts_v per micro-batch forever — the
+        // dedupIngest pathology, minus the fold (nothing to fold: each
+        // snapshot is already complete).
+        if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0) {
+          val keep = (committed :+ batchId).distinct.sorted.takeRight(2).toSet
+          committed.filterNot(keep.contains).foreach { v =>
+            fs.delete(new org.apache.hadoop.fs.Path(cp(v)), true)
+          }
+        }
         ()
       }
       .start()

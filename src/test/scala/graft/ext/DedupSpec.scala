@@ -59,6 +59,36 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("containmentPairs: finds excerpts asymmetrically, lossless vs brute force") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),           // parent
+      (2L, "a b c d e f g h"),                            // first half of 1 → contained
+      (3L, "x y z w v u t s r q"),                        // unrelated
+      (4L, "a b c d e f g h i j k l m n o p"),            // exact dup of 1 (mutual)
+      (5L, "h i j k a b c")                               // scrambled pieces: shares few SHINGLES
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text", 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // 2→1 and 2→4 (excerpt contained in both copies); 1↔4 mutual;
+    // NOT 1→2 (asymmetry: the parent is not contained in its excerpt)
+    assert(got === Set((2L, 1L), (2L, 4L), (1L, 4L), (4L, 1L)))
+    // losslessness of the rare-shingle prefix filter: equals the
+    // unfiltered all-pairs answer on a corpus with shared shingles
+    for (t <- Seq(0.5, 0.9)) {
+      def shingleSet(s: String) =
+        s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val rows = corpus.as[(Long, String)].collect()
+      val truth = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia != ib
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        if sa.nonEmpty && (sa & sb).size.toDouble / sa.size >= t
+      } yield (ia, ib)).toSet
+      val pref = Dedup.containmentPairs(corpus, "doc_id", "text", t)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(pref === truth, s"prefix filter must be lossless at t=$t")
+    }
+  }
+
   test("hot-token salting is lossless (forced salting == unsalted pairs)") {
     for (t <- Seq(0.5, 0.8)) {
       val plain = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t)

@@ -372,6 +372,23 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Sort "), s"no sort may appear in the cutoff form:\n$p")
   }
 
+  test("q167 containment pairs: shingle/id-keyed joins only, no cartesian") {
+    val p = plan(QueryCatalog.queries("q167_containment_pairs")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay shingle-keyed:\n$p")
+  }
+
+  test("q166 concurrency sweep: the only unpartitioned window runs over the aggregated minute series") {
+    val df = QueryCatalog.queries("q166_session_concurrency")(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // two windows total: the user-keyed sessionizer and the minute sweep
+    val unpartitioned = wins.count(_.partitionSpec.isEmpty)
+    assert(unpartitioned === 1,
+      s"exactly the post-aggregation sweep may be global, got $unpartitioned")
+  }
+
   test("q149 count-min: the sketch side broadcasts against the queried keys") {
     val p = plan(QueryCatalog.queries("q149_countmin_heavy_hitters")(spark, dir))
     assert(p.contains("BroadcastHashJoin"),

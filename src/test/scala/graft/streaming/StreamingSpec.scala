@@ -275,6 +275,35 @@ class StreamingSpec extends SparkSuite {
       "a replayed covered batch rewrites an invisible dir — no double-read")
   }
 
+  test("DSIR vacuum cadence: stale count snapshots swept, admissions unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(base: String, ck: String, vacuumEvery: Int): Seq[Seq[Long]] = {
+      val mem = MemoryStream[(Long, String, Boolean)]
+      val docs = mem.toDF().toDF("doc_id", "text", "is_target")
+      def step(data: (Long, String, Boolean)*): Seq[Long] = {
+        mem.addData(data: _*)
+        StreamPipes.dsirIngest(docs, base, ck,
+          vacuumEvery = vacuumEvery).awaitTermination()
+        val b = new java.io.File(s"$base/corpus").listFiles()
+          .map(_.getName).filter(_.startsWith("batch=")).max
+        spark.read.parquet(s"$base/corpus/$b")
+          .select($"doc_id").as[Long].collect().sorted.toSeq
+      }
+      Seq(
+        step((1L, "aa bb aa", true), (2L, "cc dd cc", false)),
+        step((10L, "aa bb aa bb", false), (11L, "cc dd cc dd", false)),
+        step((20L, "aa bb", true)))
+    }
+    val base = tmp() + "/dsir-vac"
+    val got = run(base, tmp() + "/dsir-vac-ck", vacuumEvery = 1)
+    val twin = run(tmp() + "/dsir-novac", tmp() + "/dsir-novac-ck", 0)
+    assert(got === twin, "vacuum is a pure storage change, never an admission change")
+    def exists(p: String) = new java.io.File(p).exists
+    assert(!exists(s"$base/counts_v0"), "stale snapshot swept")
+    assert(exists(s"$base/counts_v1") && exists(s"$base/counts_v2"),
+      "newest two snapshots kept (replay reads the version strictly below itself)")
+  }
+
   test("streaming DSIR admission: scores against prior-batch counts only, replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmp() + "/dsir-ingest"
