@@ -249,6 +249,62 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL image RESIZE via the JDK's Graphics2D (bilinear): scale so the
+    * longest side is `maxDim` (never upscale), re-encode as PNG. The
+    * thumbnail/normalize step of a multimodal ingest — run BEFORE
+    * feature extraction so every downstream op sees bounded pixel
+    * counts, and the dominant byte-size reducer for a 100 TB image
+    * corpus. None for null/undecodable payloads ([[decodeImage]]'s
+    * contract); an already-small image passes through re-encoded (the
+    * output is always a fresh, normalized PNG container). */
+  def resizeImage(payload: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+    if (payload == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
+          math.max(1, math.round(h * scale).toInt))
+        val out = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-partition image resize ([[resizeImage]]) — the [[featurize]]
+    * mapPartitions shape: one codec context per partition, non-image
+    * rows pass through untouched, undecodable images yield a null
+    * payload (quarantine-able downstream, never a killed task). Adds
+    * the post-resize byte size so a pipeline can assert its reduction. */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "kind", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = r.getString(1)
+        val payload = r.getAs[Array[Byte]]("payload")
+        val out = if (kind == "image") resizeImage(payload, maxDim).orNull
+          else payload
+        Row(id, kind, out, if (out == null) null else out.length.toLong)
+      }
+    }(enc)
+  }
+
   /** 64-bit AVERAGE-HASH perceptual fingerprint of an image payload (the
     * classic aHash): decode, integer 8×8 average-pool the Rec.601
     * luminance, set bit (r,c) iff its cell mean exceeds the global mean.

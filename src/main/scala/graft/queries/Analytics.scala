@@ -741,7 +741,8 @@ object Analytics {
     q104ExistsChain, q109SlidingWindow, q110FromJson, q141RobustZscore,
     q144Attribution, q151Ewma, q153TemporalSplit, q154SessionTransitions,
     q155TrendSlope, q156DayOverDay, q159ConversionLatency,
-    q162EquidepthHist, q165AsOfForward, q166SessionConcurrency)
+    q162EquidepthHist, q165AsOfForward, q166SessionConcurrency,
+    q169CountingPercentiles)
 
   /** EQUI-DEPTH HISTOGRAM (10 buckets) of order totals — the statistics
     * object every cost-based optimizer and skew detector keeps: bucket
@@ -848,6 +849,53 @@ object Analytics {
       SELECT date_trunc('hour', m) AS hour,
         MAX(conc) AS peak_concurrency
       FROM run GROUP BY 1
+    """))
+
+  /** GROUPED DISCRETE PERCENTILES BY COUNTING — the 100 TB-exact
+    * quantile path for BOUNDED-CARDINALITY values (quantities, ratings,
+    * bucketed ages): count per (group, value), cumulate over the ≤50-row
+    * per-group value support, and pick the smallest value whose
+    * cumulative count clears ⌈p·n⌉ — the type-1 quantile, ALL-INTEGER
+    * (the ceil is the b·cum ≥ a integer identity, no float ever).
+    * Contrast with q47 (`percentile` buffers every value per group —
+    * interpolated, but O(group size) memory) and q115 (approx): counting
+    * is exact AND mergeable at any scale, the right default whenever the
+    * value domain is small. One grouped count + a window over the tiny
+    * per-group support. */
+  lazy val q169CountingPercentiles: Q = Q(
+    "q169_counting_percentiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("l_returnflag"), col("qty")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val cum = counts
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wAll))
+      def pick(num: Int) = // smallest qty with cum ≥ ⌈num·n/100⌉ ⟺ 100·cum ≥ num·n
+        min(when(col("cum") * 100 >= col("n") * num, col("qty"))).as(s"p$num")
+      cum.groupBy(col("l_returnflag"))
+        .agg(pick(50), pick(90), pick(99), max(col("n")).as("n"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (
+        SELECT l_returnflag, qty, c,
+          CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY qty
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        FROM counts)
+      SELECT l_returnflag,
+        MIN(CASE WHEN cum * 100 >= n * 50 THEN qty END) AS p50,
+        MIN(CASE WHEN cum * 100 >= n * 90 THEN qty END) AS p90,
+        MIN(CASE WHEN cum * 100 >= n * 99 THEN qty END) AS p99,
+        MAX(n) AS n
+      FROM cum GROUP BY l_returnflag
     """))
 
   /** FORWARD AS-OF JOIN ([[graft.ext.AsOfJoin.asOfForward]]) — each

@@ -159,5 +159,56 @@ object DimQueries {
       GROUP BY priority_at_ship
     """.format(QueryDsl.oracleDsum("l_extendedprice * (1 - l_discount)", 4))))
 
-  val all: Seq[Q] = Seq(q134Scd2Dimension, q135IncrementalAgg, q139Scd2Lookup)
+  /** CHANGE DATA FEED between two table versions
+    * ([[graft.sources.VersionedTable.changes]]) — the Delta CDF analogue,
+    * here ORACLE-CHECKED for the first time (M1's diff machinery was
+    * previously spec-only): the query commits two derived versions of an
+    * orders projection to a scratch VersionedTable — v1 deletes every
+    * key ≡ 0 (mod 5), inserts the keys ≡ 0 (mod 7) absent from v0, and
+    * bumps the price of keys ≡ 0 (mod 3) — then reads the row-level diff.
+    * `changes` classifies via ONE keyed outer join of (key, row-hash)
+    * projections (narrow shuffle, full rows re-attached only for changed
+    * keys); the oracle re-derives insert/delete/update_pre/postimage
+    * from the same version algebra in plain SQL. Unchanged rows are
+    * never emitted — the contract that makes CDC incremental-consumer
+    * cost proportional to the CHANGE volume, not the table. */
+  lazy val q168CdcDiff: Q = Q(
+    "q168_cdc_diff",
+    (s, dir) => {
+      import graft.sources.VersionedTable
+      val base = java.nio.file.Files.createTempDirectory("graft-cdc").toString + "/t"
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val v0 = o.filter(col("o_orderkey") % 7 =!= 0)
+      val v1 = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      VersionedTable.commit(s, base, v0, "cdc v0")
+      VersionedTable.commit(s, base, v1, "cdc v1")
+      VersionedTable.changes(s, base, 0L, 1L, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("_change_type"))
+    },
+    Some("""
+      WITH v0 AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+      v1 AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0e0
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0)
+      SELECT v0.o_orderkey, v0.o_totalprice, 'delete' AS _change_type
+      FROM v0 LEFT JOIN v1 USING (o_orderkey) WHERE v1.o_orderkey IS NULL
+      UNION ALL
+      SELECT v1.o_orderkey, v1.o_totalprice, 'insert'
+      FROM v1 LEFT JOIN v0 USING (o_orderkey) WHERE v0.o_orderkey IS NULL
+      UNION ALL
+      SELECT v0.o_orderkey, v0.o_totalprice, 'update_preimage'
+      FROM v0 JOIN v1 USING (o_orderkey) WHERE v0.o_totalprice <> v1.o_totalprice
+      UNION ALL
+      SELECT v1.o_orderkey, v1.o_totalprice, 'update_postimage'
+      FROM v0 JOIN v1 USING (o_orderkey) WHERE v0.o_totalprice <> v1.o_totalprice
+    """))
+
+  val all: Seq[Q] = Seq(q134Scd2Dimension, q135IncrementalAgg, q139Scd2Lookup,
+    q168CdcDiff)
 }

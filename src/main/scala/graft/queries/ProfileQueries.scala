@@ -282,6 +282,67 @@ object ProfileQueries {
       FROM counts JOIN b ON counts.digit = b.digit
     """))
 
+  /** REPLICA RECONCILIATION by bucket fingerprint — how two copies of a
+    * 100 TB table are compared WITHOUT shuffling rows: each side folds
+    * every row into a per-bucket (count, fingerprint-sum) pair — the
+    * fingerprint is the engine-portable modular hash over the row's key
+    * and value (integer-exact, order-free by summation) — and only the
+    * ~hundreds of bucket summaries meet in a join. Mismatched buckets
+    * localize the drift; a row-level diff (q168's CDC machinery) then
+    * runs on those buckets alone. The right replica is derived drift:
+    * keys ≡ 0 (mod 2003) deleted, values of keys ≡ 0 (mod 1009) bumped —
+    * so the expected mismatch set is sparse and the oracle pins exactly
+    * which buckets light up. Cost: two scans + a 256-row join; row
+    * volume never crosses the network. */
+  lazy val q170ReplicaReconcile: Q = Q(
+    "q170_replica_reconcile",
+    (s, dir) => {
+      val P = 1000003L
+      def cents(c: org.apache.spark.sql.Column) =
+        (c.cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100).cast("long")
+      def summary(df: org.apache.spark.sql.DataFrame, side: String) = {
+        val f = pmod(
+          pmod(col("o_orderkey"), lit(P)) * lit(2654435761L)
+            + pmod(col("c"), lit(P)) * lit(1597334677L), lit(P))
+        df.withColumn("f", f)
+          .groupBy(pmod(col("o_orderkey"), lit(256L)).as("bucket"))
+          .agg(count(lit(1)).as(s"cnt_$side"), sum(col("f")).as(s"fsum_$side"))
+      }
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("c"))
+      val left = o
+      val right = o.filter(col("o_orderkey") % 2003 =!= 0)
+        .withColumn("c",
+          when(col("o_orderkey") % 1009 === 0, col("c") + 1).otherwise(col("c")))
+      summary(left, "l").join(summary(right, "r"), Seq("bucket"), "full_outer")
+        .filter(!(col("cnt_l") <=> col("cnt_r")) || !(col("fsum_l") <=> col("fsum_r")))
+        .select(col("bucket"), col("cnt_l"), col("cnt_r"),
+          col("fsum_l"), col("fsum_r"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey,
+          CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS c
+        FROM orders),
+      l AS (
+        SELECT o_orderkey % 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt_l,
+          CAST(SUM(((o_orderkey % 1000003) * 2654435761
+            + (c % 1000003) * 1597334677) % 1000003) AS BIGINT) AS fsum_l
+        FROM o GROUP BY 1),
+      r0 AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 1009 = 0 THEN c + 1 ELSE c END AS c
+        FROM o WHERE o_orderkey % 2003 <> 0),
+      r AS (
+        SELECT o_orderkey % 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt_r,
+          CAST(SUM(((o_orderkey % 1000003) * 2654435761
+            + (c % 1000003) * 1597334677) % 1000003) AS BIGINT) AS fsum_r
+        FROM r0 GROUP BY 1)
+      SELECT bucket, cnt_l, cnt_r, fsum_l, fsum_r
+      FROM l FULL OUTER JOIN r USING (bucket)
+      WHERE cnt_l IS DISTINCT FROM cnt_r OR fsum_l IS DISTINCT FROM fsum_r
+    """))
+
   val all: Seq[Q] = Seq(q86Profile, q100PsiDrift, q119ApproxProfile, q149CountMin,
-    q164Benford)
+    q164Benford, q170ReplicaReconcile)
 }

@@ -132,6 +132,40 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeAudio(null, 8).isEmpty)
   }
 
+  test("resizeImages bounds the longest side, preserves perceptual content, passes non-images through") {
+    val media = Multimodal.synthesize(spark, 40)
+    val resized = Multimodal.resizeImages(media, maxDim = 16)
+    val rows = resized.collect()
+    assert(rows.length === 40, "row-preserving op")
+    for (r <- rows if r.getString(1) == "image") {
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(p != null, "synthetic PNGs must resize")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      assert(math.max(img.getWidth, img.getHeight) <= 16,
+        s"longest side bounded: ${img.getWidth}x${img.getHeight}")
+      assert(math.min(img.getWidth, img.getHeight) >= 1)
+    }
+    // non-image payloads pass through byte-identical
+    val orig = media.select("media_id", "kind", "payload").collect()
+      .filter(_.getString(1) != "image")
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+    for (r <- rows if r.getString(1) != "image")
+      assert(r.getAs[Array[Byte]]("payload").toSeq === orig(r.getLong(0)))
+    // perceptual content survives: aHash of the resized image stays within
+    // the near-dup band of the original (aHash is resolution-invariant)
+    val one = media.filter($"kind" === "image").select("payload").head()
+      .getAs[Array[Byte]]("payload")
+    val small = Multimodal.resizeImage(one, 16).get
+    val (h1, h2) = (Multimodal.aHash(one).get, Multimodal.aHash(small).get)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 12,
+      s"perceptual fingerprint must survive a resize (hamming ${java.lang.Long.bitCount(h1 ^ h2)})")
+    // never upscale: an already-small image keeps its dimensions
+    val sm = Multimodal.resizeImage(small, 64).get
+    val smImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(sm))
+    val smallImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small))
+    assert(smImg.getWidth === smallImg.getWidth && smImg.getHeight === smallImg.getHeight)
+  }
+
   test("undecodable image payload falls back to the stub, never throws") {
     val junk = Array[Byte](1, 2, 3, 4)
     assert(Multimodal.decodeImage(junk, 16).isEmpty)
