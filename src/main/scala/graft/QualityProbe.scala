@@ -326,6 +326,14 @@ object QualityProbe {
     md ++= "(`sbt \"runMain graft.QualityProbe [sfDir]\"`).\n\n"
     md ++= "Recall = mean per-query overlap with the exact twin's result set;\n"
     md ++= "rel err = |approx − exact| / exact over every group × column.\n\n"
+    md ++= "**GUARDED since r12**: these numbers are no longer measurement-only —\n"
+    md ++= "`QualityGuardSpec` (runs in `sbt test`, at sf0.01) pins machine-independent\n"
+    md ++= "floors: q34 LSH recall ≥ 0.25, q121 refined recall ≥ 0.5, q57 pair-recall\n"
+    md ++= "≥ 0.95, sketch max rel-err ≤ 10% (q38/q99/q115). A dial change that\n"
+    md ++= "silently collapses recall (r9's single-table LSH measured 0.00 here and\n"
+    md ++= "passed every test) now fails the suite. Floors sit well below measured\n"
+    md ++= "values — they catch \"stopped finding things\", not honest dial drift; move\n"
+    md ++= "a floor only with a note here explaining the accepted trade.\n\n"
     md ++= "Context for the ANN rows: the testdata embeddings are NEAR-ORTHOGONAL\n"
     md ++= "random vectors — the hardest case for bucketed ANN (no cluster\n"
     md ++= "structure, true neighbors barely closer than chance). The near-dup\n"

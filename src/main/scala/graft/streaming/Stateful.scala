@@ -56,4 +56,67 @@ object Stateful {
     keyed.transformWithState(
       new RunningTotalsProcessor(ttl), TimeMode.None(), OutputMode.Update())
   }
+
+  /** STREAMING HEAVY HITTERS — the Space-Saving summary (Metwally 2005)
+    * as per-shard streaming state: each shard key holds at most
+    * `capacity` (item → (count, overestimate)) entries; a new item
+    * beyond capacity evicts the (count, item)-minimum entry and inherits
+    * its count as the overestimate bound. Guarantees, per shard: every
+    * item with true frequency > N/capacity IS in the summary, and
+    * true_count ∈ [count − overestimate, count]. This is the STREAMING
+    * twin of q149's count-min (batch sketch → point estimates; here a
+    * bounded top-k summary maintained incrementally, the RocksDB state
+    * never exceeding capacity entries per shard).
+    *
+    * 100 TB shape: items are pre-sharded by hash (the caller keys the
+    * stream by `hash(item) % nShards`), so state and per-batch work
+    * spread across shards; a reader merges shard summaries (counts and
+    * overestimates ADD — the standard mergeability of Space-Saving) for
+    * the global view. Eviction ties break by item string, so the summary
+    * is deterministic for a given arrival order. */
+  class SpaceSavingProcessor(capacity: Int)
+      extends StatefulProcessor[Int, (Int, String), (Int, String, Long, Long)] {
+    @transient private var state: MapState[String, (Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getMapState[String, (Long, Long)](
+        "ss", Encoders.STRING, Encoders.product[(Long, Long)], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Int, rows: Iterator[(Int, String)],
+        timerValues: TimerValues): Iterator[(Int, String, Long, Long)] = {
+      // load the (≤ capacity)-entry summary once, fold the batch in
+      // memory, write back once — RocksDB round-trips per ROW would
+      // dominate otherwise
+      val m = scala.collection.mutable.Map[String, (Long, Long)]()
+      state.iterator().foreach { case (k, v) => m(k) = v }
+      rows.foreach { case (_, item) =>
+        m.get(item) match {
+          case Some((c, e)) => m(item) = (c + 1, e)
+          case None if m.size < capacity => m(item) = (1L, 0L)
+          case None =>
+            val (evictItem, (minC, _)) =
+              m.minBy { case (it, (c, _)) => (c, it) }
+            m.remove(evictItem)
+            state.removeKey(evictItem)
+            m(item) = (minC + 1, minC)
+        }
+      }
+      m.foreach { case (it, v) => state.updateValue(it, v) }
+      m.iterator.map { case (it, (c, e)) => (key, it, c, e) }
+    }
+  }
+
+  /** Wire Space-Saving onto a shard-keyed stream: emits every shard's
+    * full summary per micro-batch (Update mode) as (shard, item, count,
+    * overestimate). */
+  def heavyHitters(
+      keyed: KeyValueGroupedDataset[Int, (Int, String)],
+      capacity: Int): Dataset[(Int, String, Long, Long)] = {
+    implicit val enc: Encoder[(Int, String, Long, Long)] =
+      Encoders.product[(Int, String, Long, Long)]
+    keyed.transformWithState(
+      new SpaceSavingProcessor(capacity), TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -454,6 +454,48 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("space-saving heavy hitters: capacity-bounded state, guarantee holds across micro-batches") {
+    withRocksDb {
+      val cap = 3
+      val in = MemoryStream[String](spark)
+      val keyed = in.toDS().map(s => (math.abs(s.hashCode % 2), s))
+        .groupByKey(_._1)
+      val out = Stateful.heavyHitters(keyed, cap)
+      val ckpt = tmp() + "/hh-ckpt"
+      val q = out.writeStream.format("memory").queryName("tws_hh")
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      try {
+        // a skewed stream: "hot" dominates, tail items churn the summary
+        val items = Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++
+          Seq("t1", "t2", "t3", "t4", "t5", "t6")
+        in.addData(items.take(20): _*)
+        q.processAllAvailable()
+        in.addData(items.drop(20): _*)
+        q.processAllAvailable()
+        // last emission per (shard, item) is the current summary state
+        val last = spark.table("tws_hh").as[(Int, String, Long, Long)]
+          .collect().groupBy(t => (t._1, t._2))
+          .map { case (_, vs) => vs.maxBy(_._3) }.toSeq
+        val byShard = last.groupBy(_._1)
+        for ((shard, entries) <- byShard)
+          assert(entries.map(_._2).distinct.size <= cap,
+            s"shard $shard summary exceeds capacity: $entries")
+        val trueCounts = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        // the space-saving guarantee, per item still in the summary:
+        // true count ∈ [count − overestimate, count]
+        for ((_, item, c, e) <- last) {
+          val t = trueCounts(item)
+          assert(t <= c && t >= c - e,
+            s"$item: true $t outside [${c - e}, $c]")
+        }
+        // any item with frequency > N_shard/cap must be present — "hot"
+        // and "warm" dominate their shards
+        assert(last.exists(_._2 == "hot"), "dominant item must survive")
+        assert(last.exists(_._2 == "warm"), "second heavy item must survive")
+      } finally q.stop()
+    }
+  }
+
   test("transformWithState state survives a checkpoint restart (ST8 + ST3)") {
     withRocksDb {
       val dir = tmp()
