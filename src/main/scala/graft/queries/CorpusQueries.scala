@@ -591,11 +591,83 @@ object CorpusQueries {
       FROM kept JOIN totals USING (source)
     """))
 
+  /** INTER-ANNOTATOR AGREEMENT (Cohen's κ) — the label-quality gate a
+    * data-annotation pipeline runs before trusting labels: two
+    * independent binary annotators over the corpus (here the integer
+    * quality-score rule ≥ 50 vs the length heuristic ≥ 250 chars — two
+    * real heuristic labelers whose agreement is a meaningful number, not
+    * a planted constant), their 2×2 confusion counts, observed agreement
+    * p_o, chance agreement p_e from the marginals, and
+    * κ = (p_o − p_e)/(1 − p_e). One aggregate over the scan (four
+    * conditional counts); κ is double arithmetic over exact integers
+    * written IDENTICALLY on both engines. n² appears only as
+    * double·double, so no overflow at any corpus size. */
+  lazy val q171AnnotatorKappa: Q = Q(
+    "q171_annotator_kappa",
+    (s, dir) => {
+      val a = (graft.ext.TextStats.qualityScore(col("text"), stops) >= 50)
+      val b = col("n_chars") >= 250
+      val agg = t(s, dir, "documents")
+        .select(a.as("a"), b.as("b"))
+        .agg(count(lit(1)).as("n"),
+          countIf(col("a") && col("b")).as("n11"),
+          countIf(col("a") && !col("b")).as("n10"),
+          countIf(!col("a") && col("b")).as("n01"),
+          countIf(!col("a") && !col("b")).as("n00"))
+      agg
+        .withColumn("po",
+          (col("n11") + col("n00")).cast("double") / col("n").cast("double"))
+        .withColumn("pe",
+          (((col("n11") + col("n10")) * (col("n11") + col("n01"))).cast("double")
+            + ((col("n00") + col("n01")) * (col("n00") + col("n10"))).cast("double"))
+            / (col("n").cast("double") * col("n").cast("double")))
+        .withColumn("kappa", (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+        .select("n", "n11", "n10", "n01", "n00", "po", "pe", "kappa")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT
+          (CAST((CASE WHEN length(text) BETWEEN 50 AND 2000 THEN 25 ELSE 0 END)
+            + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ($stopsSqlList))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.03 THEN 25 ELSE 0 END)
+            + (CASE WHEN CAST(list_sum(list_transform(string_split(text, ' '),
+                  x -> length(x))) AS DOUBLE)
+                / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+                THEN 25 ELSE 0 END)
+            + (CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.3 THEN 25 ELSE 0 END) AS INT)
+            >= 50) AS a,
+          (n_chars >= 250) AS b
+        FROM documents),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          ${QueryDsl.oracleCountIf("a AND b")} AS n11,
+          ${QueryDsl.oracleCountIf("a AND NOT b")} AS n10,
+          ${QueryDsl.oracleCountIf("NOT a AND b")} AS n01,
+          ${QueryDsl.oracleCountIf("NOT a AND NOT b")} AS n00
+        FROM scored)
+      SELECT n, n11, n10, n01, n00,
+        CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+          + CAST((n00 + n01) * (n00 + n10) AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+        (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+              + CAST((n00 + n01) * (n00 + n10) AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        / (1.0e0 - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+              + CAST((n00 + n01) * (n00 + n10)  AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
+      FROM agg
+    """))
+
   val all: Seq[Q] = Seq(
     q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample,
     q70QualityFilter, q76ChunkDocuments, q89QualityCutoff, q91ClassSample,
     q97SourceOverlap, q101TemperatureMix, q116FuzzyDecontam,
-    q126ImportanceResample, q132BudgetMix, q160KfoldAssignment, q161DomainCap)
+    q126ImportanceResample, q132BudgetMix, q160KfoldAssignment, q161DomainCap,
+    q171AnnotatorKappa)
 
   /** K-FOLD CROSS-VALIDATION ASSIGNMENT — the evaluation-prep step after
     * the train/test splits (q64 hash, q153 temporal): every document

@@ -1159,11 +1159,45 @@ object EmbedQueries {
       WHERE rk <= 5
     """))
 
+  /** PCA SPECTRUM of the embedding corpus ([[graft.ext.Pca]]) — the
+    * whitening/decorrelation fit every embedding pipeline runs before
+    * compressed indexing: one mergeable-moments pass (count/Σx/Σxxᵀ
+    * typed Aggregator, buffers sized by MODEL dimension), a driver-side
+    * d×d Jacobi eigen (the k-means-centroid class of driver math), and
+    * here the SPECTRUM as the output — per-component eigenvalue,
+    * variance share, cumulative share, plus the corpus-side check that
+    * the projected first-component variance matches its eigenvalue
+    * (the fit-vs-transform consistency a pipeline asserts before
+    * trusting the projection). Eigen output is float-path-dependent
+    * across engines ⇒ rows-only (the sketch precedent); algebraic
+    * invariants are spec-pinned in PcaSpec. */
+  lazy val q172PcaSpectrum: Q = Q(
+    "q172_pca_spectrum",
+    (s, dir) => {
+      import graft.ext.Pca
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val model = Pca.fit(emb, "vec", d = 64, k = 8)
+      val total = model.eigenvalues.sum // trace share of the top-k only
+      val pc1Var = Pca.project(emb, "vec", model)
+        .select(element_at(col("pc"), 1).as("p1"))
+        .agg(variance(col("p1"))).head().getDouble(0)
+      val rows = model.eigenvalues.zipWithIndex.map { case (ev, i) =>
+        (i + 1, ev, ev / total,
+          model.eigenvalues.take(i + 1).sum / total,
+          if (i == 0) Some(pc1Var) else None)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("component", "eigenvalue", "var_share", "cum_share",
+        "projected_variance")
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
     q118ClusterBalancedSample, q120IvfPqTopK, q121IvfPqRefine, q122IvfPqResidual,
     q123IvfPqResidualRefine, q124IvfPqPersisted, q125AnnRetrainPromote,
     q128ContrastivePairs, q133RandomProjection, q140EmbeddingDrift,
-    q150ClusterLabels)
+    q150ClusterLabels, q172PcaSpectrum)
 }
