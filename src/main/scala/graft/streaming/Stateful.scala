@@ -119,4 +119,51 @@ object Stateful {
     keyed.transformWithState(
       new SpaceSavingProcessor(capacity), TimeMode.None(), OutputMode.Update())
   }
+
+  /** STREAMING EWMA (α = 0.25) — the incremental twin of the batch
+    * q151 recurrence, with a SPEC-PINNED parity contract: fed the same
+    * events in timestamp order across ANY micro-batch slicing, the
+    * streaming level BIT-matches the straight ordered fold (same
+    * `acc·0.75 + x·0.25` IEEE ops in the same order — within a batch the
+    * rows are sorted by (ts, event_id) before folding, because
+    * handleInputRows gives arrival order, not event order), and agrees
+    * with q151's segmented-fold form to 1e-9 (same algebra,
+    * float-reassociated). State is one
+    * (count, level) pair per key — O(1) forever, the streaming answer to
+    * the batch side's bounded-chunk machinery. Late rows that cross a
+    * micro-batch boundary are the caller's watermark concern (the
+    * standard streaming contract), not silently reordered here. */
+  class EwmaProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Double), (Long, Long, Double)] {
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[(Long, Double)](
+        "ewma", Encoders.product[(Long, Double)], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, level) = if (state.exists()) state.get() else (0L, 0.0)
+      // (user, ts, event_id, value) → event order within the batch
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+        n += 1; level = level * 0.75 + r._4 * 0.25
+      }
+      state.update((n, level))
+      Iterator((key, n, level))
+    }
+  }
+
+  /** Wire the EWMA onto a user-keyed stream of (user_id, ts, event_id,
+    * value): emits (user_id, n_events, ewma) per updated key per
+    * micro-batch. */
+  def ewma(
+      keyed: KeyValueGroupedDataset[Long, (Long, Long, Long, Double)])
+      : Dataset[(Long, Long, Double)] = {
+    implicit val enc: Encoder[(Long, Long, Double)] =
+      Encoders.product[(Long, Long, Double)]
+    keyed.transformWithState(
+      new EwmaProcessor, TimeMode.None(), OutputMode.Update())
+  }
 }

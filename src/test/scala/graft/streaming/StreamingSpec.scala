@@ -496,6 +496,44 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming EWMA: exact straight-fold recurrence across any micro-batch slicing; matches batch q151 to 1e-9") {
+    withRocksDb {
+      val events = (0 until 40).map { i =>
+        (7L, i.toLong, i.toLong, ((i * 2654435761L % 997) / 997.0))
+      } ++ (0 until 5).map { i => (9L, i.toLong, i.toLong, i * 1.0) }
+      val in = MemoryStream[(Long, Long, Long, Double)](spark)
+      val out = Stateful.ewma(in.toDS().groupByKey(_._1))
+      val ckpt = tmp() + "/ewma-ckpt"
+      val q = out.writeStream.format("memory").queryName("tws_ewma")
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      try {
+        // uneven slicing ACROSS keys and batches — the recurrence must
+        // not care where micro-batch boundaries fall
+        in.addData(events.take(13): _*); q.processAllAvailable()
+        in.addData(events.slice(13, 14): _*); q.processAllAvailable()
+        in.addData(events.drop(14): _*); q.processAllAvailable()
+        val last = spark.table("tws_ewma").as[(Long, Long, Double)]
+          .collect().groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+        val byKey = events.groupBy(_._1)
+        for ((k, evs) <- byKey) {
+          val straight = evs.sortBy(e => (e._2, e._3))
+            .foldLeft(0.0)((a, e) => a * 0.75 + e._4 * 0.25)
+          assert(last(k)._2 === evs.size.toLong)
+          assert(last(k)._3 === straight,
+            s"key $k: streaming level must BIT-match the straight ordered fold")
+        }
+        // and the batch catalog twin (segmented fold — algebraically the
+        // same recurrence, float-reassociated) agrees to 1e-9
+        val batch = graft.queries.Analytics.ewmaChunked(
+            events.toDF("user_id", "ts", "event_id", "value"))
+          .select($"user_id", $"ewma").as[(Long, Double)].collect().toMap
+        for ((k, (_, _, lvl)) <- last)
+          assert(math.abs(batch(k) - lvl) <= 1e-9 * math.max(1.0, math.abs(lvl)),
+            s"key $k: batch ${batch(k)} vs streaming $lvl")
+      } finally q.stop()
+    }
+  }
+
   test("transformWithState state survives a checkpoint restart (ST8 + ST3)") {
     withRocksDb {
       val dir = tmp()
