@@ -29,19 +29,29 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
-    // identical schemas: key, __t, __side, left's columns, payload columns
+    // identical schemas: key, __t, __side, __tb, left's columns, payload
     val lPrep = payload.foldLeft(
-      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
+      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+        .withColumn("__tb", lit(0L))) {
       (df, p) => df.withColumn(p, lit(null).cast(right.schema(p).dataType))
     }
     val rBase = right
       .select(col(key) +: col(rightTime).as("__t") +: payload.map(col): _*)
       .withColumn("__side", lit(0))
+      // DETERMINISM TIEBREAK: two right rows sharing (key, rightTime)
+      // would otherwise match nondeterministically across partitionings
+      // (the in-partition sort is not stable on ties). A payload hash as
+      // the final sort key pins one winner per run AND per engine; rows
+      // with identical (key, time, payload) remain interchangeable, which
+      // is harmless. Left rows carry 0 — the tiebreak never reorders a
+      // left row relative to the right rows it matches against.
+      .withColumn("__tb", xxhash64(payload.map(col): _*))
     val rPrep = left.columns.filterNot(_ == key).foldLeft(rBase) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     // left rows sort AFTER right rows at equal __t ⇒ <= match semantics
-    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry ONE struct of all payload columns: every asof_<p> then comes from
     // the SAME matched right row, and a right row whose payload value is NULL
@@ -71,17 +81,22 @@ object AsOfJoin {
       key: String, leftTime: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
     val lPrep = payload.foldLeft(
-      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(0))) {
+      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(0))
+        .withColumn("__tb", lit(0L))) {
       (df, p) => df.withColumn(p, lit(null).cast(right.schema(p).dataType))
     }
     val rBase = right
       .select(col(key) +: col(rightTime).as("__t") +: payload.map(col): _*)
       .withColumn("__side", lit(1))
+      // same determinism tiebreak as [[asOf]]: pin the matched row when
+      // two right rows share (key, rightTime)
+      .withColumn("__tb", xxhash64(payload.map(col): _*))
     val rPrep = left.columns.filterNot(_ == key).foldLeft(rBase) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     // left rows sort BEFORE right rows at equal __t ⇒ >= match semantics
-    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val carried = lPrep.unionByName(rPrep.select(lPrep.columns.map(col): _*))
       .withColumn("__match",

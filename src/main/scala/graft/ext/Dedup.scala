@@ -955,6 +955,7 @@ object Dedup {
   // in this repo.
 
   private val VocabVRe = "^vocab_v(\\d+)$".r
+  private val PostingsVRe = "^postings_v(\\d+)$".r
   private val CorpusBatchRe = "^batch=(\\d+)$".r
   private val CorpusCompactRe = "^compact=(\\d+)$".r
 
@@ -1025,10 +1026,23 @@ object Dedup {
     * do). */
   def compactCorpus(spark: org.apache.spark.sql.SparkSession, base: String,
       targetFiles: Int = 1): Int = {
-    val dirs = corpusDirs(spark, base)
     val versions = committedVersions(spark, base)
-    if (dirs.size <= 1 || versions.isEmpty) return 0
+    if (versions.isEmpty) return 0
     val upto = versions.max
+    // Fold ONLY batches whose vocab marker committed (batchId <= upto):
+    // a crash between a batch-B corpus write and its vocab_vB marker
+    // leaves an uncommitted batch=B dir, and folding it into
+    // compact=<upto> would double-count B's docs once the stream replays
+    // batch B (the replayed write lands in a dir the compaction already
+    // swallowed). The wired foreachBatch cadence never hits this (it
+    // compacts after its own marker), but an out-of-band invocation can.
+    val dirs = corpusDirs(spark, base).filter { dir =>
+      dir.split('/').last match {
+        case CorpusBatchRe(b) => b.toLong <= upto
+        case _ => true // the compaction dir itself
+      }
+    }
+    if (dirs.size <= 1) return 0
     // an all-rejected stream leaves only file-less dirs — nothing to fold,
     // and no files to infer the fold's schema from
     try {
@@ -1048,7 +1062,10 @@ object Dedup {
     *    survive N's compaction. Deeper replay means a deleted
     *    checkpoint — a rebuild scenario, documented, not defended.
     *    The vocab marker is deleted FIRST so a crashed sweep leaves an
-    *    unmarked (invisible) postings dir, never a marker without data. */
+    *    unmarked (invisible) postings dir, never a marker without data;
+    *  - ORPHAN `postings_v<id>` dirs (no vocab marker, id below the
+    *    newest committed version) — crashed ingests AND crashed sweeps
+    *    both leave these, so the next vacuum finishes the job. */
   def vacuumDedupState(spark: org.apache.spark.sql.SparkSession,
       base: String): Unit = {
     val (fs, _) = fsOf(spark, base)
@@ -1061,11 +1078,22 @@ object Dedup {
         case _ => ()
       }
     }
-    val keep = committedVersions(spark, base).takeRight(2).toSet
+    val committed = committedVersions(spark, base)
+    val keep = committed.takeRight(2).toSet
     listNames(spark, base).foreach {
       case n @ VocabVRe(v) if !keep.contains(v.toLong) =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
         fs.delete(new org.apache.hadoop.fs.Path(s"$base/postings_v$v"), true)
+      // ORPHAN postings: a crash between the postings_v<id> write and its
+      // vocab_v<id> marker leaves a data dir no marker-driven sweep ever
+      // matches — exactly the crash case the vacuum exists for. Safe to
+      // delete once id is STRICTLY below the newest committed version:
+      // batchIds are monotone, so any still-in-flight (or about-to-replay)
+      // batch has id > committed.max and is never touched; an unmarked dir
+      // below it can never be completed or replayed again.
+      case n @ PostingsVRe(v) if committed.nonEmpty &&
+          v.toLong < committed.max && !committed.contains(v.toLong) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       case _ => ()
     }
   }

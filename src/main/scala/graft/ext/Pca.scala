@@ -173,11 +173,21 @@ object Pca {
   def project(df: DataFrame, vecCol: String, model: Model,
       pcCol: String = "pc"): DataFrame = {
     val meanLit = typedlit(model.mean.toSeq)
-    val centered = zip_with(col(vecCol).cast("array<double>"), meanLit, (x, m) => x - m)
+    // Pin the centered array behind a checkpoint barrier BEFORE the k
+    // component lambdas read it (the containmentPairs HOF-inlining rule,
+    // SCALING.md): without the barrier CollapseProject inlines the
+    // centering zip_with into every dot product, re-centering each row k
+    // times — a bounded k× at d=64, real money at d=4096. With the
+    // barrier the plan carries exactly one centering per row;
+    // PcaSpec pins that by counting zip_with nodes in the final plan.
+    val centered = df.withColumn("__pca_centered",
+      zip_with(col(vecCol).cast("array<double>"), meanLit, (x, m) => x - m))
+      .localCheckpoint(eager = false)
     val comps = model.components.map { comp =>
-      aggregate(zip_with(centered, typedlit(comp.toSeq), (x, c) => x * c),
+      aggregate(
+        zip_with(col("__pca_centered"), typedlit(comp.toSeq), (x, c) => x * c),
         lit(0.0), (acc, x) => acc + x)
     }
-    df.withColumn(pcCol, array(comps: _*))
+    centered.withColumn(pcCol, array(comps: _*)).drop("__pca_centered")
   }
 }

@@ -1195,8 +1195,9 @@ object Analytics {
     * one (user_id, n_events, ewma) row per user. `chunkLen` bounds every
     * aggregation buffer. */
   private[graft] def ewmaChunked(events: org.apache.spark.sql.DataFrame,
-      chunkLen: Int = 256): org.apache.spark.sql.DataFrame = {
+      chunkLen: Int = 256, alpha: Double = 0.25): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val keep = 1.0 - alpha
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val chunks = events
       .withColumn("rn", row_number().over(w))
@@ -1206,9 +1207,9 @@ object Analytics {
         aggregate(
           transform(sort_array(collect_list(struct(col("rn"), col("value")))),
             f => f.getField("value")),
-          lit(0.0), (acc, x) => acc * lit(0.75) + x * lit(0.25)).as("r"))
+          lit(0.0), (acc, x) => acc * lit(keep) + x * lit(alpha)).as("r"))
       .withColumn("wgt",
-        aggregate(sequence(lit(1L), col("cnt")), lit(1.0), (a, _) => a * lit(0.75)))
+        aggregate(sequence(lit(1L), col("cnt")), lit(1.0), (a, _) => a * lit(keep)))
     chunks.groupBy(col("user_id"))
       .agg(sum(col("cnt")).as("n_events"),
         aggregate(

@@ -600,8 +600,11 @@ object CorpusQueries {
     * p_o, chance agreement p_e from the marginals, and
     * κ = (p_o − p_e)/(1 − p_e). One aggregate over the scan (four
     * conditional counts); κ is double arithmetic over exact integers
-    * written IDENTICALLY on both engines. n² appears only as
-    * double·double, so no overflow at any corpus size. */
+    * written IDENTICALLY on both engines. Every marginal sum is cast to
+    * double BEFORE the product (not after): the marginals themselves are
+    * exact in int64 at any conceivable corpus size, but their product
+    * overflows int64 past ~3e9 docs — double·double keeps the same
+    * precision (the marginals stay < 2^53) with no overflow cliff. */
   lazy val q171AnnotatorKappa: Q = Q(
     "q171_annotator_kappa",
     (s, dir) => {
@@ -618,8 +621,8 @@ object CorpusQueries {
         .withColumn("po",
           (col("n11") + col("n00")).cast("double") / col("n").cast("double"))
         .withColumn("pe",
-          (((col("n11") + col("n10")) * (col("n11") + col("n01"))).cast("double")
-            + ((col("n00") + col("n01")) * (col("n00") + col("n10"))).cast("double"))
+          ((col("n11") + col("n10")).cast("double") * (col("n11") + col("n01")).cast("double")
+            + (col("n00") + col("n01")).cast("double") * (col("n00") + col("n10")).cast("double"))
             / (col("n").cast("double") * col("n").cast("double")))
         .withColumn("kappa", (col("po") - col("pe")) / (lit(1.0) - col("pe")))
         .select("n", "n11", "n10", "n01", "n00", "po", "pe", "kappa")
@@ -649,15 +652,15 @@ object CorpusQueries {
         FROM scored)
       SELECT n, n11, n10, n01, n00,
         CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
-        (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
-          + CAST((n00 + n01) * (n00 + n10) AS DOUBLE))
+        (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+          + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
         (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
-          - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
-              + CAST((n00 + n01) * (n00 + n10) AS DOUBLE))
+          - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+              + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-        / (1.0e0 - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
-              + CAST((n00 + n01) * (n00 + n10)  AS DOUBLE))
+        / (1.0e0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+              + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
       FROM agg
     """))

@@ -120,21 +120,23 @@ object Stateful {
       new SpaceSavingProcessor(capacity), TimeMode.None(), OutputMode.Update())
   }
 
-  /** STREAMING EWMA (α = 0.25) — the incremental twin of the batch
-    * q151 recurrence, with a SPEC-PINNED parity contract: fed the same
-    * events in timestamp order across ANY micro-batch slicing, the
-    * streaming level BIT-matches the straight ordered fold (same
-    * `acc·0.75 + x·0.25` IEEE ops in the same order — within a batch the
-    * rows are sorted by (ts, event_id) before folding, because
-    * handleInputRows gives arrival order, not event order), and agrees
-    * with q151's segmented-fold form to 1e-9 (same algebra,
-    * float-reassociated). State is one
-    * (count, level) pair per key — O(1) forever, the streaming answer to
-    * the batch side's bounded-chunk machinery. Late rows that cross a
+  /** STREAMING EWMA — the incremental twin of the batch q151 recurrence,
+    * with a SPEC-PINNED parity contract: fed the same events in timestamp
+    * order across ANY micro-batch slicing, the streaming level BIT-matches
+    * the straight ordered fold (same `acc·(1−α) + x·α` IEEE ops in the
+    * same order — within a batch the rows are sorted by (ts, event_id)
+    * before folding, because handleInputRows gives arrival order, not
+    * event order), and agrees with q151's segmented-fold form to 1e-9
+    * (same algebra, float-reassociated). α is a constructor parameter —
+    * the batch side takes its smoothing knob, so the streaming twin must
+    * too, and the parity spec runs the matrix over ≥ 2 alphas. State is
+    * one (count, level) pair per key — O(1) forever, the streaming answer
+    * to the batch side's bounded-chunk machinery. Late rows that cross a
     * micro-batch boundary are the caller's watermark concern (the
     * standard streaming contract), not silently reordered here. */
-  class EwmaProcessor
+  class EwmaProcessor(alpha: Double = 0.25)
       extends StatefulProcessor[Long, (Long, Long, Long, Double), (Long, Long, Double)] {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     @transient private var state: ValueState[(Long, Double)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -148,7 +150,7 @@ object Stateful {
       var (n, level) = if (state.exists()) state.get() else (0L, 0.0)
       // (user, ts, event_id, value) → event order within the batch
       rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
-        n += 1; level = level * 0.75 + r._4 * 0.25
+        n += 1; level = level * (1.0 - alpha) + r._4 * alpha
       }
       state.update((n, level))
       Iterator((key, n, level))
@@ -159,11 +161,11 @@ object Stateful {
     * value): emits (user_id, n_events, ewma) per updated key per
     * micro-batch. */
   def ewma(
-      keyed: KeyValueGroupedDataset[Long, (Long, Long, Long, Double)])
-      : Dataset[(Long, Long, Double)] = {
+      keyed: KeyValueGroupedDataset[Long, (Long, Long, Long, Double)],
+      alpha: Double = 0.25): Dataset[(Long, Long, Double)] = {
     implicit val enc: Encoder[(Long, Long, Double)] =
       Encoders.product[(Long, Long, Double)]
     keyed.transformWithState(
-      new EwmaProcessor, TimeMode.None(), OutputMode.Update())
+      new EwmaProcessor(alpha), TimeMode.None(), OutputMode.Update())
   }
 }

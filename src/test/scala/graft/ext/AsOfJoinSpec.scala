@@ -49,6 +49,35 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out("t0") === ((None, None)))
   }
 
+  test("equal (key, rightTime) right rows match deterministically across partitionings") {
+    // two quotes at the SAME instant: without the payload-hash tiebreak the
+    // winner depends on which partition's rows happen to sort first; with
+    // it, every run and layout picks the same row
+    val dupQuotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0, "a"),
+      (1L, ts("2024-01-01 10:00:00"), 200.0, "b"),
+      (1L, ts("2024-01-01 10:00:00"), 300.0, "c")
+    ).toDF("key", "qts", "price", "src")
+    def backward(df: org.apache.spark.sql.DataFrame) =
+      AsOfJoin.asOf(trades, df, "key", "ts", "qts", Seq("price", "src"))
+        .select($"trade", $"asof_price", $"asof_src")
+        .as[(String, Option[Double], Option[String])].collect().sortBy(_._1).toSeq
+    def forward(df: org.apache.spark.sql.DataFrame) =
+      AsOfJoin.asOfForward(trades, df, "key", "ts", "qts", Seq("price", "src"))
+        .select($"trade", $"asof_price", $"asof_src")
+        .as[(String, Option[Double], Option[String])].collect().sortBy(_._1).toSeq
+    val layouts = Seq(dupQuotes.coalesce(1), dupQuotes.repartition(5),
+      dupQuotes.orderBy(desc("price")).repartition(3))
+    val b = layouts.map(backward)
+    val f = layouts.map(forward)
+    assert(b.distinct.size == 1, s"backward as-of flaked across layouts: $b")
+    assert(f.distinct.size == 1, s"forward as-of flaked across layouts: $f")
+    // the matched (price, src) must come from ONE of the tied rows intact
+    val matched = b.head.collectFirst { case ("t1", p, s) => (p, s) }.get
+    assert(Seq((Some(100.0), Some("a")), (Some(200.0), Some("b")),
+      (Some(300.0), Some("c"))).contains(matched))
+  }
+
   test("plans one exchange (union-window, not a range join)") {
     val out = AsOfJoin.asOf(trades, quotes, "key", "ts", "qts", Seq("price"))
     val p = out.queryExecution.executedPlan.toString

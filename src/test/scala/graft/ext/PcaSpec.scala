@@ -64,6 +64,26 @@ class PcaSpec extends SparkSuite {
       assert(math.abs(a - b) < 1e-7) }
   }
 
+  test("project centers each row exactly ONCE (HOF barrier holds in the optimized plan)") {
+    // The q167/SCALING.md inlining rule applied to PCA: without the
+    // checkpoint barrier, CollapseProject inlines the centering zip_with
+    // into all k dot products → k re-centerings per row. With the barrier
+    // the final plan reads the centered array from the checkpointed scan,
+    // so it contains exactly k zip_with nodes (one per dot product) and
+    // ZERO centering zip_with — pinned here by counting plan nodes, which
+    // is machine-independent where a wall-clock check is not.
+    val k = 4
+    val model = Pca.fit(planted(), "vec", d = 8, k = k)
+    val projected = Pca.project(planted(), "vec", model)
+    val plan = projected.queryExecution.optimizedPlan.toString
+    val nZip = "zip_with".r.findAllIn(plan).length
+    assert(nZip == k, s"expected $k zip_with nodes (dot products only), got $nZip:\n$plan")
+    // and the projection still computes the right thing through the barrier
+    val row = projected.filter(col("id") === 0L).select(col("pc")).head()
+      .getSeq[Double](0)
+    assert(row.length == k)
+  }
+
   test("projected first-component variance equals its eigenvalue (fit/transform consistency)") {
     val df = planted()
     val model = Pca.fit(df, "vec", d = 8, k = 2)

@@ -496,15 +496,20 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("streaming EWMA: exact straight-fold recurrence across any micro-batch slicing; matches batch q151 to 1e-9") {
+  // PARITY MATRIX over α — the smoothing constant is a parameter on both
+  // twins now, so the bit-parity contract is checked at two distinct
+  // alphas (a baked-in constant passing at one α proves nothing about the
+  // parameterization)
+  for (alpha <- Seq(0.25, 0.1))
+  test(s"streaming EWMA (alpha=$alpha): exact straight-fold recurrence across any micro-batch slicing; matches batch q151 to 1e-9") {
     withRocksDb {
       val events = (0 until 40).map { i =>
         (7L, i.toLong, i.toLong, ((i * 2654435761L % 997) / 997.0))
       } ++ (0 until 5).map { i => (9L, i.toLong, i.toLong, i * 1.0) }
       val in = MemoryStream[(Long, Long, Long, Double)](spark)
-      val out = Stateful.ewma(in.toDS().groupByKey(_._1))
-      val ckpt = tmp() + "/ewma-ckpt"
-      val q = out.writeStream.format("memory").queryName("tws_ewma")
+      val out = Stateful.ewma(in.toDS().groupByKey(_._1), alpha)
+      val ckpt = tmp() + s"/ewma-ckpt-$alpha"
+      val q = out.writeStream.format("memory").queryName(s"tws_ewma_${(alpha * 100).toInt}")
         .outputMode("update").option("checkpointLocation", ckpt).start()
       try {
         // uneven slicing ACROSS keys and batches — the recurrence must
@@ -512,12 +517,13 @@ class StreamingSpec extends SparkSuite {
         in.addData(events.take(13): _*); q.processAllAvailable()
         in.addData(events.slice(13, 14): _*); q.processAllAvailable()
         in.addData(events.drop(14): _*); q.processAllAvailable()
-        val last = spark.table("tws_ewma").as[(Long, Long, Double)]
+        val last = spark.table(s"tws_ewma_${(alpha * 100).toInt}")
+          .as[(Long, Long, Double)]
           .collect().groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
         val byKey = events.groupBy(_._1)
         for ((k, evs) <- byKey) {
           val straight = evs.sortBy(e => (e._2, e._3))
-            .foldLeft(0.0)((a, e) => a * 0.75 + e._4 * 0.25)
+            .foldLeft(0.0)((a, e) => a * (1.0 - alpha) + e._4 * alpha)
           assert(last(k)._2 === evs.size.toLong)
           assert(last(k)._3 === straight,
             s"key $k: streaming level must BIT-match the straight ordered fold")
@@ -525,7 +531,7 @@ class StreamingSpec extends SparkSuite {
         // and the batch catalog twin (segmented fold — algebraically the
         // same recurrence, float-reassociated) agrees to 1e-9
         val batch = graft.queries.Analytics.ewmaChunked(
-            events.toDF("user_id", "ts", "event_id", "value"))
+            events.toDF("user_id", "ts", "event_id", "value"), alpha = alpha)
           .select($"user_id", $"ewma").as[(Long, Double)].collect().toMap
         for ((k, (_, _, lvl)) <- last)
           assert(math.abs(batch(k) - lvl) <= 1e-9 * math.max(1.0, math.abs(lvl)),
