@@ -742,7 +742,150 @@ object Analytics {
     q144Attribution, q151Ewma, q153TemporalSplit, q154SessionTransitions,
     q155TrendSlope, q156DayOverDay, q159ConversionLatency,
     q162EquidepthHist, q165AsOfForward, q166SessionConcurrency,
-    q169CountingPercentiles)
+    q169CountingPercentiles, q175KaplanMeier, q176RevenueConcentration)
+
+  /** KAPLAN–MEIER SURVIVAL CURVE — time-to-conversion with censoring, the
+    * estimator product analytics reaches for when "average days to
+    * purchase" silently drops every user who hasn't purchased YET (the
+    * censoring bias). Per user: entry = first event, death = first
+    * purchase, censoring = last observed event; day-granular durations by
+    * exact integer division of microseconds (`div` ↔ `//`, no float).
+    * The curve: per duration day, deaths and censorings aggregate; the
+    * at-risk count is total − prior exits (a cumulate over the DAY
+    * support — bounded by the observation span, not the data: the q157
+    * sorted-support rule); S(day) = Π_{d ≤ day} (at_risk_d − deaths_d) /
+    * at_risk_d, computed as an ORDERED fold over the ≤|days| factor list
+    * on BOTH engines (the q151/q146 recipe — identical IEEE multiplies in
+    * identical order; never exp(sum(ln)), whose transcendentals are the
+    * classic cross-engine ulp flip). The day×day ≤-join runs on the
+    * aggregated series (≤ span² rows), broadcast — never on user data. */
+  lazy val q175KaplanMeier: Q = Q(
+    "q175_kaplan_meier",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("conv"),
+          max(unix_micros(col("ts"))).as("tend"))
+        .select(when(col("conv").isNotNull, 1L).otherwise(0L).as("event"),
+          expr("(coalesce(conv, tend) - t0) div 86400000000").as("day"))
+      val perDay = per.groupBy(col("day"))
+        .agg(countIf(col("event") === 1).as("deaths"),
+          countIf(col("event") === 0).as("censored"))
+      val total = per.agg(count(lit(1)).as("n_total"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = perDay.crossJoin(broadcast(total))
+        .withColumn("cum_exits", sum(col("deaths") + col("censored")).over(w))
+        .withColumn("at_risk",
+          col("n_total") - col("cum_exits") + col("deaths") + col("censored"))
+        .withColumn("factor",
+          (col("at_risk") - col("deaths")).cast("double")
+            / col("at_risk").cast("double"))
+        .localCheckpoint(eager = false) // feeds both sides of the day join
+      val a = risk.select(col("day"), col("at_risk"), col("deaths"), col("censored"))
+      val b = risk.select(col("day").as("bday"), col("factor"))
+      a.join(broadcast(b), col("bday") <= col("day"))
+        .groupBy(col("day"), col("at_risk"), col("deaths"), col("censored"))
+        .agg(aggregate(sort_array(collect_list(struct(col("bday"), col("factor")))),
+          lit(1.0), (acc, x) => acc * x.getField("factor")).as("survival"))
+        .select("day", "at_risk", "deaths", "censored", "survival")
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0,
+          min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS conv,
+          max(epoch_us(ts)) AS tend
+        FROM events GROUP BY user_id),
+      durs AS (
+        SELECT CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS event,
+          (COALESCE(conv, tend) - t0) // 86400000000 AS day
+        FROM per),
+      perday AS (
+        SELECT day,
+          ${QueryDsl.oracleCountIf("event = 1")} AS deaths,
+          ${QueryDsl.oracleCountIf("event = 0")} AS censored
+        FROM durs GROUP BY day),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM durs),
+      risk AS (
+        SELECT day, deaths, censored,
+          n_total - CAST(SUM(deaths + censored) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            + deaths + censored AS at_risk
+        FROM perday, tot),
+      f AS (
+        SELECT *, CAST(at_risk - deaths AS DOUBLE) / CAST(at_risk AS DOUBLE)
+          AS factor
+        FROM risk)
+      SELECT a.day, a.at_risk, a.deaths, a.censored,
+        list_reduce(list_prepend(1.0e0, list(b.factor ORDER BY b.day)),
+          (acc, x) -> acc * x) AS survival
+      FROM f a JOIN f b ON b.day <= a.day
+      GROUP BY a.day, a.at_risk, a.deaths, a.censored
+    """))
+
+  /** REVENUE CONCENTRATION (Gini + HHI) — the inequality profile of
+    * customer spend: the Gini coefficient via the rank-sum identity
+    * G = 2·Σᵢ rankᵢ·xᵢ / (n·Σx) − (n+1)/n, and the Herfindahl index
+    * Σ (xᵢ/Σx)². Both are EXACT until one final double division:
+    * revenues are decimal cents, rank·x and x² sum in decimal (order-free
+    * exact — the dsum rule lifted to products), so no float accumulation
+    * ever crosses an engine boundary. The global rank comes from the
+    * q103 recipe ([[graft.ext.Dedup.distributedDenseRank]]: range
+    * partition + in-partition rank + broadcast offsets), NOT a
+    * single-partition ROW_NUMBER — per-customer totals GROW with the
+    * data, so a support-sized window is not safe here (the q157 rule). */
+  lazy val q176RevenueConcentration: Q = Q(
+    "q176_revenue_concentration",
+    (s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(28, 2)) * 100)
+          .cast("long")).as("cents"))
+      val ranked = graft.ext.Dedup.distributedDenseRank(
+        rev, Seq(col("cents"), col("o_custkey")), "rnk")
+      // cast to decimal BEFORE multiplying (the q171 overflow rule):
+      // rank·cents exceeds int64 once ranks reach ~1e11
+      ranked.agg(
+          count(lit(1)).as("n"),
+          sum(col("cents").cast(DecimalType(38, 0))).as("tot"),
+          sum(col("rnk").cast(DecimalType(19, 0))
+            * col("cents").cast(DecimalType(19, 0))).as("rs"),
+          sum(col("cents").cast(DecimalType(19, 0))
+            * col("cents").cast(DecimalType(19, 0))).as("ss"))
+        .select(col("n"),
+          (col("tot").cast("double") / 100.0).as("total_revenue"),
+          ((lit(2.0) * col("rs").cast("double"))
+            / (col("n").cast("double") * col("tot").cast("double"))
+            - (col("n") + 1).cast("double") / col("n").cast("double")).as("gini"),
+          (col("ss").cast("double")
+            / (col("tot").cast("double") * col("tot").cast("double"))).as("hhi"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT o_custkey,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey),
+      ranked AS (
+        SELECT cents,
+          CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rnk
+        FROM rev),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(CAST(cents AS DECIMAL(38,0))) AS tot,
+          SUM(CAST(rnk AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS rs,
+          SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS ss
+        FROM ranked)
+      SELECT n,
+        CAST(tot AS DOUBLE) / 100.0 AS total_revenue,
+        2.0 * CAST(rs AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+          - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini,
+        CAST(ss AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS hhi
+      FROM agg
+    """))
 
   /** EQUI-DEPTH HISTOGRAM (10 buckets) of order totals — the statistics
     * object every cost-based optimizer and skew detector keeps: bucket

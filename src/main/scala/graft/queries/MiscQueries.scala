@@ -277,7 +277,14 @@ object MiscQueries {
     * D = max |F0(x) − F1(x)| with the two CDF ratios divided from
     * identical integers at every support point — the max over exact
     * doubles is order-free. One grouped count + windows over the
-    * (tiny) support. */
+    * (tiny) support.
+    *
+    * SUPPORT BOUND: the unpartitioned cumulate runs over the DISTINCT
+    * values of the statistic — safe here because `n_chars` is a bounded
+    * integer (support ≪ data), NOT safe for a continuous statistic whose
+    * distinct count grows with the data. For that case use [[q174KsBinned]]:
+    * equi-depth pre-binning (the q162 cutoff recipe) caps the cumulate at
+    * B buckets regardless of scale. */
   val q157KsTest: Q = Q(
     "q157_ks_test",
     (s, dir) => {
@@ -327,6 +334,86 @@ object MiscQueries {
       FROM cdf CROSS JOIN totals
       GROUP BY 1, 2
     """))
+
+  /** BINNED TWO-SAMPLE KS — the CONTINUOUS-statistic form of [[q157KsTest]]:
+    * purchase vs click `value` distributions, whose distinct-value support
+    * grows with the data (q157's exact cumulate would become a data-sized
+    * single-partition window — the scale-killer its scaladoc now warns
+    * about). Recipe: ONE pooled equi-depth cut set (the q162 percentile
+    * recipe — 19 broadcast cutoffs), bucket both samples against it, then
+    * the CDF cumulate runs over ≤ 20 bucket rows no matter the data size.
+    * D̂ is the max CDF gap AT BUCKET BOUNDARIES — a lower bound on the
+    * exact D with resolution 1/B (the standard binned-KS trade), exact-
+    * integer cumulates and identical divisions on both engines. The cut
+    * probabilities are generated from ONE decimal string list shared by
+    * both engines, so every cutoff double is bit-identical by parse. */
+  lazy val q174KsBinned: Q = {
+    val probs = (1 until 20).map(i => (i / 20.0).toString)
+    Q(
+      "q174_ks_binned",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_type"), col("value"))
+          .localCheckpoint(eager = false) // feeds cutoffs AND bucketing
+        val cuts = d.agg(
+          expr(s"percentile(value, array(${probs.map(_ + "D").mkString(",")}))").as("qs"))
+        val bucket = (1 to 19).map(i =>
+          (col("value") > element_at(col("qs"), i)).cast("long")).reduce(_ + _) + lit(1L)
+        val counts = d.crossJoin(broadcast(cuts))
+          .groupBy(bucket.as("bucket"))
+          .agg(countIf(col("event_type") === "purchase").as("c0"),
+            countIf(col("event_type") === "click").as("c1"))
+        val totals = d.agg(
+          countIf(col("event_type") === "purchase").as("n0"),
+          countIf(col("event_type") === "click").as("n1"))
+        val w = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        counts
+          .withColumn("cum0", sum(col("c0")).over(w))
+          .withColumn("cum1", sum(col("c1")).over(w))
+          .crossJoin(broadcast(totals))
+          .withColumn("d_at",
+            abs(col("cum0").cast("double") / col("n0")
+              - col("cum1").cast("double") / col("n1")))
+          .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+            count(lit(1)).as("n_buckets"), max(col("d_at")).as("ks_d"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT event_type, value FROM events
+          WHERE event_type IN ('purchase', 'click')),
+        cuts AS (
+          SELECT quantile_cont(value, [${probs.mkString(",")}]) AS qs FROM d),
+        bucketed AS (
+          SELECT event_type,
+            1 + ${(1 to 19).map(i => s"CAST(value > qs[$i] AS BIGINT)").mkString(" + ")}
+              AS bucket
+          FROM d, cuts),
+        counts AS (
+          SELECT bucket,
+            ${QueryDsl.oracleCountIf("event_type = 'purchase'")} AS c0,
+            ${QueryDsl.oracleCountIf("event_type = 'click'")} AS c1
+          FROM bucketed GROUP BY bucket),
+        totals AS (
+          SELECT ${QueryDsl.oracleCountIf("event_type = 'purchase'")} AS n0,
+            ${QueryDsl.oracleCountIf("event_type = 'click'")} AS n1
+          FROM d),
+        cdf AS (
+          SELECT
+            CAST(SUM(c0) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum0,
+            CAST(SUM(c1) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1
+          FROM counts)
+        SELECT totals.n0, totals.n1,
+          CAST(COUNT(*) AS BIGINT) AS n_buckets,
+          MAX(abs(CAST(cum0 AS DOUBLE) / n0 - CAST(cum1 AS DOUBLE) / n1)) AS ks_d
+        FROM cdf CROSS JOIN totals
+        GROUP BY 1, 2
+      """))
+  }
 
   /** MARKET-SHARE DEEP JOIN (the TPC-H Q8 shape): a region's revenue
     * share delivered by one supplier nation, per order year — 7 relations
@@ -393,5 +480,6 @@ object MiscQueries {
       QueryDsl.oracleDsum("l_extendedprice * (1 - l_discount)", 4))))
 
   val all: Seq[Q] = Seq(q37Stddev, q38ApproxDistinct, q39SimhashNearDup, q51CorrCovar,
-    q99HllMerge, q145RfmSegments, q146ChiSquare, q157KsTest, q158MarketShare)
+    q99HllMerge, q145RfmSegments, q146ChiSquare, q157KsTest, q158MarketShare,
+    q174KsBinned)
 }

@@ -343,6 +343,31 @@ object ProfileQueries {
       WHERE cnt_l IS DISTINCT FROM cnt_r OR fsum_l IS DISTINCT FROM fsum_r
     """))
 
+  /** SPACE-SAVING VOCABULARY HEAVY HITTERS — the capacity-bounded
+    * top-token summary over the corpus ([[graft.ext.SpaceSaving]]): one
+    * pass, O(capacity) state per partition, a summary-sized shuffle, and
+    * a PER-ITEM error certificate (`true ∈ [floor, count]`) instead of a
+    * billion-row exact token table. The batch face of the streaming
+    * shard processor (q149 is the count-min face: point-queryable sketch;
+    * this is the top-k face: bounded summary). Rows-only by design —
+    * summary content below the guarantee line varies with merge order,
+    * the same way the streaming twin varies with arrival order — with the
+    * Metwally invariants (every token above N/capacity present; every
+    * certificate bracketing its exact count) guarded against exact counts
+    * in QualityGuardSpec. */
+  lazy val q173SpaceSavingTokens: Q = Q(
+    "q173_spacesaving_tokens",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      // capacity 16 < the corpus's ~31-token synthetic vocabulary, so the
+      // eviction + merge machinery actually runs on catalog data (at 64
+      // the summary would be exact and the operator untested)
+      graft.ext.SpaceSaving.summarize(toks, "tok", capacity = 16)
+    },
+    None)
+
   val all: Seq[Q] = Seq(q86Profile, q100PsiDrift, q119ApproxProfile, q149CountMin,
-    q164Benford, q170ReplicaReconcile)
+    q164Benford, q170ReplicaReconcile, q173SpaceSavingTokens)
 }

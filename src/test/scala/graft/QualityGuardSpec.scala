@@ -119,4 +119,27 @@ class QualityGuardSpec extends SparkSuite {
       Seq("o_orderstatus"), Seq("p50", "p90", "p99"))
     assert(pctErr <= 0.10, f"q115 approx-percentile error blew up: $pctErr%.3f")
   }
+
+  test("q173 space-saving certificates bracket exact counts; Metwally presence invariant") {
+    val exact = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val capacity = 16L // must match the q173 dial
+    val summary = q("q173_spacesaving_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(summary.nonEmpty && summary.length <= capacity)
+    // per-item certificate: true ∈ [count − over, count] — holds under ANY
+    // partition layout / merge order (the mergeable-summaries guarantee)
+    for ((item, c, o) <- summary) {
+      val t = exact(item)
+      assert(t <= c && t >= c - o, s"$item: exact $t outside [${c - o}, $c]")
+    }
+    // presence: every token with exact count > N/capacity is in the summary
+    val present = summary.map(_._1).toSet
+    for ((tok, c) <- exact if c > n / capacity)
+      assert(present.contains(tok), s"heavy token $tok ($c > $n/$capacity) missing")
+  }
 }

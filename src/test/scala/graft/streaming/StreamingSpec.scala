@@ -492,6 +492,19 @@ class StreamingSpec extends SparkSuite {
         // and "warm" dominate their shards
         assert(last.exists(_._2 == "hot"), "dominant item must survive")
         assert(last.exists(_._2 == "warm"), "second heavy item must survive")
+        // GLOBAL VIEW: the reader-side merge of the disjoint shard
+        // summaries ([[graft.ext.SpaceSaving.mergeShards]]) — certificates
+        // and heavy-item presence must survive the concat+trim
+        val global = graft.ext.SpaceSaving.mergeShards(
+            last.toSeq.toDF("shard", "item", "count", "over").drop("shard"), cap)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        assert(global.length <= cap)
+        for ((item, c, e) <- global) {
+          val t = trueCounts(item)
+          assert(t <= c && t >= c - e, s"global $item: true $t outside [${c - e}, $c]")
+        }
+        assert(global.exists(_._1 == "hot") && global.exists(_._1 == "warm"),
+          "heavy items must survive the global merge")
       } finally q.stop()
     }
   }
