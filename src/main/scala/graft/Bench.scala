@@ -41,10 +41,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional arg: substring filter for targeted timing (dev tool; the
-    // driver invokes with no args = full catalog)
+    // optional arg: comma-separated substring filters for targeted timing
+    // (dev tool; the driver invokes with no args = full catalog)
     val qs = args.headOption match {
-      case Some(f) => SparkEntry.queries.filter(_._1.contains(f))
+      case Some(f) =>
+        val fs = f.split(',').toSeq
+        SparkEntry.queries.filter(q => fs.exists(q._1.contains))
       case None => SparkEntry.queries
     }
     // first calibrate() pays the calibration query's own JIT/codegen

@@ -135,6 +135,79 @@ object QualityProbe {
       cc.unpersist()
     }
 
+    // OPQ control (r13): decorrelate-and-balance residual books
+    // (Similarity.ivfPqOpq: PCA rotation + Ge et al. eigenvalue
+    // allocation) vs plain trained books, on a corpus whose WITHIN-CLUSTER
+    // noise has a DECAYING variance spectrum along MIXED directions —
+    // noise' = R·diag(s)·noise with R a dense deterministic orthonormal
+    // basis and s geometric (3·0.82ʲ). Every PQ slice of the plain layout
+    // then sees a cross-correlated blend of all scales; the rotated+
+    // balanced layout gives each slice an even share of axis-aligned
+    // variance. This is the covariance shape OPQ exists for. Two earlier
+    // controls are on record: a rank-1 stretch (whole-vector, then
+    // within-cluster) measured NEUTRAL — between-cluster anisotropy is
+    // absorbed by the coarse quantizer, and a single shared direction is
+    // quantized equally well per-slice; the win needs a multi-direction
+    // decaying spectrum.
+    locally {
+      import graft.ext.Similarity
+      val cs = graft.gen.VecGen.correlatedClusteredVectors(spark, 6000L,
+        d = 16, k = 8, spread = 0.15).cache()
+      val ccents = cs.filter(col("id") < 8)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val cqs = cs.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val cExact = cs.crossJoin(broadcast(cqs))
+        .withColumn("d2", Similarity.sqDist(col("vec"), col("qvec")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))))
+        .filter(col("rank") <= 10).select(col("qid"), col("id"))
+      val (pIdx, pBooks) = Similarity.ivfPqResidual(
+        cs, ccents, m = 4, ksub = 16, iters = 4, seedFrom = 8)
+      recall("ivfpq_plain_aniso",
+        Similarity.ivfPqResidualTopK(pIdx, ccents, pBooks, cqs,
+          m = 4, k = 10, nProbe = 2),
+        cExact, "exact L2 top-10 (anisotropic synthetic, trained books)")
+      val (oIdx, oBooks, model) = Similarity.ivfPqOpq(
+        cs, ccents, m = 4, ksub = 16, iters = 4, seedFrom = 8)
+      recall("ivfpq_opq_aniso",
+        Similarity.ivfPqOpqTopK(oIdx, ccents, oBooks, model, cqs,
+          m = 4, k = 10, nProbe = 2),
+        cExact, "exact L2 top-10 (anisotropic synthetic, PCA-rotated books)")
+      // FULL-probe twins: nProbe = |lists| removes the pruning floor, so
+      // ADC/codebook quality is the ONLY recall factor — the isolation the
+      // nProbe=2 rows can't give (measured identical there: pruning
+      // dominates both).
+      recall("ivfpq_plain_aniso_fullprobe",
+        Similarity.ivfPqResidualTopK(pIdx, ccents, pBooks, cqs,
+          m = 4, k = 10, nProbe = 8),
+        cExact, "exact L2 top-10 (anisotropic, trained books, no pruning)")
+      recall("ivfpq_opq_aniso_fullprobe",
+        Similarity.ivfPqOpqTopK(oIdx, ccents, oBooks, model, cqs,
+          m = 4, k = 10, nProbe = 8),
+        cExact, "exact L2 top-10 (anisotropic, PCA-rotated books, no pruning)")
+      // ADC DISTORTION — the continuous codebook-quality metric: mean
+      // |adc − exact d²| over every (query, candidate) pair (k = |corpus|,
+      // full probe ⇒ the whole scored table). recall@10 over 5 queries
+      // moves in 0.02 steps and saturates at this corpus's tie floor;
+      // distortion is where a codebook improvement actually shows.
+      val exactAll = cs.crossJoin(broadcast(cqs))
+        .select(col("id"), col("qid"),
+          Similarity.sqDist(col("vec"), col("qvec")).as("d2"))
+      def adcMae(topk: DataFrame): Double =
+        topk.join(exactAll, Seq("qid", "id"))
+          .agg(avg(abs(col("adc") - col("d2")))).head().getDouble(0)
+      out += (("ivfpq_plain_aniso", "adc_mae",
+        adcMae(Similarity.ivfPqResidualTopK(pIdx, ccents, pBooks, cqs,
+          m = 4, k = 6000, nProbe = 8)),
+        "mean |ADC − exact L2| over all pairs (lower is better)"))
+      out += (("ivfpq_opq_aniso", "adc_mae",
+        adcMae(Similarity.ivfPqOpqTopK(oIdx, ccents, oBooks, model, cqs,
+          m = 4, k = 6000, nProbe = 8)),
+        "mean |ADC − exact L2| over all pairs (lower is better)"))
+      cs.unpersist()
+    }
+
     // ---- recall-vs-dial curves (the 100 TB operating manual: where the
     // knee of each cost/recall dial sits on THIS corpus) ----
     val dials = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
@@ -356,7 +429,23 @@ object QualityProbe {
     md ++= "default is the right one for this near-orthogonal testdata and the\n"
     md ++= "iters dial is the lever to pull on clustered corpora. q124 searches\n"
     md ++= "the PERSISTED AnnIndex artifact and must match q122 exactly\n"
-    md ++= "(extension == rebuild).\n\n"
+    md ++= "(extension == rebuild). The *_aniso rows (r13) measure the OPQ\n"
+    md ++= "integration (Similarity.ivfPqOpq: PCA-rotate residuals, then Ge et\n"
+    md ++= "al. eigenvalue allocation balances the decorrelated variance across\n"
+    md ++= "PQ blocks — centering+rotation is isometric, so only quantization\n"
+    md ++= "error changes): identical dials on a corpus whose within-cluster\n"
+    md ++= "noise has a decaying variance spectrum along dense mixed directions\n"
+    md ++= "(VecGen.correlatedClusteredVectors), the covariance shape OPQ\n"
+    md ++= "exists for. OPQ wins on both adc_mae (distortion over ALL pairs —\n"
+    md ++= "the continuous codebook metric) and recall; the win is floor-\n"
+    md ++= "guarded in QualityGuardSpec. Negative controls on record: rank-1\n"
+    md ++= "stretches (whole-vector, within-cluster) measure NEUTRAL — between-\n"
+    md ++= "cluster anisotropy is absorbed by the coarse quantizer and a single\n"
+    md ++= "shared direction quantizes equally well per-slice; and an\n"
+    md ++= "unbalanced descending-eigenvalue rotation measures WORSE than plain\n"
+    md ++= "(0.30 vs 0.44 recall) — decorrelation without balance concentrates\n"
+    md ++= "variance the lead block's codes cannot cover. Full-probe twins\n"
+    md ++= "isolate codebook quality from nProbe pruning.\n\n"
     md ++= "| operator | metric | value | exact twin |\n|---|---|---|---|\n"
     out.foreach { case (op, m, v, vs) =>
       md ++= f"| $op | $m | $v%.4f | $vs |\n"

@@ -109,7 +109,7 @@ object Pca {
     * (eigenvalues, column-eigenvector matrix). O(d³) per sweep, a few
     * sweeps to machine precision — driver-side by design (d ≤ a few
     * thousand). */
-  private[ext] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)

@@ -564,9 +564,14 @@ object Similarity {
     * riding through the encode aggregation — the batch is assigned and
     * residualized exactly once. */
   def ivfPqResidualEncode(batch: DataFrame, centroids: DataFrame,
-      codebooks: DataFrame, m: Int): DataFrame = {
-    val resid = residualize(batch, centroids)
-    val parts = resid.select(col("id"), col("cid"),
+      codebooks: DataFrame, m: Int): DataFrame =
+    encodeAssigned(residualize(batch, centroids), codebooks, m)
+
+  /** PQ-encode already-assigned rows (id, cid, vec) against frozen books —
+    * the shared tail of the residual and rotated-residual encode paths. */
+  private[ext] def encodeAssigned(assigned: DataFrame, codebooks: DataFrame,
+      m: Int): DataFrame = {
+    val parts = assigned.select(col("id"), col("cid"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => pqSlice(col("vec"), m, s))).as(Seq("subspace", "sub")))
     parts
@@ -608,6 +613,126 @@ object Similarity {
     // explicit hint: checkpointed codebooks plan as a stats-less
     // LogicalRDD, which would otherwise default the m·ksub-row table
     // to a sort-merge join
+    val dtable = qparts.join(
+        broadcast(codebooks.withColumnRenamed("cid", "code")),
+        Seq("subspace"))
+      .select(col("qid"), col("cid"), col("subspace"), col("code"),
+        sqDist(col("qsub"), col("cvec")).as("d2"))
+    val scored = index
+      .join(broadcast(probes.select(col("qid"), col("cid"))), Seq("cid"))
+      .select(col("qid"), col("cid"), col("id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(dtable), Seq("qid", "cid", "subspace", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(round(col("d2"), 6).cast(
+        org.apache.spark.sql.types.DecimalType(28, 8))).cast("double").as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("adc"))
+  }
+
+  /** OPQ-LITE: residual IVF×PQ with a PCA ROTATION ahead of codebook
+    * training — the "wire PCA into PQ" integration ([[Pca]] → this tier).
+    * Residuals are centered and rotated into their full eigenbasis
+    * (k = d, an orthonormal square matrix) before slicing into PQ
+    * subspaces. Centering + rotation are ISOMETRIC: pairwise L2 distances
+    * between (query residual, candidate residual) are exactly preserved,
+    * so search SEMANTICS are unchanged — what changes is where the
+    * quantization budget goes. Raw subspace slicing wastes codebook
+    * resolution on cross-subspace correlation; in the eigenbasis the
+    * coordinates are decorrelated, and [[balanceBlocks]] (Ge et al.'s
+    * eigenvalue allocation) then distributes the decorrelated variance
+    * EVENLY across the m blocks — decorrelate + balance is the OPQ
+    * mechanism. On data that is already isotropic the whole transform is
+    * a no-op by construction — measured both ways in QUALITY.md's
+    * anisotropic controls.
+    *
+    * 100 TB shape: [[Pca.fit]] is one extra mergeable-moments pass over
+    * the residuals (d²-sized partials); the model ships as plan literals;
+    * rotation is k codegen dot products per row behind the HOF barrier —
+    * no new shuffle anywhere. Returns (index, books, model); queries must
+    * rotate through the SAME model ([[ivfPqOpqTopK]]). */
+  def ivfPqOpq(corpus: DataFrame, centroids: DataFrame,
+      m: Int, ksub: Int, iters: Int = 1, seedFrom: Long = 0L)
+      : (DataFrame, DataFrame, Pca.Model) = {
+    val resid = residualize(corpus, centroids).localCheckpoint(eager = false)
+    val d = resid.select(org.apache.spark.sql.functions.size(col("vec")))
+      .head().getInt(0) // model dimension — metadata, not data
+    val model = balanceBlocks(Pca.fit(resid, "vec", d, d), m)
+    val rot = Pca.project(resid, "vec", model, "rvec")
+      .select(col("id"), col("cid"), col("rvec").as("vec"))
+      .localCheckpoint(eager = false) // feeds seeds, book training, encode
+    val seeds = rot
+      .filter(col("id") >= seedFrom && col("id") < seedFrom + ksub)
+      .select((col("id") - seedFrom).as("id"), col("vec"))
+    val bookInput =
+      if (iters <= 1) seeds
+      else seeds.unionByName(rot
+        .filter(col("id") < seedFrom || col("id") >= seedFrom + ksub)
+        .select((col("id") + ksub).as("id"), col("vec")))
+    val books = pqCodebooks(bookInput, m, ksub, iters)
+      .localCheckpoint(eager = false)
+    (encodeAssigned(rot, books, m), books, model)
+  }
+
+  /** EIGENVALUE ALLOCATION (Ge et al., OPQ): permute the rotated axes so
+    * each PQ block receives a BALANCED share of the variance (greedy:
+    * eigenvalues descending, each assigned to the block with the smallest
+    * log-variance product and free capacity). A raw descending-eigenvalue
+    * rotation ANTI-balances — it concentrates all variance in block 0,
+    * which that block's ksub codes then can't cover while the tail blocks
+    * quantize near-nothing (measured: distortion-neutral-to-worse on the
+    * r13 rank-1 control). Row permutations of an orthonormal basis stay
+    * orthonormal, so the isometry argument is untouched. Blocks mirror
+    * [[pqSlice]]'s bounds: ⌊d/m⌋ per block, last takes the remainder. */
+  private[ext] def balanceBlocks(model: Pca.Model, m: Int): Pca.Model = {
+    val d = model.components.length
+    val base = d / m
+    val cap = Array.tabulate(m)(b => if (b == m - 1) d - base * (m - 1) else base)
+    val logSum = new Array[Double](m)
+    val slots = Array.fill(m)(scala.collection.mutable.ArrayBuffer[Int]())
+    for (i <- model.components.indices) { // eigenvalues come descending
+      // among the LEAST-FILLED blocks, the one with the smallest variance
+      // product so far. The fill constraint is load-bearing: with all
+      // λ < 1 (log < 0) an unconstrained min-product greedy keeps feeding
+      // the block it already fed — the ANTI-balanced layout (measured:
+      // recall 0.30 vs plain 0.44 before this fix). Constrained, the
+      // assignment snakes: biggest λs fan out across blocks, later waves
+      // compensate inversely.
+      val open = (0 until m).filter(cap(_) > 0)
+      val maxCap = open.map(cap(_)).max
+      val b = open.filter(cap(_) == maxCap).minBy(logSum(_))
+      slots(b) += i
+      cap(b) -= 1
+      logSum(b) += math.log(math.max(model.eigenvalues(i), 1e-300))
+    }
+    val order = slots.flatMap(_.toSeq)
+    Pca.Model(model.mean,
+      order.map(model.eigenvalues).toArray,
+      order.map(model.components).toArray)
+  }
+
+  /** Search over an [[ivfPqOpq]] index: identical to [[ivfPqResidualTopK]]
+    * except each query's per-list residual rotates through the SAME PCA
+    * model the corpus was encoded under (isometry ⇒ the ADC distances
+    * approximate the same L2 the unrotated path approximates). */
+  def ivfPqOpqTopK(index: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, model: Pca.Model, queries: DataFrame,
+      m: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    val wq = Window.partitionBy(col("qid")).orderBy(col("d2c"), col("cid"))
+    val probes0 = queries.crossJoin(broadcast(centroids))
+      .withColumn("d2c", sqDist(col("qvec"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cid"),
+        zip_with(col("qvec"), col("cvec"), (x, y) => x - y).as("qres"))
+    val probes = Pca.project(probes0, "qres", model, "qrot")
+      .select(col("qid"), col("cid"), col("qrot").as("qres"))
+      .localCheckpoint(eager = false)
+    val qparts = probes.select(col("qid"), col("cid"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => pqSlice(col("qres"), m, s))).as(Seq("subspace", "qsub")))
     val dtable = qparts.join(
         broadcast(codebooks.withColumnRenamed("cid", "code")),
         Seq("subspace"))

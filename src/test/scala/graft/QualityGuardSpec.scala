@@ -120,6 +120,54 @@ class QualityGuardSpec extends SparkSuite {
     assert(pctErr <= 0.10, f"q115 approx-percentile error blew up: $pctErr%.3f")
   }
 
+  test("OPQ (decorrelate + balance) beats plain residual PQ on correlated residuals") {
+    // The r13 integration floor: on the shared correlated-noise control
+    // corpus (VecGen.correlatedClusteredVectors — the covariance shape OPQ
+    // exists for), the rotated+balanced books must beat plain trained
+    // books on BOTH ADC distortion and recall. Fully deterministic (no
+    // RNG anywhere), so this is a stable floor, not a flaky benchmark —
+    // measured at probe scale: mae 0.219 vs 0.365, recall 0.56 vs 0.44.
+    // A balanceBlocks regression (e.g. the anti-balanced greedy this
+    // round caught: 0.30 vs 0.44 recall) fails here.
+    import graft.ext.Similarity
+    val cs = graft.gen.VecGen.correlatedClusteredVectors(spark, 2000L,
+      d = 16, k = 8, spread = 0.15).cache()
+    try {
+      val cents = cs.filter(col("id") < 8)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val qs = cs.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val exactL2 = cs.crossJoin(broadcast(qs))
+        .withColumn("d2", Similarity.sqDist(col("vec"), col("qvec")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))))
+        .filter(col("rank") <= 10).select(col("qid"), col("id"))
+      val exactAll = cs.crossJoin(broadcast(qs))
+        .select(col("id"), col("qid"),
+          Similarity.sqDist(col("vec"), col("qvec")).as("d2"))
+      def mae(topk: DataFrame): Double =
+        topk.join(exactAll, Seq("qid", "id"))
+          .agg(avg(abs(col("adc") - col("d2")))).head().getDouble(0)
+      val (pIdx, pBooks) = Similarity.ivfPqResidual(
+        cs, cents, m = 4, ksub = 16, iters = 4, seedFrom = 8)
+      val (oIdx, oBooks, model) = Similarity.ivfPqOpq(
+        cs, cents, m = 4, ksub = 16, iters = 4, seedFrom = 8)
+      val pMae = mae(Similarity.ivfPqResidualTopK(pIdx, cents, pBooks, qs,
+        m = 4, k = 2000, nProbe = 8))
+      val oMae = mae(Similarity.ivfPqOpqTopK(oIdx, cents, oBooks, model, qs,
+        m = 4, k = 2000, nProbe = 8))
+      assert(oMae < pMae,
+        f"OPQ distortion must beat plain on correlated residuals: opq $oMae%.4f vs plain $pMae%.4f")
+      val pRec = recall(Similarity.ivfPqResidualTopK(pIdx, cents, pBooks, qs,
+        m = 4, k = 10, nProbe = 8), exactL2)
+      val oRec = recall(Similarity.ivfPqOpqTopK(oIdx, cents, oBooks, model, qs,
+        m = 4, k = 10, nProbe = 8), exactL2)
+      assert(oRec >= pRec,
+        f"OPQ recall must not lose to plain on correlated residuals: opq $oRec%.3f vs plain $pRec%.3f")
+      info(f"opq mae $oMae%.4f vs plain $pMae%.4f; opq recall $oRec%.3f vs plain $pRec%.3f")
+    } finally cs.unpersist()
+  }
+
   test("q173 space-saving certificates bracket exact counts; Metwally presence invariant") {
     val exact = Tables.load(spark, sfDir, "documents")
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))

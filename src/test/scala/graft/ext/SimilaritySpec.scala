@@ -430,6 +430,76 @@ class SimilaritySpec extends SparkSuite {
       s"residual codes must resolve the in-cluster offsets (res=$resRecall)")
   }
 
+  test("OPQ (PCA-rotated residual PQ): lossless limit recovers exact top-k; rotation helps on correlated residuals") {
+    // 8 well-separated clusters in 64-d; every residual = small isotropic
+    // noise + t·(1,…,1) — a rank-1 CROSS-SUBSPACE direction that dominates
+    // the in-cluster variance. Plain subspace PQ spends all 4 books
+    // re-encoding the same correlated t; the PCA rotation axis-aligns it
+    // so one book captures it finely. Everything deterministic (no RNG),
+    // so the comparative assertion is stable, not a flaky benchmark.
+    val d = 64
+    val cvecs = (0 until 8).map { c =>
+      Array.tabulate(d)(i => if (i / 8 == c) 10.0 else 0.0) }
+    val rows = for (c <- 0 until 8; j <- 0 until 15) yield {
+      val id = (c * 15 + j).toLong
+      // high-entropy deterministic noise: grid-valued offsets produce
+      // EXACT distance ties that the 6-dp ADC rounding can flip against
+      // the exact oracle's id tiebreak (measured: one rank-10/11 flip)
+      val t = ((id * 2654435761L) % 9973 - 4986) * 2e-4
+      val vec = cvecs(c).zipWithIndex.map { case (v, i) =>
+        v + (((id * 40503L + i * 104729L) % 7919) - 3959) * 8e-5 + t }
+      (id, vec.toSeq)
+    }
+    val corpus = rows.toDF("id", "vec")
+    val cents = cvecs.zipWithIndex.map { case (v, c) => (c.toLong, v.toSeq) }
+      .toDF("cid", "cvec")
+    val queries = corpus.filter($"id" % 15 === 4)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val exact = corpus.crossJoin(broadcast(queries))
+      .withColumn("d2", Similarity.sqDist($"vec", $"qvec"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"d2", $"id")))
+      .filter($"rank" <= 10).select($"qid", $"id")
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (q, xs) =>
+        q -> xs.map(_._2).toSet }
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"qid", $"id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val per = exact.toSeq.map { case (q, ids) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(ids).size.toDouble / ids.size }
+      per.sum / per.size
+    }
+    // (1) LOSSLESS LIMIT — m=1, ksub=|corpus|: every rotated residual is
+    // its own codeword, so ADC distance = ‖qrot − vrot‖ = ‖q − v‖ (the
+    // centering+rotation isometry, end-to-end through assignment, fit,
+    // encode and search). Full probe ⇒ the search IS exact L2 top-k.
+    val (lIdx, lBooks, lModel) = Similarity.ivfPqOpq(
+      corpus, cents, m = 1, ksub = 120, iters = 1)
+    assert(lIdx.count() === corpus.count())
+    val lossless = recallOf(Similarity.ivfPqOpqTopK(
+      lIdx, cents, lBooks, lModel, queries, m = 1, k = 10, nProbe = 8))
+    assert(lossless >= 0.99,
+      s"lossless-limit OPQ must recover exact top-k (isometry broken?): $lossless")
+    // (2) index totality + codes shape at real dials
+    val m = 4
+    val (oIdx, oBooks, oModel) = Similarity.ivfPqOpq(
+      corpus, cents, m, ksub = 16, iters = 4, seedFrom = 8)
+    assert(oIdx.count() === corpus.count())
+    assert(oIdx.filter(size($"codes") =!= m).count() === 0)
+    val opqRecall = recallOf(Similarity.ivfPqOpqTopK(
+      oIdx, cents, oBooks, oModel, queries, m, k = 10, nProbe = 2))
+    // (3) the OPQ claim on correlated residuals, same dials both sides
+    val (pIdx, pBooks) = Similarity.ivfPqResidual(
+      corpus, cents, m, ksub = 16, iters = 4, seedFrom = 8)
+    val plainRecall = recallOf(Similarity.ivfPqResidualTopK(
+      pIdx, cents, pBooks, queries, m, k = 10, nProbe = 2))
+    assert(opqRecall >= plainRecall,
+      s"rotation must not lose recall on rank-1-correlated residuals " +
+        s"(opq=$opqRecall plain=$plainRecall)")
+    info(f"opq=$opqRecall%.3f plain=$plainRecall%.3f lossless=$lossless%.3f")
+  }
+
   test("IVF×PQ incremental extension: encoding a batch equals rebuilding over the union") {
     // the maintained-artifact flow: coarse centroids + codebooks FROZEN,
     // the index extends by encoding only the new batch. Assignment and
