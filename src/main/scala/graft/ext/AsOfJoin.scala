@@ -67,6 +67,47 @@ object AsOfJoin {
         payload.map(p => col("__match").getField(p).as(s"asof_$p")): _*)
   }
 
+  /** NEAREST as-of join — pandas `merge_asof direction='nearest'`: match
+    * each left row to the right row minimizing |rightTime − leftTime|,
+    * ties (equidistant before/after) to the BACKWARD match (pandas'
+    * rule). Composition of the two directed passes — each is one keyed
+    * shuffle + sort — followed by a per-row arbitration on the carried
+    * times: no new join, no extra shuffle beyond the two passes.
+    * `tolerance` (optional, same time units) drops matches farther than
+    * the bound, the dedup/decontam use ("nearest snapshot within 7
+    * days"). */
+  def asOfNearest(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      payload: Seq[String], tolerance: Option[Long] = None): DataFrame = {
+    // carry each direction's matched time alongside its payload
+    val rB = right.withColumn("__rt", col(rightTime))
+    val back = asOf(left, rB, key, leftTime, rightTime, payload :+ "__rt")
+    val bothCols = left.columns.map(col) ++
+      payload.map(p => col(s"asof_$p").as(s"__b_$p")) :+
+      col("asof___rt").as("__bt")
+    val fwd = asOfForward(back.select(bothCols: _*), rB, key, leftTime,
+      rightTime, payload :+ "__rt")
+    // timestamp→double = epoch seconds incl. fractional micros (a plain
+    // long cast truncates to seconds and mis-ties sub-second deltas);
+    // numeric time columns pass through exactly. `tolerance` is in the
+    // column's native unit (seconds for timestamps).
+    val db = abs(col(leftTime).cast("double") - col("__bt").cast("double"))
+    val df_ = abs(col("asof___rt").cast("double") - col(leftTime).cast("double"))
+    val inTol = (d: org.apache.spark.sql.Column) =>
+      tolerance.map(t => d <= lit(t.toDouble)).getOrElse(lit(true))
+    // pick backward iff it exists, is in tolerance, and forward is
+    // missing/out-of-tolerance or not strictly closer (ties → backward)
+    val useBack = col("__bt").isNotNull && inTol(db) &&
+      (col("asof___rt").isNull || !inTol(df_) || db <= df_)
+    val useFwd = !useBack && col("asof___rt").isNotNull && inTol(df_)
+    fwd.select(left.columns.map(col) ++ payload.map { p =>
+      when(useBack, col(s"__b_$p"))
+        .when(useFwd, col(s"asof_$p"))
+        .otherwise(lit(null).cast(right.schema(p).dataType)).as(s"asof_$p")
+    }: _*)
+  }
+
   /** FORWARD as-of join: match each left row to the EARLIEST right row
     * with `rightTime >= leftTime`, per key — pandas `merge_asof
     * direction='forward'`, the time-to-next-event shape (next deploy

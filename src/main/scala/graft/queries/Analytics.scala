@@ -742,7 +742,8 @@ object Analytics {
     q144Attribution, q151Ewma, q153TemporalSplit, q154SessionTransitions,
     q155TrendSlope, q156DayOverDay, q159ConversionLatency,
     q162EquidepthHist, q165AsOfForward, q166SessionConcurrency,
-    q169CountingPercentiles, q175KaplanMeier, q176RevenueConcentration)
+    q169CountingPercentiles, q175KaplanMeier, q176RevenueConcentration,
+    q177AsOfNearest)
 
   /** KAPLAN–MEIER SURVIVAL CURVE — time-to-conversion with censoring, the
     * estimator product analytics reaches for when "average days to
@@ -1073,6 +1074,60 @@ object Analytics {
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         ON c.user_id = p.user_id AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+    """))
+
+  /** NEAREST AS-OF JOIN ([[graft.ext.AsOfJoin.asOfNearest]]) — each click
+    * matched to the user's CLOSEST purchase in either time direction,
+    * ties to the backward match (pandas `merge_asof direction='nearest'`),
+    * within a 1-hour tolerance — the "closest snapshot" lookup that
+    * completes the backward (q49) / forward (q165) pair. Composition of
+    * the two directed passes + a per-row arbitration: two keyed shuffles
+    * total, no range join. Times run as EXACT unix-micros longs (< 2⁵³,
+    * so even the double-cast arbitration is exact) — the tolerance
+    * comparison can never ulp-flip against the oracle's integer micros. */
+  lazy val q177AsOfNearest: Q = Q(
+    "q177_asof_nearest",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.ext.AsOfJoin.asOfNearest(clicks, purchases, "user_id", "tsu", "tsu",
+          Seq("purchase_id", "purchase_value"), tolerance = Some(3600000000L))
+        .select(col("user_id"), col("event_id"), col("tsu"),
+          col("asof_purchase_id"), col("asof_purchase_value"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+        WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_id AS pid, value AS pval
+        FROM events WHERE event_type = 'purchase'),
+      b AS (
+        SELECT c.event_id, c.user_id, c.tsu,
+          p.pid AS b_pid, p.pval AS b_pval, p.tsu AS b_tsu
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.tsu >= p.tsu),
+      f AS (
+        SELECT c.event_id, p.pid AS f_pid, p.pval AS f_pval, p.tsu AS f_tsu
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.tsu <= p.tsu),
+      j AS (
+        SELECT b.*, f.f_pid, f.f_pval, f.f_tsu,
+          (b_tsu IS NOT NULL AND (tsu - b_tsu) <= 3600000000
+            AND (f_tsu IS NULL OR (f_tsu - tsu) > 3600000000
+              OR (tsu - b_tsu) <= (f_tsu - tsu))) AS use_back,
+          (f_tsu IS NOT NULL AND (f_tsu - tsu) <= 3600000000) AS use_fwd
+        FROM b JOIN f USING (event_id))
+      SELECT user_id, event_id, tsu,
+        CASE WHEN use_back THEN b_pid
+             WHEN use_fwd THEN f_pid END AS asof_purchase_id,
+        CASE WHEN use_back THEN b_pval
+             WHEN use_fwd THEN f_pval END AS asof_purchase_value
+      FROM j
     """))
 
   /** CONVERSION LATENCY DISTRIBUTION — how long from a user's first

@@ -665,10 +665,54 @@ object CorpusQueries {
       FROM agg
     """))
 
+  /** WEIGHTED SAMPLE WITHOUT REPLACEMENT (length-weighted corpus
+    * subsample) — the Efraimidis–Spiridis A-ES order statistic in its
+    * INTEGER-EXACT equivalent: instead of ranking docs by u^(1/w) (one
+    * uniform, one cross-engine-fragile pow), rank by the MINIMUM of w
+    * independent hash draws — P(min of w uniforms > x) = (1−x)^w, the
+    * same order distribution, and with the catalog's portable modular
+    * hash it is integer arithmetic end to end: the selected set is
+    * EXACTLY reproducible on any engine, which float-pow A-ES cannot
+    * promise (last-ulp pow flips near rank 200's boundary). Trade: the
+    * draw explodes each doc by its weight — the right shape for small
+    * integer weights (≤ 20 here; a 100 TB run with large weights would
+    * switch to the pow form and accept approximate reproducibility).
+    * One explode + keyed min + a TakeOrdered top-k: no global sort. */
+  lazy val q178WeightedSample: Q = Q(
+    "q178_weighted_sample",
+    (s, dir) => {
+      val P = 1000003L
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          least(expr("n_chars div 100") + 1, lit(20L)).as("w"))
+        .select(col("doc_id"), col("source"), col("w"),
+          explode(sequence(lit(1L), col("w"))).as("j"))
+        .withColumn("h",
+          pmod(pmod(col("doc_id") * (col("j") + 7), lit(P)) * lit(2654435761L), lit(P)))
+        .groupBy(col("doc_id"), col("source"), col("w"))
+        .agg(min(col("h")).as("k"))
+        .orderBy(col("k"), col("doc_id")).limit(200)
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source, LEAST(n_chars // 100 + 1, 20) AS w
+        FROM documents),
+      drawn AS (
+        SELECT doc_id, source, w, unnest(generate_series(1, w)) AS j
+        FROM docs),
+      keyed AS (
+        SELECT doc_id, source, w,
+          CAST(MIN(((doc_id * (j + 7)) % 1000003 * 2654435761) % 1000003)
+            AS BIGINT) AS k
+        FROM drawn GROUP BY 1, 2, 3)
+      SELECT doc_id, source, w, k
+      FROM keyed ORDER BY k, doc_id LIMIT 200
+    """))
+
   val all: Seq[Q] = Seq(
     q65Decontaminate, q66PackSequences, q68MixtureReweight, q69StratifiedSample,
     q70QualityFilter, q76ChunkDocuments, q89QualityCutoff, q91ClassSample,
-    q97SourceOverlap, q101TemperatureMix, q116FuzzyDecontam,
+    q97SourceOverlap, q101TemperatureMix, q116FuzzyDecontam, q178WeightedSample,
     q126ImportanceResample, q132BudgetMix, q160KfoldAssignment, q161DomainCap,
     q171AnnotatorKappa)
 

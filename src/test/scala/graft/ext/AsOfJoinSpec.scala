@@ -78,6 +78,32 @@ class AsOfJoinSpec extends SparkSuite {
       (Some(300.0), Some("c"))).contains(matched))
   }
 
+  test("nearest as-of: picks the closer side, ties to backward, tolerance drops far matches") {
+    // numeric time axis (exact arithmetic): left points probe a right
+    // timeline at 100/200/210
+    val l = Seq((1L, 90L, "a"), // only forward in reach → 100
+      (1L, 150L, "b"),          // equidistant 100/200 → backward (pandas rule)
+      (1L, 204L, "c"),          // 200 (4 away) vs 210 (6) → backward 200
+      (1L, 208L, "d"),          // 200 (8) vs 210 (2) → forward 210
+      (1L, 500L, "e"),          // nearest 210 is 290 away → tolerance kills it
+      (2L, 100L, "f")           // no right rows for key 2 → null
+    ).toDF("key", "t", "tag")
+    val r = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 210L, 21.0))
+      .toDF("key", "rt", "price")
+    val out = AsOfJoin.asOfNearest(l, r, "key", "t", "rt", Seq("price"),
+        tolerance = Some(100L))
+      .select($"tag", $"asof_price").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out === Map(
+      "a" -> Some(10.0), "b" -> Some(10.0), "c" -> Some(20.0),
+      "d" -> Some(21.0), "e" -> None, "f" -> None))
+    // and without tolerance, "e" matches the closest (210)
+    val noTol = AsOfJoin.asOfNearest(l, r, "key", "t", "rt", Seq("price"))
+      .select($"tag", $"asof_price").as[(String, Option[Double])]
+      .collect().toMap
+    assert(noTol("e") === Some(21.0))
+  }
+
   test("plans one exchange (union-window, not a range join)") {
     val out = AsOfJoin.asOf(trades, quotes, "key", "ts", "qts", Seq("price"))
     val p = out.queryExecution.executedPlan.toString
