@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *    generation carrying BOTH the coarse centroids and the residual PQ
   *    codebooks (rows tagged `kind ∈ {centroid, book}`), so a reader can
   *    never observe centroids from one generation with books from another.
+  *    An OPQ generation (`train(opq = true)`, r13) adds the rotation model
+  *    to the SAME commit (`kind ∈ {opq_mean, opq_eig, opq_comp}`) — codes
+  *    in the rotated space are meaningless without it, so encode and
+  *    search resolve model and books from one snapshot, never a mix.
   *    Versioned like any table: history, time travel, single-writer commit
   *    markers.
   *  - `index/gen=<G>/batch=<B>/` — the encoded corpus (id, cid, codes),
@@ -72,17 +76,41 @@ object AnnIndex {
   private val OpPromote = "promote"
 
   private def trainQuantizer(spark: SparkSession, base: String, sample: DataFrame,
-      nCentroids: Int, m: Int, ksub: Int, iters: Int, op: String): Long = {
+      nCentroids: Int, m: Int, ksub: Int, iters: Int, op: String,
+      opq: Boolean): Long = {
+    import spark.implicits._
     val cents = sample.filter(col("id") < nCentroids)
       .select(col("id").as("cid"), col("vec").as("cvec"))
-    val (_, books) = Similarity.ivfPqResidual(sample, cents, m, ksub, iters)
+    val (books, modelOpt) =
+      if (opq) {
+        val (b, mdl) = Similarity.opqBooks(sample, cents, m, ksub, iters)
+        (b, Some(mdl))
+      } else (Similarity.ivfPqResidual(sample, cents, m, ksub, iters)._2, None)
     val qdf = cents.select(lit("centroid").as("kind"),
         col("cid").cast("long").as("cid"),
         lit(null).cast("int").as("subspace"), col("cvec"))
       .unionByName(books.select(lit("book").as("kind"),
         col("cid").cast("long").as("cid"),
         col("subspace").cast("int").as("subspace"), col("cvec")))
-    VersionedTable.commit(spark, quantizerPath(base), qdf, op)
+    // The OPQ rotation is part of the generation's frozen quantizer state
+    // (codes are meaningless without it) — persisted as extra kind rows in
+    // the SAME commit, so a search can never pair rotated codes with a
+    // missing/mismatched model: `opq_mean` (one row), `opq_comp` (one row
+    // per component, ordered by cid = the post-allocation axis index),
+    // `opq_eig` (eigenvalues, provenance).
+    val qdfAll = modelOpt match {
+      case None => qdf
+      case Some(mdl) =>
+        val rows =
+          Seq(("opq_mean", -1L, mdl.mean.toSeq)) ++
+          Seq(("opq_eig", -1L, mdl.eigenvalues.toSeq)) ++
+          mdl.components.zipWithIndex.map { case (c, i) =>
+            ("opq_comp", i.toLong, c.toSeq) }
+        qdf.unionByName(rows.toDF("kind", "cid", "cvec")
+          .select(col("kind"), col("cid"),
+            lit(null).cast("int").as("subspace"), col("cvec")))
+    }
+    VersionedTable.commit(spark, quantizerPath(base), qdfAll, op)
   }
 
   /** Train and commit a new quantizer generation from `sample`
@@ -95,8 +123,9 @@ object AnnIndex {
     * keep serving); for retraining a live index use [[retrain]] +
     * [[promote]]. Returns the new generation. */
   def train(spark: SparkSession, base: String, sample: DataFrame,
-      nCentroids: Int, m: Int, ksub: Int, iters: Int = 1): Long =
-    trainQuantizer(spark, base, sample, nCentroids, m, ksub, iters, OpTrain)
+      nCentroids: Int, m: Int, ksub: Int, iters: Int = 1,
+      opq: Boolean = false): Long =
+    trainQuantizer(spark, base, sample, nCentroids, m, ksub, iters, OpTrain, opq)
 
   /** Phase one of a two-phase retrain: commit generation G+1 as PENDING.
     * Searches keep serving the current promoted generation untouched;
@@ -104,8 +133,9 @@ object AnnIndex {
     * backfill). When the backfill is complete, [[promote]] flips serving
     * atomically. Returns the pending generation. */
   def retrain(spark: SparkSession, base: String, sample: DataFrame,
-      nCentroids: Int, m: Int, ksub: Int, iters: Int = 1): Long =
-    trainQuantizer(spark, base, sample, nCentroids, m, ksub, iters, OpPending)
+      nCentroids: Int, m: Int, ksub: Int, iters: Int = 1,
+      opq: Boolean = false): Long =
+    trainQuantizer(spark, base, sample, nCentroids, m, ksub, iters, OpPending, opq)
 
   /** The latest pending (committed, not yet promoted) generation, if any. */
   def pendingGen(spark: SparkSession, base: String): Option[Long] =
@@ -154,8 +184,8 @@ object AnnIndex {
     * (what backfill writes). `m` is derived from the books (max subspace
     * + 1) — the artifact is self-describing, callers never re-supply
     * training parameters. */
-  private def resolve(spark: SparkSession, base: String,
-      serving: Boolean): (Long, DataFrame, DataFrame, Int) = {
+  private def resolve(spark: SparkSession, base: String, serving: Boolean)
+      : (Long, DataFrame, DataFrame, Int, Option[Pca.Model]) = {
     val commits = VersionedTable.commits(spark, quantizerPath(base))
     if (commits.isEmpty) throw new IllegalStateException(
       s"no trained quantizer at $base — run AnnIndex.train first")
@@ -170,15 +200,30 @@ object AnnIndex {
     val books = q.filter(col("kind") === "book")
       .select(col("cid").cast("int").as("cid"), col("subspace"), col("cvec"))
     val m = books.agg(max(col("subspace"))).head.getInt(0) + 1
-    (gen, cents, books, m)
+    // OPQ rows, if this generation encodes rotated residuals — the model
+    // is d+2 tiny rows, driver-side by design (plan-literal at use sites)
+    val opqRows = q.filter(col("kind").startsWith("opq_"))
+      .select(col("kind"), col("cid"), col("cvec")).collect()
+    val model =
+      if (opqRows.isEmpty) None
+      else Some(Pca.Model(
+        opqRows.find(_.getString(0) == "opq_mean").get.getSeq[Double](2).toArray,
+        opqRows.find(_.getString(0) == "opq_eig").get.getSeq[Double](2).toArray,
+        opqRows.filter(_.getString(0) == "opq_comp").sortBy(_.getLong(1))
+          .map(_.getSeq[Double](2).toArray)))
+    (gen, cents, books, m, model)
   }
 
   /** The SERVING quantizer generation: (gen, centroids, books, m). */
-  def quantizer(spark: SparkSession, base: String): (Long, DataFrame, DataFrame, Int) =
-    resolve(spark, base, serving = true)
+  def quantizer(spark: SparkSession, base: String): (Long, DataFrame, DataFrame, Int) = {
+    val (gen, cents, books, m, _) = resolve(spark, base, serving = true)
+    (gen, cents, books, m)
+  }
 
-  private def latestQuantizer(spark: SparkSession, base: String): (Long, DataFrame, DataFrame, Int) =
-    resolve(spark, base, serving = false)
+  private def latestQuantizer(spark: SparkSession, base: String): (Long, DataFrame, DataFrame, Int) = {
+    val (gen, cents, books, m, _) = resolve(spark, base, serving = false)
+    (gen, cents, books, m)
+  }
 
   /** The serving generation's number, if any generation is promoted. */
   private def servingGenOpt(spark: SparkSession, base: String): Option[Long] =
@@ -316,12 +361,13 @@ object AnnIndex {
     // LATEST generation, pending included: during a two-phase retrain the
     // backfill (and any fresh batches) encode into the pending generation
     // while searches keep serving the promoted one.
-    val (gen, cents, books, m) = latestQuantizer(spark, base)
+    val (gen, cents, books, m, model) = resolve(spark, base, serving = false)
     migrateManifestGen(spark, base, gen)
     val existing = manifestRows(spark, base, gen).getOrElse(Seq.empty)
     if (existing.exists(_._1 == batchId)) return gen
     val shard = qualify(spark, shardPath(base, gen, batchId))
-    Similarity.ivfPqResidualEncode(batch, cents, books, m)
+    model.fold(Similarity.ivfPqResidualEncode(batch, cents, books, m))(
+        mdl => Similarity.ivfPqOpqEncode(batch, cents, books, mdl, m))
       .write.mode("overwrite").parquet(shard)
     commitShards(spark, base, gen, existing :+ (batchId, shard),
       s"extend batch=$batchId")
@@ -359,10 +405,14 @@ object AnnIndex {
     * that way — and pay the quantizer read twice). */
   def search(spark: SparkSession, base: String, queries: DataFrame,
       k: Int, nProbe: Int = 2): DataFrame = {
-    val (gen, cents, books, m) = quantizer(spark, base)
+    val (gen, cents, books, m, model) = resolve(spark, base, serving = true)
     migrateManifestGen(spark, base, gen)
-    Similarity.ivfPqResidualTopK(readIndexGen(spark, base, gen), cents, books,
-      queries, m, k, nProbe)
+    val index = readIndexGen(spark, base, gen)
+    // an OPQ generation's codes live in the rotated space — the query must
+    // rotate through the SAME persisted model (same commit, never mixed)
+    model.fold(
+      Similarity.ivfPqResidualTopK(index, cents, books, queries, m, k, nProbe))(
+      mdl => Similarity.ivfPqOpqTopK(index, cents, books, mdl, queries, m, k, nProbe))
   }
 
   /** [[search]] + exact re-rank ([[Similarity.refineShortlist]]): the ADC

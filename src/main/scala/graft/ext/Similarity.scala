@@ -656,13 +656,23 @@ object Similarity {
   def ivfPqOpq(corpus: DataFrame, centroids: DataFrame,
       m: Int, ksub: Int, iters: Int = 1, seedFrom: Long = 0L)
       : (DataFrame, DataFrame, Pca.Model) = {
+    val (books, model) = opqBooks(corpus, centroids, m, ksub, iters, seedFrom)
+    (ivfPqOpqEncode(corpus, centroids, books, model, m), books, model)
+  }
+
+  /** The training half of [[ivfPqOpq]] — fit + balance the rotation model
+    * on the corpus residuals and train the rotated-residual codebooks —
+    * for callers that persist the artifacts and encode later
+    * ([[AnnIndex]]'s maintained-index flow). */
+  def opqBooks(corpus: DataFrame, centroids: DataFrame,
+      m: Int, ksub: Int, iters: Int = 1, seedFrom: Long = 0L)
+      : (DataFrame, Pca.Model) = {
     val resid = residualize(corpus, centroids).localCheckpoint(eager = false)
     val d = resid.select(org.apache.spark.sql.functions.size(col("vec")))
       .head().getInt(0) // model dimension — metadata, not data
     val model = balanceBlocks(Pca.fit(resid, "vec", d, d), m)
-    val rot = Pca.project(resid, "vec", model, "rvec")
-      .select(col("id"), col("cid"), col("rvec").as("vec"))
-      .localCheckpoint(eager = false) // feeds seeds, book training, encode
+    val rot = rotateAssigned(resid, model)
+      .localCheckpoint(eager = false) // feeds seeds AND full-corpus training
     val seeds = rot
       .filter(col("id") >= seedFrom && col("id") < seedFrom + ksub)
       .select((col("id") - seedFrom).as("id"), col("vec"))
@@ -673,8 +683,21 @@ object Similarity {
         .select((col("id") + ksub).as("id"), col("vec")))
     val books = pqCodebooks(bookInput, m, ksub, iters)
       .localCheckpoint(eager = false)
-    (encodeAssigned(rot, books, m), books, model)
+    (books, model)
   }
+
+  /** Rotated-residual encode against FROZEN (books, model) — the OPQ twin
+    * of [[ivfPqResidualEncode]], with the same extension == rebuild
+    * property (assignment, rotation and encoding are per-row functions of
+    * frozen artifacts). */
+  def ivfPqOpqEncode(batch: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, model: Pca.Model, m: Int): DataFrame =
+    encodeAssigned(rotateAssigned(residualize(batch, centroids), model),
+      codebooks, m)
+
+  private def rotateAssigned(assigned: DataFrame, model: Pca.Model): DataFrame =
+    Pca.project(assigned, "vec", model, "__rvec")
+      .select(col("id"), col("cid"), col("__rvec").as("vec"))
 
   /** EIGENVALUE ALLOCATION (Ge et al., OPQ): permute the rotated axes so
     * each PQ block receives a BALANCED share of the variance (greedy:

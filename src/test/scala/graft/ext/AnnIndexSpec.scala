@@ -75,6 +75,53 @@ class AnnIndexSpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].collect().toSet === s1)
   }
 
+  test("OPQ generation: model persists in the quantizer commit; extension == rebuild; search == inline") {
+    val base = tmp() + "/ann-opq"
+    val corpus = graft.gen.VecGen.correlatedClusteredVectors(spark, 800L,
+      d = 16, k = 8, spread = 0.15).localCheckpoint(eager = false)
+    val queries = corpus.filter($"id" < 5)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"cid", $"codes").as[(Long, Long, Seq[Int])].collect().toSet
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
+
+    AnnIndex.train(spark, base, corpus, nCentroids = 8, m = 4, ksub = 16,
+      iters = 4, opq = true)
+    // two-batch ingest must equal a from-scratch inline OPQ build: the
+    // persisted (books, model) round-trip through parquet bit-exactly
+    // (doubles survive parquet), so codes — integer argmins over those
+    // doubles — must match, not just approximate
+    AnnIndex.extendBatch(spark, base, corpus.filter($"id" % 2 === 0), 0L)
+    AnnIndex.extendBatch(spark, base, corpus.filter($"id" % 2 === 1), 1L)
+    val cents = corpus.filter($"id" < 8)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    val (books, model) = Similarity.opqBooks(corpus, cents, m = 4, ksub = 16,
+      iters = 4)
+    assert(rows(AnnIndex.readIndex(spark, base)) ===
+      rows(Similarity.ivfPqOpqEncode(corpus, cents, books, model, m = 4)),
+      "persisted OPQ encode must equal the inline encode")
+    // and search through the artifact equals inline OPQ search — i.e. the
+    // query-side rotation used the PERSISTED model, same generation
+    val viaIndex = hits(AnnIndex.search(spark, base, queries, k = 10, nProbe = 2))
+    val inline = hits(Similarity.ivfPqOpqTopK(
+      Similarity.ivfPqOpqEncode(corpus, cents, books, model, m = 4),
+      cents, books, model, queries, m = 4, k = 10, nProbe = 2))
+    assert(viaIndex === inline)
+    // a plain (non-OPQ) generation trained after it must NOT inherit the
+    // model: retrain plain, backfill, promote — search must still work and
+    // equal the plain inline path
+    AnnIndex.retrain(spark, base, corpus, nCentroids = 8, m = 4, ksub = 16)
+    AnnIndex.extendBatch(spark, base, corpus, 0L)
+    AnnIndex.promote(spark, base)
+    val (_, cents2, books2, m2) = AnnIndex.quantizer(spark, base)
+    val plainInline = hits(Similarity.ivfPqResidualTopK(
+      Similarity.ivfPqResidualEncode(corpus, cents2, books2, m2),
+      cents2, books2, queries, m = m2, k = 10, nProbe = 2))
+    assert(hits(AnnIndex.search(spark, base, queries, k = 10, nProbe = 2))
+      === plainInline)
+  }
+
   test("compact swaps the manifest atomically; replayed extension commits no duplicate") {
     val base = tmp() + "/ann"
     val emb = Tables.load(spark, sf("e"), "embeddings")
