@@ -107,4 +107,46 @@ object GraphOps {
       .unionAll(t.select(col("c").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** K-CORE after a FIXED number of peeling rounds: each round drops every
+    * node whose current degree is < k (simultaneously — the parallel peel)
+    * and the edges touching it. Once the peel reaches its fixpoint,
+    * further rounds are no-ops, so with `rounds` ≥ the graph's peel depth
+    * this IS the exact k-core; fixing the round count (the q130 PageRank
+    * discipline) is what makes a cross-engine oracle possible — DuckDB
+    * unrolls the same rounds as chained CTE stages, no recursion
+    * semantics to align. Use [[kCoreConverged]] to check the fixpoint.
+    *
+    * Edges are BOTH-DIRECTION rows of an undirected graph (every {u,v} as
+    * u→v and v→u), so degree is one groupBy(src). Scale shape per round:
+    * one map-side-combinable degree aggregate + two node-keyed semi-joins;
+    * each round's edge set is lazily pinned (iterative-lineage
+    * discipline). State is only the shrinking edge list. */
+  def kCoreRounds(bothDir: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = bothDir.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    // EARLY-OUT at the fixpoint: a round that drops no edge implies every
+    // later round is a no-op, so stopping produces the IDENTICAL output at
+    // a fraction of the cost — `rounds` bounds the worst case (and the
+    // oracle twin, which cannot early-out, stays equal because its extra
+    // stages are no-ops on the same fixpoint). The per-round count reads
+    // the edge list the round just materialized — no extra pass.
+    var prev = e.count()
+    var done = prev == 0
+    for (_ <- 1 to rounds if !done) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = false)
+      val c = e.count()
+      if (c == prev) done = true else prev = c
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** True iff one more peeling round would change nothing — i.e.
+    * [[kCoreRounds]]' output at this round count is the exact k-core. */
+  def kCoreConverged(bothDir: DataFrame, k: Int, rounds: Int): Boolean =
+    kCoreRounds(bothDir, k, rounds).filter(col("degree") < k).isEmpty
 }

@@ -236,5 +236,49 @@ object GraphQueries {
     """
     })
 
-  val all: Seq[Q] = Seq(q130PageRank, q136KnnGraph, q137TriangleCensus, q138LabelProp)
+  private val CoreK = 3
+  private val CoreRounds = 16
+
+  /** K-CORE of the mutual-kNN similarity graph ([[GraphOps.kCoreRounds]]):
+    * peel nodes of degree < 3 until the 3-core remains — the standard
+    * "dense semantic neighborhoods" extraction (k-core survives hub noise
+    * that triangle counting alone flags). FIXED 16 parallel-peel rounds
+    * (the q130 discipline — measured peel depth is 12 at sf0.1, so the
+    * fixpoint is reached and the output IS the exact 3-core; past the
+    * fixpoint extra rounds are no-ops), which the DuckDB twin unrolls as
+    * identical CTE stages. Per round: one degree aggregate + two
+    * node-keyed semi-joins over the shrinking edge list — O(|E|) a round,
+    * no node-state table. */
+  val q179KCore: Q = Q(
+    "q179_kcore",
+    (s, dir) => {
+      val mutual = GraphOps.mutualEdges(
+        knn(s, dir, 5).select(col("src"), col("dst")))
+      val both = mutual.unionAll(
+        mutual.select(col("dst").as("src"), col("src").as("dst")))
+      GraphOps.kCoreRounds(both, CoreK, CoreRounds)
+    },
+    Some {
+      // each stage references its predecessor multiple times — MATERIALIZED
+      // keeps DuckDB from inlining the chain into a 3^16-way scan blowup
+      val stages = (1 to CoreRounds).map { i =>
+        s"""k$i AS MATERIALIZED (
+        SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= $CoreK),
+      e$i AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e${i - 1} e
+        JOIN k$i a ON e.src = a.src
+        JOIN k$i b ON e.dst = b.src)"""
+      }.mkString(",\n      ")
+      s"""$knnCte,
+      e0 AS MATERIALIZED (
+        SELECT k1.src, k1.dst FROM knn k1
+        JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src),
+      $stages
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM e$CoreRounds GROUP BY src
+    """
+    })
+
+  val all: Seq[Q] = Seq(q130PageRank, q136KnnGraph, q137TriangleCensus,
+    q138LabelProp, q179KCore)
 }

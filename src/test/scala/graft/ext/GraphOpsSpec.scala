@@ -128,4 +128,38 @@ class GraphOpsSpec extends SparkSuite {
       }
     }
   }
+
+  test("kCoreRounds equals brute-force peeling; cascade needs multiple rounds; fixpoint is stable") {
+    // 5-clique (ids 0-4, all degree 4) + a 4-node path hanging off node 0
+    // (5-6-7-8): at k=2 the path peels one node per round FROM THE END
+    // (8 first, then 7, then 6, then 5) — a genuine multi-round cascade —
+    // while the clique survives untouched.
+    val und = (for (i <- 0 until 5; j <- (i + 1) until 5) yield (i.toLong, j.toLong)) ++
+      Seq((0L, 5L), (5L, 6L), (6L, 7L), (7L, 8L))
+    val both = und.toDF("src", "dst")
+      .unionAll(und.map(_.swap).toDF("src", "dst"))
+    def bruteCore(k: Int): Map[Long, Int] = {
+      var adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (n, es) if es.size < k => n }.toSet
+        changed = drop.nonEmpty
+        adj = adj.collect { case (n, es) if !drop(n) => n -> (es -- drop) }
+      }
+      adj.map { case (n, es) => n -> es.size }
+    }
+    for (k <- Seq(2, 3, 4)) {
+      val got = GraphOps.kCoreRounds(both, k, rounds = 8)
+        .as[(Long, Long)].collect().map { case (n, d) => n -> d.toInt }.toMap
+      assert(got === bruteCore(k), s"k=$k")
+      assert(GraphOps.kCoreConverged(both, k, rounds = 8))
+    }
+    // too few rounds = honest partial peel, NOT converged: after 1 round
+    // at k=2 only node 8 is gone, so 7 still shows degree 1
+    val partial = GraphOps.kCoreRounds(both, 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.contains(7L) && partial(7L) === 1L)
+    assert(!GraphOps.kCoreConverged(both, 2, rounds = 1))
+  }
 }
