@@ -368,6 +368,59 @@ object ProfileQueries {
     },
     None)
 
+  /** KMV (k-minimum-values) DISTINCT SAMPLE + CARDINALITY ESTIMATE, per
+    * source — the bottom-k-by-hash sketch: the k smallest hash values of a
+    * key set are simultaneously (a) a UNIFORM sample of the distinct keys
+    * (hash order is blind to duplication and arrival order — the
+    * deterministic answer to reservoir sampling, replay- and
+    * partition-invariant by construction) and (b) a cardinality estimator,
+    * est = (k−1)·P / h_k (the classic KMV identity: the kth of n uniform
+    * draws on [0, P) sits near k·P/n). With the catalog's portable modular
+    * hash everything to the left of the final division is exact integer —
+    * FULL oracle, unlike q38/q99's engine-specific HLL (this is the
+    * sketch-tier member whose internals ARE portable). One keyed window
+    * top-k; mergeable (bottom-k of a union = bottom-k of pooled bottom-ks
+    * — the streaming twin [[graft.streaming.Stateful.KmvProcessor]] keeps
+    * it incrementally). `sample_id_sum` checksums the exact sampled set. */
+  lazy val q180KmvSketch: Q = Q(
+    "q180_kmv_sketch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = 1000003L
+      val k = 16
+      val h = pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), h.as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("k_used"),
+          max(col("h")).as("kth_hash"),
+          sum(col("doc_id")).as("sample_id_sum"))
+        .withColumn("est_distinct",
+          (col("k_used") - 1).cast("double") * lit(P.toDouble)
+            / col("kth_hash").cast("double"))
+    },
+    Some("""
+      WITH hashed AS (
+        SELECT source, doc_id,
+          ((doc_id % 1000003) * 2654435761) % 1000003 AS h
+        FROM documents),
+      ranked AS (
+        SELECT source, doc_id, h,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        FROM hashed)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS k_used,
+        CAST(MAX(h) AS BIGINT) AS kth_hash,
+        CAST(SUM(doc_id) AS BIGINT) AS sample_id_sum,
+        CAST(COUNT(*) - 1 AS DOUBLE) * 1000003.0
+          / CAST(MAX(h) AS DOUBLE) AS est_distinct
+      FROM ranked WHERE rn <= 16
+      GROUP BY source
+    """))
+
   val all: Seq[Q] = Seq(q86Profile, q100PsiDrift, q119ApproxProfile, q149CountMin,
-    q164Benford, q170ReplicaReconcile, q173SpaceSavingTokens)
+    q164Benford, q170ReplicaReconcile, q173SpaceSavingTokens, q180KmvSketch)
 }

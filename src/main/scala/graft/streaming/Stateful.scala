@@ -120,6 +120,59 @@ object Stateful {
       new SpaceSavingProcessor(capacity), TimeMode.None(), OutputMode.Update())
   }
 
+  /** STREAMING KMV (k-minimum-values) — the bottom-k-by-hash distinct
+    * sample + cardinality sketch (batch twin: q180) kept incrementally per
+    * shard key: state is the ≤ k (hash, item) pairs with the smallest
+    * portable-hash values seen so far. DETERMINISTIC by construction —
+    * hash order is blind to arrival order, duplication, and micro-batch
+    * slicing, so the streaming summary EQUALS the batch bottom-k of the
+    * union of all batches (spec-pinned exact, not approximate), and
+    * replay is idempotent with no extra machinery. Mergeable: bottom-k of
+    * pooled shard summaries = bottom-k of the union (the [[graft.ext
+    * .SpaceSaving.mergeShards]] pattern, here without error terms).
+    * Emits the full (shard, item, hash) summary per updated shard per
+    * micro-batch. */
+  class KmvProcessor(k: Int)
+      extends StatefulProcessor[Int, (Int, Long), (Int, Long, Long)] {
+    private val P = 1000003L
+    @transient private var state: ValueState[(Array[Long], Array[Long])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[(Array[Long], Array[Long])](
+        "kmv", Encoders.product[(Array[Long], Array[Long])], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Int, rows: Iterator[(Int, Long)],
+        timerValues: TimerValues): Iterator[(Int, Long, Long)] = {
+      val (hs, items) =
+        if (state.exists()) state.get() else (Array.empty[Long], Array.empty[Long])
+      // fold the batch in memory (sorted map keyed by (hash, item) — the
+      // bottom-k order), write back once
+      val m = scala.collection.mutable.TreeMap[(Long, Long), Unit]()
+      hs.indices.foreach(i => m((hs(i), items(i))) = ())
+      rows.foreach { case (_, item) =>
+        val h = math.floorMod(math.floorMod(item, P) * 2654435761L, P)
+        m((h, item)) = ()
+        if (m.size > k) m.remove(m.lastKey)
+      }
+      val bottom = m.keys.toArray
+      state.update((bottom.map(_._1), bottom.map(_._2)))
+      bottom.iterator.map { case (h, item) => (key, item, h) }
+    }
+  }
+
+  /** Wire KMV onto a shard-keyed stream of (shard, item): emits each
+    * shard's full bottom-k summary per micro-batch. */
+  def kmv(
+      keyed: KeyValueGroupedDataset[Int, (Int, Long)],
+      k: Int): Dataset[(Int, Long, Long)] = {
+    implicit val enc: Encoder[(Int, Long, Long)] =
+      Encoders.product[(Int, Long, Long)]
+    keyed.transformWithState(
+      new KmvProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
   /** STREAMING EWMA — the incremental twin of the batch q151 recurrence,
     * with a SPEC-PINNED parity contract: fed the same events in timestamp
     * order across ANY micro-batch slicing, the streaming level BIT-matches

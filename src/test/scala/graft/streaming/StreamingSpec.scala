@@ -509,6 +509,42 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming KMV: summary equals the batch bottom-k EXACTLY across slicing, duplicates, and merge") {
+    withRocksDb {
+      val P = 1000003L
+      def h(x: Long) = math.floorMod(math.floorMod(x, P) * 2654435761L, P)
+      val k = 8
+      val items: Seq[Long] = (0L until 300L) ++ (50L until 150L) // re-arrivals
+      val in = MemoryStream[Long](spark)
+      val out = Stateful.kmv(
+        in.toDS().map(x => ((x % 2).toInt, x)).groupByKey(_._1), k)
+      val ckpt = tmp() + "/kmv-ckpt"
+      val q = out.writeStream.format("memory").queryName("tws_kmv")
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      try {
+        in.addData(items.take(37): _*); q.processAllAvailable()
+        in.addData(items.slice(37, 38): _*); q.processAllAvailable()
+        in.addData(items.drop(38): _*); q.processAllAvailable()
+        // every emitted row was once in a bottom-k; the FINAL summary per
+        // shard is the bottom-k of the distinct emitted rows (hashes only
+        // ever shrink)
+        val emitted = spark.table("tws_kmv").as[(Int, Long, Long)]
+          .collect().toSet
+        val got = emitted.groupBy(_._1).map { case (sh, rows) =>
+          sh -> rows.map(r => (r._3, r._2)).toSeq.sorted.take(k) }
+        // batch truth: bottom-k by (hash, item) of each shard's distinct items
+        val expect = items.distinct.groupBy(x => (x % 2).toInt)
+          .map { case (sh, xs) => sh -> xs.map(x => (h(x), x)).sorted.take(k) }
+        assert(got === expect,
+          "streaming KMV must BIT-match the batch bottom-k (deterministic sketch)")
+        // shard merge: pooled summaries re-trimmed = global bottom-k
+        val global = got.values.flatten.toSeq.sorted.take(k)
+        val globalExpect = items.distinct.map(x => (h(x), x)).sorted.take(k)
+        assert(global === globalExpect)
+      } finally q.stop()
+    }
+  }
+
   // PARITY MATRIX over α — the smoothing constant is a parameter on both
   // twins now, so the bit-parity contract is checked at two distinct
   // alphas (a baked-in constant passing at one α proves nothing about the
