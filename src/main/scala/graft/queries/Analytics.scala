@@ -743,7 +743,123 @@ object Analytics {
     q155TrendSlope, q156DayOverDay, q159ConversionLatency,
     q162EquidepthHist, q165AsOfForward, q166SessionConcurrency,
     q169CountingPercentiles, q175KaplanMeier, q176RevenueConcentration,
-    q177AsOfNearest)
+    q177AsOfNearest, q181QuantileNormalize, q182CalibrationCurve)
+
+  /** QUANTILE NORMALIZATION — map every group's value distribution onto
+    * the shared average distribution (the cross-sample normalization
+    * standard in bioinformatics, here across event types): rank within
+    * group, average the rank-th order statistic ACROSS groups, assign
+    * that average back by rank. Makes group distributions identical while
+    * preserving within-group order — what z-scoring (q96) cannot do for
+    * non-Gaussian shapes. Exactness: the cross-group mean at each rank is
+    * a decimal-cast sum / exact count (the dsum rule), so both engines
+    * divide identical values. Ragged tails: ranks beyond the smallest
+    * group's size are dropped (the strict-exact form; interpolation is
+    * the approximate alternative), so every kept rank averages over ALL
+    * groups. Scale: one keyed window per group + a rank-keyed aggregate +
+    * a rank-keyed join-back — every stage keyed, nothing global. */
+  lazy val q181QuantileNormalize: Q = Q(
+    "q181_quantile_normalize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val ranked = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .localCheckpoint(eager = false) // feeds counts, rank means, join-back
+      val minN = ranked.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("min_n"))
+      val kept = ranked.crossJoin(broadcast(minN)).filter(col("rk") <= col("min_n"))
+      val target = kept.groupBy(col("rk"))
+        .agg((sum(col("value").cast(DecimalType(28, 8))).cast("double")
+          / count(lit(1))).as("qnorm"))
+      kept.join(target, Seq("rk"))
+        .select(col("event_type"), col("event_id"), col("value"), col("qnorm"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT event_type, event_id, value,
+          CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS BIGINT) AS rk
+        FROM events),
+      minn AS (
+        SELECT MIN(n) AS min_n FROM (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked GROUP BY event_type)),
+      kept AS (
+        SELECT * FROM ranked, minn WHERE rk <= min_n),
+      target AS (
+        SELECT rk,
+          CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS qnorm
+        FROM kept GROUP BY rk)
+      SELECT event_type, event_id, value, qnorm
+      FROM kept JOIN target USING (rk)
+    """))
+
+  /** MODEL CALIBRATION CURVE — is a predicted probability honest? Bucket
+    * the q114 fraud scores into equi-depth deciles (the q162 cutoff
+    * recipe — no global sort) and compare each bucket's MEAN PREDICTED
+    * probability against its OBSERVED positive rate (outcome proxy:
+    * urgent-heavy customers). The reliability diagram every scored-model
+    * deployment monitors; a well-calibrated model tracks the diagonal.
+    * Mean prediction is a decimal-cast sum / exact count; observed rate
+    * is exact-integer division — both engine-identical. */
+  lazy val q182CalibrationCurve: Q = Q(
+    "q182_calibration_curve",
+    (s, dir) => {
+      val feats = graft.gold.Gold.customerFeatures(t(s, dir, "orders"))
+      val z = lit(-3.0) +
+        col("total_spend") * lit(5.0e-7) +
+        col("n_orders") * lit(0.05) +
+        col("urgent_ratio") * lit(1.5) +
+        col("finished_ratio") * lit(-0.8) +
+        col("lifetime_days") * lit(2.0e-4)
+      val scored = feats.select(
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p"),
+          (col("urgent_ratio") > 0.25).cast("long").as("y"))
+        .localCheckpoint(eager = false) // feeds cutoffs AND bucketing
+      val cuts = scored.agg(expr(
+        "percentile(p, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))").as("qs"))
+      val bucket = (1 until 10).map(i =>
+        (col("p") > element_at(col("qs"), i)).cast("long")).reduce(_ + _) + lit(1L)
+      scored.crossJoin(broadcast(cuts))
+        .groupBy(bucket.as("decile"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("p").cast(DecimalType(28, 8))).cast("double")
+            / count(lit(1))).as("mean_predicted"),
+          (sum(col("y")).cast("double") / count(lit(1))).as("observed_rate"))
+    },
+    Some(s"""
+      WITH feats AS (
+        SELECT o_custkey,
+          COUNT(*) AS n_orders,
+          ${QueryDsl.oracleDsum("o_totalprice", 2)} AS total_spend,
+          ${QueryDsl.oracleCountIf("o_orderpriority = '1-URGENT'")}
+            / COUNT(*) AS urgent_ratio,
+          ${QueryDsl.oracleCountIf("o_orderstatus = 'F'")}
+            / COUNT(*) AS finished_ratio,
+          date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+            MAX(CAST(o_orderdate AS DATE))) AS lifetime_days
+        FROM orders GROUP BY o_custkey),
+      scored AS (
+        SELECT round(1.0 / (1.0 + exp(-(-3.0 + total_spend * 0.0000005
+            + n_orders * 0.05 + urgent_ratio * 1.5
+            + finished_ratio * -0.8 + lifetime_days * 0.0002))), 6) AS p,
+          CAST(urgent_ratio > 0.25 AS BIGINT) AS y
+        FROM feats),
+      cuts AS (
+        SELECT quantile_cont(p, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        FROM scored)
+      SELECT 1 + CAST(p > qs[1] AS BIGINT) + CAST(p > qs[2] AS BIGINT)
+          + CAST(p > qs[3] AS BIGINT) + CAST(p > qs[4] AS BIGINT)
+          + CAST(p > qs[5] AS BIGINT) + CAST(p > qs[6] AS BIGINT)
+          + CAST(p > qs[7] AS BIGINT) + CAST(p > qs[8] AS BIGINT)
+          + CAST(p > qs[9] AS BIGINT) AS decile,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS mean_predicted,
+        CAST(SUM(y) AS DOUBLE) / COUNT(*) AS observed_rate
+      FROM scored, cuts
+      GROUP BY 1
+    """))
 
   /** KAPLAN–MEIER SURVIVAL CURVE — time-to-conversion with censoring, the
     * estimator product analytics reaches for when "average days to
