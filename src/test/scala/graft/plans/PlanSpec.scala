@@ -395,4 +395,55 @@ class PlanSpec extends SparkSuite {
       s"the ≤1024-row sketch must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q176 revenue concentration: the only global window is the partition-offsets cumulate") {
+    // Gini runs through the distributed rank recipe (range partition +
+    // per-partition rank + offsets): the ONE permitted unpartitioned
+    // window cumulates the per-partition COUNTS (#partitions rows, 32
+    // here), never the per-customer totals — its child must be the
+    // partition-id aggregate
+    val df = QueryCatalog.queries("q176_revenue_concentration")(spark, dir)
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.size === 1, s"exactly the offsets cumulate may be global:\n$global")
+    assert(global.head.child.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.exists(_.groupingExpressions.exists(_.toString.contains("__rank_pid"))),
+      s"the global window must run over the partition-count aggregate:\n${global.head}")
+    assert(!plan(df).contains("CartesianProduct"))
+  }
+
+  test("q174/q182 equi-depth cutoffs broadcast; cumulate windows run over ≤B buckets") {
+    for (q <- Seq("q174_ks_binned", "q182_calibration_curve")) {
+      val df = QueryCatalog.queries(q)(spark, dir)
+      val p = plan(df)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q: the 1-row cutoff table must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+    }
+  }
+
+  test("q179 k-core: every peeling round is degree-agg + semi-joins, never all-pairs") {
+    val p = plan(QueryCatalog.queries("q179_kcore")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"peel rounds must stay node-keyed:\n$p")
+  }
+
+  test("q181 quantile normalization: no global window anywhere; min-n broadcasts") {
+    // the per-group rank window sits behind the checkpoint barrier; what
+    // the final plan may NOT contain is an unpartitioned window or a
+    // product — the min-n scalar broadcasts
+    val df = QueryCatalog.queries("q181_quantile_normalize")(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"no global window may survive:\n${wins.mkString}")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row min-n must broadcast:\n$p")
+  }
 }
