@@ -42,4 +42,31 @@ object RangeJoin {
       .filter(col(point) >= col(start) && col(point) <= col(end))
       .drop("__bin")
   }
+
+  /** Interval × interval OVERLAP join (closed intervals, integral units):
+    * pairs where `lStart <= rEnd AND rStart <= lEnd`. Same binning shape
+    * as [[pointInInterval]], with one twist: an overlapping pair shares
+    * SEVERAL bins, so the match is attributed to exactly ONE canonical
+    * bin — the bin of the overlap's START (`greatest(lStart, rStart)`),
+    * which lies inside both intervals by definition of overlap and is
+    * therefore covered by both replications. That keeps the join
+    * duplicate-free WITHOUT a distinct pass (a distinct would shuffle the
+    * whole match set a second time). Cost: one equi-join on the bin id +
+    * span/width replication per side. Column names must be disjoint
+    * across the two inputs. */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bins(df: DataFrame, s: String, e: String) = df.withColumn("__bin",
+      explode(sequence(
+        floor(col(s) / lit(binWidth.toDouble)).cast("long"),
+        floor(col(e) / lit(binWidth.toDouble)).cast("long"))))
+    bins(left, lStart, lEnd).join(bins(right, rStart, rEnd), Seq("__bin"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bin") ===
+        floor(greatest(col(lStart), col(rStart)) / lit(binWidth.toDouble)).cast("long"))
+      .drop("__bin")
+  }
 }

@@ -743,7 +743,168 @@ object Analytics {
     q155TrendSlope, q156DayOverDay, q159ConversionLatency,
     q162EquidepthHist, q165AsOfForward, q166SessionConcurrency,
     q169CountingPercentiles, q175KaplanMeier, q176RevenueConcentration,
-    q177AsOfNearest, q181QuantileNormalize, q182CalibrationCurve)
+    q177AsOfNearest, q181QuantileNormalize, q182CalibrationCurve,
+    q183SeasonalDow, q184Cusum, q185IntervalOverlap)
+
+  /** DAY-OF-WEEK SEASONAL DECOMPOSITION of the daily value series — the
+    * additive seasonal split monitoring runs before alerting on a weekly
+    * business metric (a Sunday dip is seasonality, not an incident):
+    * daily totals (decimal-exact), per-weekday seasonal means
+    * (decimal-sum / exact count), residual = daily − seasonal. The dow
+    * index is aligned across engines (Spark `dayofweek` is 1-based
+    * Sunday, DuckDB `dow` 0-based Sunday — shifted once here, not
+    * rederived per consumer). Series length = observation span, bounded
+    * regardless of data volume; everything before the final subtraction
+    * is exact. */
+  lazy val q183SeasonalDow: Q = Q(
+    "q183_seasonal_dow",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(28, 8))).as("total_dec"),
+          count(lit(1)).as("n_events"))
+        .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+        .localCheckpoint(eager = false) // feeds seasonal means AND residuals
+      val seasonal = daily.groupBy(col("dow"))
+        .agg((sum(col("total_dec")).cast("double") / count(lit(1))).as("dow_mean"))
+      daily.join(broadcast(seasonal), Seq("dow"))
+        .select(col("day"), col("dow"), col("n_events"),
+          col("total_dec").cast("double").as("total"), col("dow_mean"),
+          (col("total_dec").cast("double") - col("dow_mean")).as("residual"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+          SUM(CAST(value AS DECIMAL(28,8))) AS total_dec,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1),
+      d2 AS (
+        SELECT *, CAST(date_part('dow', day) AS BIGINT) AS dow FROM daily),
+      seasonal AS (
+        SELECT dow, CAST(SUM(total_dec) AS DOUBLE) / COUNT(*) AS dow_mean
+        FROM d2 GROUP BY dow)
+      SELECT day, dow, n_events, CAST(total_dec AS DOUBLE) AS total, dow_mean,
+        CAST(total_dec AS DOUBLE) - dow_mean AS residual
+      FROM d2 JOIN seasonal USING (dow)
+    """))
+
+  /** CUSUM CHANGEPOINT STATISTIC over the daily series — the one-sided
+    * cumulative-sum drift detector (Page 1954): Cₜ = max(0, Cₜ₋₁ + dₜ)
+    * with dₜ = dayₜ − μ, reset to zero whenever the running excess goes
+    * negative — catches slow drifts a per-day threshold misses. A
+    * NONLINEAR ordered recurrence (the max() makes it non-decomposable
+    * into sums/products), so each day's value is a fold over its PREFIX:
+    * the day×day ≤-join over the bounded day support (the q175 recipe) +
+    * one ordered fold per row, O(span²) total — span-bounded, never
+    * data-sized. Deviations are precomputed so both engines fold
+    * IDENTICAL IEEE ops in identical order. */
+  lazy val q184Cusum: Q = Q(
+    "q184_cusum",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(28, 8))).as("total_dec"))
+      val mu = daily.agg(
+        (sum(col("total_dec")).cast("double") / count(lit(1))).as("mu"))
+      val withDev = daily.crossJoin(broadcast(mu))
+        .select(col("day"), col("total_dec").cast("double").as("x"),
+          col("mu"),
+          (col("total_dec").cast("double") - col("mu")).as("dev"))
+        .localCheckpoint(eager = false) // feeds both sides of the prefix join
+      val a = withDev.select(col("day"), col("x"), col("mu"))
+      val b = withDev.select(col("day").as("bday"), col("dev"))
+      a.join(broadcast(b), col("bday") <= col("day"))
+        .groupBy(col("day"), col("x"), col("mu"))
+        .agg(aggregate(sort_array(collect_list(struct(col("bday"), col("dev")))),
+          lit(0.0),
+          (acc, e) => greatest(lit(0.0), acc + e.getField("dev"))).as("cusum"))
+        .select(col("day"), col("x"), col("mu"), col("cusum"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+          SUM(CAST(value AS DECIMAL(28,8))) AS total_dec
+        FROM events GROUP BY 1),
+      mu AS (
+        SELECT CAST(SUM(total_dec) AS DOUBLE) / COUNT(*) AS mu FROM daily),
+      dev AS (
+        SELECT day, CAST(total_dec AS DOUBLE) AS x, mu,
+          CAST(total_dec AS DOUBLE) - mu AS dev
+        FROM daily, mu)
+      SELECT a.day, a.x, a.mu,
+        list_reduce(list_prepend(0.0e0, list(b.dev ORDER BY b.day)),
+          (acc, v) -> greatest(0.0e0, acc + v)) AS cusum
+      FROM dev a JOIN dev b ON b.day <= a.day
+      GROUP BY a.day, a.x, a.mu
+    """))
+
+  /** INTERVAL-OVERLAP JOIN ([[graft.ext.RangeJoin.intervalOverlap]]) —
+    * which user sessions overlapped each error-burst incident window:
+    * sessions (the q24 30-minute-gap recipe) × hourly incident intervals
+    * (hours with ≥ 2 errors, spanned by their first..last error — the dial is scale-free so the smallest SF still produces incidents). The
+    * genuinely interval×interval case q55's point-in-interval can't
+    * express. Scale shape: both sides replicate to hour bins and meet in
+    * an EQUI-join; the canonical-bin rule (overlap-start's bin) keeps it
+    * duplicate-free with no distinct pass — never a nested loop. Overlap
+    * durations are exact integer micros. */
+  lazy val q185IntervalOverlap: Q = Q(
+    "q185_interval_overlap",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val sess = ev
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("gap").isNull || col("gap") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(w))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .groupBy(expr("us div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n_err"),
+          min(col("us")).as("i_start"), max(col("us")).as("i_end"))
+        .filter(col("n_err") >= 2)
+        .drop("n_err")
+      graft.ext.RangeJoin.intervalOverlap(sess, incidents,
+          "s_start", "s_end", "i_start", "i_end", binWidth = 3600000000L)
+        .groupBy(col("hr"), col("i_start"), col("i_end"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(least(col("s_end"), col("i_end"))
+            - greatest(col("s_start"), col("i_start"))).as("overlap_us_sum"),
+          sum(col("user_id")).as("user_id_sum"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+      gaps AS (
+        SELECT *, us - LAG(us, 1) OVER (PARTITION BY user_id
+          ORDER BY us, event_id) AS gap
+        FROM ev),
+      s1 AS (
+        SELECT *, CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000
+            THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS BIGINT) AS sid
+        FROM gaps),
+      sess AS (
+        SELECT user_id, sid, MIN(us) AS s_start, MAX(us) AS s_end
+        FROM s1 GROUP BY 1, 2),
+      inc AS (
+        SELECT us // 3600000000 AS hr, MIN(us) AS i_start, MAX(us) AS i_end
+        FROM ev WHERE event_type = 'error'
+        GROUP BY 1 HAVING COUNT(*) >= 2),
+      j AS (
+        SELECT * FROM sess JOIN inc
+        ON s_start <= i_end AND i_start <= s_end)
+      SELECT hr, i_start, i_end,
+        CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(SUM(LEAST(s_end, i_end) - GREATEST(s_start, i_start)) AS BIGINT)
+          AS overlap_us_sum,
+        CAST(SUM(user_id) AS BIGINT) AS user_id_sum
+      FROM j GROUP BY 1, 2, 3
+    """))
 
   /** QUANTILE NORMALIZATION — map every group's value distribution onto
     * the shared average distribution (the cross-sample normalization

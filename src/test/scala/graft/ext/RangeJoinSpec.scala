@@ -36,4 +36,27 @@ class RangeJoinSpec extends SparkSuite {
       .select($"pid").as[Long].collect().toSeq
     assert(got === Seq(5L))
   }
+
+  test("interval-overlap join equals the naive inequality join, duplicate-free across widths") {
+    // long spans crossing MANY bins + touching endpoints + containment +
+    // disjoint pairs — the canonical-bin rule must emit each true pair
+    // exactly once whatever the bin width
+    val left = Seq((1L, 0L, 25L), (2L, 30L, 31L), (3L, 40L, 90L), (4L, 100L, 100L))
+      .toDF("lid", "ls", "le")
+    val right = Seq((10L, 20L, 45L), (20L, 31L, 35L), (30L, 89L, 120L), (40L, 200L, 210L))
+      .toDF("rid", "rs", "re")
+    val naive = left.join(right, $"ls" <= $"re" && $"rs" <= $"le")
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(naive === Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L), (4L, 30L)))
+    for (w <- Seq(1L, 8L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(left, right, "ls", "le", "rs", "re", w)
+        .select($"lid", $"rid").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"no duplicate pairs at width $w")
+      assert(got.toSet === naive, s"overlap join must equal naive at width $w")
+    }
+    val p = RangeJoin.intervalOverlap(left, right, "ls", "le", "rs", "re", 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join must be an equi-join on the bin:\n$p")
+  }
 }
