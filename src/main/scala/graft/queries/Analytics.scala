@@ -744,7 +744,145 @@ object Analytics {
     q162EquidepthHist, q165AsOfForward, q166SessionConcurrency,
     q169CountingPercentiles, q175KaplanMeier, q176RevenueConcentration,
     q177AsOfNearest, q181QuantileNormalize, q182CalibrationCurve,
-    q183SeasonalDow, q184Cusum, q185IntervalOverlap)
+    q183SeasonalDow, q184Cusum, q185IntervalOverlap,
+    q186TheilSen, q187TrimmedMean, q188PathTrigrams)
+
+  /** THEIL–SEN ROBUST TREND — the median of all pairwise slopes of the
+    * daily series: up to ~29% contaminated days cannot move it, where
+    * q155's least-squares slope chases every outlier. The pair
+    * enumeration is over the AGGREGATED day series (≤ span² pairs — the
+    * q175/q184 bounded-support rule), never the raw data; slopes are
+    * identical divisions of exact integers/decimal-exact totals on both
+    * engines, and the median is the proven `percentile` ↔
+    * `quantile_cont` pairing (q47). */
+  lazy val q186TheilSen: Q = Q(
+    "q186_theil_sen",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(28, 8))).as("total_dec"))
+        .select(unix_date(col("day")).cast("long").as("d"),
+          col("total_dec").cast("double").as("y"))
+        .localCheckpoint(eager = false) // both sides of the pair join
+      val a = daily.select(col("d").as("da"), col("y").as("ya"))
+      val b = daily.select(col("d").as("db"), col("y").as("yb"))
+      a.join(broadcast(b), col("db") > col("da"))
+        .select(((col("yb") - col("ya"))
+          / (col("db") - col("da")).cast("double")).as("slope"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("percentile(slope, 0.5D)").as("theil_sen_slope"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+          CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS y
+        FROM events GROUP BY CAST(ts AS DATE)),
+      slopes AS (
+        SELECT (b.y - a.y) / CAST(b.d - a.d AS DOUBLE) AS slope
+        FROM daily a JOIN daily b ON b.d > a.d)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        quantile_cont(slope, 0.5) AS theil_sen_slope
+      FROM slopes
+    """))
+
+  /** TRIMMED MEAN per event type — the robust location estimate that
+    * survives the heavy tails a plain mean chases: drop values outside
+    * the per-group [p05, p95] band (exact percentiles, the q47 pairing),
+    * then the decimal-exact mean of the ORIGINAL surviving values.
+    * Trimming (drop) rather than winsorizing (clamp) is deliberate:
+    * clamped values would be interpolated DOUBLES whose decimal rounding
+    * is an engine-dependent tie surface, while surviving raw values are
+    * exact inputs. Cutoffs broadcast back; one grouped pass each side. */
+  lazy val q187TrimmedMean: Q = Q(
+    "q187_trimmed_mean",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("value"))
+        .localCheckpoint(eager = false) // feeds cutoffs AND the trim
+      val cuts = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05D)").as("lo"),
+          expr("percentile(value, 0.95D)").as("hi"))
+      e.join(broadcast(cuts), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countIf(col("value") >= col("lo") && col("value") <= col("hi"))
+            .as("n_kept"),
+          (sum(when(col("value") >= col("lo") && col("value") <= col("hi"),
+              col("value")).cast(DecimalType(28, 8))).cast("double")
+            / sum(when(col("value") >= col("lo") && col("value") <= col("hi"), 1L)
+              .otherwise(0L))).as("trimmed_mean"),
+          (sum(col("value").cast(DecimalType(28, 8))).cast("double")
+            / count(lit(1))).as("raw_mean"))
+    },
+    Some(s"""
+      WITH cuts AS (
+        SELECT event_type,
+          quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type)
+      SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        ${QueryDsl.oracleCountIf("value >= lo AND value <= hi")} AS n_kept,
+        CAST(SUM(CASE WHEN value >= lo AND value <= hi
+            THEN CAST(value AS DECIMAL(28,8)) END) AS DOUBLE)
+          / ${QueryDsl.oracleCountIf("value >= lo AND value <= hi")}
+          AS trimmed_mean,
+        CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS raw_mean
+      FROM events JOIN cuts USING (event_type)
+      GROUP BY event_type
+    """))
+
+  /** FREQUENT SESSION PATHS (trigrams) — the top event-type 3-step
+    * sequences within sessions: q154's transition matrix generalized one
+    * step (pairs → triples), the path-mining summary product teams read
+    * for "how users actually move". Two LEADs over the session ordering
+    * (one window pass), a grouped count, top-20 with a full tiebreak.
+    * All integers exact. */
+  lazy val q188PathTrigrams: Q = Q(
+    "q188_path_trigrams",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("new_session",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(w))
+      val ws = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      sess
+        .withColumn("t2", lead(col("event_type"), 1).over(ws))
+        .withColumn("t3", lead(col("event_type"), 2).over(ws))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+          col("t3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(20)
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+          epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+            THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS session_id
+        FROM ev),
+      tri AS (
+        SELECT event_type AS step1,
+          LEAD(event_type, 1) OVER ws AS step2,
+          LEAD(event_type, 2) OVER ws AS step3
+        FROM sess
+        WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
+      SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY n DESC, step1, step2, step3
+      LIMIT 20
+    """))
 
   /** DAY-OF-WEEK SEASONAL DECOMPOSITION of the daily value series — the
     * additive seasonal split monitoring runs before alerting on a weekly
