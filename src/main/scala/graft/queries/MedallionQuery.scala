@@ -138,6 +138,44 @@ object MedallionQuery {
     },
     None)
 
+  /** CANONICAL IMAGE SELECTION — the multimodal twin of q67's text
+    * canonicalization, closing the image dedup LOOP (q147 finds pairs;
+    * this picks survivors): perceptual near-dup pairs → connected
+    * components ([[graft.ext.Components]]) → one keeper per component,
+    * by (payload size desc, media_id) — "keep the highest-fidelity copy",
+    * the resolution a training-corpus ingest actually applies. Rows-only
+    * (the aHash edge set is decoder-derived); the planted re-ingests must
+    * each collapse into their original's component, spec-pinned by the
+    * component sizes. */
+  val q189ImageCanonical: Q = Q(
+    "q189_image_canonical",
+    (s, _) => {
+      import graft.ext.{Components, Multimodal}
+      val media = Multimodal.synthesize(s, 3000L)
+      val dups = media.filter(col("kind") === "image" && col("media_id") % 30 === 0)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      val corpus = media.unionByName(dups)
+        .filter(col("kind") === "image")
+        .select(col("media_id"), length(col("payload")).cast("long").as("bytes"))
+        .localCheckpoint(eager = false) // feeds nodes AND the keeper scoring
+      val pairs = Multimodal.imageNearDupPairs(
+        media.unionByName(dups), maxHamming = 3)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val comp = Components.connectedComponents(
+        corpus.select(col("media_id").as("id")), pairs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("comp"))
+        .orderBy(col("bytes").desc, col("media_id"))
+      comp.join(corpus, col("id") === col("media_id"))
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("comp").as("component"), col("media_id").as("keep_media_id"),
+          col("bytes"), col("n_members"))
+    },
+    None)
+
   /** Deterministic train/test split (§2.11, ref 04:93-95): the reference
     * does a driver-side sklearn split; the Spark-native analogue assigns
     * each row by a stable key function — reproducible across runs/engines,
@@ -238,5 +276,5 @@ object MedallionQuery {
     None)
 
   val all: Seq[Q] = Seq(q54Medallion, q60Multimodal, q64TrainTestSplit,
-    q79MultimodalMeta, q147ImageNearDup, q148AudioNearDup)
+    q79MultimodalMeta, q147ImageNearDup, q148AudioNearDup, q189ImageCanonical)
 }

@@ -270,4 +270,22 @@ class MultimodalSpec extends SparkSuite {
     assert(planted.length === 10, "300 rows -> ids 0,30,...,270 planted")
     assert(planted.forall(_._3 === 0L), "identical payloads must hash identically")
   }
+
+  test("q189 canonical selection: re-ingests always lose the keeper slot; components account for every image") {
+    val out = graft.QueryCatalog.queries("q189_image_canonical")(spark, "unused")
+      .select($"keep_media_id", $"n_members").as[(Long, Long)].collect()
+    // a planted re-ingest (id ≥ 1e6) has identical payload to its original
+    // ⇒ equal bytes ⇒ the id tiebreak keeps the ORIGINAL, every time
+    assert(out.forall(_._1 < 1000000L), "a re-ingest must never be the keeper")
+    // component membership accounts for the whole image corpus exactly
+    val media = Multimodal.synthesize(spark, 3000L)
+    val nImages = media.filter($"kind" === "image").count()
+    val nDups = media.filter($"kind" === "image" && $"media_id" % 30 === 0).count()
+    assert(out.map(_._2).sum === nImages + nDups)
+    // dups create no new components: keeper count ≤ distinct images, and
+    // at least nDups memberships collapsed into multi-member components
+    assert(out.length <= nImages)
+    assert(out.filter(_._2 >= 2).map(_._2 - 1).sum >= nDups,
+      "every planted re-ingest must land in a multi-member component")
+  }
 }
