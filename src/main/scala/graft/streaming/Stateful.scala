@@ -120,6 +120,47 @@ object Stateful {
       new SpaceSavingProcessor(capacity), TimeMode.None(), OutputMode.Update())
   }
 
+  /** STREAMING CUSUM MONITOR — the incremental twin of the batch q184
+    * changepoint statistic: per key, Cₜ = max(0, Cₜ₋₁ + (xₜ − μ)) with
+    * the reference mean μ a constructor parameter (a monitor watches
+    * deviations from a KNOWN baseline; the batch form derives μ from the
+    * full series it already has). O(1) (count, cusum) state per key;
+    * within a batch rows fold in (ts, event_id) order, so the statistic
+    * BIT-matches the batch prefix fold at every micro-batch boundary —
+    * the EWMA parity contract applied to a nonlinear recurrence. */
+  class CusumProcessor(mu: Double)
+      extends StatefulProcessor[Long, (Long, Long, Long, Double), (Long, Long, Double)] {
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[(Long, Double)](
+        "cusum", Encoders.product[(Long, Double)], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, c) = if (state.exists()) state.get() else (0L, 0.0)
+      // (key, ts, event_id, value) → event order within the batch
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+        n += 1; c = math.max(0.0, c + (r._4 - mu))
+      }
+      state.update((n, c))
+      Iterator((key, n, c))
+    }
+  }
+
+  /** Wire the CUSUM monitor onto a keyed stream of (key, ts, event_id,
+    * value): emits (key, n_obs, cusum) per updated key per micro-batch. */
+  def cusum(
+      keyed: KeyValueGroupedDataset[Long, (Long, Long, Long, Double)],
+      mu: Double): Dataset[(Long, Long, Double)] = {
+    implicit val enc: Encoder[(Long, Long, Double)] =
+      Encoders.product[(Long, Long, Double)]
+    keyed.transformWithState(
+      new CusumProcessor(mu), TimeMode.None(), OutputMode.Update())
+  }
+
   /** STREAMING KMV (k-minimum-values) — the bottom-k-by-hash distinct
     * sample + cardinality sketch (batch twin: q180) kept incrementally per
     * shard key: state is the ≤ k (hash, item) pairs with the smallest

@@ -545,6 +545,37 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming CUSUM: bit-matches the batch prefix fold at every micro-batch boundary") {
+    withRocksDb {
+      val mu = 0.5
+      val events = (0 until 25).map { i =>
+        (3L, i.toLong, i.toLong, ((i * 2654435761L % 97) / 97.0))
+      }
+      val in = MemoryStream[(Long, Long, Long, Double)](spark)
+      val out = Stateful.cusum(in.toDS().groupByKey(_._1), mu)
+      val ckpt = tmp() + "/cusum-ckpt"
+      val q = out.writeStream.format("memory").queryName("tws_cusum")
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      try {
+        // uneven slicing: 7 / 1 / 17 — each emission must equal the exact
+        // prefix fold up to that boundary
+        val cuts = Seq(7, 8, 25)
+        in.addData(events.take(7): _*); q.processAllAvailable()
+        in.addData(events.slice(7, 8): _*); q.processAllAvailable()
+        in.addData(events.drop(8): _*); q.processAllAvailable()
+        val emitted = spark.table("tws_cusum").as[(Long, Long, Double)]
+          .collect().sortBy(_._2)
+        val expect = cuts.map { n =>
+          val c = events.take(n).sortBy(e => (e._2, e._3))
+            .foldLeft(0.0)((acc, e) => math.max(0.0, acc + (e._4 - mu)))
+          (3L, n.toLong, c)
+        }
+        assert(emitted.toSeq === expect,
+          "each micro-batch emission must BIT-match the batch prefix fold")
+      } finally q.stop()
+    }
+  }
+
   // PARITY MATRIX over α — the smoothing constant is a parameter on both
   // twins now, so the bit-parity contract is checked at two distinct
   // alphas (a baked-in constant passing at one α proves nothing about the
