@@ -1193,11 +1193,87 @@ object EmbedQueries {
     },
     None)
 
+  /** MATRYOSHKA TRUNCATION EVAL — how much exact-retrieval quality
+    * survives when embeddings are truncated to a prefix of their
+    * dimensions (the deployment question MRL-trained models pose: serve
+    * d=16 or d=32 instead of 64 and keep most of the recall at a
+    * fraction of the memory/compute). For each query: exact top-10 under
+    * the FULL dimension vs exact top-10 under each prefix, overlap
+    * counted. Fully deterministic — both rankings are exact sqDist
+    * (`‖a‖²−2ab+‖b‖²`, the q33-proven bit-stable recipe) with id
+    * tiebreaks, prefix slicing is `slice` ↔ `vec[1:p]` — so unlike the
+    * ANN recall rows this eval is FULL-oracle. Cost: brute-force over
+    * |queries|·|corpus| pairs per dim, broadcast queries — an EVAL
+    * operator (runs on samples), not a serving path. */
+  lazy val q191MatryoshkaEval: Q = Q(
+    "q191_matryoshka_eval",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+        .localCheckpoint(eager = false) // one read feeds all three rankings
+      val queries = corpus.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      def topk(p: Option[Int]): org.apache.spark.sql.DataFrame = {
+        val (v, qv) = p match {
+          case Some(n) => (slice(col("vec"), 1, n), slice(col("qvec"), 1, n))
+          case None => (col("vec"), col("qvec"))
+        }
+        corpus.crossJoin(broadcast(queries))
+          .withColumn("d2", Similarity.sqDist(v, qv))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))))
+          .filter(col("rk") <= 10).select(col("qid"), col("id"))
+      }
+      val full = topk(None).localCheckpoint(eager = false)
+      Seq(16, 32).map { pfx =>
+        full.join(topk(Some(pfx)), Seq("qid", "id"))
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(col("qid"), lit(pfx.toLong).as("d_prefix"), col("n_overlap"),
+            (col("n_overlap").cast("double") / 10.0).as("overlap_frac"))
+      }.reduce(_ unionByName _)
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      q AS (SELECT id AS qid, vec AS qvec FROM c WHERE id < 5),
+      full_r AS (
+        SELECT qid, id FROM (
+          SELECT q.qid, c.id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+            list_dot_product(c.vec, c.vec) - 2 * list_dot_product(c.vec, q.qvec)
+              + list_dot_product(q.qvec, q.qvec), c.id) AS rk
+          FROM c CROSS JOIN q) WHERE rk <= 10),
+      p16 AS (
+        SELECT qid, id FROM (
+          SELECT q.qid, c.id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+            list_dot_product(c.vec[1:16], c.vec[1:16])
+              - 2 * list_dot_product(c.vec[1:16], q.qvec[1:16])
+              + list_dot_product(q.qvec[1:16], q.qvec[1:16]), c.id) AS rk
+          FROM c CROSS JOIN q) WHERE rk <= 10),
+      p32 AS (
+        SELECT qid, id FROM (
+          SELECT q.qid, c.id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+            list_dot_product(c.vec[1:32], c.vec[1:32])
+              - 2 * list_dot_product(c.vec[1:32], q.qvec[1:32])
+              + list_dot_product(q.qvec[1:32], q.qvec[1:32]), c.id) AS rk
+          FROM c CROSS JOIN q) WHERE rk <= 10)
+      SELECT qid, CAST(16 AS BIGINT) AS d_prefix,
+        CAST(COUNT(*) AS BIGINT) AS n_overlap,
+        CAST(COUNT(*) AS DOUBLE) / 10.0 AS overlap_frac
+      FROM full_r JOIN p16 USING (qid, id) GROUP BY qid
+      UNION ALL
+      SELECT qid, CAST(32 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        CAST(COUNT(*) AS DOUBLE) / 10.0
+      FROM full_r JOIN p32 USING (qid, id) GROUP BY qid
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
     q118ClusterBalancedSample, q120IvfPqTopK, q121IvfPqRefine, q122IvfPqResidual,
     q123IvfPqResidualRefine, q124IvfPqPersisted, q125AnnRetrainPromote,
     q128ContrastivePairs, q133RandomProjection, q140EmbeddingDrift,
-    q150ClusterLabels, q172PcaSpectrum)
+    q150ClusterLabels, q172PcaSpectrum, q191MatryoshkaEval)
 }

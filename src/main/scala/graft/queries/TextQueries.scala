@@ -1351,6 +1351,41 @@ object TextQueries {
       WHERE CAST(inter AS DOUBLE) / n_a >= 0.9e0
     """))
 
+  /** TOKENIZER FERTILITY BY LANGUAGE — tokens-per-word and
+    * chars-per-token of the BPE-ish tokenization, per language: the
+    * multilingual-budget number every training-data team tracks (a
+    * language with high fertility pays more sequence length per byte of
+    * text, skewing compute allocation and effective mixture weights).
+    * q59's per-doc token counting lifted to the per-language rollup:
+    * exact integer sums, two final divisions. One grouped scan. */
+  lazy val q190TokenizerFertility: Q = Q(
+    "q190_tokenizer_fertility",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.nBpeTokens(col("text"))).as("n_tokens"),
+          sum(TextStats.nTokens(col("text"))).as("n_words"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .withColumn("tokens_per_word",
+          col("n_tokens").cast("double") / col("n_words"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_tokens")),
+    Some {
+      val sqlPat = TextStats.BpeTokenPattern.replace("'", "''")
+      s"""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(regexp_extract_all(text, '$sqlPat'))) AS BIGINT) AS n_tokens,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+        CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        CAST(SUM(len(regexp_extract_all(text, '$sqlPat'))) AS DOUBLE)
+          / SUM(len(string_split(text, ' '))) AS tokens_per_word,
+        CAST(SUM(length(text)) AS DOUBLE)
+          / SUM(len(regexp_extract_all(text, '$sqlPat'))) AS chars_per_token
+      FROM documents GROUP BY lang
+    """
+    })
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
@@ -1358,5 +1393,5 @@ object TextQueries {
     q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
     q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval,
     q131BpeMerges, q142BpeEncode, q143Bm25, q152PreferencePairs, q163TopNgramMass,
-    q167ContainmentPairs)
+    q167ContainmentPairs, q190TokenizerFertility)
 }
