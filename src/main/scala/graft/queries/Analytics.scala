@@ -745,7 +745,44 @@ object Analytics {
     q169CountingPercentiles, q175KaplanMeier, q176RevenueConcentration,
     q177AsOfNearest, q181QuantileNormalize, q182CalibrationCurve,
     q183SeasonalDow, q184Cusum, q185IntervalOverlap,
-    q186TheilSen, q187TrimmedMean, q188PathTrigrams)
+    q186TheilSen, q187TrimmedMean, q188PathTrigrams, q192Skyline)
+
+  /** PARETO SKYLINE of orders — the non-dominated (price, recency)
+    * frontier: every order no other order beats on BOTH value and
+    * freshness, the multi-criteria "best of" a ranking by any single
+    * score can't express. Runs on [[graft.ext.Scan.skyline2D]]: the
+    * sort-based skyline whose running exclusive max comes from the
+    * distributed prefix-scan (range partition + per-partition window +
+    * broadcast partition prefixes — the q103 rank recipe generalized to
+    * any associative aggregate), so NO single-partition window touches
+    * the data. Exact integer dims (cents, epoch days); duplicate points
+    * collapse to a min-key representative first. */
+  lazy val q192Skyline: Q = Q(
+    "q192_skyline",
+    (s, dir) => {
+      val pts = t(s, dir, "orders")
+        .groupBy(
+          (col("o_totalprice").cast(DecimalType(28, 2)) * 100).cast("long")
+            .as("cents"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+        .agg(min(col("o_orderkey")).as("rep"), count(lit(1)).as("n"))
+      graft.ext.Scan.skyline2D(pts, "cents", "day", "rep")
+        .select(col("cents"), col("day"), col("rep"), col("n"))
+    },
+    Some("""
+      WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents,
+          CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+          CAST(MIN(o_orderkey) AS BIGINT) AS rep,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2),
+      scan AS (
+        SELECT *, MAX(day) OVER (ORDER BY cents DESC, day DESC, rep
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS premax
+        FROM pts)
+      SELECT cents, day, rep, n FROM scan
+      WHERE premax IS NULL OR day > premax
+    """))
 
   /** THEIL–SEN ROBUST TREND — the median of all pairwise slopes of the
     * daily series: up to ~29% contaminated days cannot move it, where
