@@ -745,7 +745,56 @@ object Analytics {
     q169CountingPercentiles, q175KaplanMeier, q176RevenueConcentration,
     q177AsOfNearest, q181QuantileNormalize, q182CalibrationCurve,
     q183SeasonalDow, q184Cusum, q185IntervalOverlap,
-    q186TheilSen, q187TrimmedMean, q188PathTrigrams, q192Skyline)
+    q186TheilSen, q187TrimmedMean, q188PathTrigrams, q192Skyline,
+    q193ItemSimilarity)
+
+  /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
+    * primitive ("customers who bought X also bought Y"): parts scored by
+    * cosine over their order-occurrence vectors, which for 0/1 baskets
+    * reduces to n_ab / √(n_a·n_b). Pair generation is the ORDER-KEYED
+    * self-join (fan-out bounded by per-order item count — the market-
+    * basket shape, never an all-pairs product); per-item counts broadcast
+    * back. √ is IEEE-754 correctly-rounded on both engines (unlike
+    * exp/ln), so the score is bit-exact and the query full-oracle.
+    * Top-20 with full tiebreak plans as TakeOrderedAndProject. */
+  lazy val q193ItemSimilarity: Q = Q(
+    "q193_item_similarity",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .localCheckpoint(eager = false) // feeds counts AND the pair join
+      val cnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      val pairs = li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(cnt.select(col("pk").as("a"), col("n").as("n_a"))), Seq("a"))
+        .join(broadcast(cnt.select(col("pk").as("b"), col("n").as("n_b"))), Seq("b"))
+        .withColumn("score",
+          col("n_ab").cast("double")
+            / sqrt((col("n_a") * col("n_b")).cast("double")))
+        .orderBy(col("score").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"), col("score"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      cnt AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY pk),
+      pairs AS (
+        SELECT x.pk AS a, y.pk AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        GROUP BY 1, 2)
+      SELECT a, b, n_ab, ca.n AS n_a, cb.n AS n_b,
+        CAST(n_ab AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS score
+      FROM pairs
+      JOIN cnt ca ON pairs.a = ca.pk
+      JOIN cnt cb ON pairs.b = cb.pk
+      ORDER BY score DESC, a, b
+      LIMIT 20
+    """))
 
   /** PARETO SKYLINE of orders — the non-dominated (price, recency)
     * frontier: every order no other order beats on BOTH value and
