@@ -97,4 +97,14 @@ class QueryCatalogSpec extends SparkSuite {
     // both classes must be represented, else the threshold is degenerate
     assert(rows.map(_.getAs[Int]("fraud_prediction")).distinct.length === 2)
   }
+
+  test("q179's round bound covers the peel depth: the output IS the exact k-core") {
+    // the fixed-round contract is only the EXACT 3-core while rounds ≥
+    // peel depth (measured 12 at sf0.1, dial 16) — this guards the data
+    // outgrowing the dial: no surviving node may sit below degree 3
+    import org.apache.spark.sql.functions._
+    val out = QueryCatalog.queries("q179_kcore")(spark, dir)
+    assert(out.filter(col("degree") < 3).isEmpty,
+      "a surviving node below k means the peel did not reach its fixpoint — raise CoreRounds")
+  }
 }

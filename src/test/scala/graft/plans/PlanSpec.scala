@@ -431,6 +431,22 @@ class PlanSpec extends SparkSuite {
       s"peel rounds must stay node-keyed:\n$p")
   }
 
+  test("q192 skyline: the only global window is the prefix-scan partition cumulate") {
+    // Scan.runningMaxExclusive mirrors the distributed-rank shape: the one
+    // unpartitioned window runs over the #partitions-row per-pid aggregate
+    val df = QueryCatalog.queries("q192_skyline")(spark, dir)
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.size === 1, s"exactly the partition-prefix cumulate may be global:\n$global")
+    assert(global.head.child.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.exists(_.groupingExpressions.exists(_.toString.contains("__scan_pid"))),
+      s"the global window must run over the partition aggregate:\n${global.head}")
+    assert(!plan(df).contains("CartesianProduct"))
+  }
+
   test("q181 quantile normalization: no global window anywhere; min-n broadcasts") {
     // the per-group rank window sits behind the checkpoint barrier; what
     // the final plan may NOT contain is an unpartitioned window or a
