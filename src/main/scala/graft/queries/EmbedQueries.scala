@@ -1269,11 +1269,74 @@ object EmbedQueries {
       FROM full_r JOIN p32 USING (qid, id) GROUP BY qid
     """))
 
+  /** LABEL-AWARE HARD-NEGATIVE MINING — the supervised-contrastive
+    * training-data step q128's unsupervised miner can't do: for each
+    * anchor, the most similar SAME-label vector (positive) and the most
+    * similar DIFFERENT-label vector (the hard negative — the confusable
+    * example that actually moves a margin loss), plus the margin between
+    * them. Uses the embeddings table's `label` column; similarities are
+    * the q33 bit-stable cosine with id tiebreaks ⇒ full oracle. Anchors
+    * broadcast; at scale the candidate side would route through the ANN
+    * tier (q120+) instead of the exact scan — same mining logic, bounded
+    * candidates. */
+  lazy val q194HardNegatives: Q = Q(
+    "q194_hard_negatives",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("label"),
+        col("embedding").cast("array<double>").as("vec"))
+      val anchors = corpus.filter(col("id") < 20)
+        .select(col("id").as("qid"), col("label").as("qlabel"),
+          col("vec").as("qvec"))
+      val scored = corpus.crossJoin(broadcast(anchors))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("sim", Similarity.cosine(col("vec"), col("qvec")))
+        .localCheckpoint(eager = false) // feeds the positive AND negative picks
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+      def pick(cond: org.apache.spark.sql.Column, pre: String) =
+        scored.filter(cond)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("qid"), col("qlabel"),
+            col("id").as(s"${pre}_id"), col("sim").as(s"${pre}_sim"))
+      pick(col("label") === col("qlabel"), "pos")
+        .join(pick(col("label") =!= col("qlabel"), "neg").drop("qlabel"),
+          Seq("qid"))
+        .withColumn("margin", col("pos_sim") - col("neg_sim"))
+        .select(col("qid"), col("qlabel"), col("pos_id"), col("pos_sim"),
+          col("neg_id"), col("neg_sim"), col("margin"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id AS id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+      a AS (
+        SELECT id AS qid, label AS qlabel, vec AS qvec FROM c WHERE id < 20),
+      scored AS (
+        SELECT a.qid, a.qlabel, c.id, c.label,
+          list_dot_product(c.vec, a.qvec)
+            / (sqrt(list_dot_product(c.vec, c.vec))
+              * sqrt(list_dot_product(a.qvec, a.qvec))) AS sim
+        FROM c CROSS JOIN a WHERE c.id <> a.qid),
+      pos AS (
+        SELECT qid, qlabel, id AS pos_id, sim AS pos_sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY sim DESC, id) AS rn
+          FROM scored WHERE label = qlabel) WHERE rn = 1),
+      neg AS (
+        SELECT qid, id AS neg_id, sim AS neg_sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY sim DESC, id) AS rn
+          FROM scored WHERE label <> qlabel) WHERE rn = 1)
+      SELECT qid, qlabel, pos_id, pos_sim, neg_id, neg_sim,
+        pos_sim - neg_sim AS margin
+      FROM pos JOIN neg USING (qid)
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
     q118ClusterBalancedSample, q120IvfPqTopK, q121IvfPqRefine, q122IvfPqResidual,
     q123IvfPqResidualRefine, q124IvfPqPersisted, q125AnnRetrainPromote,
     q128ContrastivePairs, q133RandomProjection, q140EmbeddingDrift,
-    q150ClusterLabels, q172PcaSpectrum, q191MatryoshkaEval)
+    q150ClusterLabels, q172PcaSpectrum, q191MatryoshkaEval, q194HardNegatives)
 }
