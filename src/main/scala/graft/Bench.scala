@@ -29,6 +29,36 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** How often a calib probe is interleaved into the timed pass. r13's
+    * driver run drifted 1.41× MID-run with only endpoint probes, so
+    * per-query normalization was blind interpolation across 194 queries;
+    * a probe every 25 localizes drift to a segment. */
+  val CalibEvery = 25
+
+  /** Per-query machine factors from interleaved calib probes: linear
+    * interpolation of the probe series at each query index, divided by
+    * the reference calib and clamped to [1, 3] (a fast machine never
+    * loosens a budget; past 3× the host is too degraded for timings to
+    * mean anything). Pure — unit-tested against synthetic drift in
+    * BenchCalibSpec, shared by BenchGuardSpec's per-segment budgets. */
+  def segmentFactors(probes: Seq[(Int, Double)], n: Int,
+      ref: Double = 0.30): IndexedSeq[Double] = {
+    require(probes.nonEmpty, "need at least one calib probe")
+    val sorted = probes.sortBy(_._1)
+    def calibAt(i: Int): Double = {
+      val before = sorted.filter(_._1 <= i)
+      val after = sorted.filter(_._1 > i)
+      (before.lastOption, after.headOption) match {
+        case (Some((i0, c0)), Some((i1, c1))) if i1 != i0 =>
+          c0 + (c1 - c0) * (i - i0).toDouble / (i1 - i0)
+        case (Some((_, c0)), _) => c0
+        case (None, Some((_, c1))) => c1
+        case _ => ref
+      }
+    }
+    (0 until n).map(i => math.min(3.0, math.max(1.0, calibAt(i) / ref)))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,7 +100,10 @@ object Bench {
     // back-to-back reps discards a one-off spike while an honest
     // regression shows in both reps; reps run adjacent so they see the
     // same machine state, and Housekeeping separates queries, not reps.
-    val results = qs.map { case (name, fn) =>
+    // calib probes interleave every CalibEvery queries (see segmentFactors)
+    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double)]((0, calibPre))
+    val results = qs.toSeq.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi > 0 && qi % CalibEvery == 0) probes += ((qi, calibrate(spark)))
       val reps = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
@@ -82,12 +115,14 @@ object Bench {
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val calibPost = calibrate(spark)
+    probes += ((qs.size, calibPost))
+    val calibJson = probes.map { case (i, c) => s"[$i,$c]" }.mkString("[", ",", "]")
     val failures = results.collect { case (k, v) if v < 0 => k }.toSeq
     val fjson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib_pre":$calibPre,"calib_post":$calibPost,"n_failed":${failures.size},"failures":$fjson,"queries":$qjson,"sf":"$sfDir"}"""
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib_pre":$calibPre,"calib_post":$calibPost,"calib_series":$calibJson,"n_failed":${failures.size},"failures":$fjson,"queries":$qjson,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH artifact truncates the per-query map; persist the
     // full map so later rounds can diff EVERY query, not a visible suffix.

@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   *    stays near-flat while build grows ~n^1.5, which is why the index is
   *    a maintained artifact, not a per-query rebuild.
   *
-  * Run: `sbt "runMain graft.ScalingProbe [q82counts|q112counts|skew|annknee|all]"`.
+  * Run: `sbt "runMain graft.ScalingProbe
+  * [q82counts|q112counts|skew|annknee|opqsweep|hardneg|graph|all]"`.
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
@@ -146,6 +147,63 @@ object ScalingProbe {
         val refineSec = rep2(rPlan.count())
         println(f"[sp] annknee n=$n%-8d cents=$nCent%-5d build=$buildSec%7.1f s " +
           f"search=$searchSec%6.2f s refined=$refineSec%6.2f s (codes=$nCodes)")
+        Housekeeping.releaseAll(spark)
+      }
+    }
+
+    if (mode == "opqsweep" || mode == "all") {
+      // The persisted OPQ path (r13) across the testdata sfs — q124's
+      // train → two-batch backfill → search lifecycle with opq on vs off.
+      // Train carries the extra PCA fit + rotation (model-dim-sized, not
+      // data-sized); encode adds one rotate per row; search cost is
+      // identical by construction (same inverted-list ADC over rotated
+      // codes). The sweep pins all three claims with wall numbers.
+      for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+        val dir = s"/root/testdata/$sf"
+        val corpus = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("vec"))
+          .localCheckpoint()
+        val nVec = corpus.count()
+        val queries = corpus.filter(col("id") < 5)
+          .select(col("id").as("qid"), col("vec").as("qvec")).localCheckpoint()
+        for (opq <- Seq(false, true)) {
+          val base = s"${System.getProperty("java.io.tmpdir")}/graft_opqsweep_${sf}_$opq"
+          val fs = new org.apache.hadoop.fs.Path(base)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(base), true)
+          val (_, trainSec, _) = timed(
+            ext.AnnIndex.train(spark, base, corpus, nCentroids = 8, m = 4,
+              ksub = 16, opq = opq))
+          val (_, encodeSec, _) = timed {
+            ext.AnnIndex.extendBatch(spark, base, corpus.filter(col("id") % 2 === 0), 0L)
+            ext.AnnIndex.extendBatch(spark, base, corpus.filter(col("id") % 2 === 1), 1L)
+          }
+          val plan = ext.AnnIndex.search(spark, base, queries, k = 10, nProbe = 2)
+          val searchSec = (1 to 2).map(_ => timed(plan.count())._2).min
+          println(f"[sp] opqsweep $sf opq=$opq%-5s n=$nVec%-6d " +
+            f"train=$trainSec%6.2f s encode=$encodeSec%6.2f s search=$searchSec%6.2f s")
+          fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        }
+        Housekeeping.releaseAll(spark)
+      }
+    }
+
+    if (mode == "hardneg" || mode == "all") {
+      // Hard-negative mining growth: exact q194 (anchor-broadcast scan
+      // over the FULL corpus — per-anchor cost ∝ n) vs ANN-routed q196
+      // (per-anchor cost ∝ probed-list size — the 100 TB path). The
+      // defended claim: q196's growth stays sublinear to q194's as the
+      // corpus scales, because the shortlist is probe-pruned. Both are
+      // catalog queries, so the sweep times the exact shipped plans.
+      for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+        val dir = s"/root/testdata/$sf"
+        for ((name, q) <- Seq(
+            "q194_exact" -> queries.EmbedQueries.q194HardNegatives,
+            "q196_ann" -> queries.EmbedQueries.q196HardNegativesAnn)) {
+          val secs = (1 to 2).map(_ => timed(q.fn(spark, dir).count())._2)
+          println(f"[sp] hardneg $sf $name%-10s wall=${secs.min}%6.2f s")
+        }
         Housekeeping.releaseAll(spark)
       }
     }

@@ -45,6 +45,12 @@ object AsOfJoin {
       // with identical (key, time, payload) remain interchangeable, which
       // is harmless. Left rows carry 0 — the tiebreak never reorders a
       // left row relative to the right rows it matches against.
+      // ORACLE-PARITY CAVEAT: DuckDB's plain ASOF JOIN has no such rule,
+      // so cross-ENGINE agreement (q49/q165/q177) additionally relies on
+      // the right sides being tie-free on (key, rightTime) up to payload —
+      // true of the testdata (event_id-unique streams) and asserted by the
+      // layout-stability spec within Spark. A tied-with-differing-payload
+      // right side is pinned per-run here but unspecified in the oracle.
       .withColumn("__tb", xxhash64(payload.map(col): _*))
     val rPrep = left.columns.filterNot(_ == key).foldLeft(rBase) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))

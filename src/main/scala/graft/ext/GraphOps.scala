@@ -149,4 +149,37 @@ object GraphOps {
     * [[kCoreRounds]]' output at this round count is the exact k-core. */
   def kCoreConverged(bothDir: DataFrame, k: Int, rounds: Int): Boolean =
     kCoreRounds(bothDir, k, rounds).filter(col("degree") < k).isEmpty
+
+  /** MULTI-SOURCE BFS out to `hops` hops: (node, dist) rows where `dist`
+    * is the MINIMUM hop count from any seed (seeds themselves at 0;
+    * unreached nodes absent). Frontier expansion, not node-state
+    * iteration: each round touches only the edges leaving the CURRENT
+    * frontier (one frontier-keyed semi-join), distincts the neighbor set,
+    * and anti-joins the visited table — so per-round cost is O(edges
+    * incident to the frontier), never O(|V|) state shuffled per round,
+    * and a round that discovers nothing short-circuits the rest (the
+    * kCoreRounds early-out discipline — safe because BFS layers are
+    * monotone: an empty layer implies all later layers are empty).
+    * `edges` are directed rows; pass both directions for an undirected
+    * reach. Each round's frontier and the growing visited set are lazily
+    * pinned so iteration lineage never re-derives a prior layer. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(eager = false)
+    var frontier = visited.select(col("node"))
+    var done = frontier.isEmpty
+    for (h <- 1 to hops if !done) {
+      val next = e
+        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .localCheckpoint(eager = false)
+      visited = visited.unionAll(next).localCheckpoint(eager = false)
+      frontier = next.select(col("node"))
+      done = next.isEmpty
+    }
+    visited
+  }
 }

@@ -669,7 +669,11 @@ object Similarity {
       : (DataFrame, Pca.Model) = {
     val resid = residualize(corpus, centroids).localCheckpoint(eager = false)
     val d = resid.select(org.apache.spark.sql.functions.size(col("vec")))
-      .head().getInt(0) // model dimension — metadata, not data
+      .limit(1).collect().headOption // model dimension — metadata, not data
+      .getOrElse(throw new IllegalArgumentException(
+        "opqBooks: empty training sample — the OPQ rotation needs at least " +
+          "one residual vector (mirrors Pca.fit's n > 1 requirement)"))
+      .getInt(0)
     val model = balanceBlocks(Pca.fit(resid, "vec", d, d), m)
     val rot = rotateAssigned(resid, model)
       .localCheckpoint(eager = false) // feeds seeds AND full-corpus training

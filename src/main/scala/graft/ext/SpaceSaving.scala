@@ -129,12 +129,17 @@ object SpaceSaving {
   /** One-pass capacity-bounded heavy-hitter summary of `itemCol`:
     * (item, count, over, floor) rows, count-descending, where
     * `floor = count − over` is the certified lower bound. Fully
-    * distributed — per-partition folds, summary-sized shuffle, no collect. */
+    * distributed — per-partition folds, summary-sized shuffle, no collect.
+    * Null items are dropped up front (a count of nulls is a data-quality
+    * stat, not a heavy hitter): the eviction/merge orderings compare items
+    * with String `<`, so an unfiltered null would NPE inside the
+    * aggregator rather than fail diagnosably. */
   def summarize(df: DataFrame, itemCol: String, capacity: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val agg = new SSAgg(capacity).toColumn
-    df.select(col(itemCol).cast("string")).as[String]
+    df.filter(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("string")).as[String]
       .select(agg) // Summary's fields flatten: one `entries` array column
       .select(explode(col("entries")).as("e"))
       .select(col("e.item").as("item"), col("e.count").as("count"),

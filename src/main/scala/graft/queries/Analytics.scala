@@ -746,15 +746,21 @@ object Analytics {
     q177AsOfNearest, q181QuantileNormalize, q182CalibrationCurve,
     q183SeasonalDow, q184Cusum, q185IntervalOverlap,
     q186TheilSen, q187TrimmedMean, q188PathTrigrams, q192Skyline,
-    q193ItemSimilarity)
+    q193ItemSimilarity, q195RunningRevenue, q199RetentionCohorts,
+    q200Funnel, q201AssociationRules)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by
     * cosine over their order-occurrence vectors, which for 0/1 baskets
     * reduces to n_ab / √(n_a·n_b). Pair generation is the ORDER-KEYED
     * self-join (fan-out bounded by per-order item count — the market-
-    * basket shape, never an all-pairs product); per-item counts broadcast
-    * back. √ is IEEE-754 correctly-rounded on both engines (unlike
+    * basket shape, never an all-pairs product); per-item counts join back
+    * UNHINTED — the count table has one row per distinct item, which is
+    * data-sized (billions at 100 TB), so a mandatory `broadcast()` would
+    * OOM the driver there. The pair table is already keyed on the item
+    * ids, so the join-back is a plain shuffled equi-join; AQE still
+    * elects a broadcast at bench SFs where the counts fit under the
+    * threshold. √ is IEEE-754 correctly-rounded on both engines (unlike
     * exp/ln), so the score is bit-exact and the query full-oracle.
     * Top-20 with full tiebreak plans as TakeOrderedAndProject. */
   lazy val q193ItemSimilarity: Q = Q(
@@ -769,8 +775,8 @@ object Analytics {
         .filter(col("a") < col("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
       pairs
-        .join(broadcast(cnt.select(col("pk").as("a"), col("n").as("n_a"))), Seq("a"))
-        .join(broadcast(cnt.select(col("pk").as("b"), col("n").as("n_b"))), Seq("b"))
+        .join(cnt.select(col("pk").as("a"), col("n").as("n_a")), Seq("a"))
+        .join(cnt.select(col("pk").as("b"), col("n").as("n_b")), Seq("b"))
         .withColumn("score",
           col("n_ab").cast("double")
             / sqrt((col("n_a") * col("n_b")).cast("double")))
@@ -794,6 +800,56 @@ object Analytics {
       JOIN cnt cb ON pairs.b = cb.pk
       ORDER BY score DESC, a, b
       LIMIT 20
+    """))
+
+  /** CUMULATIVE REVENUE SHARE over the global order timeline — each
+    * order's running total of all revenue to date and its fraction of
+    * the grand total: the revenue ramp curve finance reads off any
+    * ledger, and the canonical DATA-SIZED running global aggregate (one
+    * output row per order — q176's concentration curve aggregates to
+    * bounded deciles; this one cannot). A plain
+    * `sum().over(Window.orderBy(...))` would funnel the whole table
+    * through one task; this runs on
+    * [[graft.ext.Scan.runningSumExclusive]] — range partition +
+    * per-partition running sums + broadcast #partitions-row prefixes —
+    * so every stage stays parallel. Cents are decimal-derived exact
+    * longs; the cumulate and grand total are exact integers and the
+    * share is one IEEE divide ⇒ full oracle against DuckDB's windowed
+    * SUM. The 1-row grand total broadcasts. */
+  lazy val q195RunningRevenue: Q = Q(
+    "q195_running_revenue",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("day"),
+        (col("o_totalprice").cast(DecimalType(28, 2)) * 100).cast("long")
+          .as("cents"))
+      val total = o.agg(sum(col("cents")).as("total_cents"))
+      graft.ext.Scan.runningSumExclusive(o,
+          Seq(col("day"), col("o_orderkey")), "cents", "prior")
+        .withColumn("cum_cents", coalesce(col("prior"), lit(0L)) + col("cents"))
+        .crossJoin(broadcast(total))
+        .withColumn("rev_share",
+          col("cum_cents").cast("double") / col("total_cents").cast("double"))
+        .select(col("o_orderkey"), col("day"), col("cents"),
+          col("cum_cents"), col("rev_share"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey,
+          CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+        FROM orders),
+      cum AS (
+        SELECT o_orderkey, day, cents,
+          CAST(SUM(cents) OVER (ORDER BY day, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_cents,
+          CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+        FROM o)
+      SELECT o_orderkey, day, cents, cum_cents,
+        CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS rev_share
+      FROM cum
     """))
 
   /** PARETO SKYLINE of orders — the non-dominated (price, recency)
@@ -873,46 +929,76 @@ object Analytics {
 
   /** TRIMMED MEAN per event type — the robust location estimate that
     * survives the heavy tails a plain mean chases: drop values outside
-    * the per-group [p05, p95] band (exact percentiles, the q47 pairing),
-    * then the decimal-exact mean of the ORIGINAL surviving values.
-    * Trimming (drop) rather than winsorizing (clamp) is deliberate:
-    * clamped values would be interpolated DOUBLES whose decimal rounding
-    * is an engine-dependent tie surface, while surviving raw values are
-    * exact inputs. Cutoffs broadcast back; one grouped pass each side. */
+    * the per-group [p05, p95] band, then the decimal-exact mean of the
+    * ORIGINAL surviving values. The band comes from the q169 COUNTING
+    * percentile over cent bins, not Spark's exact `percentile`: the
+    * exact form buffers the whole per-group value multiset (O(group
+    * rows) — the q151-class OOM at 100 TB over ~5 event types), while
+    * the counting form's state is one count per DISTINCT cent bin, so
+    * the aggregation and the per-group cumulate are bounded by
+    * value-range × 100 bins (~49k here) NO MATTER the row count. Values
+    * are cent-precision by construction (max |value·100 − round| ≈ 4e-12
+    * — pure double representation error), so binning is lossless and
+    * both engines derive identical integer bins; the cutoff is the
+    * smallest bin with 100·cum ≥ p·n (exact-integer arithmetic, no
+    * interpolated-double tie surface). Trimming (drop) rather than
+    * winsorizing (clamp) keeps surviving values exact inputs. The cuts
+    * table is support-bounded (one row per event type) ⇒ broadcast. */
   lazy val q187TrimmedMean: Q = Q(
     "q187_trimmed_mean",
     (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "events").select(col("event_type"), col("value"))
+        .withColumn("bin", round(col("value") * 100).cast("long"))
         .localCheckpoint(eager = false) // feeds cutoffs AND the trim
-      val cuts = e.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.05D)").as("lo"),
-          expr("percentile(value, 0.95D)").as("hi"))
+      val counts = e.groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val cuts = counts
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 100 >= col("n") * 5, col("bin"))).as("lo"),
+          min(when(col("cum") * 100 >= col("n") * 95, col("bin"))).as("hi"))
+      val kept = col("bin") >= col("lo") && col("bin") <= col("hi")
       e.join(broadcast(cuts), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          countIf(col("value") >= col("lo") && col("value") <= col("hi"))
-            .as("n_kept"),
-          (sum(when(col("value") >= col("lo") && col("value") <= col("hi"),
-              col("value")).cast(DecimalType(28, 8))).cast("double")
-            / sum(when(col("value") >= col("lo") && col("value") <= col("hi"), 1L)
-              .otherwise(0L))).as("trimmed_mean"),
+          countIf(kept).as("n_kept"),
+          (sum(when(kept, col("value")).cast(DecimalType(28, 8))).cast("double")
+            / sum(when(kept, 1L).otherwise(0L))).as("trimmed_mean"),
           (sum(col("value").cast(DecimalType(28, 8))).cast("double")
             / count(lit(1))).as("raw_mean"))
     },
     Some(s"""
-      WITH cuts AS (
+      WITH e AS (
+        SELECT event_type, value,
+          CAST(round(value * 100) AS BIGINT) AS bin
+        FROM events),
+      counts AS (
+        SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, bin, c,
+          CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM counts),
+      cuts AS (
         SELECT event_type,
-          quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
-        FROM events GROUP BY event_type)
+          MIN(CASE WHEN cum * 100 >= n * 5 THEN bin END) AS lo,
+          MIN(CASE WHEN cum * 100 >= n * 95 THEN bin END) AS hi
+        FROM cum GROUP BY event_type)
       SELECT event_type,
         CAST(COUNT(*) AS BIGINT) AS n,
-        ${QueryDsl.oracleCountIf("value >= lo AND value <= hi")} AS n_kept,
-        CAST(SUM(CASE WHEN value >= lo AND value <= hi
+        ${QueryDsl.oracleCountIf("bin >= lo AND bin <= hi")} AS n_kept,
+        CAST(SUM(CASE WHEN bin >= lo AND bin <= hi
             THEN CAST(value AS DECIMAL(28,8)) END) AS DOUBLE)
-          / ${QueryDsl.oracleCountIf("value >= lo AND value <= hi")}
+          / ${QueryDsl.oracleCountIf("bin >= lo AND bin <= hi")}
           AS trimmed_mean,
         CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS raw_mean
-      FROM events JOIN cuts USING (event_type)
+      FROM e JOIN cuts USING (event_type)
       GROUP BY event_type
     """))
 
@@ -1969,5 +2055,194 @@ object Analytics {
         CAST(to_json(struct_pack(k := json_extract(props, '$.k')::BIGINT))
           AS VARCHAR) AS canon
       FROM events
+    """))
+
+  /** WEEKLY RETENTION COHORTS — the product-analytics staple: users
+    * grouped by first-activity week, each cohort's distinct-active count
+    * at every week offset since, plus the retention fraction vs the
+    * cohort's own week-0 size. Weeks are `unix_date div 7` — exact
+    * integer arithmetic both engines derive identically from the
+    * timestamp (no tz or truncation surface), and retention is one IEEE
+    * divide of exact counts ⇒ full oracle.
+    *
+    * Scale shape: distinct (user, week) then a user-keyed min-aggregate
+    * and a user-keyed join-back — all keyed shuffles on user_id, partial
+    * aggs map-side; the (cohort, offset) result and its week-0 slice are
+    * support-bounded (weeks² rows), so the final self-join broadcasts. */
+  lazy val q199RetentionCohorts: Q = Q(
+    "q199_retention_cohorts",
+    (s, dir) => {
+      val uw = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("CAST(unix_date(to_date(ts)) AS BIGINT) div 7").as("wk"))
+        .distinct()
+        .localCheckpoint(eager = false) // feeds cohorts AND activity
+      val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+      val ret = uw.join(cohort, Seq("user_id"))
+        .groupBy(col("cwk").as("cohort_week"),
+          (col("wk") - col("cwk")).as("offset_week"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val base = ret.filter(col("offset_week") === 0)
+        .select(col("cohort_week"), col("n_users").as("n0"))
+      ret.join(broadcast(base), Seq("cohort_week"))
+        .withColumn("retention",
+          col("n_users").cast("double") / col("n0").cast("double"))
+        .select(col("cohort_week"), col("offset_week"), col("n_users"),
+          col("retention"))
+    },
+    Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS wk
+        FROM events),
+      cohort AS (SELECT user_id, MIN(wk) AS cwk FROM uw GROUP BY user_id),
+      ret AS (
+        SELECT cwk AS cohort_week, wk - cwk AS offset_week,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM uw JOIN cohort USING (user_id)
+        GROUP BY 1, 2),
+      base AS (
+        SELECT cohort_week, n_users AS n0 FROM ret WHERE offset_week = 0)
+      SELECT cohort_week, offset_week, n_users,
+        CAST(n_users AS DOUBLE) / CAST(n0 AS DOUBLE) AS retention
+      FROM ret JOIN base USING (cohort_week)
+    """))
+
+  /** ORDERED CONVERSION FUNNEL signup → click → purchase: per user, the
+    * FIRST signup, the first click STRICTLY AFTER it, the first purchase
+    * strictly after that — order-sensitive stage progression (a click
+    * before signup does not count), which a plain per-type min cannot
+    * express. One summary row: stage counts, step conversion rates, and
+    * mean hours signup→purchase among full converters. Each stage is a
+    * user-keyed min-aggregate then a user-keyed join to the next stage's
+    * events — the fact table is touched once per stage with the
+    * event-type filter pushed to the scan, and every shuffle is on
+    * user_id. Timestamps compare as exact micros (`unix_micros` ↔
+    * `epoch_us`), the rates are IEEE divides of exact counts, and the
+    * mean is exact-decimal-sum / exact-count ⇒ full oracle. */
+  lazy val q200Funnel: Q = Q(
+    "q200_funnel",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .localCheckpoint(eager = false) // feeds all three stage scans
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+        .localCheckpoint(eager = false) // feeds stage 2 AND the count
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id")).filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"), min(col("t1")).as("t1"))
+        .localCheckpoint(eager = false) // feeds stage 3 AND the count
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id")).filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"), min(col("t1")).as("t1"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase"),
+          (sum((col("t3") - col("t1")).cast(DecimalType(28, 0))).cast("double")
+            / count(lit(1)) / lit(3600000000.0d)).as("mean_hours_to_convert")))
+        .withColumn("click_rate",
+          col("n_click").cast("double") / col("n_signup").cast("double"))
+        .withColumn("purchase_rate",
+          col("n_purchase").cast("double") / col("n_click").cast("double"))
+        .select(col("n_signup"), col("n_click"), col("n_purchase"),
+          col("click_rate"), col("purchase_rate"), col("mean_hours_to_convert"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      s1 AS (
+        SELECT user_id, MIN(us) AS t1 FROM ev
+        WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (
+        SELECT ev.user_id, MIN(us) AS t2, MIN(t1) AS t1
+        FROM ev JOIN s1 USING (user_id)
+        WHERE event_type = 'click' AND us > t1 GROUP BY ev.user_id),
+      s3 AS (
+        SELECT ev.user_id, MIN(us) AS t3, MIN(t1) AS t1
+        FROM ev JOIN s2 USING (user_id)
+        WHERE event_type = 'purchase' AND us > t2 GROUP BY ev.user_id)
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase,
+        CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+          / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) AS click_rate,
+        CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+          / CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) AS purchase_rate,
+        (SELECT CAST(SUM(CAST(t3 - t1 AS DECIMAL(28,0))) AS DOUBLE)
+            / COUNT(*) / 3600000000.0 FROM s3) AS mean_hours_to_convert
+    """))
+
+  /** ASSOCIATION RULES over order baskets — support / confidence / lift
+    * for co-purchased part pairs, the market-basket rule miner on top of
+    * q193's pair machinery: lift = N·n_ab / (n_a·n_b) > 1 means the pair
+    * co-occurs more than independence predicts. Same scale discipline as
+    * q193: pair generation is the order-keyed self-join (per-basket
+    * fan-out bound, never all-pairs), the per-item count join-back is
+    * UNHINTED (data-sized dimension — AQE may elect a broadcast when
+    * small, the plan never demands one), and only the 1-row basket total
+    * broadcasts. A support floor (n_ab ≥ 3) prunes the rule set the way
+    * every Apriori-family miner does. All inputs are exact counts ≤ 2^53,
+    * so the double products/divides are bit-identical across engines ⇒
+    * full oracle. Top-20 by lift with full (a, b) tiebreak plans as
+    * TakeOrderedAndProject. */
+  lazy val q201AssociationRules: Q = Q(
+    "q201_association_rules",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .localCheckpoint(eager = false) // feeds N, counts, AND the pair join
+      val total = li.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val cnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      val pairs = li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairs
+        .join(cnt.select(col("pk").as("a"), col("n").as("n_a")), Seq("a"))
+        .join(cnt.select(col("pk").as("b"), col("n").as("n_b")), Seq("b"))
+        .crossJoin(broadcast(total))
+        .withColumn("support",
+          col("n_ab").cast("double") / col("n_orders").cast("double"))
+        .withColumn("conf_ab",
+          col("n_ab").cast("double") / col("n_a").cast("double"))
+        .withColumn("conf_ba",
+          col("n_ab").cast("double") / col("n_b").cast("double"))
+        .withColumn("lift",
+          (col("n_ab") * col("n_orders")).cast("double")
+            / (col("n_a") * col("n_b")).cast("double"))
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          col("support"), col("conf_ab"), col("conf_ba"), col("lift"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      total AS (
+        SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+      cnt AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY pk),
+      pairs AS (
+        SELECT x.pk AS a, y.pk AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3)
+      SELECT a, b, n_ab, ca.n AS n_a, cb.n AS n_b,
+        CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+        CAST(n_ab AS DOUBLE) / CAST(ca.n AS DOUBLE) AS conf_ab,
+        CAST(n_ab AS DOUBLE) / CAST(cb.n AS DOUBLE) AS conf_ba,
+        CAST(n_ab * n_orders AS DOUBLE)
+          / CAST(ca.n * cb.n AS DOUBLE) AS lift
+      FROM pairs
+      JOIN cnt ca ON pairs.a = ca.pk
+      JOIN cnt cb ON pairs.b = cb.pk
+      CROSS JOIN total
+      ORDER BY lift DESC, a, b
+      LIMIT 20
     """))
 }

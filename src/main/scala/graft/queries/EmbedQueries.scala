@@ -1332,11 +1332,144 @@ object EmbedQueries {
       FROM pos JOIN neg USING (qid)
     """))
 
+  /** ANN-ROUTED HARD-NEGATIVE MINING — q194's label-aware miner with the
+    * candidate side routed through the IVF×PQ tier instead of the exact
+    * broadcast scan: the q120 index ADC-retrieves an over-fetched
+    * shortlist (top-64, nProbe 4) per anchor, raw vectors + labels are
+    * fetched for THOSE rows only (broadcast-pruned keyed join — the
+    * q121 refine shape), and the q194 mining logic picks the most
+    * similar same-label (positive) and different-label (hard negative)
+    * candidates. This is the 100 TB path q194's scaladoc promised:
+    * per-anchor work ∝ probed-list size, never the corpus. Every stage
+    * is deterministic (L2/ADC argmins with id tiebreaks, q33 bit-stable
+    * cosine) ⇒ FULL oracle — DuckDB re-derives the index, the probe-
+    * pruned shortlist, and the mining picks. Mining-quality floor vs
+    * exact q194 lives in QualityGuardSpec (the q34-vs-q33 pattern). */
+  lazy val q196HardNegativesAnn: Q = Q(
+    "q196_hard_negatives_ann",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("label"),
+        col("embedding").cast("array<double>").as("vec"))
+      val plain = corpus.select(col("id"), col("vec"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      val books = Similarity.pqCodebooks(plain, m = 4, ksub = 16, iters = 1)
+      val index = Similarity.ivfPqIndex(plain, cents, books, m = 4)
+      val anchors = corpus.filter(col("id") < 20)
+        .select(col("id").as("qid"), col("label").as("qlabel"),
+          col("vec").as("qvec"))
+        .localCheckpoint(eager = false) // feeds the search AND the join-back
+      val cand = Similarity.ivfPqTopK(index, cents, books,
+          anchors.select(col("qid"), col("qvec")), m = 4, k = 64, nProbe = 4)
+        .select(col("qid"), col("id"))
+      val scored = corpus.join(broadcast(cand), Seq("id"))
+        .join(broadcast(anchors), Seq("qid"))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("sim", Similarity.cosine(col("vec"), col("qvec")))
+        .localCheckpoint(eager = false) // feeds the positive AND negative picks
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+      def pick(cond: org.apache.spark.sql.Column, pre: String) =
+        scored.filter(cond)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("qid"), col("qlabel"),
+            col("id").as(s"${pre}_id"), col("sim").as(s"${pre}_sim"))
+      pick(col("label") === col("qlabel"), "pos")
+        .join(pick(col("label") =!= col("qlabel"), "neg").drop("qlabel"),
+          Seq("qid"))
+        .withColumn("margin", col("pos_sim") - col("neg_sim"))
+        .select(col("qid"), col("qlabel"), col("pos_id"), col("pos_sim"),
+          col("neg_id"), col("neg_sim"), col("margin"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT vec_id AS id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      subs AS (SELECT unnest(generate_series(0, 3)) AS subspace),
+      books AS (
+        SELECT s.subspace, CAST(c.id AS INT) AS bcid,
+          list_slice(c.vec, s.subspace*16+1, s.subspace*16+16) AS cvec
+        FROM corpus c CROSS JOIN subs s WHERE c.id < 16),
+      lists AS (
+        SELECT id, cid FROM (
+          SELECT c.id, k.cid,
+            ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+              list_dot_product(c.vec, c.vec) - 2*list_dot_product(c.vec, k.cvec)
+                + list_dot_product(k.cvec, k.cvec), k.cid) AS rn
+          FROM corpus c CROSS JOIN cents k) WHERE rn = 1),
+      parts AS (
+        SELECT c.id, s.subspace,
+          list_slice(c.vec, s.subspace*16+1, s.subspace*16+16) AS sub
+        FROM corpus c CROSS JOIN subs s),
+      enc AS (
+        SELECT id, subspace, bcid AS code FROM (
+          SELECT p.id, p.subspace, b.bcid,
+            ROW_NUMBER() OVER (PARTITION BY p.id, p.subspace ORDER BY
+              list_dot_product(p.sub, p.sub) - 2*list_dot_product(p.sub, b.cvec)
+                + list_dot_product(b.cvec, b.cvec), b.bcid) AS rn
+          FROM parts p JOIN books b USING (subspace))
+        WHERE rn = 1),
+      probes AS (
+        SELECT qid, cid FROM (
+          SELECT c.id AS qid, k.cid,
+            ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+              list_dot_product(c.vec, c.vec) - 2*list_dot_product(c.vec, k.cvec)
+                + list_dot_product(k.cvec, k.cvec), k.cid) AS rn
+          FROM corpus c CROSS JOIN cents k WHERE c.id < 20) WHERE rn <= 4),
+      dtable AS (
+        SELECT p.id AS qid, p.subspace, b.bcid AS code,
+          list_dot_product(p.sub, p.sub) - 2*list_dot_product(p.sub, b.cvec)
+            + list_dot_product(b.cvec, b.cvec) AS d2
+        FROM parts p JOIN books b USING (subspace) WHERE p.id < 20),
+      adc AS (
+        SELECT d.qid, e.id,
+          CAST(SUM(CAST(round(d.d2, 6) AS DECIMAL(28,8))) AS DOUBLE) AS adc
+        FROM enc e
+        JOIN lists l ON l.id = e.id
+        JOIN probes pr ON pr.cid = l.cid
+        JOIN dtable d ON e.subspace = d.subspace AND e.code = d.code
+          AND d.qid = pr.qid
+        GROUP BY d.qid, e.id),
+      cand AS (
+        SELECT qid, id FROM (
+          SELECT qid, id,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS rank
+          FROM adc) WHERE rank <= 64),
+      a AS (
+        SELECT id AS qid, label AS qlabel, vec AS qvec
+        FROM corpus WHERE id < 20),
+      scored AS (
+        SELECT a.qid, a.qlabel, c.id, c.label,
+          list_dot_product(c.vec, a.qvec)
+            / (sqrt(list_dot_product(c.vec, c.vec))
+              * sqrt(list_dot_product(a.qvec, a.qvec))) AS sim
+        FROM cand JOIN corpus c ON cand.id = c.id JOIN a ON cand.qid = a.qid
+        WHERE c.id <> a.qid),
+      pos AS (
+        SELECT qid, qlabel, id AS pos_id, sim AS pos_sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY sim DESC, id) AS rn
+          FROM scored WHERE label = qlabel) WHERE rn = 1),
+      neg AS (
+        SELECT qid, id AS neg_id, sim AS neg_sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY sim DESC, id) AS rn
+          FROM scored WHERE label <> qlabel) WHERE rn = 1)
+      SELECT qid, qlabel, pos_id, pos_sim, neg_id, neg_sim,
+        pos_sim - neg_sim AS margin
+      FROM pos JOIN neg USING (qid)
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
     q118ClusterBalancedSample, q120IvfPqTopK, q121IvfPqRefine, q122IvfPqResidual,
     q123IvfPqResidualRefine, q124IvfPqPersisted, q125AnnRetrainPromote,
     q128ContrastivePairs, q133RandomProjection, q140EmbeddingDrift,
-    q150ClusterLabels, q172PcaSpectrum, q191MatryoshkaEval, q194HardNegatives)
+    q150ClusterLabels, q172PcaSpectrum, q191MatryoshkaEval, q194HardNegatives,
+    q196HardNegativesAnn)
 }

@@ -279,6 +279,70 @@ object GraphQueries {
     """
     })
 
+  private val BfsHopCount = 3
+
+  /** MULTI-SOURCE BFS REACH ([[GraphOps.bfsHops]]) on the q130
+    * customer–supplier co-purchase graph: minimum hop distance from the
+    * first five customers (nodes 2k, custkey < 5) out to 3 hops — the
+    * "blast radius" primitive behind influence propagation, fraud-ring
+    * expansion, and recall-set construction. Hop distances are exact
+    * small integers, so the query is FULL-oracle: the DuckDB twin
+    * unrolls the same three frontier expansions as MATERIALIZED CTE
+    * stages (the q130/q179 fixed-round discipline — BFS layers are
+    * deterministic sets, no float anywhere).
+    *
+    * Scale shape: each round is one frontier-keyed semi-join over the
+    * edge list + distinct + anti-join against visited — O(edges incident
+    * to the frontier) per round, state only the (node, dist) table; an
+    * empty layer short-circuits. Never a |V|×|V| product, no node-state
+    * recomputation round-over-round (lazily pinned layers). */
+  val q198BfsReach: Q = Q(
+    "q198_bfs_reach",
+    (s, dir) => {
+      val cs = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cnode"),
+          (col("l_suppkey") * 2 + 1).as("snode"))
+        .distinct()
+        .localCheckpoint(eager = false) // feeds edges AND seeds
+      val edges = cs.select(col("cnode").as("src"), col("snode").as("dst"))
+        .unionAll(cs.select(col("snode").as("src"), col("cnode").as("dst")))
+      val seeds = cs.filter(col("cnode") < 10).select(col("cnode").as("node"))
+      GraphOps.bfsHops(edges, seeds, BfsHopCount)
+        .select(col("node"),
+          when(col("node") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+          expr("node div 2").as("key"), col("dist"))
+    },
+    Some {
+      val stages = (1 to BfsHopCount).map { i =>
+        s"""f$i AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS node FROM edges e
+        JOIN v${i - 1} ON e.src = v${i - 1}.node
+        WHERE e.dst NOT IN (SELECT node FROM v${i - 1})),
+      v$i AS MATERIALIZED (
+        SELECT node, dist FROM v${i - 1}
+        UNION ALL SELECT node, CAST($i AS BIGINT) AS dist FROM f$i)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH cs AS (
+        SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ), edges AS (
+        SELECT cnode AS src, snode AS dst FROM cs
+        UNION ALL
+        SELECT snode AS src, cnode AS dst FROM cs
+      ), v0 AS MATERIALIZED (
+        SELECT DISTINCT cnode AS node, CAST(0 AS BIGINT) AS dist
+        FROM cs WHERE cnode < 10
+      ),
+      $stages
+      SELECT node,
+        CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        node // 2 AS key, dist
+      FROM v$BfsHopCount
+    """
+    })
+
   val all: Seq[Q] = Seq(q130PageRank, q136KnnGraph, q137TriangleCensus,
-    q138LabelProp, q179KCore)
+    q138LabelProp, q179KCore, q198BfsReach)
 }

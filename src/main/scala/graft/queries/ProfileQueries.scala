@@ -421,6 +421,62 @@ object ProfileQueries {
       GROUP BY source
     """))
 
+  /** KMV GLOBAL MERGE — the sketch-union operator that makes q180's
+    * per-source sketches a corpus-wide estimator WITHOUT rescanning the
+    * data: bottom-k of a union = bottom-k of the pooled per-shard
+    * bottom-ks (each shard's sketch retains every global-bottom-k member
+    * it saw; doc_ids are globally unique so pooled rows stay distinct
+    * keys). The Spark side deliberately routes THROUGH the per-source
+    * sketches and merges; the oracle computes the global bottom-k
+    * DIRECTLY over the documents — so an oracle match PROVES the merge
+    * identity, not just the arithmetic (stronger than a rows-only
+    * check; the Space-Saving merge (q173) can't do this because its
+    * content is merge-order-dependent — KMV's is not). The merge input
+    * is sketch-sized (#sources × k rows), so its global window touches
+    * bounded data; the per-source stage is the q180 keyed window. The
+    * estimator's rel-err floor vs true distinct is guarded in
+    * QualityGuardSpec. */
+  lazy val q197KmvMerge: Q = Q(
+    "q197_kmv_merge",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = 1000003L
+      val k = 16
+      val h = pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P))
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      val shard = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), h.as("h"))
+        .withColumn("rn", row_number().over(wSrc))
+        .filter(col("rn") <= k) // the q180 per-source sketches
+        .drop("rn")
+      val wAll = Window.orderBy(col("h"), col("doc_id")) // ≤ sources×k rows
+      shard.withColumn("rn", row_number().over(wAll))
+        .filter(col("rn") <= k)
+        .agg(count(lit(1)).as("k_used"),
+          max(col("h")).as("kth_hash"),
+          sum(col("doc_id")).as("sample_id_sum"))
+        .withColumn("est_distinct",
+          (col("k_used") - 1).cast("double") * lit(P.toDouble)
+            / col("kth_hash").cast("double"))
+    },
+    Some("""
+      WITH hashed AS (
+        SELECT doc_id,
+          ((doc_id % 1000003) * 2654435761) % 1000003 AS h
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, h,
+          ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rn
+        FROM hashed)
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+        CAST(MAX(h) AS BIGINT) AS kth_hash,
+        CAST(SUM(doc_id) AS BIGINT) AS sample_id_sum,
+        CAST(COUNT(*) - 1 AS DOUBLE) * 1000003.0
+          / CAST(MAX(h) AS DOUBLE) AS est_distinct
+      FROM ranked WHERE rn <= 16
+    """))
+
   val all: Seq[Q] = Seq(q86Profile, q100PsiDrift, q119ApproxProfile, q149CountMin,
-    q164Benford, q170ReplicaReconcile, q173SpaceSavingTokens, q180KmvSketch)
+    q164Benford, q170ReplicaReconcile, q173SpaceSavingTokens, q180KmvSketch,
+    q197KmvMerge)
 }

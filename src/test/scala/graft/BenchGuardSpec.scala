@@ -39,17 +39,26 @@ class BenchGuardSpec extends SparkSuite {
     // too degraded for any timing to mean anything, and an uncapped
     // factor silently disables the guard. Log what was applied so an
     // inflated run is visible in test output.
+    // PER-SEGMENT re-probe (the r13 lesson — calib drifted 1.41× MID-run):
+    // a single up-front factor goes stale over a ~194-query pass, so the
+    // factor refreshes every Bench.CalibEvery guarded queries; min of the
+    // window's samples, same [1, 3] clamp as Bench.segmentFactors.
     Bench.calibrate(spark) // pay the calibration plan's own JIT untimed
-    val calibSamples = Seq.fill(3)(Bench.calibrate(spark))
-    val machineFactor = math.min(3.0, math.max(1.0, calibSamples.min / 0.30))
-    info(f"machine factor ${machineFactor}%.2f applied to budgets " +
+    var calibSamples = Seq.fill(3)(Bench.calibrate(spark))
+    var machineFactor = math.min(3.0, math.max(1.0, calibSamples.min / 0.30))
+    info(f"initial machine factor ${machineFactor}%.2f " +
       s"(calib samples ${calibSamples.map(c => f"$c%.3f").mkString(", ")})")
     def timeOnce(q: graft.Q): Double = {
       val t0 = System.nanoTime()
       q.fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val failures = guarded.flatMap { q =>
+    val failures = guarded.zipWithIndex.flatMap { case (q, qi) =>
+      if (qi > 0 && qi % Bench.CalibEvery == 0) {
+        calibSamples = Seq.fill(2)(Bench.calibrate(spark))
+        machineFactor = math.min(3.0, math.max(1.0, calibSamples.min / 0.30))
+        info(f"segment $qi: machine factor refreshed to ${machineFactor}%.2f")
+      }
       base.get(q.name).flatMap { b =>
         q.fn(spark, sfDir).count() // warmup: JIT + codegen + file listing
         val budget = math.max(2.0 * b, b + 1.0) * machineFactor

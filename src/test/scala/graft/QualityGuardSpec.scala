@@ -35,6 +35,42 @@ class QualityGuardSpec extends SparkSuite {
     per.sum / per.size
   }
 
+  test("q196 ANN-routed hard negatives vs exact q194: subset invariant + agreement floors") {
+    // measured at sf0.01 this session: pos_id agreement 0.50, neg_id 0.75
+    val e = q("q194_hard_negatives")
+      .select(col("qid"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    val a = q("q196_hard_negatives_ann")
+      .select(col("qid"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(a.nonEmpty && e.nonEmpty)
+    // EXACT invariant, not a floor: the ANN shortlist is a subset of the
+    // corpus, so its best same/diff-label sims can never exceed the exact
+    // miner's (equality iff the pick coincides)
+    for ((qid, (_, ps, _, ns)) <- a; (_, eps, _, ens) <- e.get(qid)) {
+      assert(ps <= eps + 1e-12, s"anchor $qid: ann pos_sim $ps > exact $eps")
+      assert(ns <= ens + 1e-12, s"anchor $qid: ann neg_sim $ns > exact $ens")
+    }
+    val shared = a.keySet & e.keySet
+    val posAgree = shared.count(k => a(k)._1 == e(k)._1).toDouble / shared.size
+    val negAgree = shared.count(k => a(k)._3 == e(k)._3).toDouble / shared.size
+    assert(negAgree >= 0.3, f"hard-negative agreement collapsed: $negAgree%.2f < 0.3")
+    assert(posAgree >= 0.2, f"positive agreement collapsed: $posAgree%.2f < 0.2")
+  }
+
+  test("q197 KMV merged estimator: rel err <= 0.6 vs true distinct (k=16 ~ 27% stderr)") {
+    // measured at sf0.01 this session: rel err 0.244
+    val est = q("q197_kmv_merge").select(col("est_distinct")).head().getDouble(0)
+    val truth = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).distinct().count().toDouble
+    val rel = math.abs(est - truth) / truth
+    assert(rel <= 0.6, f"KMV merged estimate drifted: est $est%.1f vs true $truth%.0f (rel $rel%.2f)")
+  }
+
   test("q34 LSH recall@10 >= 0.25 vs exact cosine") {
     val r = recall(q("q34_ann_lsh"), q("q33_cosine_topk"))
     assert(r >= 0.25, f"q34 LSH recall collapsed: $r%.3f < 0.25")

@@ -162,4 +162,26 @@ class GraphOpsSpec extends SparkSuite {
     assert(partial.contains(7L) && partial(7L) === 1L)
     assert(!GraphOps.kCoreConverged(both, 2, rounds = 1))
   }
+
+  test("bfsHops: min hop distance, layer by layer, early-out, unreached absent") {
+    // path 1-2-3-4-5 plus a branch 2-6, an isolated pair 8-9, and a
+    // second seed 6 creating a shorter route to nothing new
+    val und = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L), (8L, 9L))
+    val both = und.unionAll(und.select($"dst".as("src"), $"src".as("dst")))
+    def run(seeds: Seq[Long], hops: Int) =
+      GraphOps.bfsHops(both, seeds.toDF("node"), hops)
+        .as[(Long, Long)].collect().toMap
+    // single seed: exact BFS layers; 8/9 unreached and absent
+    assert(run(Seq(1L), 4) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L, 4L -> 3L, 5L -> 4L))
+    // hop cap truncates honestly
+    assert(run(Seq(1L), 2) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L))
+    // multi-source: distance is the MIN over seeds
+    assert(run(Seq(1L, 5L), 2) ===
+      Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 6L -> 2L))
+    // early-out past the diameter: extra hop budget changes nothing
+    assert(run(Seq(8L), 10) === Map(8L -> 0L, 9L -> 1L))
+    // a seed not in the edge list still reports itself at distance 0
+    assert(run(Seq(42L), 3) === Map(42L -> 0L))
+  }
 }

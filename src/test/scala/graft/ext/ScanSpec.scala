@@ -14,17 +14,24 @@ class ScanSpec extends SparkSuite {
     (i.toLong, ((i * 2654435761L) % 1009), ((i * 40503L) % 997))
   }.toDF("id", "x", "y")
 
-  test("runningMaxExclusive equals the single-window formulation, any input layout") {
+  test("running max/sum/min exclusive equal the single-window formulation, any input layout") {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Column, DataFrame}
     val order = Seq($"x".desc, $"y".desc, $"id")
-    val expect = pts.withColumn("pm",
-        max($"y").over(Window.orderBy(order: _*)
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .select($"id", $"pm").as[(Long, Option[Long])].collect().toMap
-    for (layout <- Seq(pts.coalesce(1), pts.repartition(13), pts.orderBy($"y"))) {
-      val got = Scan.runningMaxExclusive(layout, order, "y", "pm")
+    val w = Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val variants: Seq[(String, Column, (DataFrame, Seq[Column], String, String) => DataFrame)] =
+      Seq(
+        ("max", max($"y").over(w), Scan.runningMaxExclusive),
+        ("sum", sum($"y").over(w), Scan.runningSumExclusive),
+        ("min", min($"y").over(w), Scan.runningMinExclusive))
+    for ((name, single, scan) <- variants) {
+      val expect = pts.withColumn("pm", single)
         .select($"id", $"pm").as[(Long, Option[Long])].collect().toMap
-      assert(got === expect)
+      for (layout <- Seq(pts.coalesce(1), pts.repartition(13), pts.orderBy($"y"))) {
+        val got = scan(layout, order, "y", "pm")
+          .select($"id", $"pm").as[(Long, Option[Long])].collect().toMap
+        assert(got === expect, s"variant $name diverged")
+      }
     }
   }
 

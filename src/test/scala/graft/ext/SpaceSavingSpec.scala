@@ -43,6 +43,17 @@ class SpaceSavingSpec extends SparkSuite {
     }
   }
 
+  test("null items are dropped, not an NPE in the eviction ordering") {
+    val withNulls = (items.map(Option(_)) ++ Seq.fill(50)(None: Option[String]))
+      .toDF("item").repartition(5)
+    val s = SpaceSaving.summarize(withNulls, "item", cap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(s.nonEmpty && s.forall(_._1 != null))
+    // the null rows must not have been counted anywhere
+    assert(s.map(_._2).sum <= n + cap * (n / cap)) // certificates still ≤ N-bounded
+    assert(s.exists(_._1 == "hot"))
+  }
+
   test("summary is capacity-bounded and count-descending") {
     val s = SpaceSaving.summarize(items.toDF("item"), "item", cap).collect()
     assert(s.length == cap, "102 distinct items must fill the summary")

@@ -447,6 +447,34 @@ class PlanSpec extends SparkSuite {
     assert(!plan(df).contains("CartesianProduct"))
   }
 
+  test("q193 item similarity: no mandatory broadcast of the data-sized count table") {
+    // the per-item count table has one row per distinct part — data-sized,
+    // not support-bounded — so a hinted broadcast would OOM the driver at
+    // 100 TB (hints bypass autoBroadcastJoinThreshold). The join-back must
+    // be unhinted: AQE may still ELECT a broadcast when the table is small,
+    // but the logical plan may not demand one.
+    val df = QueryCatalog.queries("q193_item_similarity")(spark, dir)
+    val hinted = df.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty, s"no join may carry a mandatory hint:\n$hinted")
+    assert(!plan(df).contains("CartesianProduct"))
+  }
+
+  test("q187 trimmed mean: no exact-percentile buffer; bin counts bound the state") {
+    // the cutoffs must come from the counting recipe (state = one count per
+    // distinct cent bin), never Spark's exact `percentile`, whose buffer is
+    // the whole per-group value multiset — O(group rows) at 100 TB
+    val df = QueryCatalog.queries("q187_trimmed_mean")(spark, dir)
+    val p = plan(df)
+    assert(!p.toLowerCase.contains("percentile"),
+      s"exact percentile must not appear in the plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the support-bounded cuts table must broadcast:\n$p")
+  }
+
   test("q181 quantile normalization: no global window anywhere; min-n broadcasts") {
     // the per-group rank window sits behind the checkpoint barrier; what
     // the final plan may NOT contain is an unpartitioned window or a
