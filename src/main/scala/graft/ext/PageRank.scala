@@ -66,4 +66,46 @@ object PageRank {
     }
     ranks
   }
+
+  /** PERSONALIZED PageRank: the damped walk restarts at a SEED SET
+    * instead of uniformly — rank becomes proximity-to-the-seeds
+    * (recommendation / related-entity expansion), not global authority.
+    * Same integer micromass recurrence as [[run]] (bit-exact across
+    * engines and partitionings); the teleport term lands only on seeds,
+    * so the rank table holds ONLY REACHED nodes and stays SPARSE by
+    * construction — PPR mass is local to the seeds' neighborhood, which
+    * is exactly why the operator scales: per iteration the plan joins the
+    * reached-set rank table (not |V| rows) against the edge list and
+    * full-outer-merges the seed teleport back in.
+    *
+    * @param seeds single-column `node`; restricted to nodes present in
+    *              the graph (a seed with no out-edges would strand mass).
+    */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outd"))
+    val ew = edges.join(deg, "src").localCheckpoint()
+    val sd = seeds.select(col("node")).distinct()
+      .join(ew.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
+      .localCheckpoint()
+    val nSeeds = sd.count()
+    require(nSeeds >= 1, "no seed appears in the graph")
+    val base = scale / nSeeds
+    val teleport = (100 - dampingPct) * base / 100
+    val tele = sd.withColumn("tele", lit(teleport))
+    var ranks = sd.withColumn("rank", lit(base))
+    for (_ <- 1 to iters) {
+      val walked = ew.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank div outd").as("contrib"))
+        .groupBy("dst").agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"),
+          expr(s"($dampingPct * s) div 100").as("walk"))
+      ranks = walked.join(tele, Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("walk"), lit(0L)) + coalesce(col("tele"), lit(0L)))
+            .as("rank"))
+    }
+    ranks
+  }
 }

@@ -747,7 +747,8 @@ object Analytics {
     q183SeasonalDow, q184Cusum, q185IntervalOverlap,
     q186TheilSen, q187TrimmedMean, q188PathTrigrams, q192Skyline,
     q193ItemSimilarity, q195RunningRevenue, q199RetentionCohorts,
-    q200Funnel, q201AssociationRules)
+    q200Funnel, q201AssociationRules,
+    q202MannWhitney, q203Spearman, q204Autocorrelation)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by
@@ -2244,5 +2245,219 @@ object Analytics {
       CROSS JOIN total
       ORDER BY lift DESC, a, b
       LIMIT 20
+    """))
+
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) — the nonparametric two-sample
+    * test: do 'purchase' event values stochastically dominate 'click'
+    * values? Ranks are TIE-CORRECTED average ranks, kept exact as
+    * DOUBLED integers (avg rank of a tie group = prior + (c+1)/2, so
+    * 2·rank = 2·prior + c + 1 — integer always). The running `prior`
+    * (count of strictly-smaller values) comes from
+    * [[graft.ext.Scan.runningSumExclusive]] over the DISTINCT-value
+    * count table — values are continuous, so the distinct table is
+    * data-sized and a single-partition window over it would be the q157
+    * dead-end; the scan keeps every stage parallel. Rank-sums and the
+    * tie term Σ(c³−c) accumulate in DECIMAL (exact, order-free; the
+    * c³ term bounds the per-value tie count at 10¹² — far past any real
+    * corpus). U, the normal approximation z (with the standard tie
+    * correction), and nothing else cross into floats: one cast chain of
+    * exact integers into identical-order IEEE ops on both engines. */
+  lazy val q202MannWhitney: Q = Q(
+    "q202_mann_whitney",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("value").as("v"),
+          (col("event_type") === "purchase").as("is_a"))
+      val cnt = ev.groupBy(col("v")).agg(
+        count(lit(1)).as("c"), countIf(col("is_a")).as("ca"))
+      val ranked = graft.ext.Scan
+        .runningSumExclusive(cnt, Seq(col("v")), "c", "prior")
+        .withColumn("r2",
+          lit(2L) * coalesce(col("prior"), lit(0L)) + col("c") + lit(1L))
+      val cd = col("c").cast(DecimalType(12, 0))
+      val agg = ranked.agg(
+        sum(col("ca")).as("na"),
+        sum(col("c") - col("ca")).as("nb"),
+        sum(col("ca").cast(DecimalType(18, 0))
+          * col("r2").cast(DecimalType(18, 0))).as("ra2"),
+        sum(cd * cd * cd - cd).as("t"))
+      val naD = col("na").cast(DecimalType(19, 0))
+      val nbD = col("nb").cast(DecimalType(19, 0))
+      val dna = col("na").cast("double")
+      val dnb = col("nb").cast("double")
+      val dn = (col("na") + col("nb")).cast("double")
+      agg.select(
+        col("na").as("n_a"), col("nb").as("n_b"),
+        ((col("ra2") - naD * (naD + lit(1))).cast("double") / lit(2.0)).as("u_a"),
+        (((col("ra2") - naD * (naD + lit(1)) - naD * nbD).cast("double") / lit(2.0))
+          / sqrt(dna * dnb / lit(12.0)
+            * ((col("na") + col("nb") + 1).cast("double")
+              - col("t").cast("double")
+                / (dn * (col("na") + col("nb") - 1).cast("double"))))).as("z"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT value AS v, (event_type = 'purchase') AS is_a
+        FROM events WHERE event_type IN ('purchase', 'click')),
+      cnt AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+          CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca
+        FROM ev GROUP BY v),
+      ranked AS (
+        SELECT *, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+        FROM cnt),
+      agg AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(c - ca) AS BIGINT) AS nb,
+          SUM(ca::HUGEINT * r2) AS ra2,
+          SUM(c::HUGEINT * c * c - c) AS t
+        FROM ranked)
+      SELECT na AS n_a, nb AS n_b,
+        CAST(ra2 - na::HUGEINT * (na + 1) AS DOUBLE) / 2.0 AS u_a,
+        (CAST(ra2 - na::HUGEINT * (na + 1) - na::HUGEINT * nb AS DOUBLE) / 2.0)
+          / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+            * (CAST(na + nb + 1 AS DOUBLE) - CAST(t AS DOUBLE)
+              / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))) AS z
+      FROM agg
+    """))
+
+  /** SPEARMAN RANK CORRELATION between two per-user engagement metrics
+    * (event count vs decimal-exact total value) — the monotone-
+    * association measure robust to any metric rescaling, where q155's
+    * Pearson-style slope is not. Users are DATA-SIZED, so each metric's
+    * tie-averaged ranks come from the [[graft.ext.Scan]] recipe (distinct
+    * metric values → running prior count → 2·rank integers) and join back
+    * keyed on the metric value — no global window, no data-sized
+    * broadcast anywhere. ρ is Pearson over the doubled ranks (scale-
+    * invariant, so the ×2 cancels): all five moments accumulate in
+    * DECIMAL (exact to ~10¹¹ users before 38 digits saturate — noted,
+    * far past the bench SFs), then one identical-order double chain. */
+  lazy val q203Spearman: Q = Q(
+    "q203_spearman",
+    (s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"),
+          sum(col("value").cast(DecimalType(28, 8))).as("y"))
+        .localCheckpoint(eager = false) // feeds both rank tables + join-back
+      def rank2(keyed: org.apache.spark.sql.DataFrame, c: String,
+          out: String): org.apache.spark.sql.DataFrame = {
+        val cnt = keyed.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+        graft.ext.Scan.runningSumExclusive(cnt, Seq(col(c)), "__c", "__p")
+          .select(col(c),
+            (lit(2L) * coalesce(col("__p"), lit(0L)) + col("__c") + lit(1L))
+              .as(out))
+      }
+      val r = u.join(rank2(u.select(col("x")), "x", "r2x"), Seq("x"))
+        .join(rank2(u.select(col("y")), "y", "r2y"), Seq("y"))
+      def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+      val agg = r.agg(
+        count(lit(1)).as("n"),
+        sum(d19(col("r2x"))).as("sx"), sum(d19(col("r2y"))).as("sy"),
+        sum(d19(col("r2x")) * d19(col("r2y"))).as("sxy"),
+        sum(d19(col("r2x")) * d19(col("r2x"))).as("sxx"),
+        sum(d19(col("r2y")) * d19(col("r2y"))).as("syy"))
+      def d(c: String) = col(c).cast("double")
+      agg.select(col("n"),
+        ((d("n") * d("sxy") - d("sx") * d("sy"))
+          / sqrt((d("n") * d("sxx") - d("sx") * d("sx"))
+            * (d("n") * d("syy") - d("sy") * d("sy")))).as("spearman_rho"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+          SUM(CAST(value AS DECIMAL(28,8))) AS y
+        FROM events GROUP BY user_id),
+      r AS (
+        SELECT x, y,
+          2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS r2x,
+          2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS r2y
+        FROM u),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(r2x::HUGEINT) AS sx, SUM(r2y::HUGEINT) AS sy,
+          SUM(r2x::HUGEINT * r2y) AS sxy,
+          SUM(r2x::HUGEINT * r2x) AS sxx,
+          SUM(r2y::HUGEINT * r2y) AS syy
+        FROM r)
+      SELECT n,
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS spearman_rho
+      FROM agg
+    """))
+
+  /** LAG-k AUTOCORRELATION (ACF at lags 1, 2, 7) of the daily event-value
+    * series — the seasonality detector behind every forecasting pipeline
+    * (lag-7 catches the weekly cycle q183 decomposes; lag-1 the
+    * persistence q151's EWMA exploits). The series is the AGGREGATED day
+    * table (bounded support — the q186 rule), so the lag join is a small
+    * keyed self-join on day+k, never a window over raw data. Determinism:
+    * day totals are decimal-exact; the mean is one double divide;
+    * deviation products round @6 into DECIMAL sums (q87's libm recipe —
+    * Spark's partial-agg order can't drift from DuckDB's serial sum);
+    * final ratios floor-quantized @6 (rule-free where round-half is
+    * not). */
+  lazy val q204Autocorrelation: Q = Q(
+    "q204_autocorrelation",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(28, 8))).as("tot"))
+        .select(unix_date(col("day")).cast("long").as("d"), col("tot"))
+        .localCheckpoint(eager = false) // feeds stats, both join sides, den
+      val stats = daily.agg(count(lit(1)).as("n"),
+        sum(col("tot")).cast("double").as("sm"))
+      val dev = daily.crossJoin(broadcast(stats))
+        .select(col("d"),
+          (col("tot").cast("double") - col("sm") / col("n").cast("double"))
+            .as("dv"))
+        .localCheckpoint(eager = false)
+      val den = dev.agg(
+        sum(round(col("dv") * col("dv"), 6).cast(DecimalType(28, 6)))
+          .as("den"))
+      val lags = Seq(1L, 2L, 7L).toDF("lag")
+      val b = dev.select(col("d").as("db"), col("dv").as("dvb"))
+      dev.crossJoin(broadcast(lags))
+        .join(b, col("db") === col("d") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(round(col("dv") * col("dvb"), 6).cast(DecimalType(28, 6)))
+            .as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("lag"), col("n_pairs"),
+          (floor(col("num").cast("double") / col("den").cast("double")
+            * lit(1000000.0)).cast("double") / lit(1000000.0)).as("acf"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+          SUM(CAST(value AS DECIMAL(28,8))) AS tot
+        FROM events GROUP BY 1),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(tot) AS DOUBLE) AS sm
+        FROM daily),
+      dev AS (
+        SELECT d, CAST(tot AS DOUBLE) - sm / CAST(n AS DOUBLE) AS dv
+        FROM daily, stats),
+      den AS (
+        SELECT SUM(CAST(round(dv * dv, 6) AS DECIMAL(28,6))) AS den FROM dev),
+      lags AS (SELECT unnest([1, 2, 7]) AS lag),
+      pairs AS (
+        SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          SUM(CAST(round(a.dv * b.dv, 6) AS DECIMAL(28,6))) AS num
+        FROM lags l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.d = a.d + l.lag
+        GROUP BY l.lag)
+      SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000.0)
+          / 1000000.0 AS acf
+      FROM pairs, den
     """))
 }

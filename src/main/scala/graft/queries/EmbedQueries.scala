@@ -1464,6 +1464,201 @@ object EmbedQueries {
       FROM pos JOIN neg USING (qid)
     """))
 
+  /** SQ8 (int8 scalar quantization) ADC TOP-K SEARCH — the search half of
+    * q73's per-dimension min/max codec, completing the third quantizer
+    * family next to PQ (q117) and the rotation-augmented OPQ: each corpus
+    * vector is 8-bit-coded per dim (4× smaller than float32, 8× smaller
+    * than the doubles PQ trains on), DECODED to the code midpoint grid on
+    * the fly, and scored against the EXACT query vector by dot product —
+    * asymmetric distance computation, so only the corpus side pays
+    * quantization error. Shapes: the 64×2 min/max stats row is one
+    * mergeable aggregate broadcast everywhere (per-dim bounds never grow
+    * with rows); encode+decode is a map-side transform; the scan is the
+    * q33 broadcast-query shape with the only wide exchange the k-row
+    * per-qid top-k. At 100 TB the same codes drop into the IVF tier
+    * (q120's inverted lists bound the scan set; SQ8 replaces PQ books
+    * when recall matters more than compression). Full oracle: quantize /
+    * decode / dot are identical-order IEEE chains (the q73 + q33 parity
+    * recipes composed); rank ties broken by id. QualityGuardSpec floors
+    * recall@10 against the exact scan. */
+  lazy val q205Sq8AdcTopK: Q = Q(
+    "q205_sq8_adc_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val stats = e
+        .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("pos"), col("xf").cast("double").as("x"))
+        .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(
+          transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
+            t => t.getField("mn")).as("mns"),
+          transform(sort_array(collect_list(struct(col("pos"), col("mx")))),
+            t => t.getField("mx")).as("mxs"))
+      val dec = e.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .crossJoin(broadcast(stats))
+        .select(col("id"),
+          transform(sequence(lit(1), size(col("vec"))), i => {
+            val x = element_at(col("vec"), i)
+            val mn = element_at(col("mns"), i)
+            val mx = element_at(col("mxs"), i)
+            val code = when(mx === mn, lit(0L)).otherwise(
+              least(floor((x - mn) / (mx - mn) * 255.0), lit(255.0))
+                .cast("long"))
+            mn + code.cast("double") * (mx - mn) / lit(255.0)
+          }).as("dec"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("id"))
+      dec.crossJoin(broadcast(q))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("adc", Similarity.dot(col("dec"), col("qvec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("id"), col("rank").cast("long").as("rank"),
+          col("adc"))
+    },
+    Some("""
+      WITH dims AS (
+        SELECT unnest(embedding::DOUBLE[]) AS x,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+      ), stats AS (
+        SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos
+      ), arrs AS (
+        SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats
+      ), dec AS (
+        SELECT vec_id AS id,
+          list_transform(generate_series(1, len(embedding)),
+            i -> mns[i] + CAST(CASE WHEN mxs[i] = mns[i] THEN 0
+                 ELSE CAST(least(floor((embedding[i]::DOUBLE - mns[i])
+                        / (mxs[i] - mns[i]) * 255.0), 255.0) AS BIGINT) END
+                 AS DOUBLE) * (mxs[i] - mns[i]) / 255.0) AS dec
+        FROM embeddings, arrs
+      ), q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        FROM embeddings WHERE vec_id < 10
+      ), scored AS (
+        SELECT q.qid, d.id, list_dot_product(d.dec, q.qvec) AS adc
+        FROM dec d CROSS JOIN q WHERE d.id <> q.qid
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY adc DESC, id) AS rank
+        FROM scored)
+      SELECT qid, id, CAST(rank AS BIGINT) AS rank, adc
+      FROM ranked WHERE rank <= 10
+    """))
+
+  /** RECIPROCAL RANK FUSION — the standard hybrid-retrieval combiner
+    * (Cormack et al.): a LEXICAL arm (q143's BM25 over the three-term
+    * query, documents table) and a SEMANTIC arm (q33's exact cosine
+    * against query vector 0, embeddings table, doc_id = vec_id bridge)
+    * each produce a top-50 ranking; fused score = Σ 1/(60+rank) over the
+    * arms that retrieved the doc. RRF needs only each arm's RANKS — no
+    * score normalization across incomparable scales, which is why it is
+    * the default fuser in hybrid search stacks. Scale shape: each arm is
+    * an orderBy+limit that plans as TakeOrderedAndProject (never a global
+    * sort); the only windows run over the ≤50-row retrieved lists; the
+    * fusion join touches ≤100 rows. Determinism: ranks are integers from
+    * bit-stable scores (q143's e-notation double chain; q33's fold
+    * cosine), and 1/(60+r) sums in a fixed two-term order. */
+  lazy val q206RrfFusion: Q = Q(
+    "q206_rrf_fusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // lexical arm — q143's BM25, summed in fixed per-term order
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
+      val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val qterms = s.range(1).select(
+        explode(typedLit(Seq("spark", "join", "window"))).as("term"))
+      val avgdl = col("total").cast("double") / col("n_docs")
+      val bm = tf.join(broadcast(qterms), Seq("term"))
+        .join(broadcast(dft), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("score_t",
+          (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)) *
+            ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .groupBy(col("doc_id")).agg(
+          max(when(col("term") === "spark", col("score_t"))).as("s1"),
+          max(when(col("term") === "join", col("score_t"))).as("s2"),
+          max(when(col("term") === "window", col("score_t"))).as("s3"))
+        .select(col("doc_id").as("id"),
+          (coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
+            + coalesce(col("s3"), lit(0.0))).as("bm25"))
+      val lex = bm.orderBy(col("bm25").desc, col("id")).limit(50)
+        .withColumn("r_lex", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("id"))).cast("long"))
+        .select(col("id"), col("r_lex"))
+      // semantic arm — q33's exact cosine vs query vector 0
+      val c = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val qv = c.filter(col("id") === 0).select(col("vec").as("qvec"))
+      val sem = c.crossJoin(broadcast(qv)).filter(col("id") =!= 0)
+        .withColumn("sim", Similarity.cosine(col("vec"), col("qvec")))
+        .orderBy(col("sim").desc, col("id")).limit(50)
+        .withColumn("r_sem", row_number()
+          .over(Window.orderBy(col("sim").desc, col("id"))).cast("long"))
+        .select(col("id"), col("r_sem"))
+      lex.join(sem, Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+        .select(col("id"), col("r_lex"), col("r_sem"), col("rrf"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+      df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+          (tf.tf * 2.2e0)
+            / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / (CAST(stats.total AS DOUBLE) / stats.n_docs)))
+            * ((stats.n_docs - df.df + 0.5e0) / (df.df + 0.5e0)) AS score_t
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        WHERE tf.term IN ('spark', 'join', 'window')),
+      bm AS (
+        SELECT doc_id AS id,
+          COALESCE(MAX(CASE WHEN term = 'spark' THEN score_t END), 0.0e0)
+            + COALESCE(MAX(CASE WHEN term = 'join' THEN score_t END), 0.0e0)
+            + COALESCE(MAX(CASE WHEN term = 'window' THEN score_t END), 0.0e0) AS bm25
+        FROM scored GROUP BY doc_id),
+      lex AS (
+        SELECT id, r_lex FROM (
+          SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS r_lex
+          FROM bm) WHERE r_lex <= 50),
+      c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      qv AS (SELECT vec AS qvec FROM c WHERE id = 0),
+      sem AS (
+        SELECT id, r_sem FROM (
+          SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, id) AS BIGINT) AS r_sem
+          FROM (
+            SELECT c.id, list_dot_product(c.vec, qv.qvec)
+              / (sqrt(list_dot_product(c.vec, c.vec))
+                * sqrt(list_dot_product(qv.qvec, qv.qvec))) AS sim
+            FROM c, qv WHERE c.id <> 0)) WHERE r_sem <= 50)
+      SELECT COALESCE(l.id, s.id) AS id, l.r_lex, s.r_sem,
+        COALESCE(1.0e0 / (60 + l.r_lex), 0.0e0)
+          + COALESCE(1.0e0 / (60 + s.r_sem), 0.0e0) AS rrf
+      FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+      ORDER BY rrf DESC, id LIMIT 20
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
@@ -1471,5 +1666,5 @@ object EmbedQueries {
     q123IvfPqResidualRefine, q124IvfPqPersisted, q125AnnRetrainPromote,
     q128ContrastivePairs, q133RandomProjection, q140EmbeddingDrift,
     q150ClusterLabels, q172PcaSpectrum, q191MatryoshkaEval, q194HardNegatives,
-    q196HardNegativesAnn)
+    q196HardNegativesAnn, q205Sq8AdcTopK, q206RrfFusion)
 }

@@ -13,6 +13,7 @@ object GraphQueries {
 
   private val Scale = 1000000000000L
   private val Iters = 5
+  private val PprIters = 4
 
   /** PageRank on the customer–supplier co-purchase graph: nodes are
     * customers (2k) and suppliers (2k+1), with both directions of an edge
@@ -343,6 +344,82 @@ object GraphQueries {
     """
     })
 
+  /** PERSONALIZED PageRank from a seed set — rank as proximity to the
+    * first three customers over the q130 co-purchase graph: the
+    * related-entity / recommendation expansion ("suppliers and customers
+    * closest to this account's purchase neighborhood"), where q130's
+    * uniform teleport measures global authority. Teleport mass lands only
+    * on the seeds, so the rank table holds ONLY nodes the walk has
+    * reached — sparse by construction, the property that makes PPR the
+    * 100 TB-safe personalization primitive (per round: reached-set ⋈
+    * edges + one keyed sum + a seed-sized full-outer merge; never |V|
+    * state). Same exact BIGINT micromass recurrence as q130 ⇒ the DuckDB
+    * twin unrolls the identical four rounds with `//` and FULL OUTER
+    * teleport merges, bit-exact. */
+  val q207PersonalizedPagerank: Q = Q(
+    "q207_personalized_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val cs = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cnode"),
+          (col("l_suppkey") * 2 + 1).as("snode"))
+        .distinct()
+      val edges = cs.select(col("cnode").as("src"), col("snode").as("dst"))
+        .unionAll(cs.select(col("snode").as("src"), col("cnode").as("dst")))
+      val seeds = Seq(2L, 4L, 6L).toDF("node") // customers 1, 2, 3
+      PageRank.runPersonalized(edges, seeds, PprIters, Scale)
+        .select(col("node"),
+          when(col("node") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+          expr("node div 2").as("key"), col("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    },
+    Some {
+      val stages = (1 to PprIters).map { i =>
+        s"""w$i AS (
+        SELECT e.dst AS node,
+          CAST((85 * SUM(r${i - 1}.rank // d.outd)) // 100 AS BIGINT) AS walk
+        FROM edges e
+        JOIN r${i - 1} ON e.src = r${i - 1}.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ), r$i AS (
+        SELECT COALESCE(w.node, s.node) AS node,
+          CAST(COALESCE(w.walk, 0) + COALESCE(s.tele, 0) AS BIGINT) AS rank
+        FROM w$i w FULL OUTER JOIN seedt s ON w.node = s.node
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH cs AS (
+        SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ), edges AS (
+        SELECT cnode AS src, snode AS dst FROM cs
+        UNION ALL
+        SELECT snode AS src, cnode AS dst FROM cs
+      ), deg AS (
+        SELECT src, COUNT(*) AS outd FROM edges GROUP BY src
+      ), sd AS (
+        SELECT DISTINCT src AS node FROM edges WHERE src IN (2, 4, 6)
+      ), consts AS (
+        SELECT CAST($Scale // COUNT(*) AS BIGINT) AS base,
+          CAST(15 * ($Scale // COUNT(*)) // 100 AS BIGINT) AS tp
+        FROM sd
+      ), seedt AS (
+        SELECT node, (SELECT tp FROM consts) AS tele FROM sd
+      ), r0 AS (
+        SELECT node, (SELECT base FROM consts) AS rank FROM sd
+      ), $stages
+      SELECT node,
+        CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        node // 2 AS key, rank
+      FROM r$PprIters
+      ORDER BY rank DESC, node
+      LIMIT 20
+    """
+    })
+
   val all: Seq[Q] = Seq(q130PageRank, q136KnnGraph, q137TriangleCensus,
-    q138LabelProp, q179KCore, q198BfsReach)
+    q138LabelProp, q179KCore, q198BfsReach, q207PersonalizedPagerank)
 }

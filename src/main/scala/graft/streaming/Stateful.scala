@@ -262,4 +262,54 @@ object Stateful {
     keyed.transformWithState(
       new EwmaProcessor(alpha), TimeMode.None(), OutputMode.Update())
   }
+
+  /** STREAMING ORDERED FUNNEL (batch twin: q200) — per-user progression
+    * through signup → click-strictly-after → purchase-strictly-after,
+    * kept as three first-hit timestamps (micros; -1 = stage not reached).
+    * State is one fixed-width triple per user — O(users), never O(events).
+    * The fold is ORDER-SENSITIVE (a stage only arms after the previous
+    * stage's timestamp), so exact batch parity holds when micro-batches
+    * respect per-user event-time order — the watermark contract an
+    * event-time pipeline provides; within a batch rows are sorted by
+    * (ts, event_id) exactly like [[CusumProcessor]]. Under that contract
+    * the emitted triple bit-matches q200's batch derivation at every
+    * micro-batch boundary (spec-pinned across uneven slicings). */
+  class FunnelProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long, Long, Long)] {
+    @transient private var state: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[(Long, Long, Long)](
+        "funnel", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long, String)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var (s, c, p) = if (state.exists()) state.get() else (-1L, -1L, -1L)
+      // (key, tsMicros, event_id, event_type) → event order within batch
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+        r._4 match {
+          case "signup" if s < 0 => s = r._2
+          case "click" if s >= 0 && c < 0 && r._2 > s => c = r._2
+          case "purchase" if c >= 0 && p < 0 && r._2 > c => p = r._2
+          case _ => ()
+        }
+      }
+      state.update((s, c, p))
+      Iterator((key, s, c, p))
+    }
+  }
+
+  /** Wire the funnel onto a keyed stream of (user_id, tsMicros, event_id,
+    * event_type): emits (user_id, signup_ts, click_ts, purchase_ts) per
+    * updated user per micro-batch (-1 = stage not reached yet). */
+  def funnel(
+      keyed: KeyValueGroupedDataset[Long, (Long, Long, Long, String)])
+      : Dataset[(Long, Long, Long, Long)] = {
+    implicit val enc: Encoder[(Long, Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long, Long)]
+    keyed.transformWithState(
+      new FunnelProcessor(), TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -226,4 +226,23 @@ class QualityGuardSpec extends SparkSuite {
     for ((tok, c) <- exact if c > n / capacity)
       assert(present.contains(tok), s"heavy token $tok ($c > $n/$capacity) missing")
   }
+
+  test("q205 SQ8 ADC recall@10 >= 0.7 vs exact dot top-10") {
+    // same metric (dot), same query set: the only gap is 8-bit corpus
+    // quantization error. 256 levels per dim is far finer than PQ's 16
+    // centroids per 16-dim subspace, so this floor sits well above q34's.
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val qs = corpus.filter(col("id") < 10)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = corpus.crossJoin(broadcast(qs))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("adc", graft.ext.Similarity.dot(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("id"))))
+      .filter(col("rank") <= 10)
+    val r = recall(q("q205_sq8_adc_topk"), exact)
+    assert(r >= 0.7, f"q205 SQ8 recall collapsed: $r%.3f < 0.7")
+  }
 }

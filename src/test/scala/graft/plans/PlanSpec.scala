@@ -490,4 +490,34 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"the 1-row min-n must broadcast:\n$p")
   }
+
+  test("q202/q203 rank scans: global windows are only the prefix-scan cumulates") {
+    // Mann-Whitney ranks one distinct-value table (1 scan); Spearman ranks
+    // two metrics (2 scans). Each scan's single unpartitioned window runs
+    // over the #partitions-row per-pid aggregate, never over data rows.
+    for ((name, nScans) <- Seq("q202_mann_whitney" -> 1, "q203_spearman" -> 2)) {
+      val df = QueryCatalog.queries(name)(spark, dir)
+      val global = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(global.size === nScans,
+        s"$name: expected $nScans partition-prefix cumulates:\n$global")
+      assert(global.forall(_.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.exists(_.groupingExpressions.exists(_.toString.contains("__scan_pid")))),
+        s"$name: every global window must run over the partition aggregate")
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
+
+  test("q204 autocorrelation: bounded day series; stats and lags broadcast") {
+    val df = QueryCatalog.queries("q204_autocorrelation")(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.isEmpty, s"no window belongs in the ACF plan:\n${wins.mkString}")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -545,6 +545,47 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming funnel: stage first-hits match batch q200 semantics at every boundary") {
+    withRocksDb {
+      // hand-built progression exercising every guard: a click BEFORE the
+      // signup (skipped), stage hits at EQUAL timestamps (strictly-after
+      // excluded, matching q200's us > t comparisons), a purchase with no
+      // click (skipped), a user who never signs up
+      val events = Seq(
+        (13L, 1L, 9L, "click"),    // never signs up
+        (12L, 2L, 7L, "signup"),
+        (11L, 3L, 1L, "click"),    // before user 11's signup — skipped
+        (11L, 5L, 2L, "signup"),
+        (11L, 5L, 3L, "click"),    // ts == signup ts — not strictly after
+        (11L, 8L, 4L, "click"),    // arms stage 2
+        (11L, 8L, 5L, "purchase"), // ts == click ts — not strictly after
+        (12L, 9L, 8L, "purchase"), // no click yet — skipped
+        (11L, 12L, 6L, "purchase") // converts
+      )
+      val in = MemoryStream[(Long, Long, Long, String)](spark)
+      val out = Stateful.funnel(in.toDS().groupByKey(_._1))
+      val ckpt = tmp() + "/funnel-ckpt"
+      val q = out.writeStream.format("memory").queryName("tws_funnel")
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      try {
+        // uneven ts-ordered slicing (the watermark contract): 5 / 2 / 2
+        in.addData(events.take(5): _*); q.processAllAvailable()
+        in.addData(events.slice(5, 7): _*); q.processAllAvailable()
+        in.addData(events.drop(7): _*); q.processAllAvailable()
+        val emitted = spark.table("tws_funnel")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        val expect = Set(
+          (13L, -1L, -1L, -1L), // batch 1: click without signup
+          (12L, 2L, -1L, -1L),  // batch 1 AND batch 3 (purchase skipped)
+          (11L, 5L, -1L, -1L),  // batch 1: early/equal clicks excluded
+          (11L, 5L, 8L, -1L),   // batch 2: equal-ts purchase excluded
+          (11L, 5L, 8L, 12L))   // batch 3: converted
+        assert(emitted === expect,
+          s"funnel emissions must match the q200 fold at every boundary: $emitted")
+      } finally q.stop()
+    }
+  }
+
   test("streaming CUSUM: bit-matches the batch prefix fold at every micro-batch boundary") {
     withRocksDb {
       val mu = 0.5
