@@ -208,6 +208,58 @@ object ScalingProbe {
       }
     }
 
+    if (mode == "asofbytes" || mode == "all") {
+      // Composed (union+window) vs NATIVE (plans.NativeAsOf) as-of join,
+      // sweeping SCHEMA WIDTH at fixed row count: the union formulation
+      // pads every shuffled row to the combined left+right width, so its
+      // exchange volume grows with BOTH sides' widths while the native
+      // exec shuffles each side at its own width. Shuffle-write bytes are
+      // read from task metrics (listener; drained via the timed() reset
+      // discipline), wall as min-of-2.
+      val dir = "/root/testdata/sf0.1"
+      // static plans for exact per-exchange SQLMetrics attribution
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def shuffleMiB(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.count() // executes THIS plan, not a new agg
+        val sec = (System.nanoTime() - t0) / 1e9
+        val bytes = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+        }.sum
+        (sec, bytes / 1048576.0)
+      }
+      def widen(df: org.apache.spark.sql.DataFrame, vcol: String,
+          pre: String, n: Int) =
+        (0 until n).foldLeft(df)((d, i) =>
+          d.withColumn(s"${pre}_w$i", col(vcol) * (i + 1)))
+      for (extraCols <- Seq(0, 8, 32)) {
+        val purchases = widen(Tables.load(spark, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id", "value"), "value", "l", extraCols)
+          .localCheckpoint()
+        val clicks = widen(Tables.load(spark, dir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_id"), col("value").as("click_value")),
+          "click_value", "r", extraCols).localCheckpoint()
+        val payload = Seq("click_id", "click_value") ++
+          (0 until extraCols).map(i => s"r_w$i")
+        for ((name, f) <- Seq(
+            "composed" -> (() => ext.AsOfJoin.asOf(
+              purchases, clicks, "user_id", "ts", "ts", payload)),
+            "native" -> (() => plans.NativeAsOf.asOf(
+              purchases, clicks, "user_id", "ts", "ts", payload)))) {
+          shuffleMiB(f()) // warm (JIT + codegen)
+          val (sec, mib) = shuffleMiB(f())
+          println(f"[sp] asofbytes width=+$extraCols%-3d $name%-9s " +
+            f"wall=$sec%5.2f s shuffleWrite=$mib%7.2f MiB")
+        }
+        Housekeeping.releaseAll(spark)
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+
     if (mode == "graph" || mode == "all") {
       // Iterative-graph-tier growth: PageRank (5 rounds) and LabelProp
       // (4 rounds) over synthetic hash-random graphs, |E| spanning 100×

@@ -301,6 +301,43 @@ object Analytics {
         ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
     """))
 
+  /** q49's as-of join through the NATIVE physical operator
+    * ([[graft.plans.NativeAsOf]]: custom LogicalPlan + SparkStrategy +
+    * BinaryExecNode stream-merge) instead of the composed union+window —
+    * same semantics (NativeAsOfSpec pins bit-equality incl. the tie
+    * rule), same DuckDB oracle, different execution: each side shuffles
+    * at its OWN schema width (the union formulation pads every row to
+    * the combined width through the exchange — the cost that matters on
+    * wide 100 TB fact tables), then one forward merge pass with O(1)
+    * state per key. The right side is re-read for fresh attribute
+    * lineage (self-as-of). */
+  lazy val q208AsOfNative: Q = Q(
+    "q208_asof_native",
+    (s, dir) => {
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "value")
+      val clicks = t(s, dir, "events") // fresh scan → fresh lineage
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.plans.NativeAsOf.asOf(purchases, clicks, "user_id", "ts", "ts",
+          Seq("click_id", "click_value"))
+        .select(
+          col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("asof_click_id"), col("asof_click_value"))
+    },
+    Some("""
+      SELECT p.user_id, p.event_id,
+        CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        c.event_id AS asof_click_id,
+        c.value AS asof_click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+    """))
+
   /** Extended window-function suite (§2.5): lead, ntile, cume_dist,
     * first/last over an explicit full frame — unique tiebreak (orderkey)
     * everywhere, so rank-family semantics match DuckDB exactly. */
@@ -748,7 +785,7 @@ object Analytics {
     q186TheilSen, q187TrimmedMean, q188PathTrigrams, q192Skyline,
     q193ItemSimilarity, q195RunningRevenue, q199RetentionCohorts,
     q200Funnel, q201AssociationRules,
-    q202MannWhitney, q203Spearman, q204Autocorrelation)
+    q202MannWhitney, q203Spearman, q204Autocorrelation, q208AsOfNative)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by

