@@ -785,7 +785,8 @@ object Analytics {
     q186TheilSen, q187TrimmedMean, q188PathTrigrams, q192Skyline,
     q193ItemSimilarity, q195RunningRevenue, q199RetentionCohorts,
     q200Funnel, q201AssociationRules,
-    q202MannWhitney, q203Spearman, q204Autocorrelation, q208AsOfNative)
+    q202MannWhitney, q203Spearman, q204Autocorrelation, q208AsOfNative,
+    q210FanoFactor, q211MutualInformation)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by
@@ -2496,5 +2497,92 @@ object Analytics {
         floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000.0)
           / 1000000.0 AS acf
       FROM pairs, den
+    """))
+
+  /** FANO FACTOR (burstiness index) of daily event arrivals per type —
+    * variance-to-mean of the daily count series: 1 = Poisson arrivals,
+    * > 1 = bursty (incident storms, batch jobs masquerading as users),
+    * < 1 = regular/throttled. EXACT until one final divide: with integer
+    * daily counts, population var/mean = (n·Σc² − (Σc)²) / (n·Σc) — both
+    * sides integer (DECIMAL-accumulated), so the quotient is one IEEE
+    * division of exactly-representable values on both engines. Day
+    * support is bounded (q186 rule); everything shuffles on
+    * (type, day) then (type). */
+  lazy val q210FanoFactor: Q = Q(
+    "q210_fano_factor",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val cd = col("c").cast(DecimalType(18, 0))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"),
+          sum(cd * cd).as("ss"))
+        .select(col("event_type"), col("n_days"), col("total"),
+          ((col("n_days").cast(DecimalType(18, 0))
+              * col("ss") - col("total").cast(DecimalType(18, 0))
+              * col("total").cast(DecimalType(18, 0))).cast("double")
+            / (col("n_days").cast(DecimalType(18, 0))
+              * col("total").cast(DecimalType(18, 0))).cast("double"))
+            .as("fano"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(SUM(c) AS BIGINT) AS total,
+        CAST(COUNT(*)::HUGEINT * SUM(c::HUGEINT * c) - SUM(c)::HUGEINT * SUM(c) AS DOUBLE)
+          / CAST(COUNT(*)::HUGEINT * SUM(c) AS DOUBLE) AS fano
+      FROM daily GROUP BY event_type
+    """))
+
+  /** MUTUAL INFORMATION between two categoricals (customer nation ×
+    * market segment) — the dependence measure chi-square (q146) tests but
+    * cannot QUANTIFY in bits/nats: MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))).
+    * Support is category-bounded (≤ 25×5 cells), so all three count
+    * tables broadcast; counts are exact; each cell's nat term rounds @6
+    * (q87's libm recipe) into a DECIMAL sum — order-free, engine-stable.
+    * The ln argument multiplies in DOUBLES, same order both engines
+    * (integer products would overflow int64 near 10¹⁰ rows), so libm is
+    * fed the identical double everywhere. */
+  lazy val q211MutualInformation: Q = Q(
+    "q211_mutual_information",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("x"), col("c_mktsegment").as("y"))
+        .localCheckpoint(eager = false) // feeds all three count tables
+      val nxy = c.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      val nx = c.groupBy(col("x")).agg(count(lit(1)).as("n_x"))
+      val ny = c.groupBy(col("y")).agg(count(lit(1)).as("n_y"))
+      val tot = c.agg(count(lit(1)).as("n"))
+      nxy.join(broadcast(nx), Seq("x")).join(broadcast(ny), Seq("y"))
+        .crossJoin(broadcast(tot))
+        .select(col("n"),
+          round((col("n_xy").cast("double") / col("n").cast("double"))
+            * log((col("n_xy").cast("double") * col("n").cast("double"))
+              / (col("n_x").cast("double") * col("n_y").cast("double"))), 6)
+            .cast(DecimalType(18, 6)).as("term"))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("term")).cast("double").as("mi_nats"))
+        .select(col("n").as("n_rows"), col("n_cells"), col("mi_nats"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_nationkey AS x, c_mktsegment AS y FROM customer),
+      nxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM c GROUP BY 1, 2),
+      nx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_x FROM c GROUP BY 1),
+      ny AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_y FROM c GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+      terms AS (
+        SELECT n,
+          CAST(round((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+            * ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE))
+              / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6)
+            AS DECIMAL(18,6)) AS term
+        FROM nxy JOIN nx USING (x) JOIN ny USING (y) CROSS JOIN tot)
+      SELECT n AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        CAST(SUM(term) AS DOUBLE) AS mi_nats
+      FROM terms GROUP BY n
     """))
 }

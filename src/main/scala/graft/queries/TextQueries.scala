@@ -1386,6 +1386,84 @@ object TextQueries {
     """
     })
 
+  /** ZIPF SLOPE of the corpus vocabulary — the log-log least-squares fit
+    * of frequency against rank over the top-200 terms: the distributional
+    * health check every corpus card reports (natural text sits near −1;
+    * a flat slope flags templated/synthetic text, a cliff flags
+    * boilerplate domination). Scale shape: the count table is
+    * vocabulary-sized but the fit needs only the TOP-200, which plans as
+    * TakeOrderedAndProject (never a global sort); ranks come from a
+    * window over those 200 rows (bounded support). Determinism: both
+    * ln() values round @6 into the regression moments (q87's libm
+    * recipe), moments sum as DECIMAL, one identical-order double chain
+    * for slope and intercept, floor @6. */
+  val q209ZipfSlope: Q = Q(
+    "q209_zipf_slope",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val cnt = t(s, dir, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val top = cnt.orderBy(col("cnt").desc, col("term")).limit(200)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+        .select(
+          round(log(col("rank").cast("double")), 6).as("x"),
+          round(log(col("cnt").cast("double")), 6).as("y"))
+      def d18(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+      val m = top.agg(
+        count(lit(1)).as("n"),
+        sum(d18(col("x"))).as("sx"), sum(d18(col("y"))).as("sy"),
+        sum(round(col("x") * col("y"), 6).cast(DecimalType(18, 6))).as("sxy"),
+        sum(round(col("x") * col("x"), 6).cast(DecimalType(18, 6))).as("sxx"))
+      def dd(c: String) = col(c).cast("double")
+      m.select(col("n").as("n_terms"),
+          ((dd("n") * dd("sxy") - dd("sx") * dd("sy"))
+            / (dd("n") * dd("sxx") - dd("sx") * dd("sx"))).as("raw_slope"),
+          dd("sy").as("syd"), dd("sx").as("sxd"), dd("n").as("nd"))
+        .select(col("n_terms"),
+          (floor(col("raw_slope") * lit(1000000.0)).cast("double")
+            / lit(1000000.0)).as("zipf_slope"),
+          (floor((col("syd") / col("nd") - col("raw_slope") * (col("sxd") / col("nd")))
+            * lit(1000000.0)).cast("double") / lit(1000000.0)).as("intercept"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents)
+        GROUP BY term),
+      top AS (
+        SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+               round(ln(CAST(cnt AS DOUBLE)), 6) AS y
+        FROM (
+          SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank
+          FROM cnt ORDER BY cnt DESC, term LIMIT 200)),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(CAST(x AS DECIMAL(18,6))) AS sx,
+          SUM(CAST(y AS DECIMAL(18,6))) AS sy,
+          SUM(CAST(round(x * y, 6) AS DECIMAL(18,6))) AS sxy,
+          SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS sxx
+        FROM top),
+      fit AS (
+        SELECT n,
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS raw_slope,
+          CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+          CAST(n AS DOUBLE) AS nd
+        FROM m)
+      SELECT n AS n_terms,
+        floor(raw_slope * 1000000.0) / 1000000.0 AS zipf_slope,
+        floor((syd / nd - raw_slope * (sxd / nd)) * 1000000.0)
+          / 1000000.0 AS intercept
+      FROM fit
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
@@ -1393,5 +1471,5 @@ object TextQueries {
     q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
     q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval,
     q131BpeMerges, q142BpeEncode, q143Bm25, q152PreferencePairs, q163TopNgramMass,
-    q167ContainmentPairs, q190TokenizerFertility)
+    q167ContainmentPairs, q190TokenizerFertility, q209ZipfSlope)
 }
