@@ -4,8 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
-  JoinedRow, NullsFirst, SortOrder, UnsafeProjection, XxHash64}
+  Ascending, Attribute, BindReferences, Descending, Expression,
+  GenericInternalRow, JoinedRow, NullsFirst, SortOrder, UnsafeProjection,
+  XxHash64}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
@@ -32,13 +33,17 @@ import org.apache.spark.sql.functions.col
   * per side, so the planner owns partitioning/sorting and the exec owns
   * only the merge.
   *
-  * Semantics — identical to [[graft.ext.AsOfJoin.asOf]] and spec-pinned
-  * bit-equal (NativeAsOfSpec): most recent right row with
-  * `rightTime <= leftTime` per key, equal timestamps match, ties on
-  * (key, rightTime) broken by max xxhash64(payload) — the same
-  * determinism rule the composed operator applies, so the two
-  * implementations agree row-for-row even on tied inputs. Null keys or
-  * times never match (SQL join-null semantics).
+  * Semantics — identical to [[graft.ext.AsOfJoin.asOf]] (backward) and
+  * [[graft.ext.AsOfJoin.asOfForward]] (forward = true), spec-pinned
+  * bit-equal (NativeAsOfSpec): backward matches the most recent right
+  * row with `rightTime <= leftTime` per key, forward the earliest with
+  * `rightTime >= leftTime`; equal timestamps match in both directions;
+  * ties on (key, rightTime) break by xxhash64(payload) exactly as the
+  * composed operators do (backward: max hash; forward: min hash), so
+  * the implementations agree row-for-row even on tied inputs. The
+  * forward merge is the backward merge under time-reversed sort order —
+  * one algorithm, a flipped comparison. Null keys or times never match
+  * (SQL join-null semantics).
   *
   * Types: key and both time columns must be LongType or TimestampType
   * (micros-as-long internally) — the shapes the testdata and q49-family
@@ -53,7 +58,7 @@ object NativeAsOf {
       left: LogicalPlan, right: LogicalPlan,
       leftKey: Expression, rightKey: Expression,
       leftTime: Expression, rightTime: Expression,
-      payload: Seq[Attribute]) extends BinaryNode {
+      payload: Seq[Attribute], forward: Boolean) extends BinaryNode {
     override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
     override protected def withNewChildrenInternal(
         newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
@@ -63,8 +68,9 @@ object NativeAsOf {
   /** Planner strategy: one-to-one translation of the logical node. */
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinNode(l, r, lk, rk, lt, rt, payload) =>
-        AsOfJoinExec(lk, rk, lt, rt, payload, planLater(l), planLater(r)) :: Nil
+      case AsOfJoinNode(l, r, lk, rk, lt, rt, payload, forward) =>
+        AsOfJoinExec(lk, rk, lt, rt, payload, forward,
+          planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
   }
@@ -72,7 +78,7 @@ object NativeAsOf {
   case class AsOfJoinExec(
       leftKey: Expression, rightKey: Expression,
       leftTime: Expression, rightTime: Expression,
-      payload: Seq[Attribute],
+      payload: Seq[Attribute], forward: Boolean,
       left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
     override def output: Seq[Attribute] =
@@ -83,14 +89,19 @@ object NativeAsOf {
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
 
-    // right side additionally sorts ties by payload hash: the merge keeps
-    // the LAST tied row, so max-hash wins — the composed operator's rule
+    // the merge keeps the LAST tied (key, time) right row it passes, so
+    // the tiebreak sort direction encodes the composed operators' rules:
+    // backward (time asc, hash asc) -> max hash wins (ext.AsOfJoin.asOf's
+    // `last` over ascending __tb); forward (time desc, hash desc) -> MIN
+    // hash wins (asOfForward's `first` over ascending __tb)
+    private def timeDir = if (forward) Descending else Ascending
     override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
       Seq(SortOrder(leftKey, Ascending, NullsFirst, Seq.empty),
-        SortOrder(leftTime, Ascending, NullsFirst, Seq.empty)),
+        SortOrder(leftTime, timeDir, timeDir.defaultNullOrdering, Seq.empty)),
       Seq(SortOrder(rightKey, Ascending, NullsFirst, Seq.empty),
-        SortOrder(rightTime, Ascending, NullsFirst, Seq.empty),
-        SortOrder(XxHash64(payload, 42L), Ascending, NullsFirst, Seq.empty)))
+        SortOrder(rightTime, timeDir, timeDir.defaultNullOrdering, Seq.empty),
+        SortOrder(XxHash64(payload, 42L), timeDir,
+          timeDir.defaultNullOrdering, Seq.empty)))
 
     override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -146,7 +157,9 @@ object NativeAsOf {
             var continue = rNextValid
             while (continue) {
               val rKey = asLong(rk.eval(rNext))
-              if (rKey < k || (rKey == k && asLong(rt.eval(rNext)) <= t)) {
+              val rT = if (rKey == k) asLong(rt.eval(rNext)) else 0L
+              val timeOk = if (forward) rT >= t else rT <= t
+              if (rKey < k || (rKey == k && timeOk)) {
                 if (rKey == k) { // candidate: copy out of the reused buffer
                   held = rNext.copy(); heldKey = k; heldValid = true
                 }
@@ -171,7 +184,7 @@ object NativeAsOf {
   def asOf(
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -187,7 +200,7 @@ object NativeAsOf {
     val payloadAttrs = payload.map(attr(rp, _))
     val node = AsOfJoinNode(lp, rp,
       attr(lp, key), attr(rp, key), attr(lp, leftTime), attr(rp, rightTime),
-      payloadAttrs)
+      payloadAttrs, forward)
     val joinedDf = org.apache.spark.sql.graft.PlanBridge.ofRows(spark, node)
     joinedDf.select(left.columns.map(col) ++
       payload.map(p => col(p).as(s"asof_$p")): _*)

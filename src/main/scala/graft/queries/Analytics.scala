@@ -338,6 +338,37 @@ object Analytics {
         ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
     """))
 
+  /** q165's FORWARD as-of join through the native exec (one algorithm,
+    * time-reversed sort — see [[graft.plans.NativeAsOf]]): earliest
+    * purchase at-or-after each click, same DuckDB ASOF oracle as q165.
+    * Completes the native tier into the backward/forward family the
+    * composed operators ship. */
+  lazy val q212AsOfNativeForward: Q = Q(
+    "q212_asof_native_forward",
+    (s, dir) => {
+      val clicks = t(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id", "value")
+      val purchases = t(s, dir, "events") // fresh scan → fresh lineage
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.plans.NativeAsOf.asOf(clicks, purchases, "user_id", "ts", "ts",
+          Seq("purchase_id", "purchase_value"), forward = true)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("click_ts"),
+          col("asof_purchase_id"), col("asof_purchase_value"))
+    },
+    Some("""
+      SELECT c.user_id, c.event_id,
+        CAST(c.ts AS TIMESTAMP) AS click_ts,
+        p.event_id AS asof_purchase_id,
+        p.value AS asof_purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+    """))
+
   /** Extended window-function suite (§2.5): lead, ntile, cume_dist,
     * first/last over an explicit full frame — unique tiebreak (orderkey)
     * everywhere, so rank-family semantics match DuckDB exactly. */
@@ -786,7 +817,7 @@ object Analytics {
     q193ItemSimilarity, q195RunningRevenue, q199RetentionCohorts,
     q200Funnel, q201AssociationRules,
     q202MannWhitney, q203Spearman, q204Autocorrelation, q208AsOfNative,
-    q210FanoFactor, q211MutualInformation)
+    q210FanoFactor, q211MutualInformation, q212AsOfNativeForward)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by

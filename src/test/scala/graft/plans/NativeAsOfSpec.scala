@@ -60,6 +60,37 @@ class NativeAsOfSpec extends SparkSuite {
     assert(native === composed, "tied right rows must pick the same winner")
   }
 
+  test("forward direction == composed asOfForward on the q165 inputs, across layouts") {
+    def clicksL = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .select("event_id", "ts", "user_id", "value")
+    def purchasesR = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    val expected = canon(graft.ext.AsOfJoin.asOfForward(
+      clicksL, purchasesR, "user_id", "ts", "ts",
+      Seq("purchase_id", "purchase_value")))
+    assert(expected.nonEmpty)
+    for (parts <- Seq(1, 32)) {
+      val got = canon(NativeAsOf.asOf(
+        clicksL.repartition(parts), purchasesR.repartition(parts + 3),
+        "user_id", "ts", "ts", Seq("purchase_id", "purchase_value"),
+        forward = true))
+      assert(got === expected, s"forward layout $parts diverged")
+    }
+  }
+
+  test("forward tie rule matches composed: min payload-hash wins; >= matches equals") {
+    val l = Seq((1L, 10L), (1L, 3L), (9L, 5L)).toDF("k", "t")
+    def r = Seq((1L, 10L, 100L), (1L, 10L, 200L), (1L, 20L, 300L))
+      .toDF("k", "t", "p")
+    val composed = canon(graft.ext.AsOfJoin.asOfForward(l, r, "k", "t", "t", Seq("p")))
+    val native = canon(NativeAsOf.asOf(l, r, "k", "t", "t", Seq("p"), forward = true))
+    assert(native === composed,
+      "forward ties and equal-instant matches must agree with the composed form")
+  }
+
   test("no-match and boundary semantics: nulls; equal timestamps match") {
     val l = Seq((1L, 3L), (1L, 5L), (9L, 100L)).toDF("k", "t")
     val r = Seq((1L, 5L, 50L), (1L, 7L, 70L)).toDF("k", "t", "p")
