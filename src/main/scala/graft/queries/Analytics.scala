@@ -369,6 +369,46 @@ object Analytics {
         ON c.user_id = p.user_id AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
     """))
 
+  /** LOW-WATERMARK SCAN — each order against the cheapest order seen
+    * BEFORE it on the global (day, orderkey) timeline: the
+    * "new-minimum?" / record-tracking shape (price floors, best-quote
+    * tracking), and the catalog consumer of the third
+    * [[graft.ext.Scan]] aggregate (runningMinExclusive — max drives
+    * q192's skyline, sum q195/q202/q203). One output row per order =
+    * data-sized, so the running min comes from the distributed prefix
+    * scan, never a single-partition window. Exact integer cents
+    * throughout; is_new_low is one integer comparison. */
+  lazy val q213LowWatermark: Q = Q(
+    "q213_low_watermark",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("day"),
+        (col("o_totalprice").cast(DecimalType(28, 2)) * 100).cast("long")
+          .as("cents"))
+      graft.ext.Scan.runningMinExclusive(o,
+          Seq(col("day"), col("o_orderkey")), "cents", "prior_min")
+        .select(col("o_orderkey"), col("day"), col("cents"), col("prior_min"),
+          (col("prior_min").isNull || col("cents") < col("prior_min"))
+            .as("is_new_low"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey,
+          CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+        FROM orders)
+      SELECT o_orderkey, day, cents,
+        CAST(MIN(cents) OVER (ORDER BY day, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+          AS prior_min,
+        (MIN(cents) OVER (ORDER BY day, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR cents < MIN(cents) OVER (ORDER BY day, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS is_new_low
+      FROM o
+    """))
+
   /** Extended window-function suite (§2.5): lead, ntile, cume_dist,
     * first/last over an explicit full frame — unique tiebreak (orderkey)
     * everywhere, so rank-family semantics match DuckDB exactly. */
@@ -817,7 +857,8 @@ object Analytics {
     q193ItemSimilarity, q195RunningRevenue, q199RetentionCohorts,
     q200Funnel, q201AssociationRules,
     q202MannWhitney, q203Spearman, q204Autocorrelation, q208AsOfNative,
-    q210FanoFactor, q211MutualInformation, q212AsOfNativeForward)
+    q210FanoFactor, q211MutualInformation, q212AsOfNativeForward,
+    q213LowWatermark)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by

@@ -495,7 +495,8 @@ class PlanSpec extends SparkSuite {
     // Mann-Whitney ranks one distinct-value table (1 scan); Spearman ranks
     // two metrics (2 scans). Each scan's single unpartitioned window runs
     // over the #partitions-row per-pid aggregate, never over data rows.
-    for ((name, nScans) <- Seq("q202_mann_whitney" -> 1, "q203_spearman" -> 2)) {
+    for ((name, nScans) <- Seq("q202_mann_whitney" -> 1, "q203_spearman" -> 2,
+        "q213_low_watermark" -> 1)) {
       val df = QueryCatalog.queries(name)(spark, dir)
       val global = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
