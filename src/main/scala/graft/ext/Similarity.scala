@@ -54,6 +54,71 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein 1998): pick
+    * `k` results from the exact top-`poolSize` candidate pool, greedily
+    * maximizing `λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s)` — the
+    * standard diversified-retrieval combiner (dedup'd RAG contexts, varied
+    * few-shot exemplars). λ=1 reduces to plain relevance ranking (pinned in
+    * MmrSpec); λ→0 maximizes novelty.
+    *
+    * Scale shape: the greedy loop runs over the BOUNDED candidate pool, not
+    * the corpus — one exact top-`poolSize` pass (or an ANN candidate source
+    * at 100 TB: swap [[bruteForceTopK]] for [[ivfFlatTopK]], same contract),
+    * then a poolSize²-per-query pair matrix and k tiny keyed rounds, each an
+    * equi-join + per-query window. Every round's pick is localCheckpointed
+    * so the k-round lineage stays linear; all rounds for all queries run in
+    * the same jobs (per-query parallelism, no driver-side loop over data).
+    *
+    * Determinism: cosine is the bit-stable fused expression; score ties
+    * break by id, so output is unique — MmrSpec pins it to a sequential
+    * reference implementation exactly. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int, poolSize: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1, got k=$k pool=$poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val pool = bruteForceTopK(corpus, queries, poolSize)
+      .join(corpus, "id")
+      .select(col("qid"), col("id"), col("sim"), col("vec"))
+      .localCheckpoint(eager = false)
+    val pairs = pool.select(col("qid"), col("id").as("ia"), col("vec").as("va"))
+      .join(pool.select(col("qid").as("qb"), col("id").as("ib"), col("vec").as("vb")),
+        col("qid") === col("qb") && col("ia") =!= col("ib"))
+      .select(col("qid"), col("ia"), col("ib"), cosine(col("va"), col("vb")).as("psim"))
+      .localCheckpoint(eager = false)
+
+    var selected: DataFrame = null
+    var remaining = pool.select(col("qid"), col("id"), col("sim"))
+    var round = 1
+    while (round <= k) {
+      val scored =
+        if (selected == null) // first pick: pure relevance (empty-set max term is 0)
+          remaining.withColumn("mmr", col("sim") * lambda)
+        else {
+          val div = pairs
+            .join(selected.select(col("qid").as("qs"), col("id").as("sel_id")),
+              col("qid") === col("qs") && col("ib") === col("sel_id"))
+            .groupBy(col("qid"), col("ia"))
+            .agg(max(col("psim")).as("div"))
+            .withColumnRenamed("ia", "id")
+          remaining.join(div, Seq("qid", "id"), "left")
+            .withColumn("mmr",
+              col("sim") * lambda - (lit(1.0) - lambda) * coalesce(col("div"), lit(0.0)))
+        }
+      val w = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("id"))
+      val pick = scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("id"), col("sim"), col("mmr"),
+          lit(round.toLong).as("pick"))
+        .localCheckpoint(eager = false)
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      remaining = remaining.join(pick.select(col("qid"), col("id")),
+        Seq("qid", "id"), "left_anti")
+      round += 1
+    }
+    selected.select(col("qid"), col("pick"), col("id"), col("sim"), col("mmr"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
     * from (plane, dim) via xxhash64 so every executor materializes identical
     * planes with zero driver state shipped. */

@@ -69,6 +69,24 @@ object GraftFunctions {
         DistinctShingles(args(0), if (args.length == 2) intArg(args(1), "w") else 3)
       },
       "distinct_shingles(tokens[, w]) - distinct w-shingles, first-occurrence order"),
+    ("jaro_sim",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "jaro_sim(a, b)")
+        JaroWinklerSim(args(0), args(1), winkler = false)
+      },
+      "jaro_sim(a, b) - byte-level Jaro similarity (DuckDB-pinned semantics)"),
+    ("jaro_winkler_sim",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "jaro_winkler_sim(a, b)")
+        JaroWinklerSim(args(0), args(1), winkler = true)
+      },
+      "jaro_winkler_sim(a, b) - Jaro-Winkler similarity (0.1 weight, 4-byte prefix, >0.7 gate)"),
+    ("damerau_levenshtein",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "damerau_levenshtein(a, b)")
+        DamerauLevenshtein(args(0), args(1))
+      },
+      "damerau_levenshtein(a, b) - unrestricted adjacent-transposition edit distance"),
     // Spark ships these two as unregistered internal expressions (used only
     // by its InjectRuntimeFilter rule); surfacing them gives SQL users the
     // explicit runtime-filter path of plans.RuntimeFilter: build a bloom in

@@ -409,6 +409,250 @@ object Analytics {
       FROM o
     """))
 
+  /** GAPS-AND-ISLANDS — per-user runs of consecutive active days (streaks),
+    * the classic sequence-integrity shape (login streaks, sensor uptime,
+    * SLA windows) via the row_number-difference trick: within a user,
+    * `day − row_number()` is constant exactly along a gap-free run, so one
+    * keyed window + one groupBy materializes every island with its span.
+    *
+    * Scale shape: `distinct` collapses the event stream to |user-days|
+    * FIRST (map-side partial dedup), and every window/group after that is
+    * partitioned BY USER — no global window, no skew beyond a user's own
+    * day count (≤ days-in-range, bounded). Days are exact epoch integers
+    * (q213's convention), counts BIGINT — bit-exact oracle. */
+  lazy val q215GapsIslands: Q = Q(
+    "q215_gaps_islands",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = t(s, dir, "events")
+        .select(col("user_id"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(
+          min(col("day")).as("start_day"),
+          max(col("day")).as("end_day"),
+          count(lit(1)).as("streak_len"))
+        .select(col("user_id"), col("start_day"), col("end_day"), col("streak_len"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        FROM events),
+      numbered AS (
+        SELECT user_id, day,
+          day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+        FROM days)
+      SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+        COUNT(*) AS streak_len
+      FROM numbered GROUP BY user_id, island
+    """))
+
+  /** CROSS-CORRELATION LEAD-LAG — Pearson correlation between the daily
+    * click series and the daily purchase series at each lag 0..7: the
+    * "does activity in A lead activity in B, and by how many days?"
+    * detector (q204's autocorrelation is the self-paired special case).
+    *
+    * Alignment is a keyed equi-join on `purchase_day = click_day + lag`
+    * over the DAILY AGGREGATE series (|days| rows — the raw stream is
+    * reduced before any pairing), crossed with the 8-row lag spine; the
+    * correlation is assembled from exact integer count sums (n, Σx, Σy,
+    * Σxy, Σx², Σy²) converted to double only for the final closed form —
+    * both engines run the identical double expression, so the quotient is
+    * bit-equal and 6dp rounding is pure cosmetics. At 100 TB the daily
+    * series is still |days|-sized (data-independent); only the first
+    * groupBy sees data volume, and it partial-aggregates map-side. */
+  lazy val q216CrossCorrelation: Q = Q(
+    "q216_cross_correlation",
+    (s, dir) => {
+      def daily(tpe: String, cnt: String) =
+        t(s, dir, "events")
+          .filter(col("event_type") === tpe)
+          .groupBy(unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .agg(count(lit(1)).as(cnt))
+      val a = daily("click", "x")
+      val b = daily("purchase", "y").withColumnRenamed("day", "bday")
+      val lags = s.range(0, 8).select(col("id").as("lag"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      a.crossJoin(lags)
+        .join(b, col("bday") === col("day") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n"),
+          round(
+            (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+              (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+                sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))),
+            6).as("xcorr"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          COUNT(*) AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      b AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS bday,
+          COUNT(*) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      lags AS (SELECT UNNEST(range(8)) AS lag),
+      j AS (
+        SELECT l.lag, a.x, b.y
+        FROM a CROSS JOIN lags l JOIN b ON b.bday = a.day + l.lag),
+      s AS (
+        SELECT lag, COUNT(*) AS n,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+          SUM(x*x) AS sxx, SUM(y*y) AS syy
+        FROM j GROUP BY lag)
+      SELECT lag, n,
+        round(
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+           sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+          6) AS xcorr
+      FROM s
+    """))
+
+  /** M4 VISUALIZATION DOWNSAMPLING (Jugel et al., VLDB 2014) — reduce the
+    * 'view' event value series to ≤4 points per pixel-bucket (first, last,
+    * min-value, max-value), the lossless-for-rendering reduction every
+    * dashboard over a 100 TB series needs: a line drawn through the M4
+    * points is pixel-identical to one drawn through all of them.
+    *
+    * Scale shape: pure GROUP BY — one pass, map-side partial min/max of
+    * (key, tiebreak, payload) STRUCTS (lexicographic struct ordering is the
+    * deterministic arg-min: ties on time or value break by event_id inside
+    * the comparator, so no window sort per bucket and no min_by tie
+    * nondeterminism). The bucket id is exact integer µs arithmetic against
+    * the global [lo, hi] span (one scalar-aggregate broadcast); IEEE
+    * division+floor is bit-identical cross-engine. Full DuckDB oracle. */
+  lazy val q218M4Downsample: Q = Q(
+    "q218_m4_downsample",
+    (s, dir) => {
+      val w = 100
+      val e = t(s, dir, "events").filter(col("event_type") === "view")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          round(col("value"), 6).as("v"))
+      val bounds = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      e.crossJoin(bounds)
+        .withColumn("bucket",
+          least(lit((w - 1).toLong),
+            floor(((col("us") - col("lo")) * w).cast("double") /
+              (col("hi") - col("lo") + 1).cast("double"))))
+        .groupBy(col("bucket"))
+        .agg(
+          min(struct(col("us"), col("event_id"), col("v"))).as("p_first"),
+          max(struct(col("us"), col("event_id"), col("v"))).as("p_last"),
+          min(struct(col("v"), col("event_id"), col("us"))).as("p_vmin"),
+          max(struct(col("v"), col("event_id"), col("us"))).as("p_vmax"),
+          count(lit(1)).as("n"))
+        .select(col("bucket"), col("n"),
+          col("p_first.us").as("first_us"), col("p_first.v").as("first_v"),
+          col("p_last.us").as("last_us"), col("p_last.v").as("last_v"),
+          col("p_vmin.v").as("min_v"), col("p_vmin.us").as("min_v_us"),
+          col("p_vmax.v").as("max_v"), col("p_vmax.us").as("max_v_us"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, epoch_us(ts) AS us, round(value, 6) AS v
+        FROM events WHERE event_type = 'view'),
+      b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM e),
+      bucketed AS (
+        SELECT e.*,
+          LEAST(99, CAST(FLOOR(
+            CAST((us - lo) * 100 AS DOUBLE) / CAST(hi - lo + 1 AS DOUBLE)
+          ) AS BIGINT)) AS bucket
+        FROM e CROSS JOIN b),
+      agg AS (
+        SELECT bucket, COUNT(*) AS n,
+          MIN(struct_pack(us := us, id := event_id, v := v)) AS p_first,
+          MAX(struct_pack(us := us, id := event_id, v := v)) AS p_last,
+          MIN(struct_pack(v := v, id := event_id, us := us)) AS p_vmin,
+          MAX(struct_pack(v := v, id := event_id, us := us)) AS p_vmax
+        FROM bucketed GROUP BY bucket)
+      SELECT bucket, n,
+        p_first.us AS first_us, p_first.v AS first_v,
+        p_last.us AS last_us,  p_last.v AS last_v,
+        p_vmin.v AS min_v, p_vmin.us AS min_v_us,
+        p_vmax.v AS max_v, p_vmax.us AS max_v_us
+      FROM agg
+    """))
+
+  /** OVERLAPPING-INTERVAL MERGE — collapse each user's 5-minute activity
+    * windows (one per click/view event) into maximal disjoint coverage
+    * spans: the sweep-line union that powers uptime/downtime rollups, SLA
+    * coverage, and billable-time dedup (q215 merges integer DAYS; this
+    * merges real [start,end) intervals that can overlap arbitrarily).
+    * A row starts a new span iff its start exceeds the running max END of
+    * every earlier interval of the same user (1-PRECEDING frame, so the
+    * first row's NULL max reads as "new span"); the cumulative flag sum is
+    * the span id — two per-user windows and a groupBy, no self-join.
+    *
+    * Scale shape: everything is partitioned BY USER (bounded per-user
+    * width; the global shuffle is one hash exchange on user_id), exact
+    * integer µs arithmetic end-to-end. Full DuckDB oracle. */
+  lazy val q219IntervalMerge: Q = Q(
+    "q219_interval_merge",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val iv = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ivs"),
+          (unix_micros(col("ts")) + 300000000L).as("ive"))
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ivs"), col("event_id"))
+      val prevMaxEnd = order.rowsBetween(Window.unboundedPreceding, -1)
+      val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("new_span",
+          when(col("ivs") > max(col("ive")).over(prevMaxEnd), 1L)
+            .when(max(col("ive")).over(prevMaxEnd).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("span", sum(col("new_span")).over(cum))
+        .groupBy(col("user_id"), col("span"))
+        .agg(min(col("ivs")).as("span_start"), max(col("ive")).as("span_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("span"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start")).as("covered_us"), col("n_events"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ivs,
+          epoch_us(ts) + 300000000 AS ive
+        FROM events WHERE event_type IN ('click', 'view')),
+      flagged AS (
+        SELECT user_id, ivs, ive,
+          CASE
+            WHEN ivs > MAX(ive) OVER (PARTITION BY user_id ORDER BY ivs, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1
+            WHEN MAX(ive) OVER (PARTITION BY user_id ORDER BY ivs, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL THEN 1
+            ELSE 0 END AS new_span,
+          event_id
+        FROM iv),
+      spans AS (
+        SELECT user_id, ivs, ive,
+          SUM(new_span) OVER (PARTITION BY user_id ORDER BY ivs, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        FROM flagged)
+      SELECT user_id, CAST(span AS BIGINT) AS span,
+        MIN(ivs) AS span_start, MAX(ive) AS span_end,
+        MAX(ive) - MIN(ivs) AS covered_us,
+        COUNT(*) AS n_events
+      FROM spans GROUP BY user_id, span
+    """))
+
   /** Extended window-function suite (§2.5): lead, ntile, cume_dist,
     * first/last over an explicit full frame — unique tiebreak (orderkey)
     * everywhere, so rank-family semantics match DuckDB exactly. */
@@ -858,7 +1102,8 @@ object Analytics {
     q200Funnel, q201AssociationRules,
     q202MannWhitney, q203Spearman, q204Autocorrelation, q208AsOfNative,
     q210FanoFactor, q211MutualInformation, q212AsOfNativeForward,
-    q213LowWatermark)
+    q213LowWatermark, q215GapsIslands, q216CrossCorrelation, q218M4Downsample,
+    q219IntervalMerge)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by

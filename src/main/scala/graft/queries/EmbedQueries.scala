@@ -1659,6 +1659,23 @@ object EmbedQueries {
       ORDER BY rrf DESC, id LIMIT 20
     """))
 
+  /** MMR DIVERSIFIED RETRIEVAL — [[Similarity.mmrTopK]] over the q33
+    * query set: exact top-30 candidate pool per query, then the greedy
+    * λ=0.7 marginal-relevance re-rank down to 10. The iterative greedy
+    * argmax is not SQL-expressible (each pick conditions on the previous
+    * picks), so the driver records rows-only; correctness is pinned in
+    * MmrSpec instead — bit-equality against a sequential reference
+    * implementation, the λ=1 ≡ plain-top-k reduction, and a
+    * planted-duplicate test where MMR must skip the redundant cluster.
+    * Scale: pool generation is the only corpus-sized step (swap in the
+    * IVF×PQ candidate source at 100 TB — q196's pattern); the re-rank
+    * itself touches poolSize²-per-query rows, data-independent. */
+  lazy val q217MmrRerank: Q = Q(
+    "q217_mmr_rerank",
+    (s, dir) => Similarity.mmrTopK(corpus(s, dir), queriesDf(s, dir),
+      k = 10, poolSize = 30, lambda = 0.7),
+    None)
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
@@ -1666,5 +1683,5 @@ object EmbedQueries {
     q123IvfPqResidualRefine, q124IvfPqPersisted, q125AnnRetrainPromote,
     q128ContrastivePairs, q133RandomProjection, q140EmbeddingDrift,
     q150ClusterLabels, q172PcaSpectrum, q191MatryoshkaEval, q194HardNegatives,
-    q196HardNegativesAnn, q205Sq8AdcTopK, q206RrfFusion)
+    q196HardNegativesAnn, q205Sq8AdcTopK, q206RrfFusion, q217MmrRerank)
 }

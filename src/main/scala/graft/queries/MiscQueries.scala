@@ -479,7 +479,53 @@ object MiscQueries {
       QueryDsl.oracleDsum("CASE WHEN n2.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4),
       QueryDsl.oracleDsum("l_extendedprice * (1 - l_discount)", 4))))
 
+  /** STRING-METRIC PAIR MATRIX — the entity-resolution scoring primitive:
+    * every unordered pair of DISTINCT part names scored by the three
+    * native byte-level metrics ([[graft.functions.StringMetrics]]: Jaro,
+    * Jaro-Winkler, unrestricted Damerau-Levenshtein — all codegen'd
+    * Catalyst expressions, none of which Spark ships) plus builtin
+    * Levenshtein for contrast (OSA vs true-DL divergence shows up as
+    * dl < lev on transposed tokens).
+    *
+    * Scale shape: the quadratic work runs over the DICTIONARY, not the
+    * data — `distinct` first collapses |parts| rows to the bounded name
+    * vocabulary (64 names at every SF; brands/models/cities in real
+    * catalogs), and only then does the O(dict²) pair join fire, as a
+    * broadcast nested loop over a table that fits in one packet. An
+    * entity-resolution pass over data-sized strings goes through the
+    * SymSpell/blocking tier (q82/q112) with these metrics as the SCORER
+    * on candidate pairs — never through an all-pairs product.
+    *
+    * Full DuckDB oracle: semantics byte-pinned to its jaro_similarity /
+    * jaro_winkler_similarity / damerau_levenshtein builtins (see
+    * [[graft.functions.StringMetrics]] scaladoc for the probe table);
+    * similarities rounded at 6dp, distances exact integers. */
+  lazy val q214StringMetrics: Q = Q(
+    "q214_string_metrics",
+    (s, dir) => {
+      import graft.functions.StringMetrics.{damerauLevenshtein, jaroSim, jaroWinklerSim}
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+      val a = names.select(col("p_name").as("name_a"))
+      val b = names.select(col("p_name").as("name_b"))
+      a.join(b, col("name_a") < col("name_b"))
+        .select(
+          col("name_a"), col("name_b"),
+          round(jaroSim(col("name_a"), col("name_b")), 6).as("jaro"),
+          round(jaroWinklerSim(col("name_a"), col("name_b")), 6).as("jw"),
+          damerauLevenshtein(col("name_a"), col("name_b")).cast("long").as("dl"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("lev"))
+    },
+    Some("""
+      WITH names AS (SELECT DISTINCT p_name FROM part)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+        round(jaro_similarity(a.p_name, b.p_name), 6) AS jaro,
+        round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw,
+        damerau_levenshtein(a.p_name, b.p_name) AS dl,
+        levenshtein(a.p_name, b.p_name) AS lev
+      FROM names a JOIN names b ON a.p_name < b.p_name
+    """))
+
   val all: Seq[Q] = Seq(q37Stddev, q38ApproxDistinct, q39SimhashNearDup, q51CorrCovar,
     q99HllMerge, q145RfmSegments, q146ChiSquare, q157KsTest, q158MarketShare,
-    q174KsBinned)
+    q174KsBinned, q214StringMetrics)
 }

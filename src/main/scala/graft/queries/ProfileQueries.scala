@@ -476,7 +476,84 @@ object ProfileQueries {
       FROM ranked WHERE rn <= 16
     """))
 
+  /** DECLARATIVE EXPECTATIONS — the contract-enforcement half of the DQ
+    * surface ([[graft.ext.Expectations]]): q86 profiles what the data IS;
+    * this enforces what it MUST BE. A deterministically dirtied lineitem
+    * (sign-flipped quantities on keys ≡0 mod 97, nulled shipdates mod 101,
+    * FK-broken keys mod 103, planted duplicate lines mod 109) runs a
+    * four-rule contract — row-local range + not-null checks evaluated in
+    * ONE flagging projection, key-uniqueness via a groupBy-count join-back,
+    * referential integrity via a left join on the dimension's distinct keys
+    * (unhinted — dimensions are data-sized, the q193 rule). Output is the
+    * metrics table (rule → violations, rate): support-bounded, one row per
+    * rule. Exact integer counts + one identical double divide ⇒ full
+    * oracle; clean/quarantine split semantics are pinned in
+    * ExpectationsSpec (planted rows land where the contract says). */
+  lazy val q220DqExpectations: Q = Q(
+    "q220_dq_expectations",
+    (s, dir) => {
+      import graft.ext.Expectations._
+      val li = t(s, dir, "lineitem")
+      val dirty0 = li.select(
+        when(col("l_orderkey") % 103 === 0, col("l_orderkey") + 1000000000L)
+          .otherwise(col("l_orderkey")).as("l_orderkey"),
+        col("l_linenumber"),
+        when(col("l_orderkey") % 97 === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")).as("l_quantity"),
+        when(col("l_orderkey") % 101 === 0, lit(null).cast("timestamp"))
+          .otherwise(col("l_shipdate")).as("l_shipdate"))
+      val dirty = dirty0.unionByName(dirty0.filter(col("l_orderkey") % 109 === 0))
+      val res = check(dirty, Seq(
+        Expect("positive_quantity", col("l_quantity") > 0),
+        Expect("shipdate_not_null", col("l_shipdate").isNotNull),
+        ExpectUnique("unique_line", Seq("l_orderkey", "l_linenumber")),
+        ExpectFk("fk_orders", Seq("l_orderkey"),
+          t(s, dir, "orders"), Seq("o_orderkey"))))
+      res.metrics
+    },
+    Some("""
+      WITH dirty0 AS (
+        SELECT
+          CASE WHEN l_orderkey % 103 = 0 THEN l_orderkey + 1000000000
+               ELSE l_orderkey END AS l_orderkey,
+          l_linenumber,
+          CASE WHEN l_orderkey % 97 = 0 THEN -l_quantity
+               ELSE l_quantity END AS l_quantity,
+          CASE WHEN l_orderkey % 101 = 0 THEN NULL
+               ELSE l_shipdate END AS l_shipdate
+        FROM lineitem),
+      dirty AS (
+        SELECT * FROM dirty0
+        UNION ALL SELECT * FROM dirty0 WHERE l_orderkey % 109 = 0),
+      dup_keys AS (
+        SELECT l_orderkey, l_linenumber FROM dirty
+        GROUP BY 1, 2 HAVING COUNT(*) > 1),
+      m AS (
+        SELECT
+          COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN NOT COALESCE(d.l_quantity > 0, FALSE)
+            THEN 1 ELSE 0 END) AS BIGINT) AS positive_quantity,
+          CAST(SUM(CASE WHEN d.l_shipdate IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_not_null,
+          CAST(SUM(CASE WHEN dk.l_orderkey IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS unique_line,
+          CAST(SUM(CASE WHEN o.o_orderkey IS NULL AND d.l_orderkey IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS fk_orders
+        FROM dirty d
+        LEFT JOIN dup_keys dk
+          ON d.l_orderkey = dk.l_orderkey AND d.l_linenumber = dk.l_linenumber
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON d.l_orderkey = o.o_orderkey)
+      SELECT rule, n_violations,
+        CAST(n_violations AS DOUBLE) / n_rows AS violation_rate, n_rows
+      FROM (
+        SELECT 'positive_quantity' AS rule, positive_quantity AS n_violations, n_rows FROM m
+        UNION ALL SELECT 'shipdate_not_null', shipdate_not_null, n_rows FROM m
+        UNION ALL SELECT 'unique_line', unique_line, n_rows FROM m
+        UNION ALL SELECT 'fk_orders', fk_orders, n_rows FROM m)
+    """))
+
   val all: Seq[Q] = Seq(q86Profile, q100PsiDrift, q119ApproxProfile, q149CountMin,
     q164Benford, q170ReplicaReconcile, q173SpaceSavingTokens, q180KmvSketch,
-    q197KmvMerge)
+    q197KmvMerge, q220DqExpectations)
 }
