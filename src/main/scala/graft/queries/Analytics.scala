@@ -653,6 +653,222 @@ object Analytics {
       FROM spans GROUP BY user_id, span
     """))
 
+  /** WILCOXON SIGNED-RANK TEST — the PAIRED nonparametric test (q202's
+    * Mann-Whitney compares two independent samples; this tests whether the
+    * per-day click-vs-view revenue DIFFERENCE is symmetric around zero,
+    * pairing by day). Zero diffs drop (the standard treatment); |d| gets
+    * tie-averaged ranks kept exact as doubled integers via the q202/q169
+    * counting recipe — here the rank window runs over the DISTINCT-|d|
+    * table of an already-aggregated ≤|days| series, bounded support (the
+    * q186 rule), so a plain ordered window is scale-safe. W₊/W₋ and the
+    * tie term Σ(t³−t) stay integers; the normal-approximation z is one
+    * identical-order double chain on both engines. Day totals are exact
+    * µ-unit longs (round@6 → DECIMAL → ×1e6). */
+  lazy val q221Wilcoxon: Q = Q(
+    "q221_wilcoxon",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def daily(tpe: String, cname: String) =
+        t(s, dir, "events").filter(col("event_type") === tpe)
+          .groupBy(unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .agg(sum((round(col("value"), 6).cast(DecimalType(28, 6)) * 1000000)
+            .cast("long")).as(cname))
+      val d = daily("click", "cx")
+        .join(daily("view", "cy").withColumnRenamed("day", "day2"),
+          col("day") === col("day2"))
+        .select(col("day"), (col("cx") - col("cy")).as("d"))
+        .filter(col("d") =!= 0)
+        .withColumn("absd", abs(col("d")))
+        .localCheckpoint(eager = false) // feeds ranks, tie term, and the final join
+      val byVal = d.groupBy(col("absd")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
+      val w = Window.orderBy(col("absd"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = byVal
+        .withColumn("prior", coalesce(sum(col("c")).over(w), lit(0L)))
+        .withColumn("r2", lit(2) * col("prior") + col("c") + 1) // doubled avg rank
+      val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+      d.join(ranked, Seq("absd"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(when(col("d") > 0, col("r2")).otherwise(0L)) / 2.0).as("w_plus"),
+          (sum(when(col("d") < 0, col("r2")).otherwise(0L)) / 2.0).as("w_minus"))
+        .crossJoin(byVal.agg(
+          sum(col("c") * col("c") * col("c") - col("c")).as("tsum")))
+        .select(col("n"), col("w_plus"), col("w_minus"),
+          round(
+            (col("w_plus") - dd(col("n")) * (dd(col("n")) + 1.0) / 4.0) /
+              sqrt(dd(col("n")) * (dd(col("n")) + 1.0) *
+                (dd(col("n")) * 2.0 + 1.0) / 24.0 - dd(col("tsum")) / 48.0),
+            6).as("z"))
+    },
+    Some("""
+      WITH cx AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000) AS BIGINT) AS cx
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      cy AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000) AS BIGINT) AS cy
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      d AS (
+        SELECT cx.day, cx - cy AS d, abs(cx - cy) AS absd
+        FROM cx JOIN cy ON cx.day = cy.day WHERE cx - cy <> 0),
+      by_val AS (SELECT absd, COUNT(*) AS c FROM d GROUP BY absd),
+      ranked AS (
+        SELECT absd, c,
+          2 * COALESCE(SUM(c) OVER (ORDER BY absd
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+        FROM by_val),
+      agg AS (
+        SELECT COUNT(*) AS n,
+          SUM(CASE WHEN d.d > 0 THEN r2 ELSE 0 END) / 2.0e0 AS w_plus,
+          SUM(CASE WHEN d.d < 0 THEN r2 ELSE 0 END) / 2.0e0 AS w_minus
+        FROM d JOIN ranked ON d.absd = ranked.absd),
+      ties AS (SELECT SUM(c*c*c - c) AS tsum FROM by_val)
+      SELECT n, w_plus, w_minus,
+        round(
+          (w_plus - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0) / 4.0e0) /
+          sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0)
+               * (2.0e0 * CAST(n AS DOUBLE) + 1.0e0) / 24.0e0
+               - CAST(tsum AS DOUBLE) / 48.0e0),
+          6) AS z
+      FROM agg CROSS JOIN ties
+    """))
+
+  /** MASE FORECAST-BASELINE EVAL (Hyndman & Koehler 2006) — per event
+    * type, the seasonal-naive(7) forecaster's mean absolute error scaled
+    * by the in-sample naive(1) MAE: the standard "is my forecast better
+    * than just repeating last week?" health metric (MASE < 1 beats the
+    * naive baseline). Lag alignment is an explicit keyed self-join on
+    * `day − k` over the aggregated daily series (missing days drop from
+    * both engines identically — a window LAG would silently pair across
+    * gaps), errors are exact µ-unit integer |diffs|, and each MAE and the
+    * final ratio is an unrounded exact-int division (identical doubles
+    * per the catalog determinism rules). */
+  lazy val q222Mase: Q = Q(
+    "q222_mase",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .agg(sum((round(col("value"), 6).cast(DecimalType(28, 6)) * 1000000)
+          .cast("long")).as("rev"))
+        .localCheckpoint(eager = false) // three self-join arms
+      def lagged(k: Int, err: String) = daily
+        .join(daily.select(col("event_type"), (col("day") + k).as("day"),
+          col("rev").as("prev")), Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(sum(abs(col("rev") - col("prev"))).as(s"sum_$err"),
+          count(lit(1)).as(s"cnt_$err"))
+      lagged(1, "e1").join(lagged(7, "e7"), Seq("event_type"))
+        .select(col("event_type"), col("cnt_e1"), col("cnt_e7"),
+          (col("sum_e1").cast("double") / col("cnt_e1")).as("mae_naive1"),
+          (col("sum_e7").cast("double") / col("cnt_e7")).as("mae_snaive7"),
+          round((col("sum_e7").cast("double") / col("cnt_e7")) /
+            (col("sum_e1").cast("double") / col("cnt_e1")), 6).as("mase"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000) AS BIGINT) AS rev
+        FROM events GROUP BY 1, 2),
+      e1 AS (
+        SELECT a.event_type, SUM(abs(a.rev - b.rev)) AS sum_e1,
+          COUNT(*) AS cnt_e1
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day = b.day + 1
+        GROUP BY 1),
+      e7 AS (
+        SELECT a.event_type, SUM(abs(a.rev - b.rev)) AS sum_e7,
+          COUNT(*) AS cnt_e7
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day = b.day + 7
+        GROUP BY 1)
+      SELECT e1.event_type, cnt_e1, cnt_e7,
+        CAST(sum_e1 AS DOUBLE) / cnt_e1 AS mae_naive1,
+        CAST(sum_e7 AS DOUBLE) / cnt_e7 AS mae_snaive7,
+        round((CAST(sum_e7 AS DOUBLE) / cnt_e7)
+            / (CAST(sum_e1 AS DOUBLE) / cnt_e1), 6) AS mase
+      FROM e1 JOIN e7 ON e1.event_type = e7.event_type
+    """))
+
+  /** KENDALL τ-b RANK CORRELATION — the third rank-association measure
+    * beside Spearman (q203) and Pearson (q51): concordant-vs-discordant
+    * day pairs between the daily click and purchase counts, with the
+    * tie-corrected τ-b denominator. Pair enumeration is the bounded-
+    * support day×day self-join (≤|days|² rows — the q186 Theil-Sen
+    * shape; an inversion-count over data-sized series would need the
+    * Scan tier instead). All pair classes (concordant, discordant,
+    * x-tie, y-tie, both-tie) are exact integer counts; n₁ = tx + txy and
+    * n₂ = ty + txy fall straight out of the pair classes, and τ-b is one
+    * identical double chain with correctly-rounded sqrt. */
+  lazy val q223KendallTau: Q = Q(
+    "q223_kendall_tau",
+    (s, dir) => {
+      def daily(tpe: String, cname: String) =
+        t(s, dir, "events").filter(col("event_type") === tpe)
+          .groupBy(unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .agg(count(lit(1)).as(cname))
+      val series = daily("click", "x")
+        .join(daily("purchase", "y").withColumnRenamed("day", "day2"),
+          col("day") === col("day2"))
+        .select(col("day"), col("x"), col("y"))
+      val pairs = series.select(col("day").as("di"), col("x").as("xi"), col("y").as("yi"))
+        .join(series.select(col("day").as("dj"), col("x").as("xj"), col("y").as("yj")),
+          col("di") < col("dj"))
+      val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val s0 = pairs.agg(
+        count(lit(1)).as("n0"),
+        countIf((col("xi") - col("xj")) * (col("yi") - col("yj")) > 0).as("nc"),
+        countIf((col("xi") - col("xj")) * (col("yi") - col("yj")) < 0).as("nd"),
+        countIf(col("xi") === col("xj") && col("yi") =!= col("yj")).as("tx"),
+        countIf(col("yi") === col("yj") && col("xi") =!= col("xj")).as("ty"),
+        countIf(col("xi") === col("xj") && col("yi") === col("yj")).as("txy"))
+      s0.select(col("n0"), col("nc"), col("nd"), col("tx"), col("ty"), col("txy"),
+        round(
+          (dd(col("nc")) - dd(col("nd"))) /
+            (sqrt(dd(col("n0")) - dd(col("tx") + col("txy"))) *
+              sqrt(dd(col("n0")) - dd(col("ty") + col("txy")))),
+          6).as("tau_b"))
+    },
+    Some("""
+      WITH cx AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          COUNT(*) AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      cy AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          COUNT(*) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      series AS (
+        SELECT cx.day, x, y FROM cx JOIN cy ON cx.day = cy.day),
+      pairs AS (
+        SELECT i.x AS xi, i.y AS yi, j.x AS xj, j.y AS yj
+        FROM series i JOIN series j ON i.day < j.day),
+      s0 AS (
+        SELECT COUNT(*) AS n0,
+          %s AS nc,
+          %s AS nd,
+          %s AS tx,
+          %s AS ty,
+          %s AS txy
+        FROM pairs)
+      SELECT n0, nc, nd, tx, ty, txy,
+        round(
+          (CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE)) /
+          (sqrt(CAST(n0 AS DOUBLE) - CAST(tx + txy AS DOUBLE)) *
+           sqrt(CAST(n0 AS DOUBLE) - CAST(ty + txy AS DOUBLE))),
+          6) AS tau_b
+      FROM s0
+    """.format(
+      QueryDsl.oracleCountIf("(xi - xj) * (yi - yj) > 0"),
+      QueryDsl.oracleCountIf("(xi - xj) * (yi - yj) < 0"),
+      QueryDsl.oracleCountIf("xi = xj AND yi <> yj"),
+      QueryDsl.oracleCountIf("yi = yj AND xi <> xj"),
+      QueryDsl.oracleCountIf("xi = xj AND yi = yj"))))
+
   /** Extended window-function suite (§2.5): lead, ntile, cume_dist,
     * first/last over an explicit full frame — unique tiebreak (orderkey)
     * everywhere, so rank-family semantics match DuckDB exactly. */
@@ -1103,7 +1319,7 @@ object Analytics {
     q202MannWhitney, q203Spearman, q204Autocorrelation, q208AsOfNative,
     q210FanoFactor, q211MutualInformation, q212AsOfNativeForward,
     q213LowWatermark, q215GapsIslands, q216CrossCorrelation, q218M4Downsample,
-    q219IntervalMerge)
+    q219IntervalMerge, q221Wilcoxon, q222Mase, q223KendallTau)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by

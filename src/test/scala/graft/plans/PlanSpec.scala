@@ -521,4 +521,73 @@ class PlanSpec extends SparkSuite {
     val p = plan(df)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q218 M4: pure aggregation — no window, no per-bucket sort") {
+    // the struct-min/max formulation must keep M4 a one-pass groupBy; a
+    // window/rank formulation would sort every bucket's rows
+    val df = QueryCatalog.queries("q218_m4_downsample")(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.isEmpty, s"M4 must not plan a window:\n${wins.mkString}")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q215/q219 sequence ops: every window is user-keyed, none global") {
+    Seq("q215_gaps_islands", "q219_interval_merge").foreach { name =>
+      val df = QueryCatalog.queries(name)(spark, dir)
+      val global = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty, s"$name: global window found:\n${global.mkString}")
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if !w.partitionSpec.exists(_.toString.contains("user_id")) => w
+      }
+      assert(bad.isEmpty, s"$name: window not keyed on user_id:\n${bad.mkString}")
+    }
+  }
+
+  test("q214 string metrics: quadratic work runs over the dictionary, after distinct") {
+    val df = QueryCatalog.queries("q214_string_metrics")(spark, dir)
+    val p = plan(df)
+    // the inequality pair join over the 64-name dictionary is a broadcast
+    // nested loop — never a shuffled product over data-sized sides
+    assert(p.contains("BroadcastNestedLoopJoin"), s"dictionary pair join shape:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // distinct (Aggregate) sits BELOW the join on both inputs
+    val join = df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.get
+    Seq(join.left, join.right).foreach { side =>
+      assert(side.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, s"pair-join side must dedup to the dictionary first:\n$side")
+    }
+  }
+
+  test("q221/q222/q223 paired stats: windows only over bounded aggregates, no products over data") {
+    // q221's single global window cumulates the distinct-|d| table (≤ days
+    // rows); q222/q223 plan no windows at all
+    val w221 = QueryCatalog.queries("q221_wilcoxon")(spark, dir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(w221.size === 1, s"q221: exactly the rank cumulate:\n${w221.mkString}")
+    // the distinct-|d| aggregate below it is localCheckpointed (lineage
+    // truncated to a LogicalRDD), so pin the window by its order key: it
+    // must cumulate the |d| VALUE table, not the raw data
+    assert(w221.head.orderSpec.exists(_.child.toString.contains("absd")),
+      s"q221: the global window must order by the distinct |d| values:\n${w221.head}")
+    Seq("q222_mase", "q223_kendall_tau").foreach { name =>
+      val df = QueryCatalog.queries(name)(spark, dir)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.isEmpty, s"$name: no window belongs here:\n${wins.mkString}")
+      assert(!plan(df).contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+  }
 }
