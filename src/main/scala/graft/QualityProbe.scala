@@ -392,6 +392,57 @@ object QualityProbe {
         st.getDouble(1), "exact pairwise sq-L2, quantized 64-dim originals"))
     }
 
+    // ---- q205 SQ8 ADC vs the exact dot-product top-10 (r14) ----
+    locally {
+      val corpusD = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val queriesD = corpusD.filter(col("id") < 10)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val exactDot = corpusD.crossJoin(broadcast(queriesD))
+        .withColumn("dp", expr(
+          "aggregate(zip_with(vec, qvec, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, t) -> a + t)"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dp").desc, col("id"))))
+        .filter(col("rank") <= 10).select(col("qid"), col("id"))
+      recall("q205_sq8_adc_topk", q("q205_sq8_adc_topk")(spark, sfDir), exactDot,
+        "exact dot top-10 (int8/dim asymmetric ADC)")
+    }
+
+    // ---- q217 MMR: diversity bought vs relevance paid (r14) ----
+    // redundancy = mean pairwise cosine among each query's picked set;
+    // relevance = mean query-pick cosine. MMR should cut redundancy while
+    // keeping most relevance (λ=0.7 trades ~nothing on this near-orthogonal
+    // corpus; the planted-duplicate behavior is pinned in MmrSpec).
+    locally {
+      val corpusC = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queriesC = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      def setStats(picks: DataFrame): (Double, Double) = {
+        val withVec = picks.join(corpusC, "id")
+          .select(col("qid"), col("id"), col("sim"), col("vec"))
+        val red = withVec.select(col("qid"), col("id").as("ia"), col("vec").as("va"))
+          .join(withVec.select(col("qid").as("qb"), col("id").as("ib"), col("vec").as("vb")),
+            col("qid") === col("qb") && col("ia") < col("ib"))
+          .agg(avg(Similarity.cosine(col("va"), col("vb")))).head().getDouble(0)
+        val rel = withVec.agg(avg(col("sim"))).head().getDouble(0)
+        (red, rel)
+      }
+      val plain = Similarity.bruteForceTopK(corpusC, queriesC, 10)
+        .select(col("qid"), col("id"), col("sim"))
+      val mmr = Similarity.mmrTopK(corpusC, queriesC, k = 10, poolSize = 30,
+        lambda = 0.7).select(col("qid"), col("id"), col("sim"))
+      val (redP, relP) = setStats(plain)
+      val (redM, relM) = setStats(mmr)
+      out += (("q217_mmr_rerank", "redundancy_plain_top10", redP,
+        "mean pairwise cosine within plain top-10"))
+      out += (("q217_mmr_rerank", "redundancy_mmr", redM,
+        "mean pairwise cosine within MMR picks (λ=0.7, pool 30)"))
+      out += (("q217_mmr_rerank", "relevance_plain_top10", relP,
+        "mean query-pick cosine, plain top-10"))
+      out += (("q217_mmr_rerank", "relevance_mmr", relM,
+        "mean query-pick cosine, MMR picks"))
+    }
+
     // ---- emit artifacts ----
     val md = new StringBuilder
     md ++= s"# QUALITY — measured accuracy of the approximate tier\n\n"
@@ -402,7 +453,17 @@ object QualityProbe {
     md ++= "**GUARDED since r12**: these numbers are no longer measurement-only —\n"
     md ++= "`QualityGuardSpec` (runs in `sbt test`, at sf0.01) pins machine-independent\n"
     md ++= "floors: q34 LSH recall ≥ 0.25, q121 refined recall ≥ 0.5, q57 pair-recall\n"
-    md ++= "≥ 0.95, sketch max rel-err ≤ 10% (q38/q99/q115). A dial change that\n"
+    md ++= "≥ 0.95, sketch max rel-err ≤ 10% (q38/q99/q115); r14 adds q196\n"
+    md ++= "ANN-routed hard-negative mining (exact subset invariant — the ANN\n"
+    md ++= "shortlist's best sims can never exceed the exact miner's — plus\n"
+    md ++= "agreement floors pos ≥ 0.2 / neg ≥ 0.3 vs exact q194, measured\n"
+    md ++= "0.50/0.75 at sf0.01), q197 KMV merged-estimator rel err ≤ 0.6\n"
+    md ++= "(measured 0.244; k=16 ⇒ ~27% theoretical stderr — the floor is ~2.5σ),\n"
+    md ++= "and q205 SQ8 ADC recall@10 ≥ 0.7 vs the exact dot top-10 (measured\n"
+    md ++= "row below — 256 levels/dim is far finer than PQ's 16 centroids per\n"
+    md ++= "16-dim subspace, so SQ8 sits near-exact on this corpus at 4×\n"
+    md ++= "compression; the floor catches a codec bug, not dial drift).\n"
+    md ++= "A dial change that\n"
     md ++= "silently collapses recall (r9's single-table LSH measured 0.00 here and\n"
     md ++= "passed every test) now fails the suite. Floors sit well below measured\n"
     md ++= "values — they catch \"stopped finding things\", not honest dial drift; move\n"

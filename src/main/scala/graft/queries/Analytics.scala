@@ -869,6 +869,234 @@ object Analytics {
       QueryDsl.oracleCountIf("yi = yj AND xi <> xj"),
       QueryDsl.oracleCountIf("xi = xj AND yi = yj"))))
 
+  /** DIFFERENCE-IN-DIFFERENCES — the workhorse quasi-experimental
+    * estimator: mean purchase value, treatment vs control, before vs after
+    * the mid-month cutoff; DiD = (T_post − T_pre) − (C_post − C_pre) nets
+    * out both the group baseline and the common time trend. Assignment is
+    * the deterministic hash-bucket arm (`user_id % 3 = 0` — the q64 split
+    * family; engine-portable arithmetic, and how a real experiment
+    * assigns) — at scale an assignment TABLE joins in user-keyed instead,
+    * identical shape to q225's per-user aggregate. ONE conditional-
+    * aggregate pass over the purchase stream (map-side partials); exact
+    * µ-unit sums, unrounded exact-int means, one identical double chain
+    * for the estimate. */
+  lazy val q224DiffInDiff: Q = Q(
+    "q224_diff_in_diff",
+    (s, dir) => {
+      val cutoff = 19738L // 2024-01-16
+      val j = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(
+          (col("user_id") % 3 === 0).as("treat"),
+          (unix_date(to_date(col("ts"))).cast("long") < cutoff).as("pre"),
+          (round(col("value"), 6).cast(DecimalType(28, 6)) * 1000000)
+            .cast("long").as("v"))
+      def cell(cond: org.apache.spark.sql.Column, tag: String) = Seq(
+        sum(when(cond, col("v")).otherwise(0L)).as(s"s_$tag"),
+        countIf(cond).as(s"n_$tag"))
+      val agg = j.agg(
+        cell(col("treat") && col("pre"), "tp").head,
+        (cell(col("treat") && col("pre"), "tp").tail ++
+          cell(col("treat") && !col("pre"), "ta") ++
+          cell(!col("treat") && col("pre"), "cp") ++
+          cell(!col("treat") && !col("pre"), "ca")): _*)
+      def mean(tag: String) =
+        col(s"s_$tag").cast("double") / col(s"n_$tag")
+      agg.select(
+        col("n_tp"), col("n_ta"), col("n_cp"), col("n_ca"),
+        mean("tp").as("mean_treat_pre"), mean("ta").as("mean_treat_post"),
+        mean("cp").as("mean_ctrl_pre"), mean("ca").as("mean_ctrl_post"),
+        round((mean("ta") - mean("tp")) - (mean("ca") - mean("cp")), 6)
+          .as("did"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT user_id %% 3 = 0 AS treat,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) < 19738 AS pre,
+          CAST(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'),
+      m AS (
+        SELECT
+          CAST(SUM(CASE WHEN treat AND pre THEN v ELSE 0 END) AS BIGINT) AS s_tp,
+          %s AS n_tp,
+          CAST(SUM(CASE WHEN treat AND NOT pre THEN v ELSE 0 END) AS BIGINT) AS s_ta,
+          %s AS n_ta,
+          CAST(SUM(CASE WHEN NOT treat AND pre THEN v ELSE 0 END) AS BIGINT) AS s_cp,
+          %s AS n_cp,
+          CAST(SUM(CASE WHEN NOT treat AND NOT pre THEN v ELSE 0 END) AS BIGINT) AS s_ca,
+          %s AS n_ca
+        FROM j)
+      SELECT n_tp, n_ta, n_cp, n_ca,
+        CAST(s_tp AS DOUBLE) / n_tp AS mean_treat_pre,
+        CAST(s_ta AS DOUBLE) / n_ta AS mean_treat_post,
+        CAST(s_cp AS DOUBLE) / n_cp AS mean_ctrl_pre,
+        CAST(s_ca AS DOUBLE) / n_ca AS mean_ctrl_post,
+        round((CAST(s_ta AS DOUBLE) / n_ta - CAST(s_tp AS DOUBLE) / n_tp)
+            - (CAST(s_ca AS DOUBLE) / n_ca - CAST(s_cp AS DOUBLE) / n_cp),
+          6) AS did
+      FROM m
+    """.format(
+      QueryDsl.oracleCountIf("treat AND pre"),
+      QueryDsl.oracleCountIf("treat AND NOT pre"),
+      QueryDsl.oracleCountIf("NOT treat AND pre"),
+      QueryDsl.oracleCountIf("NOT treat AND NOT pre"))))
+
+  /** CUPED VARIANCE REDUCTION (Deng et al., WSDM'13) — the standard
+    * experiment-sensitivity booster: regress each user's experiment-period
+    * purchase total on their PRE-period click total, θ = cov(X,Y)/var(X);
+    * the variance of the adjusted metric drops by exactly corr²(X,Y).
+    * One user-keyed aggregate builds (x, y) per user, one global aggregate
+    * builds the five moments — both map-side partial. Products go through
+    * DECIMAL (Σxy at 100 TB overflows int64 — DuckDB would THROW on the
+    * bare BIGINT product, Spark would wrap silently; decimal/HUGEINT keep
+    * both exact), and every S-form (n·Σxy − ΣxΣy …) is one identical
+    * double chain. */
+  lazy val q225Cuped: Q = Q(
+    "q225_cuped",
+    (s, dir) => {
+      val cutoff = 19738L
+      val micros = (round(col("value"), 6).cast(DecimalType(28, 6)) * 1000000)
+        .cast("long")
+      val perUser = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"), micros.as("v"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click" && col("day") < cutoff,
+            col("v")).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase" && col("day") >= cutoff,
+            col("v")).otherwise(0L)).as("y"))
+      // (19,0) operands ⇒ product precision 39→38-capped with headroom for
+      // the true magnitudes (x,y ≤ ~1e12 µ-units ⇒ Σxy ≪ 1e38), no
+      // precision-loss rounding in Spark's decimal type math
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(19, 0))
+      val m = perUser.agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      m.select(col("n"),
+        round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))), 6)
+          .as("theta"),
+        round(
+          ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) *
+            (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))) /
+            ((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+              (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))),
+          6).as("var_reduction"))
+    },
+    Some("""
+      WITH per_user AS (
+        SELECT user_id,
+          SUM(CASE WHEN event_type = 'click'
+                AND CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) < 19738
+              THEN CAST(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+              ELSE 0 END) AS x,
+          SUM(CASE WHEN event_type = 'purchase'
+                AND CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) >= 19738
+              THEN CAST(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+              ELSE 0 END) AS y
+        FROM events GROUP BY user_id),
+      m AS (
+        SELECT COUNT(*) AS n,
+          SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+          SUM(CAST(x AS HUGEINT) * y) AS sxy,
+          SUM(CAST(x AS HUGEINT) * x) AS sxx,
+          SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM per_user)
+      SELECT n,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta,
+        round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+              ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS var_reduction
+      FROM m
+    """))
+
+  /** DELETE-ONE-GROUP JACKKNIFE — the standard-error machinery every
+    * ratio-metric experiment readout needs (a per-purchase mean is a
+    * ratio of sums; its variance has no closed per-row form): users hash
+    * into 32 buckets (`user_id % 32` — engine-portable arithmetic, not
+    * xxhash), each bucket contributes (Σv, n) partials, and the
+    * leave-one-bucket-out ratios R_b = (S−s_b)/(N−n_b) yield
+    * SE² = (B−1)/B · Σ(R_b − R̄)². The bucket table is B rows — the only
+    * data-sized pass is the partial-sum groupBy. Float discipline: R_b is
+    * rounded @6 then accumulated in DECIMAL (a bare double Σ over buckets
+    * would be partition-order-dependent — the q204 deviation recipe), and
+    * R̄/deviations run one identical double chain in both engines. */
+  lazy val q226Jackknife: Q = Q(
+    "q226_jackknife",
+    (s, dir) => {
+      val buckets = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy((col("user_id") % 32).as("b"))
+        .agg(
+          sum((round(col("value"), 6).cast(DecimalType(28, 6)) * 1000000)
+            .cast("long")).as("s"),
+          count(lit(1)).as("c"))
+        .localCheckpoint(eager = false) // totals + LOO ratios reuse it
+      val tot = buckets.agg(sum(col("s")).as("st"), sum(col("c")).as("nt"),
+        count(lit(1)).as("nb"))
+      val loo = buckets.crossJoin(tot)
+        .select(col("st"), col("nt"), col("nb"),
+          round((col("st") - col("s")).cast("double") /
+            (col("nt") - col("c")).cast("double"), 6).as("rb"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val rbar = loo.groupBy(col("st"), col("nt"), col("nb"))
+        .agg((sum(col("rb").cast(DecimalType(38, 6))).cast("double") /
+          col("nb")).as("rbar"))
+      loo.join(rbar, Seq("st", "nt", "nb"))
+        .select(col("st"), col("nt"), col("nb"), col("rb"), col("rbar"))
+        .groupBy(col("st"), col("nt"), col("nb"), col("rbar"))
+        .agg(sum(round((col("rb") - col("rbar")) * (col("rb") - col("rbar")), 6)
+          .cast(DecimalType(38, 6))).as("ss"))
+        .select(
+          col("nb").as("n_buckets"),
+          (d(col("st")) / d(col("nt"))).as("mean_purchase"),
+          round(sqrt((d(col("nb")) - 1.0) / d(col("nb")) *
+            d(col("ss"))), 6).as("se"))
+    },
+    Some("""
+      WITH buckets AS (
+        SELECT user_id % 32 AS b,
+          CAST(SUM(CAST(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000
+            AS BIGINT)) AS BIGINT) AS s,
+          COUNT(*) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(c) AS BIGINT) AS nt,
+          COUNT(*) AS nb
+        FROM buckets),
+      loo AS (
+        SELECT st, nt, nb,
+          round(CAST(st - s AS DOUBLE) / CAST(nt - c AS DOUBLE), 6) AS rb
+        FROM buckets CROSS JOIN tot),
+      rbar AS (
+        SELECT st, nt, nb,
+          CAST(SUM(CAST(rb AS DECIMAL(38,6))) AS DOUBLE) / nb AS rbar
+        FROM loo GROUP BY st, nt, nb),
+      ss AS (
+        SELECT l.st, l.nt, l.nb, r.rbar,
+          SUM(CAST(round((rb - rbar) * (rb - rbar), 6) AS DECIMAL(38,6))) AS ss
+        FROM loo l JOIN rbar r ON l.st = r.st AND l.nt = r.nt AND l.nb = r.nb
+        GROUP BY l.st, l.nt, l.nb, r.rbar)
+      SELECT nb AS n_buckets,
+        CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS mean_purchase,
+        round(sqrt((CAST(nb AS DOUBLE) - 1.0e0) / CAST(nb AS DOUBLE)
+          * CAST(ss AS DOUBLE)), 6) AS se
+      FROM ss
+    """))
+
   /** Extended window-function suite (§2.5): lead, ntile, cume_dist,
     * first/last over an explicit full frame — unique tiebreak (orderkey)
     * everywhere, so rank-family semantics match DuckDB exactly. */
@@ -1319,7 +1547,8 @@ object Analytics {
     q202MannWhitney, q203Spearman, q204Autocorrelation, q208AsOfNative,
     q210FanoFactor, q211MutualInformation, q212AsOfNativeForward,
     q213LowWatermark, q215GapsIslands, q216CrossCorrelation, q218M4Downsample,
-    q219IntervalMerge, q221Wilcoxon, q222Mase, q223KendallTau)
+    q219IntervalMerge, q221Wilcoxon, q222Mase, q223KendallTau,
+    q224DiffInDiff, q225Cuped, q226Jackknife)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by

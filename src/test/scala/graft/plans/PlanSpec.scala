@@ -590,4 +590,17 @@ class PlanSpec extends SparkSuite {
       assert(!plan(df).contains("CartesianProduct"), s"$name plans a cartesian")
     }
   }
+
+  test("q224/q225/q226 experimentation tier: pure aggregates, no windows, no cartesian") {
+    // DiD and CUPED are conditional/moment aggregates; jackknife's only
+    // joins carry the 1-row totals / B-row bucket table
+    Seq("q224_diff_in_diff", "q225_cuped", "q226_jackknife").foreach { name =>
+      val df = QueryCatalog.queries(name)(spark, dir)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.isEmpty, s"$name: no window belongs here:\n${wins.mkString}")
+      assert(!plan(df).contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+  }
 }
