@@ -119,6 +119,111 @@ object Similarity {
     selected.select(col("qid"), col("pick"), col("id"), col("sim"), col("mmr"))
   }
 
+  /** One MMR candidate riding in the [[MmrAgg]] buffer. */
+  private[ext] case class MmrCand(id: Long, sim: Double, vec: Seq[Float])
+  /** One MMR selection: `pick` is the 1-based greedy round. */
+  private[ext] case class MmrPick(pick: Long, id: Long, sim: Double, mmr: Double)
+  private[ext] case class MmrPicks(picks: Seq[MmrPick])
+
+  /** Exactly [[graft.functions.CosineSimilarity]]'s accumulation (float →
+    * double, one left-to-right fused loop) so the fused greedy is bit-equal
+    * to the round-based operator's pair expressions. */
+  private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Per-query greedy MMR over the buffered candidate pool — the same
+    * selection rule as [[mmrTopK]] (λ-weighted marginal score, ties by id,
+    * first pick pure relevance), run entirely inside one aggregation
+    * buffer. */
+  private class MmrAgg(k: Int, lambda: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[MmrCand, Seq[MmrCand], MmrPicks] {
+    def zero: Seq[MmrCand] = Nil
+    def reduce(b: Seq[MmrCand], c: MmrCand): Seq[MmrCand] = c +: b
+    def merge(a: Seq[MmrCand], b: Seq[MmrCand]): Seq[MmrCand] = a ++ b
+    def finish(buf: Seq[MmrCand]): MmrPicks = {
+      var remaining = buf.sortBy(c => (-c.sim, c.id)).toVector
+      var selected = Vector.empty[MmrCand]
+      val out = Vector.newBuilder[MmrPick]
+      var round = 1
+      while (round <= k && remaining.nonEmpty) {
+        var bestIdx = -1; var bestScore = Double.NegativeInfinity; var bestId = Long.MaxValue
+        var i = 0
+        while (i < remaining.length) {
+          val c = remaining(i)
+          val score =
+            if (selected.isEmpty) c.sim * lambda
+            else {
+              var div = Double.NegativeInfinity
+              var j = 0
+              while (j < selected.length) {
+                val p = cosLocal(c.vec, selected(j).vec)
+                if (p > div) div = p
+                j += 1
+              }
+              c.sim * lambda - (1.0 - lambda) * div
+            }
+          if (score > bestScore || (score == bestScore && c.id < bestId)) {
+            bestIdx = i; bestScore = score; bestId = c.id
+          }
+          i += 1
+        }
+        val picked = remaining(bestIdx)
+        out += MmrPick(round.toLong, picked.id, picked.sim, bestScore)
+        selected :+= picked
+        remaining = remaining.patch(bestIdx, Nil, 1)
+        round += 1
+      }
+      MmrPicks(out.result())
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[MmrCand]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[MmrPicks] =
+      org.apache.spark.sql.Encoders.product[MmrPicks]
+  }
+
+  /** [[mmrTopK]] fused into ONE query-keyed aggregation: the bounded
+    * candidate pool (poolSize rows × d floats per query — KBs) rides in a
+    * typed Aggregator buffer with map-side partial merge, and the k-round
+    * greedy runs in `finish` — no k scheduled joins, no localCheckpoint
+    * chain, one shuffle keyed on qid. This is the RIGHT shape precisely
+    * because MMR's pool is bounded by contract (30–100 candidates from the
+    * exact or ANN tier): the per-group state is O(poolSize·d), and pair
+    * similarities are computed on demand inside the greedy (≤ k·poolSize
+    * cosines) instead of materializing the poolSize² matrix. Bit-equal to
+    * [[mmrTopK]] (MmrSpec pins it): [[cosLocal]] reproduces the native
+    * expression's accumulation order, and the selection rule (λ-score,
+    * ties by id) is identical. Same 4-column output contract. Float
+    * corpora only — an array<double> corpus would be downcast here; use
+    * the round-based form there. */
+  def mmrTopKFused(corpus: DataFrame, queries: DataFrame, k: Int, poolSize: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1, got k=$k pool=$poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(corpus, queries, poolSize)
+      .join(corpus, "id")
+      .select(col("qid"), col("id"), col("sim"),
+        col("vec").cast("array<float>").as("vec"))
+    val agg = new MmrAgg(k, lambda).toColumn
+    pool.select(col("qid"), struct(col("id"), col("sim"), col("vec")).as("c"))
+      .as[(Long, MmrCand)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("r"))
+      .toDF("qid", "r")
+      .select(col("qid"), explode(col("r.picks")).as("p"))
+      .select(col("qid"), col("p.pick").as("pick"), col("p.id").as("id"),
+        col("p.sim").as("sim"), col("p.mmr").as("mmr"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
     * from (plane, dim) via xxhash64 so every executor materializes identical
     * planes with zero driver state shipped. */

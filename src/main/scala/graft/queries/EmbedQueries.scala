@@ -1669,10 +1669,14 @@ object EmbedQueries {
     * planted-duplicate test where MMR must skip the redundant cluster.
     * Scale: pool generation is the only corpus-sized step (swap in the
     * IVF×PQ candidate source at 100 TB — q196's pattern); the re-rank
-    * itself touches poolSize²-per-query rows, data-independent. */
+    * itself is data-independent. Runs the FUSED form
+    * ([[Similarity.mmrTopKFused]] — one qid-keyed aggregation, the greedy
+    * inside the Aggregator buffer; bit-equal to the round-based
+    * [[Similarity.mmrTopK]] per MmrSpec, ~5× less scheduling overhead
+    * than its k checkpointed join rounds). */
   lazy val q217MmrRerank: Q = Q(
     "q217_mmr_rerank",
-    (s, dir) => Similarity.mmrTopK(corpus(s, dir), queriesDf(s, dir),
+    (s, dir) => Similarity.mmrTopKFused(corpus(s, dir), queriesDf(s, dir),
       k = 10, poolSize = 30, lambda = 0.7),
     None)
 

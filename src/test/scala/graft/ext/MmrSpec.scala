@@ -101,6 +101,19 @@ class MmrSpec extends SparkSuite {
       s"second pick must leave the exact-duplicate cluster, got ${mmr(1)}")
   }
 
+  test("fused aggregator form is bit-equal to the round-based operator") {
+    val k = 8; val pool = 20
+    for (lambda <- Seq(0.3, 0.7, 1.0)) {
+      val rounds = Similarity.mmrTopK(corpus, queries, k, pool, lambda)
+        .select($"qid", $"pick", $"id", $"sim", $"mmr")
+        .as[(Long, Long, Long, Double, Double)].collect().sorted.toSeq
+      val fused = Similarity.mmrTopKFused(corpus, queries, k, pool, lambda)
+        .select($"qid", $"pick", $"id", $"sim", $"mmr")
+        .as[(Long, Long, Long, Double, Double)].collect().sorted.toSeq
+      assert(fused === rounds, s"fused != round-based at λ=$lambda")
+    }
+  }
+
   test("output shape: k distinct picks per query, pick is 1..k") {
     val k = 6
     val out = Similarity.mmrTopK(corpus, queries, k, poolSize = 15, lambda = 0.7)
