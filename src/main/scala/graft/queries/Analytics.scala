@@ -1097,6 +1097,79 @@ object Analytics {
       FROM ss
     """))
 
+  /** NELSON–AALEN CUMULATIVE HAZARD — the additive companion to q175's
+    * Kaplan–Meier product (H(t) = Σ_{d≤t} deaths_d / at-risk_d): the
+    * estimator of choice when hazard INCREMENTS matter (spike days jump
+    * out of H where they hide inside a product) and the standard input to
+    * hazard-ratio comparisons. Identical risk-set construction to q175
+    * (per-user entry/death/censor, day-support cumulates — bounded by the
+    * observation span, the q157 rule); the hazard terms are each one
+    * exact-int divide rounded @6 and CUMULATED IN DECIMAL, so engines
+    * cannot drift on summation order (the sum analogue of q175's
+    * ordered-fold product — and simpler: decimal addition is exact, no
+    * fold needed). */
+  lazy val q228NelsonAalen: Q = Q(
+    "q228_nelson_aalen",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("conv"),
+          max(unix_micros(col("ts"))).as("tend"))
+        .select(when(col("conv").isNotNull, 1L).otherwise(0L).as("event"),
+          expr("(coalesce(conv, tend) - t0) div 86400000000").as("day"))
+      val perDay = per.groupBy(col("day"))
+        .agg(countIf(col("event") === 1).as("deaths"),
+          countIf(col("event") === 0).as("censored"))
+      val total = per.agg(count(lit(1)).as("n_total"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDay.crossJoin(broadcast(total))
+        .withColumn("cum_exits", sum(col("deaths") + col("censored")).over(w))
+        .withColumn("at_risk",
+          col("n_total") - col("cum_exits") + col("deaths") + col("censored"))
+        .withColumn("hterm",
+          round(col("deaths").cast("double") / col("at_risk").cast("double"), 6)
+            .cast(DecimalType(28, 8)))
+        .withColumn("cum_hazard", sum(col("hterm")).over(w).cast("double"))
+        .select(col("day"), col("at_risk"), col("deaths"), col("censored"),
+          col("cum_hazard"))
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0,
+          min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS conv,
+          max(epoch_us(ts)) AS tend
+        FROM events GROUP BY user_id),
+      durs AS (
+        SELECT CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS event,
+          (COALESCE(conv, tend) - t0) // 86400000000 AS day
+        FROM per),
+      perday AS (
+        SELECT day,
+          ${QueryDsl.oracleCountIf("event = 1")} AS deaths,
+          ${QueryDsl.oracleCountIf("event = 0")} AS censored
+        FROM durs GROUP BY day),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM durs),
+      risk AS (
+        SELECT day, deaths, censored,
+          n_total - CAST(SUM(deaths + censored) OVER cum AS BIGINT)
+            + deaths + censored AS at_risk
+        FROM perday, tot
+        WINDOW cum AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      terms AS (
+        SELECT *, CAST(round(CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE), 6)
+          AS DECIMAL(28,8)) AS hterm
+        FROM risk)
+      SELECT day, at_risk, deaths, censored,
+        CAST(SUM(hterm) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS cum_hazard
+      FROM terms
+    """))
+
   /** Extended window-function suite (§2.5): lead, ntile, cume_dist,
     * first/last over an explicit full frame — unique tiebreak (orderkey)
     * everywhere, so rank-family semantics match DuckDB exactly. */
@@ -1548,7 +1621,7 @@ object Analytics {
     q210FanoFactor, q211MutualInformation, q212AsOfNativeForward,
     q213LowWatermark, q215GapsIslands, q216CrossCorrelation, q218M4Downsample,
     q219IntervalMerge, q221Wilcoxon, q222Mase, q223KendallTau,
-    q224DiffInDiff, q225Cuped, q226Jackknife)
+    q224DiffInDiff, q225Cuped, q226Jackknife, q228NelsonAalen)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by

@@ -553,7 +553,92 @@ object ProfileQueries {
         UNION ALL SELECT 'fk_orders', fk_orders, n_rows FROM m)
     """))
 
+  /** KMV SET-INTERSECTION ESTIMATE — the third KMV operator (q180 builds,
+    * q197 unions): |A∩B| from bottom-k sketches alone, the "how much do
+    * these two sources overlap?" answer that at 100 TB must come from
+    * sketch exchange, not a distinct-join of the raw sets. Estimator
+    * (Beyer et al., SIGMOD'07): K = bottom-k of A∪B (pool the two
+    * sketches — bottom-k of a union is a function of the per-set
+    * bottom-ks), θ = K's k-th smallest hash ⇒ est|A∪B| = (k−1)·P/θ; the
+    * fraction ρ of K's members lying in BOTH sets scales it:
+    * est|A∩B| = ρ·est|A∪B|. Membership tests are keyed semi-joins against
+    * the two distinct-key sets; every stage is either a TakeOrdered
+    * bottom-k or a sketch-sized (≤2k rows) op. Same engine-portable
+    * multiplicative hash as q180 ⇒ the ESTIMATOR ITSELF is full-oracle
+    * (both engines derive identical sketches), and the exact intersection
+    * rides along as a reference column so the error is visible in the
+    * result. */
+  lazy val q227KmvIntersect: Q = Q(
+    "q227_kmv_intersect",
+    (s, dir) => {
+      val P = 1000003L
+      val k = 64
+      def keys(prio: String) = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === prio)
+        .select(col("o_custkey").as("key")).distinct()
+      def sketch(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("h", pmod(pmod(col("key"), lit(P)) * lit(2654435761L), lit(P)))
+        .orderBy(col("h"), col("key")).limit(k)
+      val a = keys("1-URGENT").localCheckpoint(eager = false)
+      val b = keys("2-HIGH").localCheckpoint(eager = false)
+      val unionSk = sketch(a).unionByName(sketch(b))
+        .distinct() // a key in both sketches contributes one union element
+        .orderBy(col("h"), col("key")).limit(k)
+        .localCheckpoint(eager = false)
+      val flagged = unionSk
+        .join(a.withColumn("in_a", lit(1L)), Seq("key"), "left")
+        .join(b.withColumn("in_b", lit(1L)), Seq("key"), "left")
+      val exact = a.join(b, Seq("key"), "semi").agg(count(lit(1)).as("exact_intersect"))
+      flagged.agg(
+          count(lit(1)).as("k_used"),
+          max(col("h")).as("theta"),
+          countIf(col("in_a").isNotNull && col("in_b").isNotNull).as("n_common"))
+        .crossJoin(exact)
+        .select(col("k_used"), col("theta"), col("n_common"), col("exact_intersect"),
+          ((col("k_used") - 1).cast("double") * lit(P.toDouble)
+            / col("theta").cast("double")).as("est_union"),
+          round(col("n_common").cast("double") / col("k_used").cast("double")
+            * ((col("k_used") - 1).cast("double") * lit(P.toDouble)
+              / col("theta").cast("double")), 6).as("est_intersect"))
+    },
+    Some(s"""
+      WITH a AS (
+        SELECT DISTINCT o_custkey AS key FROM orders
+        WHERE o_orderpriority = '1-URGENT'),
+      b AS (
+        SELECT DISTINCT o_custkey AS key FROM orders
+        WHERE o_orderpriority = '2-HIGH'),
+      ska AS (
+        SELECT key, ((key % 1000003) * 2654435761) % 1000003 AS h
+        FROM a ORDER BY h, key LIMIT 64),
+      skb AS (
+        SELECT key, ((key % 1000003) * 2654435761) % 1000003 AS h
+        FROM b ORDER BY h, key LIMIT 64),
+      pool AS (SELECT DISTINCT * FROM (
+        SELECT key, h FROM ska UNION ALL SELECT key, h FROM skb)),
+      usk AS (SELECT key, h FROM pool ORDER BY h, key LIMIT 64),
+      flagged AS (
+        SELECT usk.key, usk.h,
+          a.key IS NOT NULL AS in_a, b.key IS NOT NULL AS in_b
+        FROM usk LEFT JOIN a ON usk.key = a.key LEFT JOIN b ON usk.key = b.key),
+      exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect
+        FROM a WHERE key IN (SELECT key FROM b)),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+          CAST(MAX(h) AS BIGINT) AS theta,
+          ${QueryDsl.oracleCountIf("in_a AND in_b")} AS n_common
+        FROM flagged)
+      SELECT k_used, theta, n_common, exact_intersect,
+        CAST(k_used - 1 AS DOUBLE) * 1000003.0 / CAST(theta AS DOUBLE)
+          AS est_union,
+        round(CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE)
+          * (CAST(k_used - 1 AS DOUBLE) * 1000003.0 / CAST(theta AS DOUBLE)),
+          6) AS est_intersect
+      FROM agg CROSS JOIN exact
+    """))
+
   val all: Seq[Q] = Seq(q86Profile, q100PsiDrift, q119ApproxProfile, q149CountMin,
     q164Benford, q170ReplicaReconcile, q173SpaceSavingTokens, q180KmvSketch,
-    q197KmvMerge, q220DqExpectations)
+    q197KmvMerge, q220DqExpectations, q227KmvIntersect)
 }

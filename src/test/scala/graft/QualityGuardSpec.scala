@@ -71,6 +71,15 @@ class QualityGuardSpec extends SparkSuite {
     assert(rel <= 0.6, f"KMV merged estimate drifted: est $est%.1f vs true $truth%.0f (rel $rel%.2f)")
   }
 
+  test("q227 KMV intersection estimate: rel err <= 0.5 vs the exact intersect (k=64)") {
+    // measured at sf0.01 this session: rel err 0.097 (est 1228.7 vs 1120)
+    val r = q("q227_kmv_intersect")
+      .select(col("est_intersect"), col("exact_intersect")).head()
+    val est = r.getDouble(0); val truth = r.getLong(1).toDouble
+    val rel = math.abs(est - truth) / truth
+    assert(rel <= 0.5, f"KMV intersect estimate drifted: est $est%.1f vs true $truth%.0f (rel $rel%.2f)")
+  }
+
   test("q34 LSH recall@10 >= 0.25 vs exact cosine") {
     val r = recall(q("q34_ann_lsh"), q("q33_cosine_topk"))
     assert(r >= 0.25, f"q34 LSH recall collapsed: $r%.3f < 0.25")
