@@ -1464,6 +1464,71 @@ object TextQueries {
       FROM fit
     """))
 
+  /** WITHIN-DOCUMENT REPETITION METRICS — the Gopher repetition rules
+    * (Rae et al. 2021 §A1.1) the corpus-level passes can't see: a doc
+    * whose 3-grams are 60% duplicated is boilerplate even if globally
+    * unique (q163 measures CORPUS n-gram mass; q105 novelty vs a
+    * reference; q90 cross-doc spans — none look inside one doc). Per doc:
+    * duplicated-bigram and duplicated-trigram fractions
+    * (1 − |distinct|/|all|, computed on the q30 shingle arrays in one
+    * projection) and top-bigram mass via explode → (doc, gram) count →
+    * per-doc max/sum — the distributed shape, never an O(tokens²)
+    * per-row HOF scan. The keep flag applies Gopher-ish thresholds
+    * (dup3 ≤ 0.3, top2 mass ≤ 0.4). All ratios are exact-int divides
+    * rounded @6 ⇒ full oracle (DuckDB list ops rebuild identical
+    * shingles, whole-text fallback included). */
+  lazy val q229DocRepetition: Q = Q(
+    "q229_doc_repetition",
+    (s, dir) => {
+      import graft.ext.Dedup
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+          Dedup.shingles(col("toks"), 2).as("g2"),
+          Dedup.shingles(col("toks"), 3).as("g3"))
+        .localCheckpoint(eager = false) // feeds the metrics AND the mass explode
+      val mass = d.select(col("doc_id"), explode(col("g2")).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("topc"), sum(col("c")).as("totc"))
+      d.join(mass, Seq("doc_id"))
+        .select(col("doc_id"), col("n_toks"),
+          round(lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+            / size(col("g2")), 6).as("dup2_frac"),
+          round(lit(1.0) - size(array_distinct(col("g3"))).cast("double")
+            / size(col("g3")), 6).as("dup3_frac"),
+          round(col("topc").cast("double") / col("totc"), 6).as("top2_mass"))
+        .withColumn("keep",
+          col("dup3_frac") <= 0.3 && col("top2_mass") <= 0.4)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      g AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+          CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(range(1, len(t)),
+                 i -> array_to_string(t[i:i+1], ' ')) END AS g2,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(range(1, len(t) - 1),
+                 i -> array_to_string(t[i:i+2], ' ')) END AS g3
+        FROM toks),
+      flat AS (SELECT doc_id, UNNEST(g2) AS gram FROM g),
+      mass AS (
+        SELECT doc_id, MAX(c) AS topc, SUM(c) AS totc FROM (
+          SELECT doc_id, gram, COUNT(*) AS c FROM flat GROUP BY 1, 2)
+        GROUP BY 1)
+      SELECT g.doc_id, n_toks,
+        round(1.0e0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+          AS dup2_frac,
+        round(1.0e0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+          AS dup3_frac,
+        round(CAST(topc AS DOUBLE) / totc, 6) AS top2_mass,
+        (round(1.0e0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) <= 0.3
+          AND round(CAST(topc AS DOUBLE) / totc, 6) <= 0.4) AS keep
+      FROM g JOIN mass ON g.doc_id = mass.doc_id
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
@@ -1471,5 +1536,5 @@ object TextQueries {
     q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
     q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval,
     q131BpeMerges, q142BpeEncode, q143Bm25, q152PreferencePairs, q163TopNgramMass,
-    q167ContainmentPairs, q190TokenizerFertility, q209ZipfSlope)
+    q167ContainmentPairs, q190TokenizerFertility, q209ZipfSlope, q229DocRepetition)
 }
