@@ -24,10 +24,15 @@ object Gold {
   private def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
 
   /** Merchant-risk-style summary (ref 03:40-59): per-supplier transaction
-    * aggregates + flag rates. `lineitem ⋈ supplier` plays txns⋈merchant. */
+    * aggregates + flag rates. `lineitem ⋈ supplier` plays txns⋈merchant.
+    * The merchant dimension joins UNHINTED: it is data-sized (one row per
+    * supplier — SF-proportional), so a mandatory broadcast would OOM the
+    * driver at 100 TB (the q193 rule; flagged by ScaleLint r14, a shipped
+    * r1 liability). AQE still elects a broadcast at bench SFs where it
+    * fits under the threshold. */
   def merchantRisk(lineitem: DataFrame, supplier: DataFrame): DataFrame =
     lineitem
-      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(
         count(lit(1)).as("n_txns"),

@@ -1254,10 +1254,14 @@ object Analytics {
       graft.functions.GraftFunctions.register(s)
       t(s, dir, "documents").createOrReplaceTempView("g_docs")
       t(s, dir, "embeddings").createOrReplaceTempView("g_embs")
+      // LIMIT 1 on the scalar CTEs: semantically a no-op (vec_id/doc_id are
+      // unique keys) but it makes the 1-row bound STRUCTURAL, so the
+      // comma-join against them is provably not a data×data product
+      // (ScaleLint's unbounded-cartesian rule reads the plan, not the keys)
       s.sql("""
-        WITH q AS (SELECT embedding AS qvec FROM g_embs WHERE vec_id = 0),
+        WITH q AS (SELECT embedding AS qvec FROM g_embs WHERE vec_id = 0 LIMIT 1),
         qd AS (SELECT array_distinct(split(lower(text), ' ')) AS qtoks
-               FROM g_docs WHERE doc_id = 0)
+               FROM g_docs WHERE doc_id = 0 LIMIT 1)
         SELECT e.vec_id, d.doc_id,
           cosine_similarity(e.embedding, q.qvec) AS cos_sim,
           jaccard_sim(array_distinct(split(lower(d.text), ' ')), qd.qtoks) AS jac_sim
