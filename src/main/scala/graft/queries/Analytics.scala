@@ -1625,7 +1625,7 @@ object Analytics {
     q210FanoFactor, q211MutualInformation, q212AsOfNativeForward,
     q213LowWatermark, q215GapsIslands, q216CrossCorrelation, q218M4Downsample,
     q219IntervalMerge, q221Wilcoxon, q222Mase, q223KendallTau,
-    q224DiffInDiff, q225Cuped, q226Jackknife, q228NelsonAalen)
+    q224DiffInDiff, q225Cuped, q226Jackknife, q228NelsonAalen, q230CohortLtv)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by
@@ -2984,6 +2984,71 @@ object Analytics {
       SELECT cohort_week, offset_week, n_users,
         CAST(n_users AS DOUBLE) / CAST(n0 AS DOUBLE) AS retention
       FROM ret JOIN base USING (cohort_week)
+    """))
+
+  /** COHORT LTV CURVES — cumulative purchase revenue per user by
+    * signup-week cohort and week offset: the "how much is a week-N user
+    * worth by week N+k?" table every payback-period decision reads (q199
+    * counts retained USERS; this accumulates their VALUE). Cohort
+    * assignment is q199's first-activity week; weekly revenue is exact
+    * µ-unit longs; the cumulate runs in a COHORT-KEYED window over the
+    * (cohort × offset) aggregate — support-bounded (weeks², the q199
+    * shape), so ScaleLint stays quiet by construction; LTV-per-user is one
+    * exact-int divide. Cohort sizes join back broadcast (weeks-bounded). */
+  lazy val q230CohortLtv: Q = Q(
+    "q230_cohort_ltv",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(unix_date(to_date(ts)) AS BIGINT) div 7").as("wk"),
+          (round(col("value"), 6).cast(DecimalType(28, 6)) * 1000000)
+            .cast("long").as("v"))
+        .localCheckpoint(eager = false) // feeds cohorts AND revenue
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+        .localCheckpoint(eager = false) // feeds sizes AND the revenue join
+      val sizes = cohort.groupBy(col("cwk").as("cohort_week"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val weekly = ev.filter(col("event_type") === "purchase")
+        .join(cohort, Seq("user_id"))
+        .groupBy(col("cwk").as("cohort_week"),
+          (col("wk") - col("cwk")).as("offset_week"))
+        .agg(sum(col("v")).as("wk_rev"))
+      val w = Window.partitionBy(col("cohort_week")).orderBy(col("offset_week"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weekly
+        .withColumn("cum_rev", sum(col("wk_rev")).over(w))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("offset_week"), col("n_users"),
+          col("wk_rev"), col("cum_rev"),
+          (col("cum_rev").cast("double") / col("n_users")).as("ltv_per_user"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS wk,
+          CAST(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS v
+        FROM events),
+      cohort AS (SELECT user_id, MIN(wk) AS cwk FROM ev GROUP BY user_id),
+      sizes AS (
+        SELECT cwk AS cohort_week, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+          AS n_users
+        FROM cohort GROUP BY 1),
+      weekly AS (
+        SELECT cwk AS cohort_week, wk - cwk AS offset_week,
+          CAST(SUM(v) AS BIGINT) AS wk_rev
+        FROM ev JOIN cohort USING (user_id)
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT *, CAST(SUM(wk_rev) OVER (PARTITION BY cohort_week
+          ORDER BY offset_week
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_rev
+        FROM weekly)
+      SELECT cohort_week, offset_week, n_users, wk_rev, cum_rev,
+        CAST(cum_rev AS DOUBLE) / n_users AS ltv_per_user
+      FROM cum JOIN sizes USING (cohort_week)
     """))
 
   /** ORDERED CONVERSION FUNNEL signup → click → purchase: per user, the
