@@ -1625,7 +1625,8 @@ object Analytics {
     q210FanoFactor, q211MutualInformation, q212AsOfNativeForward,
     q213LowWatermark, q215GapsIslands, q216CrossCorrelation, q218M4Downsample,
     q219IntervalMerge, q221Wilcoxon, q222Mase, q223KendallTau,
-    q224DiffInDiff, q225Cuped, q226Jackknife, q228NelsonAalen, q230CohortLtv)
+    q224DiffInDiff, q225Cuped, q226Jackknife, q228NelsonAalen, q230CohortLtv,
+    q231Stickiness, q232Mde)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by
@@ -3049,6 +3050,135 @@ object Analytics {
       SELECT cohort_week, offset_week, n_users, wk_rev, cum_rev,
         CAST(cum_rev AS DOUBLE) / n_users AS ltv_per_user
       FROM cum JOIN sizes USING (cohort_week)
+    """))
+
+  /** DAU / WAU / MAU STICKINESS — per day: distinct active users, the
+    * 7-day and 28-day rolling distinct-user reaches, and the DAU/WAU
+    * stickiness ratio (the engagement-frequency metric every product
+    * review opens with). Sliding-window COUNT DISTINCT does not decompose
+    * into partial aggregates, so each rolling reach EXPLODES the deduped
+    * |user-days| table by its window (each active day contributes to the
+    * next `win` days' reach — fan-out exactly `win`, a keyed shuffle,
+    * never a range nested-loop over data), restricted to the observed-day
+    * spine, then one distinct-count per day. New-vs-returning rides along
+    * from each user's first-seen day. Exact integer counts, unrounded
+    * exact-int ratios. */
+  lazy val q231Stickiness: Q = Q(
+    "q231_stickiness",
+    (s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .distinct()
+        .localCheckpoint(eager = false) // spine, reaches, and first-seen share it
+      val days = ud.select(col("day")).distinct()
+      def reach(win: Int, cname: String) = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + (win - 1))).as("rday"))
+        .join(days.select(col("day").as("rday")), Seq("rday"))
+        .groupBy(col("rday"))
+        .agg(countDistinct(col("user_id")).as(cname))
+        .withColumnRenamed("rday", "day")
+      val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      val firstSeen = ud.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+      val newUsers = firstSeen.groupBy(col("fday").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      dau
+        .join(reach(7, "wau"), Seq("day"))
+        .join(reach(28, "mau"), Seq("day"))
+        .join(newUsers, Seq("day"), "left")
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"),
+          (col("dau") - coalesce(col("new_users"), lit(0L))).as("returning_users"),
+          (col("dau").cast("double") / col("wau")).as("stickiness"))
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        FROM events),
+      days AS (SELECT DISTINCT day FROM ud),
+      dau AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM ud GROUP BY day),
+      exp7 AS (
+        SELECT user_id, UNNEST(range(day, day + 7)) AS rday FROM ud),
+      wau AS (
+        SELECT rday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM exp7 JOIN days d ON d.day = exp7.rday
+        GROUP BY rday),
+      exp28 AS (
+        SELECT user_id, UNNEST(range(day, day + 28)) AS rday FROM ud),
+      mau AS (
+        SELECT rday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM exp28 JOIN days d ON d.day = exp28.rday
+        GROUP BY rday),
+      first_seen AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY user_id),
+      newu AS (
+        SELECT fday AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY fday)
+      SELECT dau.day, dau, wau, mau,
+        COALESCE(new_users, 0) AS new_users,
+        dau - COALESCE(new_users, 0) AS returning_users,
+        CAST(dau AS DOUBLE) / wau AS stickiness
+      FROM dau
+      JOIN wau USING (day) JOIN mau USING (day)
+      LEFT JOIN newu USING (day)
+    """))
+
+  /** MINIMUM DETECTABLE EFFECT — the experiment-sizing readout that closes
+    * the q224–q226 tier: per event type, the relative effect a two-arm
+    * test on per-event values could detect at α=0.05 / power 0.8 given the
+    * CURRENT traffic and variance, MDE = (z_{α/2}+z_β)·√(2σ²/n) / μ with
+    * the z quantiles as shared literals (no erf — the one transcendental
+    * that would split the engines). Variance from exact decimal moments
+    * (n·Σx² − (Σx)² over µ-units), one identical double chain. */
+  lazy val q232Mde: Q = Q(
+    "q232_mde",
+    (s, dir) => {
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val m = t(s, dir, "events")
+        .select(col("event_type"),
+          (round(col("value"), 6).cast(DecimalType(28, 6)) * 1000000)
+            .cast("long").as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(38, 0))).as("sx"),
+          sum(col("v").cast(DecimalType(19, 0)) * col("v").cast(DecimalType(19, 0)))
+            .as("sxx"))
+      m.select(col("event_type"), col("n"),
+          (d(col("sx")) / d(col("n"))).as("mean_micros"),
+          ((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
+            (d(col("n")) * (d(col("n")) - 1.0))).as("variance"))
+        .select(col("event_type"), col("n"), col("mean_micros"), col("variance"),
+          round(lit(1.959964) + lit(0.841621), 6).as("z_sum"),
+          round((lit(1.959964) + lit(0.841621))
+            * sqrt(lit(2.0) * col("variance") / d(col("n")))
+            / col("mean_micros"), 6).as("mde_relative"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT event_type, COUNT(*) AS n,
+          SUM(CAST(CAST(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000
+            AS BIGINT) AS HUGEINT)) AS sx,
+          SUM(CAST(CAST(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000
+            AS BIGINT) AS HUGEINT)
+            * CAST(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT))
+            AS sxx
+        FROM events GROUP BY event_type),
+      v AS (
+        SELECT event_type, n,
+          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_micros,
+          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)) AS variance
+        FROM m)
+      SELECT event_type, n, mean_micros, variance,
+        round(1.959964e0 + 0.841621e0, 6) AS z_sum,
+        round((1.959964e0 + 0.841621e0)
+          * sqrt(2.0e0 * variance / CAST(n AS DOUBLE)) / mean_micros, 6)
+          AS mde_relative
+      FROM v
     """))
 
   /** ORDERED CONVERSION FUNNEL signup → click → purchase: per user, the
