@@ -66,6 +66,47 @@ object StreamPipes {
       }
       .start()
 
+  /** Streaming DECLARATIVE EXPECTATIONS (r14) — [[graft.ext.Expectations]]
+    * as a maintained stream stage, the generalization of
+    * [[silverForeachBatch]]'s hand-rolled DQ split to an arbitrary rule
+    * set (the managed-ETL `expect_or_drop` surface the reference platform
+    * ships as notebook decorators): per micro-batch, one flagging pass,
+    * clean rows APPEND to the contract-passing table, violations and the
+    * per-rule metrics land in `batch=<id>`-scoped partitions.
+    *
+    * Exactly-once under replay on all three sinks: clean rows are scoped
+    * to `batch=<id>` partition dirs exactly like quarantine/metrics —
+    * replaying a micro-batch after a failure between any write and the
+    * checkpoint commit OVERWRITES the same partitions instead of
+    * appending duplicates (the proven silverForeachBatch discipline). The
+    * batch is persisted before the three derived writes so the flagging
+    * projection runs once, not three times. Dataset-level rules
+    * (uniqueness/FK) evaluate WITHIN the micro-batch — cross-batch
+    * uniqueness belongs to the keyed-merge tier (dropDuplicates state /
+    * [[dedupIngest]]'s persisted index), not a per-batch contract. */
+  def expectationsIngest(
+      stream: DataFrame,
+      rules: Seq[graft.ext.Expectations.Rule],
+      cleanPath: String, quarantinePath: String, metricsPath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist()
+        try {
+          val r = graft.ext.Expectations.check(cached, rules)
+          r.clean.write.mode("overwrite")
+            .parquet(s"$cleanPath/batch=$batchId")
+          r.quarantine.write.mode("overwrite")
+            .parquet(s"$quarantinePath/batch=$batchId")
+          r.metrics.write.mode("overwrite")
+            .parquet(s"$metricsPath/batch=$batchId")
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+
   /** Watermarked event-time hourly aggregate (north-star ST7): late data
     * beyond 10 minutes is dropped; state is bounded by the watermark. */
   def watermarkedHourly(events: DataFrame): DataFrame =

@@ -782,4 +782,45 @@ class StreamingSpec extends SparkSuite {
     run()
     assert(canon(IncrementalAgg.read(spark, base).get) === streamed)
   }
+
+  test("streaming expectations: per-batch clean/quarantine/metrics, idempotent replay (r14)") {
+    import graft.ext.Expectations._
+    val dir = tmp()
+    val rawPath = s"$dir/raw"
+    // planted contract: ids 1..8 clean except qty<=0 on 3, dup id 5, fk 99 on 7
+    val rows = Seq(
+      (1L, Option(1L), Option(10.0)), (2L, Option(2L), Option(4.0)),
+      (3L, Option(1L), Option(-2.0)), (4L, Option(3L), Option(6.0)),
+      (5L, Option(2L), Option(7.0)), (5L, Option(2L), Option(7.0)),
+      (7L, Option(99L), Option(1.0)), (8L, None: Option[Long], Option(2.0)))
+    rows.toDF("id", "fk", "qty").write.parquet(rawPath)
+    val schema = spark.read.parquet(rawPath).schema
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val rules = Seq(
+      Expect("qty_positive", col("qty") > 0),
+      ExpectUnique("unique_id", Seq("id")),
+      ExpectFk("fk_dim", Seq("fk"), dim, Seq("k")))
+    def runOnce(ckpt: String): Unit =
+      StreamPipes.expectationsIngest(
+        StreamPipes.tableStream(spark, rawPath, schema), rules,
+        s"$dir/clean", s"$dir/quarantine", s"$dir/metrics", ckpt)
+        .awaitTermination()
+
+    runOnce(s"$dir/ck1")
+    val clean = spark.read.parquet(s"$dir/clean")
+    assert(clean.select($"id").as[Long].collect().sorted === Array(1L, 2L, 4L, 8L),
+      "null FK passes; qty<=0, dup copies, dangling FK quarantine")
+    val quar = spark.read.parquet(s"$dir/quarantine")
+    assert(quar.count() === 4, "both dup copies + qty + fk rows")
+    val m = spark.read.parquet(s"$dir/metrics")
+      .select($"rule", $"n_violations").as[(String, Long)].collect().toMap
+    assert(m === Map("qty_positive" -> 1L, "unique_id" -> 2L, "fk_dim" -> 1L))
+
+    // replay the same source with a FRESH checkpoint: the batch=<id>
+    // scoped overwrites must leave all three sinks unchanged
+    runOnce(s"$dir/ck2")
+    assert(spark.read.parquet(s"$dir/clean").count() === 4)
+    assert(spark.read.parquet(s"$dir/quarantine").count() === 4)
+    assert(spark.read.parquet(s"$dir/metrics").count() === 3)
+  }
 }
