@@ -1529,6 +1529,82 @@ object TextQueries {
       FROM g JOIN mass ON g.doc_id = mass.doc_id
     """))
 
+  /** TEXTRANK KEYWORDS (Mihalcea & Tarau 2004) — corpus keywords as
+    * PageRank over the word co-occurrence graph: words are nodes, an
+    * undirected edge links words appearing within a 2-token window, and
+    * q130's integer-micromass damped walk ranks them. The cross-tier
+    * composition (text explode → positional self-join → graph tier):
+    * pair generation is DOC-KEYED with positional fan-out ≤ 2w per token
+    * (never all-pairs within a doc), the edge/vocabulary tables are
+    * aggregate-bounded, and the walk is the proven exact recurrence —
+    * node ids here are the WORDS themselves (the recurrence never does
+    * arithmetic on node ids, only joins, so string nodes ride through
+    * `PageRank.run` unchanged). FULL oracle: the DuckDB twin unrolls the
+    * same 4 rounds in exact BIGINT (`//`), the q130/q207 pattern. */
+  lazy val q233TextRank: Q = Q(
+    "q233_textrank",
+    (s, dir) => {
+      val scale = 1000000000000L
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+        .filter(length(col("w")) >= 3) // deterministic stopword-ish screen
+        .localCheckpoint(eager = false) // both sides of the window join
+      val p0 = toks.select(col("doc_id"), col("pos").as("pa"), col("w").as("wa"))
+        .join(toks.select(col("doc_id"), col("pos").as("pb"), col("w").as("wb")),
+          Seq("doc_id"))
+        .filter(col("pb") > col("pa") && col("pb") - col("pa") <= 2 &&
+          col("wa") =!= col("wb"))
+        .select(col("wa"), col("wb")).distinct()
+      val edges = p0.select(col("wa").as("src"), col("wb").as("dst"))
+        .unionAll(p0.select(col("wb").as("src"), col("wa").as("dst")))
+        .distinct()
+      graft.ext.PageRank.run(edges, 4, scale)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("word"), col("rank"))
+    },
+    Some {
+      val scale = "1000000000000"
+      val stages = (1 to 4).map { i =>
+        s"""r$i AS (
+        SELECT e.dst AS node,
+          CAST((SELECT tp FROM consts)
+            + (85 * SUM(r${i - 1}.rank // d.outd)) // 100 AS BIGINT) AS rank
+        FROM edges e
+        JOIN r${i - 1} ON e.src = r${i - 1}.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH toks0 AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+      toks AS (
+        SELECT doc_id, UNNEST(l) AS w, UNNEST(range(len(l))) AS pos
+        FROM toks0),
+      tf AS (SELECT doc_id, w, pos FROM toks WHERE length(w) >= 3),
+      p0 AS (
+        SELECT DISTINCT a.w AS wa, b.w AS wb
+        FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+          AND b.pos > a.pos AND b.pos - a.pos <= 2 AND a.w <> b.w),
+      edges AS (
+        SELECT DISTINCT * FROM (
+          SELECT wa AS src, wb AS dst FROM p0
+          UNION ALL SELECT wb AS src, wa AS dst FROM p0)),
+      deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src),
+      consts AS (
+        SELECT CAST($scale // COUNT(*) AS BIGINT) AS base,
+          CAST(15 * ($scale // COUNT(*)) // 100 AS BIGINT) AS tp
+        FROM deg),
+      r0 AS (
+        SELECT src AS node, (SELECT base FROM consts) AS rank FROM deg),
+      $stages
+      SELECT node AS word, rank FROM r4
+      ORDER BY rank DESC, node LIMIT 20
+    """
+    })
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
@@ -1536,5 +1612,6 @@ object TextQueries {
     q87BigramLm, q90DupSpans, q102IncrementalNearDup, q105NgramNovelty,
     q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval,
     q131BpeMerges, q142BpeEncode, q143Bm25, q152PreferencePairs, q163TopNgramMass,
-    q167ContainmentPairs, q190TokenizerFertility, q209ZipfSlope, q229DocRepetition)
+    q167ContainmentPairs, q190TokenizerFertility, q209ZipfSlope, q229DocRepetition,
+    q233TextRank)
 }
