@@ -59,6 +59,15 @@ object Expectations {
     require(rules.nonEmpty, "expectations: empty rule set")
     require(rules.map(_.name).distinct.size == rules.size,
       "expectations: rule names must be unique")
+    // rule names travel as intermediate column names (metric pivots) and
+    // as `violated` entries — keep them out of the input's namespace and
+    // out of column-resolution edge cases (dots/backticks)
+    rules.foreach { r =>
+      require(r.name.matches("[A-Za-z0-9_-]+"),
+        s"expectations: rule name '${r.name}' must be [A-Za-z0-9_-]+")
+      require(r.name != "n_rows" && !df.columns.contains(r.name),
+        s"expectations: rule name '${r.name}' collides with an input/metric column")
+    }
 
     // dataset-level rules first: each derives a keyed "bad keys" table from
     // the input, joined back before the row-local projection

@@ -82,4 +82,13 @@ class ExpectationsSpec extends SparkSuite {
     intercept[IllegalArgumentException](check(input,
       Seq(Expect("a", col("qty") > 0), Expect("a", col("qty") < 9))))
   }
+
+  test("unsafe and colliding rule names are rejected") {
+    intercept[IllegalArgumentException](check(input,
+      Seq(Expect("n_rows", col("qty") > 0)))) // metric column collision
+    intercept[IllegalArgumentException](check(input,
+      Seq(Expect("qty", col("qty") > 0)))) // input column collision
+    intercept[IllegalArgumentException](check(input,
+      Seq(Expect("bad.name", col("qty") > 0)))) // resolution-unsafe chars
+  }
 }
