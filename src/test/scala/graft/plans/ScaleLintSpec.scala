@@ -65,6 +65,20 @@ class ScaleLintSpec extends SparkSuite {
       "the 1-row aggregate cross join (q218 shape) must pass")
   }
 
+  test("unbounded-cartesian: the hinted row-reduced side is the approved scored-set idiom; unhinted stays flagged") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val scored = Tables.load(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+    // q33's shape: hinted broadcast of a FILTERED set against the corpus —
+    // the author asserts the size contract the hint encodes
+    assert(errs(li.crossJoin(broadcast(scored))).isEmpty,
+      "hinted + row-reduced side is the approved idiom")
+    // same join UNHINTED: a filter over a scan is not structurally bounded
+    // and nobody asserted smallness — flag it
+    assert(errs(li.crossJoin(scored)).exists(_.rule == "unbounded-cartesian"),
+      "unhinted filtered side must still flag")
+  }
+
   test("exact-percentile is advice, not error") {
     val f = ScaleLint.check(
       Tables.load(spark, dir, "orders")
