@@ -1626,7 +1626,7 @@ object Analytics {
     q213LowWatermark, q215GapsIslands, q216CrossCorrelation, q218M4Downsample,
     q219IntervalMerge, q221Wilcoxon, q222Mase, q223KendallTau,
     q224DiffInDiff, q225Cuped, q226Jackknife, q228NelsonAalen, q230CohortLtv,
-    q231Stickiness, q232Mde)
+    q231Stickiness, q232Mde, q234OddsRatio)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by
@@ -3179,6 +3179,86 @@ object Analytics {
           * sqrt(2.0e0 * variance / CAST(n AS DOUBLE)) / mean_micros, 6)
           AS mde_relative
       FROM v
+    """))
+
+  /** ODDS RATIO WITH LOG-CI — the binary-outcome experiment readout
+    * (q224/q232 treat continuous value metrics; conversion is a 2×2
+    * table): treatment arm = the q224 hash-bucket assignment, outcome =
+    * "the user's post-period purchase total EXCEEDS their pre-period
+    * total" (an exact µ-unit integer comparison; near 50/50 on this data
+    * at every SF — a raw "purchased at all" outcome saturates and zeroes
+    * two cells), OR = (a·d)/(b·c) on exact integer cells, and the Woolf
+    * log-interval
+    * ln(OR) ± 1.96·√(1/a+1/b+1/c+1/d). One user-keyed aggregate → four
+    * cells → one row; ln is the only transcendental and follows the
+    * q209/q211 discipline (round@6 — both engines call libm on the
+    * IDENTICAL double, so the rounded value cannot split). */
+  lazy val q234OddsRatio: Q = Q(
+    "q234_odds_ratio",
+    (s, dir) => {
+      val cutoff = 19738L
+      val micros = (round(col("value"), 6).cast(DecimalType(28, 6)) * 1000000)
+        .cast("long")
+      val perUser = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(unix_date(to_date(col("ts"))).cast("long") >= cutoff, micros)
+            .otherwise(0L)).as("post"),
+          sum(when(unix_date(to_date(col("ts"))).cast("long") < cutoff, micros)
+            .otherwise(0L)).as("pre"))
+        .select((col("user_id") % 3 === 0).as("treat"),
+          (col("post") > col("pre")).as("conv"))
+      val cells = perUser.agg(
+        countIf(col("treat") && col("conv")).as("a"),
+        countIf(col("treat") && !col("conv")).as("b"),
+        countIf(!col("treat") && col("conv")).as("c"),
+        countIf(!col("treat") && !col("conv")).as("d"))
+      val dd = (x: org.apache.spark.sql.Column) => x.cast("double")
+      cells.select(col("a"), col("b"), col("c"), col("d"),
+          ((dd(col("a")) * dd(col("d"))) / (dd(col("b")) * dd(col("c"))))
+            .as("odds_ratio"),
+          sqrt(lit(1.0) / dd(col("a")) + lit(1.0) / dd(col("b")) +
+            lit(1.0) / dd(col("c")) + lit(1.0) / dd(col("d")))
+            .as("se_log"))
+        .select(col("a"), col("b"), col("c"), col("d"), col("odds_ratio"),
+          round(log(col("odds_ratio")), 6).as("log_or"),
+          round(log(col("odds_ratio")) - lit(1.959964) * col("se_log"), 6)
+            .as("ci_lo"),
+          round(log(col("odds_ratio")) + lit(1.959964) * col("se_log"), 6)
+            .as("ci_hi"))
+    },
+    Some(s"""
+      WITH per_user AS (
+        SELECT user_id,
+          CAST(SUM(CASE WHEN CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) >= 19738
+            THEN CAST(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS post,
+          CAST(SUM(CASE WHEN CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) < 19738
+            THEN CAST(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS pre
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      flags AS (
+        SELECT user_id % 3 = 0 AS treat, post > pre AS conv FROM per_user),
+      cells AS (
+        SELECT
+          ${QueryDsl.oracleCountIf("treat AND conv")} AS a,
+          ${QueryDsl.oracleCountIf("treat AND NOT conv")} AS b,
+          ${QueryDsl.oracleCountIf("NOT treat AND conv")} AS c,
+          ${QueryDsl.oracleCountIf("NOT treat AND NOT conv")} AS d
+        FROM flags),
+      s1 AS (
+        SELECT a, b, c, d,
+          (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+            / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) AS odds_ratio,
+          sqrt(1.0e0 / CAST(a AS DOUBLE) + 1.0e0 / CAST(b AS DOUBLE)
+             + 1.0e0 / CAST(c AS DOUBLE) + 1.0e0 / CAST(d AS DOUBLE)) AS se_log
+        FROM cells)
+      SELECT a, b, c, d, odds_ratio,
+        round(ln(odds_ratio), 6) AS log_or,
+        round(ln(odds_ratio) - 1.959964e0 * se_log, 6) AS ci_lo,
+        round(ln(odds_ratio) + 1.959964e0 * se_log, 6) AS ci_hi
+      FROM s1
     """))
 
   /** ORDERED CONVERSION FUNNEL signup → click → purchase: per user, the
