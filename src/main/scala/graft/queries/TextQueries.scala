@@ -1533,33 +1533,56 @@ object TextQueries {
     * PageRank over the word co-occurrence graph: words are nodes, an
     * undirected edge links words appearing within a 2-token window, and
     * q130's integer-micromass damped walk ranks them. The cross-tier
-    * composition (text explode → positional self-join → graph tier):
-    * pair generation is DOC-KEYED with positional fan-out ≤ 2w per token
-    * (never all-pairs within a doc), the edge/vocabulary tables are
+    * composition (text explode → positional window → graph tier):
+    * pair generation is the q188 LEAD recipe — two `lead`s over a
+    * (doc_id, pos) window, so the JOIN WORK (not just the output) is
+    * O(doc_len·w) per document; the r14 doc-keyed self-join enumerated
+    * all O(doc_len²) position pairs before the ±2 filter, which a single
+    * 100k-token document turns into 10¹⁰ comparisons in one join group.
+    * The lead offsets see the FILTERED token stream, so each carries its
+    * original position and the ≤2 gap check runs on positions — at most
+    * two surviving tokens can sit within (pos, pos+2], so lead(1)/lead(2)
+    * cover exactly the pairs the positional join produced (PlanSpec pins
+    * the plan doc-self-join-free). The edge/vocabulary tables are
     * aggregate-bounded, and the walk is the proven exact recurrence —
     * node ids here are the WORDS themselves (the recurrence never does
     * arithmetic on node ids, only joins, so string nodes ride through
     * `PageRank.run` unchanged). FULL oracle: the DuckDB twin unrolls the
     * same 4 rounds in exact BIGINT (`//`), the q130/q207 pattern. */
+  /** q233's pair generation, exposed so PlanSpec can pin ITS plan (the
+    * PageRank recurrence localCheckpoints per round, so a pin on the final
+    * query plan would be vacuous behind the lineage barrier): undirected
+    * ±2-token co-occurrence edges from two LEADs over a (doc_id, pos)
+    * window — O(doc_len·w) work per document, never a doc-keyed self-join. */
+  private[graft] def textrankEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) >= 3) // deterministic stopword-ish screen
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val p0 = toks
+      .withColumn("w1",
+        when(lead(col("pos"), 1).over(wDoc) - col("pos") <= 2,
+          lead(col("w"), 1).over(wDoc)))
+      .withColumn("w2",
+        when(lead(col("pos"), 2).over(wDoc) - col("pos") <= 2,
+          lead(col("w"), 2).over(wDoc)))
+      .select(col("w").as("wa"),
+        explode(array(col("w1"), col("w2"))).as("wb"))
+      .filter(col("wb").isNotNull && col("wa") =!= col("wb"))
+      .distinct()
+    p0.select(col("wa").as("src"), col("wb").as("dst"))
+      .unionAll(p0.select(col("wb").as("src"), col("wa").as("dst")))
+      .distinct()
+  }
+
   lazy val q233TextRank: Q = Q(
     "q233_textrank",
     (s, dir) => {
       val scale = 1000000000000L
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
-        .filter(length(col("w")) >= 3) // deterministic stopword-ish screen
-        .localCheckpoint(eager = false) // both sides of the window join
-      val p0 = toks.select(col("doc_id"), col("pos").as("pa"), col("w").as("wa"))
-        .join(toks.select(col("doc_id"), col("pos").as("pb"), col("w").as("wb")),
-          Seq("doc_id"))
-        .filter(col("pb") > col("pa") && col("pb") - col("pa") <= 2 &&
-          col("wa") =!= col("wb"))
-        .select(col("wa"), col("wb")).distinct()
-      val edges = p0.select(col("wa").as("src"), col("wb").as("dst"))
-        .unionAll(p0.select(col("wb").as("src"), col("wa").as("dst")))
-        .distinct()
-      graft.ext.PageRank.run(edges, 4, scale)
+      graft.ext.PageRank.run(textrankEdges(s, dir), 4, scale)
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
         .select(col("node").as("word"), col("rank"))

@@ -603,4 +603,27 @@ class PlanSpec extends SparkSuite {
       assert(!plan(df).contains("CartesianProduct"), s"$name plans a cartesian")
     }
   }
+
+  test("q233 textrank: pair generation is window-based — no doc-keyed self-join") {
+    // The ±2-token co-occurrence pairs must come from LEADs over a
+    // (doc_id, pos) window (O(doc_len·w) work), never a doc_id self-join
+    // whose join GROUP enumerates O(doc_len²) position pairs before the
+    // gap filter — a single 100k-token doc would be 10^10 comparisons.
+    // pin the edge-generation frame, not the full query: the PageRank
+    // recurrence localCheckpoints per round, so the final plan is
+    // lineage-truncated and any pin on it would be vacuous
+    val df = graft.queries.TextQueries.textrankEdges(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    val docJoins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "doc_id")) => j
+    }
+    assert(docJoins.isEmpty,
+      s"pair generation regressed to a doc-keyed self-join:\n${docJoins.mkString}")
+    val docWindows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(_.name == "doc_id")) => w
+    }
+    assert(docWindows.nonEmpty, "expected the (doc_id, pos) LEAD window")
+  }
 }
