@@ -40,7 +40,13 @@ object Expectations {
 
   /** No two rows may share `keys` (composite allowed). EVERY row of a
     * duplicated key is flagged — keeping one arbitrary winner is the dedup
-    * tier's job ([[Dedup]]), not a contract check's. */
+    * tier's job ([[Dedup]]), not a contract check's. NULL key values
+    * compare EQUAL here (grouping semantics, not SQL-UNIQUE's
+    * multiple-NULLs-allowed): two rows whose key tuples agree under
+    * `IS NOT DISTINCT FROM` — including (NULL, 1) = (NULL, 1) — are
+    * duplicates. A DQ contract that let NULL-keyed duplicates through
+    * would pass exactly the rows most likely to be broken; the join-back
+    * is null-safe (`<=>`) so the flag agrees with the count. */
   final case class ExpectUnique(name: String, keys: Seq[String]) extends Rule
 
   /** Every (non-null) `keys` tuple must exist in `dim`'s `dimKeys`. */
@@ -68,18 +74,35 @@ object Expectations {
       require(r.name != "n_rows" && !df.columns.contains(r.name),
         s"expectations: rule name '${r.name}' collides with an input/metric column")
     }
+    // the operator's own temp columns must not resolve against the input:
+    // an input already carrying __fk_ok / __viol_x would make the FK join
+    // or flag projection silently read the wrong column
+    val reserved = Set("__n", "__fk_ok")
+    val reservedPrefixes = Seq("__viol_", "__dup_")
+    df.columns.foreach { c =>
+      require(!reserved.contains(c) && !reservedPrefixes.exists(c.startsWith),
+        s"expectations: input column '$c' collides with a reserved internal name " +
+          s"(${(reserved ++ reservedPrefixes.map(_ + "*")).mkString(", ")})")
+    }
 
     // dataset-level rules first: each derives a keyed "bad keys" table from
     // the input, joined back before the row-local projection
     var flagged = df
     rules.foreach {
       case ExpectUnique(name, keys) =>
+        // keys renamed on the dupe side + null-safe (<=>) join back: a
+        // plain equi-join never matches NULL keys, which would silently
+        // pass exactly the duplicates the groupBy counted (NULLs group
+        // together) — the rule's documented NULLS-EQUAL semantics
         val dupes = df.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("__n"))
           .filter(col("__n") > 1)
-          .select(keys.map(col): _*)
+          .select(keys.map(k => col(k).as(s"__dup_$k")): _*)
           .withColumn(flagCol(name), lit(true))
-        flagged = flagged.join(dupes, keys, "left")
+        flagged = flagged.join(dupes,
+            keys.map(k => flagged(k) <=> dupes(s"__dup_$k")).reduce(_ && _),
+            "left")
+          .drop(keys.map(k => s"__dup_$k"): _*)
       case ExpectFk(name, keys, dim, dimKeys) =>
         val present = dim.select(dimKeys.zip(keys).map {
             case (d, k) => col(d).as(k) }: _*)

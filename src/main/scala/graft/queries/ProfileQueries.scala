@@ -495,7 +495,11 @@ object ProfileQueries {
       import graft.ext.Expectations._
       val li = t(s, dir, "lineitem")
       val dirty0 = li.select(
-        when(col("l_orderkey") % 103 === 0, col("l_orderkey") + 1000000000L)
+        // planted dangling keys are NEGATED (not shifted): orderkeys grow
+        // ~6M×SF, so "+1e9" would eventually collide with real o_orderkey
+        // values and the planted FK violations would quietly vanish; no
+        // key domain contains negatives at any SF
+        when(col("l_orderkey") % 103 === 0, -col("l_orderkey") - 1)
           .otherwise(col("l_orderkey")).as("l_orderkey"),
         col("l_linenumber"),
         when(col("l_orderkey") % 97 === 0, -col("l_quantity"))
@@ -514,7 +518,7 @@ object ProfileQueries {
     Some("""
       WITH dirty0 AS (
         SELECT
-          CASE WHEN l_orderkey % 103 = 0 THEN l_orderkey + 1000000000
+          CASE WHEN l_orderkey % 103 = 0 THEN -l_orderkey - 1
                ELSE l_orderkey END AS l_orderkey,
           l_linenumber,
           CASE WHEN l_orderkey % 97 = 0 THEN -l_quantity
@@ -638,7 +642,104 @@ object ProfileQueries {
       FROM agg CROSS JOIN exact
     """))
 
+  /** MULTI-FK + NULL-KEY CONTRACT — the second [[graft.ext.Expectations]]
+    * contract shape (q220 covers range/not-null/one-FK): THREE referential-
+    * integrity rules against different dimensions plus a composite-key
+    * uniqueness rule whose key tuples contain NULL components. The planted
+    * dirt exercises every semantic edge the operator documents:
+    *  - NULLed l_orderkey on line-1 rows → (NULL, 1) tuples are DUPLICATES
+    *    under the rule's nulls-equal semantics (the null-safe `<=>`
+    *    join-back; a plain equi-join would silently pass exactly these),
+    *    while the SAME null keys do NOT violate fk_orders (null FK ≠
+    *    broken FK);
+    *  - negated keys (never in any key domain at any SF — the q220 rule)
+    *    plant dangling references against orders/part/supplier;
+    *  - NULLed l_suppkey proves the null-pass path on a second FK;
+    *  - a filtered self-union plants real composite duplicates on top of
+    *    the generator's natural (orderkey, linenumber) collisions.
+    * Scale shape: three keyed left joins against distinct dimension keys
+    * (AQE broadcasts when small, never hinted) + one groupBy-count on the
+    * composite key — all map-side-combinable shuffles on the contract
+    * keys. Exact integer counts + one shared double divide ⇒ full oracle
+    * (DuckDB mirrors the null-safe join with IS NOT DISTINCT FROM). */
+  lazy val q235DqContractMultiFk: Q = Q(
+    "q235_dq_contract_multifk",
+    (s, dir) => {
+      import graft.ext.Expectations._
+      val li = t(s, dir, "lineitem")
+      val dirty0 = li.select(
+        when(col("l_orderkey") % 131 === 0 && col("l_linenumber") === 1,
+            lit(null).cast("long"))
+          .when(col("l_orderkey") % 139 === 0, -col("l_orderkey") - 1)
+          .otherwise(col("l_orderkey")).as("l_orderkey"),
+        col("l_linenumber"),
+        when(col("l_orderkey") % 127 === 0, -col("l_partkey") - 1)
+          .otherwise(col("l_partkey")).as("l_partkey"),
+        when(col("l_orderkey") % 113 === 0, lit(null).cast("long"))
+          .when(col("l_orderkey") % 149 === 0, -col("l_suppkey") - 1)
+          .otherwise(col("l_suppkey")).as("l_suppkey"))
+      val dirty = dirty0.unionByName(dirty0.filter(
+        col("l_linenumber") === 2 && col("l_orderkey") % 137 === 0))
+      check(dirty, Seq(
+        ExpectUnique("unique_line", Seq("l_orderkey", "l_linenumber")),
+        ExpectFk("fk_orders", Seq("l_orderkey"),
+          t(s, dir, "orders"), Seq("o_orderkey")),
+        ExpectFk("fk_part", Seq("l_partkey"),
+          t(s, dir, "part"), Seq("p_partkey")),
+        ExpectFk("fk_supplier", Seq("l_suppkey"),
+          t(s, dir, "supplier"), Seq("s_suppkey")))).metrics
+    },
+    Some("""
+      WITH dirty0 AS (
+        SELECT
+          CASE WHEN l_orderkey % 131 = 0 AND l_linenumber = 1 THEN NULL
+               WHEN l_orderkey % 139 = 0 THEN -l_orderkey - 1
+               ELSE l_orderkey END AS l_orderkey,
+          l_linenumber,
+          CASE WHEN l_orderkey % 127 = 0 THEN -l_partkey - 1
+               ELSE l_partkey END AS l_partkey,
+          CASE WHEN l_orderkey % 113 = 0 THEN NULL
+               WHEN l_orderkey % 149 = 0 THEN -l_suppkey - 1
+               ELSE l_suppkey END AS l_suppkey
+        FROM lineitem),
+      dirty AS (
+        SELECT * FROM dirty0
+        UNION ALL SELECT * FROM dirty0
+          WHERE l_linenumber = 2 AND l_orderkey % 137 = 0),
+      dup_keys AS (
+        SELECT l_orderkey, l_linenumber, TRUE AS dup FROM dirty
+        GROUP BY 1, 2 HAVING COUNT(*) > 1),
+      m AS (
+        SELECT
+          COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN dk.dup THEN 1 ELSE 0 END) AS BIGINT)
+            AS unique_line,
+          CAST(SUM(CASE WHEN o.o_orderkey IS NULL AND d.l_orderkey IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS fk_orders,
+          CAST(SUM(CASE WHEN p.p_partkey IS NULL AND d.l_partkey IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS fk_part,
+          CAST(SUM(CASE WHEN s.s_suppkey IS NULL AND d.l_suppkey IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS fk_supplier
+        FROM dirty d
+        LEFT JOIN dup_keys dk
+          ON d.l_orderkey IS NOT DISTINCT FROM dk.l_orderkey
+         AND d.l_linenumber IS NOT DISTINCT FROM dk.l_linenumber
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON d.l_orderkey = o.o_orderkey
+        LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+          ON d.l_partkey = p.p_partkey
+        LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+          ON d.l_suppkey = s.s_suppkey)
+      SELECT rule, n_violations,
+        CAST(n_violations AS DOUBLE) / n_rows AS violation_rate, n_rows
+      FROM (
+        SELECT 'unique_line' AS rule, unique_line AS n_violations, n_rows FROM m
+        UNION ALL SELECT 'fk_orders', fk_orders, n_rows FROM m
+        UNION ALL SELECT 'fk_part', fk_part, n_rows FROM m
+        UNION ALL SELECT 'fk_supplier', fk_supplier, n_rows FROM m)
+    """))
+
   val all: Seq[Q] = Seq(q86Profile, q100PsiDrift, q119ApproxProfile, q149CountMin,
     q164Benford, q170ReplicaReconcile, q173SpaceSavingTokens, q180KmvSketch,
-    q197KmvMerge, q220DqExpectations, q227KmvIntersect)
+    q197KmvMerge, q220DqExpectations, q227KmvIntersect, q235DqContractMultiFk)
 }

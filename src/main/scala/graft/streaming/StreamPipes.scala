@@ -79,8 +79,9 @@ object StreamPipes {
     * replaying a micro-batch after a failure between any write and the
     * checkpoint commit OVERWRITES the same partitions instead of
     * appending duplicates (the proven silverForeachBatch discipline). The
-    * batch is persisted before the three derived writes so the flagging
-    * projection runs once, not three times. Dataset-level rules
+    * FLAGGED frame is persisted before the three derived writes so the
+    * flagging projection and the dataset-level joins run once, not three
+    * times. Dataset-level rules
     * (uniqueness/FK) evaluate WITHIN the micro-batch — cross-batch
     * uniqueness belongs to the keyed-merge tier (dropDuplicates state /
     * [[dedupIngest]]'s persisted index), not a per-batch contract. */
@@ -94,9 +95,13 @@ object StreamPipes {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cached = batch.persist()
+        // persist the FLAGGED frame, not the raw batch: clean/quarantine/
+        // metrics are three consumptions of the same flagging projection +
+        // dataset-level joins (uniqueness groupBy, FK join) — caching below
+        // the flags would recompute all of that three times per micro-batch
+        val r = graft.ext.Expectations.check(batch, rules)
+        val cached = r.flagged.persist()
         try {
-          val r = graft.ext.Expectations.check(cached, rules)
           r.clean.write.mode("overwrite")
             .parquet(s"$cleanPath/batch=$batchId")
           r.quarantine.write.mode("overwrite")

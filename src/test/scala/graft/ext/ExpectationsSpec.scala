@@ -83,6 +83,44 @@ class ExpectationsSpec extends SparkSuite {
       Seq(Expect("a", col("qty") > 0), Expect("a", col("qty") < 9))))
   }
 
+  test("NULL-keyed duplicates ARE flagged (nulls-equal uniqueness semantics)") {
+    // two rows with a NULL single key, and two composite tuples whose key
+    // contains a NULL component: the groupBy counts them as duplicates, so
+    // the join-back must flag them too — a plain equi-join would let every
+    // NULL-keyed duplicate through a data-quality contract silently
+    val in = Seq(
+      (None: Option[Long], 1L, "a"),
+      (None: Option[Long], 1L, "b"),
+      (None: Option[Long], 2L, "c"), // (NULL, 2) is unique — not flagged
+      (Option(1L), 1L, "d"),
+      (Option(1L), 1L, "e"),
+      (Option(2L), 1L, "f")
+    ).toDF("k1", "k2", "payload")
+    val single = check(in, Seq(ExpectUnique("u", Seq("k1"))))
+    val sFlagged = single.quarantine.select($"payload").as[String].collect().sorted
+    // k1=NULL appears 3×, k1=1 appears 2× — all five flagged
+    assert(sFlagged === Array("a", "b", "c", "d", "e"),
+      "every row of a duplicated (NULL included) single key is flagged")
+
+    val comp = check(in, Seq(ExpectUnique("u", Seq("k1", "k2"))))
+    val cFlagged = comp.quarantine.select($"payload").as[String].collect().sorted
+    assert(cFlagged === Array("a", "b", "d", "e"),
+      "(NULL,1) duplicates flagged; unique (NULL,2) and (2,1) pass")
+    val m = comp.metrics.select($"n_violations").as[Long].head()
+    assert(m === 4L, "metric count agrees with the null-safe flag")
+  }
+
+  test("input columns colliding with reserved internal names are rejected") {
+    intercept[IllegalArgumentException](check(
+      input.withColumn("__fk_ok", lit(1)), rules))
+    intercept[IllegalArgumentException](check(
+      input.withColumn("__n", lit(1)), rules))
+    intercept[IllegalArgumentException](check(
+      input.withColumn("__viol_x", lit(1)), rules))
+    intercept[IllegalArgumentException](check(
+      input.withColumn("__dup_id", lit(1)), rules))
+  }
+
   test("unsafe and colliding rule names are rejected") {
     intercept[IllegalArgumentException](check(input,
       Seq(Expect("n_rows", col("qty") > 0)))) // metric column collision
