@@ -69,6 +69,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // the engine's own sessions run linted (warn-only): every planned
+      // query passes through ScaleLint, error findings land in the log
+      // and the count is surfaced as `lint_errors` in the JSON below
+      .config("spark.sql.extensions", "graft.plans.GraftLintExtension")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional arg: comma-separated substring filters for targeted timing
@@ -122,7 +126,8 @@ object Bench {
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib_pre":$calibPre,"calib_post":$calibPost,"calib_series":$calibJson,"n_failed":${failures.size},"failures":$fjson,"queries":$qjson,"sf":"$sfDir"}"""
+    val lintErrors = graft.plans.ScaleLint.errorCount.get()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib_pre":$calibPre,"calib_post":$calibPost,"calib_series":$calibJson,"n_failed":${failures.size},"failures":$fjson,"lint_errors":$lintErrors,"queries":$qjson,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH artifact truncates the per-query map; persist the
     // full map so later rounds can diff EVERY query, not a visible suffix.
@@ -145,7 +150,7 @@ object Bench {
     // bench/last_run.json. Failure NAMES are capped at 5 (count is always
     // exact in n_failed) to bound the line under ~500 bytes.
     val fCapped = failures.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","calib_pre":$calibPre,"calib_post":$calibPost,"n_failed":${failures.size},"failures":$fCapped,"n_queries":${results.size},"full":"bench/last_run.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","calib_pre":$calibPre,"calib_post":$calibPost,"n_failed":${failures.size},"failures":$fCapped,"lint_errors":$lintErrors,"n_queries":${results.size},"full":"bench/last_run.json","sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("bench/summary.json")
       java.nio.file.Files.createDirectories(out.getParent)

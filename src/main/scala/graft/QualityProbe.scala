@@ -1,5 +1,7 @@
 package graft
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -227,9 +229,9 @@ object QualityProbe {
       val qs = corpus.filter(col("id") < 5)
         .select(col("id").as("qid"), col("vec").as("qvec"))
       val books = Similarity.pqCodebooks(corpus, m = 4, ksub = 16, iters = 1)
-        .localCheckpoint()
+        .barrier(eager = true)
       val index = Similarity.ivfPqIndex(corpus, cents8, books, m = 4)
-        .localCheckpoint()
+        .barrier(eager = true)
       // nProbe: how many coarse lists each query scans (cost ∝ nProbe)
       for (np <- Seq(1, 2, 4, 8))
         dialRecall("ivfpq_nprobe", np,

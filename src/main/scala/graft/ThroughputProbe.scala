@@ -1,4 +1,6 @@
 package graft
+
+import graft.plans.ScaleLint.BarrierSyntax
 import org.apache.spark.sql.functions._
 
 /** Single-node throughput probe for the medallion pipeline (BASELINE.md's
@@ -57,7 +59,7 @@ object ThroughputProbe {
       Expect("txn_id_present", col("transaction_id").isNotNull),
       ExpectUnique("unique_txn", Seq("transaction_id")),
       ExpectFk("fk_merchant", Seq("merchant_name"), merchants, Seq("merchant_name"))))
-    val flagged = r.flagged.localCheckpoint()
+    val flagged = r.flagged.barrier(eager = true)
     val total = flagged.count()
     // count clean off the CHECKPOINTED flags (r.clean would re-derive the
     // whole flagging pipeline and understate rows/s)
@@ -101,7 +103,7 @@ object ThroughputProbe {
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().barrier(eager = true)
     def time(tag: String, f: => Long): Long = {
       val t0 = System.nanoTime()
       val c = f
@@ -129,7 +131,7 @@ object ThroughputProbe {
     // over the uncached pipeline would re-execute it per count and
     // understate rows/s ~3x. DQ is a partition of the batch, so the
     // quarantine count is n - silverRows — no second pass.
-    val silverDone = silverReady.localCheckpoint()
+    val silverDone = silverReady.barrier(eager = true)
     val goldRows = gold.TxnGold.merchantRiskSummary(silverDone).count()
     val silverRows = silverDone.count()
     val qRows = n - silverRows

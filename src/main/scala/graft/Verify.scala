@@ -20,6 +20,8 @@ object Verify {
       // (timestamp[us]) matches ours bit-for-bit:
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // warn-only scale lint on every planned query (see graft.Bench)
+      .config("spark.sql.extensions", "graft.plans.GraftLintExtension")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -48,6 +50,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    System.err.println(
+      s"[verify] lint_errors: ${graft.plans.ScaleLint.errorCount.get()}")
     spark.stop()
   }
 }

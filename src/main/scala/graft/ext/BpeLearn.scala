@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -67,7 +69,7 @@ object BpeLearn {
     import spark.implicits._
     var seqs = words
       .select(split(col("word"), "").as("symbols"), col("freq"))
-      .localCheckpoint()
+      .barrier(eager = true)
     val merges = collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var done = false
     for (i <- 1 to k if !done) {
@@ -89,7 +91,7 @@ object BpeLearn {
           if (i < k)
             seqs = seqs
               .select(applyMerge(col("symbols"), a, b).as("symbols"), col("freq"))
-              .localCheckpoint()
+              .barrier(eager = true)
       }
     }
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")

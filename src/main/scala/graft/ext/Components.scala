@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -59,7 +61,7 @@ object Components {
     // doc for how those are reclaimed)
     val out =
       if (reliableMode(df)) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+      else df.barrier()
     (out, sc.getPersistentRDDs.keySet.diff(before))
   }
 
@@ -112,7 +114,7 @@ object Components {
     // re-reads the edge list every superstep, so a block-manager-only edge
     // list would void the rounds' executor-loss guarantee.
     val e0 = edges.select(col("a"), col("b"))
-    val e = if (reliableMode(e0)) e0.checkpoint() else e0.localCheckpoint()
+    val e = if (reliableMode(e0)) e0.checkpoint() else e0.barrier(eager = true)
     val idIsLong = nodes.schema("id").dataType == org.apache.spark.sql.types.LongType
     // The gate counts RAW edges (null-endpoint rows included) while
     // smallGraphComponents drops them — a deliberate mismatch: the count's

@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -97,7 +99,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         graft.functions.MinHashSig.minhashSig(split(normalized(col(textCol)), " "), k).as("sig"))
       .select(col("id"), explode(lshBandHashes(col("sig"), k, bands)).as("bh"))
-      .localCheckpoint()
+      .barrier(eager = true)
     // degenerate-bucket cap WITHOUT a window: bucket sizes come from a
     // map-side-combined groupBy (tiny output: one row per oversized bucket
     // — at most rows×bands/maxBucketSize of them), then a broadcast
@@ -187,7 +189,7 @@ object Dedup {
     def toksOf(df: DataFrame) = df.select(
       col(idCol).as("id"),
       array_distinct(split(normalized(col(textCol)), " ")).as("toks"))
-    val inBuckets = minhashBuckets(incoming, idCol, textCol, k, bands).localCheckpoint()
+    val inBuckets = minhashBuckets(incoming, idCol, textCol, k, bands).barrier(eager = true)
     val inToks = toksOf(incoming)
     // Degenerate-bucket cap, mirroring [[minhashNearDups]]: one boilerplate
     // bucket in the persisted index (or the batch) would make the probe
@@ -264,11 +266,11 @@ object Dedup {
         array_sort(array_distinct(split(normalized(col(textCol)), " "))).as("stoks"))
       .groupBy(col("stoks")).agg(count(lit(1)).as("cnt"))
       .select(col("stoks"), monotonically_increasing_id().as("sid"))
-      .localCheckpoint(eager = false)
+      .barrier()
     val vocab = distributedDenseRank(
         sets.select(explode(col("stoks")).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-          .localCheckpoint(eager = false),
+          .barrier(),
         Seq(col("df"), col("tok")), "tid")
       .select(col("tok"), col("tid"))
     (orderedPrefixPostings(sets, "sid", vocab, threshold).drop("sid"), vocab)
@@ -284,7 +286,7 @@ object Dedup {
     val unseen = distributedDenseRank(
         sets.select(explode(col("stoks")).as("tok")).distinct()
           .join(vocab.select("tok"), Seq("tok"), "left_anti")
-          .localCheckpoint(eager = false),
+          .barrier(),
         Seq(col("tok")), "urank")
       .select(col("tok"), (-col("urank")).as("tid"))
     val lookup = vocab.select(col("tok"), col("tid")).unionByName(unseen)
@@ -328,10 +330,10 @@ object Dedup {
         array_sort(array_distinct(split(normalized(col(textCol)), " "))).as("stoks"))
       .groupBy(col("stoks")).agg(collect_list(col("id")).as("members"))
       .withColumn("rid", array_min(col("members")))
-      .localCheckpoint(eager = false)
+      .barrier()
     val inPost = orderedPrefixPostings(
         clusters.select(col("rid"), col("stoks")), "rid", vocab, threshold)
-      .localCheckpoint(eager = false)
+      .barrier()
     def verified(pairs: DataFrame): DataFrame = pairs
       .filter(col("n_a") >= col("n_b") * threshold && col("n_b") >= col("n_a") * threshold)
       .filter(lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) >=
@@ -390,12 +392,12 @@ object Dedup {
         array_sort(array_distinct(split(normalized(col(textCol)), " "))).as("stoks"))
       .groupBy(col("stoks")).agg(count(lit(1)).as("cnt"))
       .select(col("stoks"), monotonically_increasing_id().as("sid"))
-      .localCheckpoint(eager = false)
+      .barrier()
     val maxTid = vocab.agg(coalesce(max(col("tid")), lit(0L))).head.getLong(0)
     val newVocab = distributedDenseRank(
         sets.select(explode(col("stoks")).as("tok")).distinct()
           .join(vocab.select("tok"), Seq("tok"), "left_anti")
-          .localCheckpoint(eager = false),
+          .barrier(),
         Seq(col("tok")), "nrank")
       .select(col("tok"), (col("nrank") + maxTid).as("tid"))
     val vocabExt = vocab.unionByName(newVocab)
@@ -420,7 +422,7 @@ object Dedup {
         array_sort(array_distinct(split(normalized(col(textCol)), " "))).as("stoks"))
       .groupBy(col("stoks")).agg(collect_list(col("id")).as("members"))
       .withColumn("rid", array_min(col("members")))
-      .localCheckpoint(eager = false)
+      .barrier()
     val inPost = orderedPrefixPostings(
       clusters.select(col("rid"), col("stoks")), "rid", vocab, threshold)
     val repMatch = inPost
@@ -567,7 +569,7 @@ object Dedup {
       .withColumn("rid", array_min(col("members")))
       .withColumn("n", size(col("stoks")))
     val clusters =
-      if (materializeClusters) clustersLazy.localCheckpoint() else clustersLazy
+      if (materializeClusters) clustersLazy.barrier(eager = true) else clustersLazy
     // 2. Map tokens to DENSE INTEGER ids ranked by (document frequency,
     //    token). Each unique set then becomes one ascending long array whose
     //    NUMERIC order IS the canonical rarest-first order: the Jaccard
@@ -589,7 +591,7 @@ object Dedup {
     // shuffle re-reads them.
     val vocab = distributedDenseRank(
       post.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        .localCheckpoint(eager = false),
+        .barrier(),
       Seq(col("df"), col("token")), "tid")
     val ordered = post.join(vocab, Seq("token"))
       .groupBy(col("rid"))
@@ -746,7 +748,7 @@ object Dedup {
       .withColumn(pid, spark_partition_id())
       .withColumn("__local_rn",
         row_number().over(Window.partitionBy(col(pid)).orderBy(order: _*)))
-      .localCheckpoint(eager = false)
+      .barrier()
     val offsets = local.groupBy(col(pid)).agg(count(lit(1)).as("__pn"))
       .withColumn("__offset",
         coalesce(sum(col("__pn")).over(
@@ -896,7 +898,7 @@ object Dedup {
     // query 2.5× slower with the split inlined).
     val toked = docs
       .select(col(idCol).as("id"), split(normalized(col(textCol)), " ").as("arr"))
-      .localCheckpoint(eager = false)
+      .barrier()
     // guard n < ngram: Spark's sequence(1, n-2) runs DOWNHILL for n < 3.
     // Shingles are carried as xxhash64 LONGS, not strings — every later
     // stage (postings joins, df sort, per-pair array_intersect) compares
@@ -912,7 +914,7 @@ object Dedup {
       .otherwise(array().cast("array<long>"))
     val sets = toked.select(col("id"), shingle.as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint(eager = false) // feeds postings, prefix, and verify
+      .barrier() // feeds postings, prefix, and verify
     val postings = sets.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
     val dfS = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))

@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -85,7 +87,7 @@ object GraphOps {
     * oriented edge set feeds three plan branches, so it is lazily
     * localCheckpointed (one materialization, no extra job). */
   def trianglesByDegree(undirected: DataFrame): DataFrame = {
-    val o = orientByDegree(undirected).localCheckpoint(eager = false)
+    val o = orientByDegree(undirected).barrier()
     val e1 = o.select(col("src").as("x"), col("dst").as("b"), col("dstdeg").as("bdeg"))
     val e2 = o.select(col("src").as("x"), col("dst").as("c"), col("dstdeg").as("cdeg"))
     val wedges = e1.join(e2, Seq("x"))
@@ -123,7 +125,7 @@ object GraphOps {
     * each round's edge set is lazily pinned (iterative-lineage
     * discipline). State is only the shrinking edge list. */
   def kCoreRounds(bothDir: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = bothDir.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    var e = bothDir.select(col("src"), col("dst")).barrier()
     // EARLY-OUT at the fixpoint: a round that drops no edge implies every
     // later round is a no-op, so stopping produces the IDENTICAL output at
     // a fraction of the cost — `rounds` bounds the worst case (and the
@@ -138,7 +140,7 @@ object GraphOps {
       e = e.join(keep, Seq("src"), "left_semi")
         .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint(eager = false)
+        .barrier()
       val c = e.count()
       if (c == prev) done = true else prev = c
     }
@@ -164,9 +166,9 @@ object GraphOps {
     * reach. Each round's frontier and the growing visited set are lazily
     * pinned so iteration lineage never re-derives a prior layer. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    val e = edges.select(col("src"), col("dst")).barrier()
     var visited = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(eager = false)
+      .withColumn("dist", lit(0L)).barrier()
     var frontier = visited.select(col("node"))
     var done = frontier.isEmpty
     for (h <- 1 to hops if !done) {
@@ -175,8 +177,8 @@ object GraphOps {
         .select(col("dst").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(h.toLong))
-        .localCheckpoint(eager = false)
-      visited = visited.unionAll(next).localCheckpoint(eager = false)
+        .barrier()
+      visited = visited.unionAll(next).barrier()
       frontier = next.select(col("node"))
       done = next.isEmpty
     }

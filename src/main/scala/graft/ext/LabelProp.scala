@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -29,7 +31,7 @@ object LabelProp {
     * @return (node: long, label: long). */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).barrier(eager = true)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {

@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -51,7 +53,7 @@ object PageRank {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outd"))
     // one materialization: iterations re-read this, never the base tables
-    val ew = edges.join(deg, "src").localCheckpoint()
+    val ew = edges.join(deg, "src").barrier(eager = true)
     val nNodes = ew.select(col("src")).distinct().count()
     val base = scale / nNodes
     val teleport = (100 - dampingPct) * base / 100 // exact Long arithmetic
@@ -85,10 +87,10 @@ object PageRank {
       scale: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outd"))
-    val ew = edges.join(deg, "src").localCheckpoint()
+    val ew = edges.join(deg, "src").barrier(eager = true)
     val sd = seeds.select(col("node")).distinct()
       .join(ew.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
-      .localCheckpoint()
+      .barrier(eager = true)
     val nSeeds = sd.count()
     require(nSeeds >= 1, "no seed appears in the graph")
     val base = scale / nSeeds

@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -182,7 +184,7 @@ object Pca {
     // PcaSpec pins that by counting zip_with nodes in the final plan.
     val centered = df.withColumn("__pca_centered",
       zip_with(col(vecCol).cast("array<double>"), meanLit, (x, m) => x - m))
-      .localCheckpoint(eager = false)
+      .barrier()
     val comps = model.components.map { comp =>
       aggregate(
         zip_with(col("__pca_centered"), typedlit(comp.toSeq), (x, c) => x * c),

@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -39,7 +41,7 @@ object Scan {
       .withColumn("__local",
         agg(col(value)).over(Window.partitionBy(col(pid)).orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, -1)))
-      .localCheckpoint(eager = false)
+      .barrier()
     val offsets = local.groupBy(col(pid)).agg(agg(col(value)).as("__ptot"))
       .withColumn("__prefix", agg(col("__ptot")).over(
         Window.orderBy(col(pid)).rowsBetween(Window.unboundedPreceding, -1)))

@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import graft.sources.VersionedTable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -213,7 +215,7 @@ object Scd {
       case None => scd2FromHistory(batch, keyCols, tsCol, tieCol, attrCols)
       case Some(cur) =>
         applyCollapsed(cur, batch, keyCols, tsCol, tieCol, attrCols)
-    }).localCheckpoint() // one evaluation feeds both slices
+    }).barrier(eager = true) // one evaluation feeds both slices
     collapsed.filter(!col(Cur))
       .write.mode("overwrite").parquet(closedPath(path, batchId))
     VersionedTable.commit(spark, currentPath(path),

@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -79,12 +81,12 @@ object Similarity {
     val pool = bruteForceTopK(corpus, queries, poolSize)
       .join(corpus, "id")
       .select(col("qid"), col("id"), col("sim"), col("vec"))
-      .localCheckpoint(eager = false)
+      .barrier()
     val pairs = pool.select(col("qid"), col("id").as("ia"), col("vec").as("va"))
       .join(pool.select(col("qid").as("qb"), col("id").as("ib"), col("vec").as("vb")),
         col("qid") === col("qb") && col("ia") =!= col("ib"))
       .select(col("qid"), col("ia"), col("ib"), cosine(col("va"), col("vb")).as("psim"))
-      .localCheckpoint(eager = false)
+      .barrier()
 
     var selected: DataFrame = null
     var remaining = pool.select(col("qid"), col("id"), col("sim"))
@@ -110,7 +112,7 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("qid"), col("id"), col("sim"), col("mmr"),
           lit(round.toLong).as("pick"))
-        .localCheckpoint(eager = false)
+        .barrier()
       selected = if (selected == null) pick else selected.unionByName(pick)
       remaining = remaining.join(pick.select(col("qid"), col("id")),
         Seq("qid", "id"), "left_anti")
@@ -718,7 +720,7 @@ object Similarity {
     // them: an index-build artifact (m·ksub rows), computed once, not a
     // subplan to re-derive at every use site (the Dedup-vocab recipe).
     val books = pqCodebooks(bookInput, m, ksub, iters)
-      .localCheckpoint(eager = false)
+      .barrier()
     (ivfPqResidualEncode(corpus, centroids, books, m), books)
   }
 
@@ -776,7 +778,7 @@ object Similarity {
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("cid"),
         zip_with(col("qvec"), col("cvec"), (x, y) => x - y).as("qres"))
-      .localCheckpoint(eager = false)
+      .barrier()
     val qparts = probes.select(col("qid"), col("cid"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => pqSlice(col("qres"), m, s))).as(Seq("subspace", "qsub")))
@@ -837,7 +839,7 @@ object Similarity {
   def opqBooks(corpus: DataFrame, centroids: DataFrame,
       m: Int, ksub: Int, iters: Int = 1, seedFrom: Long = 0L)
       : (DataFrame, Pca.Model) = {
-    val resid = residualize(corpus, centroids).localCheckpoint(eager = false)
+    val resid = residualize(corpus, centroids).barrier()
     val d = resid.select(org.apache.spark.sql.functions.size(col("vec")))
       .limit(1).collect().headOption // model dimension — metadata, not data
       .getOrElse(throw new IllegalArgumentException(
@@ -846,7 +848,7 @@ object Similarity {
       .getInt(0)
     val model = balanceBlocks(Pca.fit(resid, "vec", d, d), m)
     val rot = rotateAssigned(resid, model)
-      .localCheckpoint(eager = false) // feeds seeds AND full-corpus training
+      .barrier() // feeds seeds AND full-corpus training
     val seeds = rot
       .filter(col("id") >= seedFrom && col("id") < seedFrom + ksub)
       .select((col("id") - seedFrom).as("id"), col("vec"))
@@ -856,7 +858,7 @@ object Similarity {
         .filter(col("id") < seedFrom || col("id") >= seedFrom + ksub)
         .select((col("id") + ksub).as("id"), col("vec")))
     val books = pqCodebooks(bookInput, m, ksub, iters)
-      .localCheckpoint(eager = false)
+      .barrier()
     (books, model)
   }
 
@@ -926,7 +928,7 @@ object Similarity {
         zip_with(col("qvec"), col("cvec"), (x, y) => x - y).as("qres"))
     val probes = Pca.project(probes0, "qres", model, "qrot")
       .select(col("qid"), col("cid"), col("qrot").as("qres"))
-      .localCheckpoint(eager = false)
+      .barrier()
     val qparts = probes.select(col("qid"), col("cid"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => pqSlice(col("qres"), m, s))).as(Seq("subspace", "qsub")))

@@ -1,5 +1,7 @@
 package graft.gen
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,7 +62,7 @@ object VecGen {
       .withColumn("scaled", zip_with(
         zip_with(col("vec"), col("cvec0"), (x, c) => x - c),
         typedlit(sArr.toSeq), (x, s) => x * s))
-      .localCheckpoint(eager = false)
+      .barrier()
     val mixed = (0 until d).map { i =>
       aggregate(zip_with(col("scaled"), typedlit(rBasis(i).toSeq),
         (x, r) => x * r), lit(0.0), (a, x) => a + x)

@@ -31,9 +31,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *     where it IS the oracle contract (bounded groups).
   *
   * A subtree is judged support-bounded if it contains an Aggregate, a
-  * Limit, a literal relation, or a lineage barrier (`localCheckpoint` →
-  * LeafNode RDD scan) — barriers are opaque, so the linter trusts them;
-  * the house convention localCheckpoints only bounded intermediates.
+  * Limit, a literal relation, or a lineage barrier REGISTERED as bounded:
+  * barriers are opaque, so [[ScaleLint.barrier]] (the house lineage-cut,
+  * replacing raw `localCheckpoint` at every call site) computes the
+  * pre-checkpoint plan's verdict and carries it across the cut keyed by
+  * RDD id; an unregistered LogicalRDD is treated as data-sized.
   *
   * ScaleLintSpec proves each rule fires on a minimal offending plan, stays
   * quiet on the approved shapes, and — the point — that EVERY catalog query
@@ -55,24 +57,57 @@ object ScaleLint {
     * and nation) — full-scan broadcasts of these are fine at any SF. */
   val DefaultConstantTables: Set[String] = Set("region", "nation")
 
-  private def isBarrier(p: LogicalPlan): Boolean = p match {
-    // localCheckpoint / cached intermediate: opaque, trusted (see scaladoc)
-    case l: LeafNode => l.getClass.getSimpleName == "LogicalRDD"
-    case _ => false
+  /** Boundedness carried ACROSS lineage barriers, keyed by the
+    * checkpointed RDD's id: [[barrier]] computes the pre-checkpoint
+    * plan's verdict and records it here, because the LogicalRDD the
+    * checkpoint leaves behind is opaque. r14 trusted every barrier as
+    * bounded ("the house convention localCheckpoints only bounded
+    * intermediates") — a convention q187/q193/q233 already violated
+    * with data-sized checkpoints for plan reuse, so a global window or
+    * hinted broadcast above one would have passed the lint silently.
+    * Unregistered LogicalRDDs are now treated as DATA-SIZED (the
+    * conservative default). */
+  private val barrierBounded =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
+
+  /** The house lineage-cut: `localCheckpoint` + boundedness registration.
+    * Call sites use this instead of raw `df.localCheckpoint(...)` so the
+    * linter's [[bounded]] judgment survives the barrier — the verdict is
+    * computed on the plan that EXISTS at cut time, not asserted by
+    * convention. Lazy by default (the catalog's plan-reuse idiom); pass
+    * `eager = true` for the iterative-operator pattern (PageRank rounds,
+    * BPE merges) that wants the blocks materialized now. */
+  def barrier(df: DataFrame, eager: Boolean = false): DataFrame = {
+    val b = bounded(df.queryExecution.optimizedPlan)
+    val out = df.localCheckpoint(eager)
+    out.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        barrierBounded.put(l.rdd.id, b)
+      case _ => ()
+    }
+    out
+  }
+
+  /** Suffix syntax so call sites read like the localCheckpoint they
+    * replace: `df.barrier()` / `df.barrier(eager = true)`. */
+  implicit class BarrierSyntax(private val df: DataFrame) extends AnyVal {
+    def barrier(eager: Boolean = false): DataFrame =
+      ScaleLint.barrier(df, eager)
   }
 
   /** Support-bounded: some node below caps the row count independently of
-    * the input data size (aggregate output, limit, literal, barrier). A
-    * join or union is bounded iff every input is; a unary node inherits
-    * its child's verdict; a real relation scan is data-sized. */
-  private def bounded(p: LogicalPlan): Boolean =
-    if (isBarrier(p)) true
-    else p match {
-      case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
-      case _: LocalRelation | _: OneRowRelation => true
-      case _: LeafNode => false
-      case other => other.children.forall(bounded)
-    }
+    * the input data size (aggregate output, limit, literal, registered
+    * bounded barrier). A join or union is bounded iff every input is; a
+    * unary node inherits its child's verdict; a real relation scan — and
+    * an UNREGISTERED lineage barrier — is data-sized. */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      Option(barrierBounded.get(l.rdd.id)).exists(_.booleanValue)
+    case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+    case _: LocalRelation | _: OneRowRelation => true
+    case _: LeafNode => false
+    case other => other.children.forall(bounded)
+  }
 
   private def scannedTables(p: LogicalPlan): Seq[String] = p.collect {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
@@ -117,34 +152,39 @@ object ScaleLint {
       constantTables: Set[String] = DefaultConstantTables): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
 
-    plan.foreach {
-      case w: Window if w.partitionSpec.isEmpty =>
-        if (!bounded(w.child))
-          out += Finding("global-window-over-raw", Error,
-            s"unpartitioned window over a data-sized input: ${w.windowExpressions.map(_.sql).mkString(", ")}")
-      case j: Join =>
-        def checkHint(h: Option[HintInfo], side: LogicalPlan, name: String): Unit =
-          if (h.exists(_.strategy.contains(BROADCAST))
-              && bareFullScan(side)
-              && !scannedTables(side).forall(constantTables.contains))
-            out += Finding("raw-broadcast-hint", Error,
-              s"mandatory broadcast of a bare full scan on the $name side: ${scannedTables(side).mkString(",")}")
-        checkHint(j.hint.leftHint, j.left, "left")
-        checkHint(j.hint.rightHint, j.right, "right")
-        if (j.condition.isEmpty
-            && !bounded(j.left) && !bounded(j.right)
-            && !smallByContract(j.left, j.hint.leftHint)
-            && !smallByContract(j.right, j.hint.rightHint))
-          out += Finding("unbounded-cartesian", Error,
-            "condition-free join with two data-sized sides")
-      case p =>
-        p.expressions.foreach(_.foreach {
-          case _: Percentile =>
-            out += Finding("exact-percentile", Advice,
-              "exact percentile buffers the per-group value multiset; " +
-                "use counting percentiles (q169) or approx_percentile (q115) at scale")
-          case _ => ()
-        })
+    plan.foreach { node =>
+      // expression sweep runs for EVERY node (a Percentile can hide in a
+      // Window's windowExpressions or a Join condition — the exact shape
+      // the q187-r13 OOM class includes), not just the default arm
+      node.expressions.foreach(_.foreach {
+        case _: Percentile =>
+          out += Finding("exact-percentile", Advice,
+            "exact percentile buffers the per-group value multiset; " +
+              "use counting percentiles (q169) or approx_percentile (q115) at scale")
+        case _ => ()
+      })
+      node match {
+        case w: Window if w.partitionSpec.isEmpty =>
+          if (!bounded(w.child))
+            out += Finding("global-window-over-raw", Error,
+              s"unpartitioned window over a data-sized input: ${w.windowExpressions.map(_.sql).mkString(", ")}")
+        case j: Join =>
+          def checkHint(h: Option[HintInfo], side: LogicalPlan, name: String): Unit =
+            if (h.exists(_.strategy.contains(BROADCAST))
+                && bareFullScan(side)
+                && !scannedTables(side).forall(constantTables.contains))
+              out += Finding("raw-broadcast-hint", Error,
+                s"mandatory broadcast of a bare full scan on the $name side: ${scannedTables(side).mkString(",")}")
+          checkHint(j.hint.leftHint, j.left, "left")
+          checkHint(j.hint.rightHint, j.right, "right")
+          if (j.condition.isEmpty
+              && !bounded(j.left) && !bounded(j.right)
+              && !smallByContract(j.left, j.hint.leftHint)
+              && !smallByContract(j.right, j.hint.rightHint))
+            out += Finding("unbounded-cartesian", Error,
+              "condition-free join with two data-sized sides")
+        case _ => ()
+      }
     }
     out.result().distinct
   }
@@ -155,10 +195,20 @@ object ScaleLint {
       constantTables: Set[String] = DefaultConstantTables): Seq[Finding] =
     lint(df.queryExecution.optimizedPlan, constantTables)
 
-  /** Warn-only optimizer rule: logs findings, never rewrites. */
+  /** Error findings logged by [[LintRule]] since JVM start: the injected
+    * rule is warn-only (it can never fail a query), so the engine's own
+    * session mains surface this count in their artifacts — `lint_errors`
+    * in the bench JSON, a `[verify]` stderr line. The optimizer can run a
+    * plan more than once (AQE re-optimization), so the value is a
+    * tripwire (0 = clean session), not a precise finding tally. */
+  val errorCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Warn-only optimizer rule: logs findings, counts errors, never
+    * rewrites. */
   class LintRule extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
       lint(plan).foreach { f =>
+        if (f.severity == Error) errorCount.incrementAndGet()
         logWarning(s"[scale-lint] ${f.severity}/${f.rule}: ${f.detail}")
       }
       plan

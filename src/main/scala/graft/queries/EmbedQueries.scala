@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import graft.{Q, QueryDsl}
 import QueryDsl._
 import graft.ext.Similarity
@@ -1212,7 +1214,7 @@ object EmbedQueries {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("vec"))
-        .localCheckpoint(eager = false) // one read feeds all three rankings
+        .barrier() // one read feeds all three rankings
       val queries = corpus.filter(col("id") < 5)
         .select(col("id").as("qid"), col("vec").as("qvec"))
       def topk(p: Option[Int]): org.apache.spark.sql.DataFrame = {
@@ -1226,7 +1228,7 @@ object EmbedQueries {
             Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))))
           .filter(col("rk") <= 10).select(col("qid"), col("id"))
       }
-      val full = topk(None).localCheckpoint(eager = false)
+      val full = topk(None).barrier()
       Seq(16, 32).map { pfx =>
         full.join(topk(Some(pfx)), Seq("qid", "id"))
           .groupBy(col("qid"))
@@ -1292,7 +1294,7 @@ object EmbedQueries {
       val scored = corpus.crossJoin(broadcast(anchors))
         .filter(col("id") =!= col("qid"))
         .withColumn("sim", Similarity.cosine(col("vec"), col("qvec")))
-        .localCheckpoint(eager = false) // feeds the positive AND negative picks
+        .barrier() // feeds the positive AND negative picks
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
       def pick(cond: org.apache.spark.sql.Column, pre: String) =
         scored.filter(cond)
@@ -1361,7 +1363,7 @@ object EmbedQueries {
       val anchors = corpus.filter(col("id") < 20)
         .select(col("id").as("qid"), col("label").as("qlabel"),
           col("vec").as("qvec"))
-        .localCheckpoint(eager = false) // feeds the search AND the join-back
+        .barrier() // feeds the search AND the join-back
       val cand = Similarity.ivfPqTopK(index, cents, books,
           anchors.select(col("qid"), col("qvec")), m = 4, k = 64, nProbe = 4)
         .select(col("qid"), col("id"))
@@ -1369,7 +1371,7 @@ object EmbedQueries {
         .join(broadcast(anchors), Seq("qid"))
         .filter(col("id") =!= col("qid"))
         .withColumn("sim", Similarity.cosine(col("vec"), col("qvec")))
-        .localCheckpoint(eager = false) // feeds the positive AND negative picks
+        .barrier() // feeds the positive AND negative picks
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
       def pick(cond: org.apache.spark.sql.Column, pre: String) =
         scored.filter(cond)

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import graft.{Q, QueryDsl}
 import QueryDsl._
 import graft.ext.{GraphOps, LabelProp, PageRank, Similarity}
@@ -305,7 +307,7 @@ object GraphQueries {
         .select((col("o_custkey") * 2).as("cnode"),
           (col("l_suppkey") * 2 + 1).as("snode"))
         .distinct()
-        .localCheckpoint(eager = false) // feeds edges AND seeds
+        .barrier() // feeds edges AND seeds
       val edges = cs.select(col("cnode").as("src"), col("snode").as("dst"))
         .unionAll(cs.select(col("snode").as("src"), col("cnode").as("dst")))
       val seeds = cs.filter(col("cnode") < 10).select(col("cnode").as("node"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import graft.{Q, QueryDsl}
 import QueryDsl._
 import graft.gen.TxnGen
@@ -157,7 +159,7 @@ object MedallionQuery {
       val corpus = media.unionByName(dups)
         .filter(col("kind") === "image")
         .select(col("media_id"), length(col("payload")).cast("long").as("bytes"))
-        .localCheckpoint(eager = false) // feeds nodes AND the keeper scoring
+        .barrier() // feeds nodes AND the keeper scoring
       val pairs = Multimodal.imageNearDupPairs(
         media.unionByName(dups), maxHamming = 3)
         .select(col("id_a").as("a"), col("id_b").as("b"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import graft.{Q, QueryDsl}
 import QueryDsl._
 import graft.functions.SimHash64.simhash64
@@ -159,7 +161,7 @@ object MiscQueries {
         // both the cutoff aggregate and the scoring projection read rfm:
         // materialize it once (lazy — no extra job barrier) instead of
         // scanning + re-aggregating orders twice
-        .localCheckpoint(eager = false)
+        .barrier()
       val cuts = rfm.agg(
         expr(s"percentile(r_days, $qs)").as("rq"),
         expr(s"percentile(frequency, $qs)").as("fq"),
@@ -356,7 +358,7 @@ object MiscQueries {
         val d = t(s, dir, "events")
           .filter(col("event_type").isin("purchase", "click"))
           .select(col("event_type"), col("value"))
-          .localCheckpoint(eager = false) // feeds cutoffs AND bucketing
+          .barrier() // feeds cutoffs AND bucketing
         val cuts = d.agg(
           expr(s"percentile(value, array(${probs.map(_ + "D").mkString(",")}))").as("qs"))
         val bucket = (1 to 19).map(i =>

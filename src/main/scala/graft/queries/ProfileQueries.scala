@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import graft.{Q, QueryDsl}
 import QueryDsl._
 import org.apache.spark.sql.functions._
@@ -583,12 +585,12 @@ object ProfileQueries {
       def sketch(df: org.apache.spark.sql.DataFrame) = df
         .withColumn("h", pmod(pmod(col("key"), lit(P)) * lit(2654435761L), lit(P)))
         .orderBy(col("h"), col("key")).limit(k)
-      val a = keys("1-URGENT").localCheckpoint(eager = false)
-      val b = keys("2-HIGH").localCheckpoint(eager = false)
+      val a = keys("1-URGENT").barrier()
+      val b = keys("2-HIGH").barrier()
       val unionSk = sketch(a).unionByName(sketch(b))
         .distinct() // a key in both sketches contributes one union element
         .orderBy(col("h"), col("key")).limit(k)
-        .localCheckpoint(eager = false)
+        .barrier()
       val flagged = unionSk
         .join(a.withColumn("in_a", lit(1L)), Seq("key"), "left")
         .join(b.withColumn("in_b", lit(1L)), Seq("key"), "left")

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import graft.silver.{Merge, TxnSilver}
 import graft.sources.VersionedTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -262,7 +264,7 @@ object StreamPipes {
           case None    => Dedup.prefixIndex(batch.limit(0), idCol, textCol, threshold)
         }
         val kept = Dedup.incrementalNearDupExact(
-          batch, postings, vocab, idCol, textCol, threshold).localCheckpoint()
+          batch, postings, vocab, idCol, textCol, threshold).barrier(eager = true)
         kept.write.mode("overwrite").parquet(s"$basePath/corpus/batch=$batchId")
         val (p2, v2) = Dedup.extendPrefixIndex(
           kept, postings, vocab, idCol, textCol, threshold)
@@ -334,7 +336,7 @@ object StreamPipes {
             .select(col("id").cast("int").as("b"), col("id").as("c"))
         }
         val toks = CorpusOps.tokenBuckets(
-          batch, col(targetCol), idCol, textCol, buckets).localCheckpoint()
+          batch, col(targetCol), idCol, textCol, buckets).barrier(eager = true)
         val w = CorpusOps.importanceWeightsAgainst(toks,
           priorKind("b").withColumnRenamed("c", "cb"),
           priorKind("t").withColumnRenamed("c", "ct"))
