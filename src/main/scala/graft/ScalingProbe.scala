@@ -1,5 +1,7 @@
 package graft
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -30,7 +32,7 @@ import org.apache.spark.sql.functions._
   *    a maintained artifact, not a per-query rebuild.
   *
   * Run: `sbt "runMain graft.ScalingProbe
-  * [q82counts|q112counts|skew|annknee|opqsweep|hardneg|graph|all]"`.
+  * [q82counts|q112counts|skew|annknee|opqsweep|hardneg|asofbytes|graph|dq10x|all]"`.
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
@@ -115,13 +117,13 @@ object ScalingProbe {
         val nCent = math.max(8L, math.round(math.sqrt(n.toDouble)))
         // materialize the corpus OUTSIDE the timed sections so build times
         // measure assignment + encode, not vector synthesis
-        val corpus = gen.VecGen.vectors(spark, n, d).localCheckpoint()
+        val corpus = gen.VecGen.vectors(spark, n, d).barrier(eager = true)
         corpus.count()
         val cents = corpus.filter(col("id") < nCent)
           .select(col("id").as("cid"), col("vec").as("cvec"))
-          .localCheckpoint()
+          .barrier(eager = true)
         val queries = corpus.filter(col("id") < 5)
-          .select(col("id").as("qid"), col("vec").as("qvec")).localCheckpoint()
+          .select(col("id").as("qid"), col("vec").as("qvec")).barrier(eager = true)
         // MIN OF 2 REPS per measurement: literals (n, nCent) are inlined
         // into generated code, so every probe point recompiles its whole
         // plan — rep 1 carries codegen + JIT, rep 2 is steady state. The
@@ -133,7 +135,7 @@ object ScalingProbe {
           val (index, books) = ext.Similarity.ivfPqResidual(corpus, cents, m, ksub)
           // eager checkpoint = the build actually runs HERE, and search
           // below reads materialized codes (the persisted-index read path)
-          built = (index.localCheckpoint(), books.localCheckpoint())
+          built = (index.barrier(eager = true), books.barrier(eager = true))
         }
         val (idx, books) = built
         val nCodes = idx.count()
@@ -163,10 +165,10 @@ object ScalingProbe {
         val corpus = Tables.load(spark, dir, "embeddings")
           .select(col("vec_id").as("id"),
             col("embedding").cast("array<double>").as("vec"))
-          .localCheckpoint()
+          .barrier(eager = true)
         val nVec = corpus.count()
         val queries = corpus.filter(col("id") < 5)
-          .select(col("id").as("qid"), col("vec").as("qvec")).localCheckpoint()
+          .select(col("id").as("qid"), col("vec").as("qvec")).barrier(eager = true)
         for (opq <- Seq(false, true)) {
           val base = s"${System.getProperty("java.io.tmpdir")}/graft_opqsweep_${sf}_$opq"
           val fs = new org.apache.hadoop.fs.Path(base)
@@ -237,12 +239,12 @@ object ScalingProbe {
         val purchases = widen(Tables.load(spark, dir, "events")
           .filter(col("event_type") === "purchase")
           .select("event_id", "ts", "user_id", "value"), "value", "l", extraCols)
-          .localCheckpoint()
+          .barrier(eager = true)
         val clicks = widen(Tables.load(spark, dir, "events")
           .filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"),
             col("event_id").as("click_id"), col("value").as("click_value")),
-          "click_value", "r", extraCols).localCheckpoint()
+          "click_value", "r", extraCols).barrier(eager = true)
         val payload = Seq("click_id", "click_value") ++
           (0 until extraCols).map(i => s"r_w$i")
         for ((name, f) <- Seq(
@@ -275,12 +277,59 @@ object ScalingProbe {
           .filter(col("src") =!= col("dst"))
         val edges = base.unionAll(
           base.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint()
+          .barrier(eager = true)
         val ecount = edges.count()
         val prSec = rep2g(ext.PageRank.run(edges, 5).count())
         val lpSec = rep2g(ext.LabelProp.run(edges, 4).count())
         println(f"[sp] graph |E|=$ecount%-9d nodes≈$n%-8d " +
           f"pagerank5=$prSec%6.2f s labelprop4=$lpSec%6.2f s")
+        Housekeeping.releaseAll(spark)
+      }
+    }
+
+    if (mode == "dq10x" || mode == "all") {
+      // q220 is the catalog's steepest sweep row (×2.3 on the last
+      // decade — honest O(data): a full-table contract check scans the
+      // dirtied lineitem twice). The 4th scale point the r14 verdict
+      // asked for: the SAME 4-rule contract over sf0.1 replicated
+      // 1×/3×/10× with keys remapped per replica, so the uniqueness-key
+      // and FK-dimension cardinalities scale with the rows (a naive
+      // replica would just multiply duplicate counts). Linear wall growth
+      // = the keyed groupBy/join shuffles hold; superlinear would mean a
+      // hidden all-pairs or driver term.
+      import graft.ext.Expectations._
+      def rep2d(f: => Unit): Double = (1 to 2).map(_ => timed(f)._2).min
+      for (k <- Seq(1, 3, 10)) {
+        val reps = spark.range(k)
+        def replicate(df: org.apache.spark.sql.DataFrame, keyCol: String) =
+          df.crossJoin(broadcast(reps))
+            .withColumn(keyCol, col(keyCol) * k + col("id")).drop("id")
+        val li = replicate(
+          Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
+          "l_orderkey").barrier(eager = true)
+        val orders = replicate(
+          Tables.load(spark, "/root/testdata/sf0.1", "orders")
+            .select("o_orderkey"), "o_orderkey").barrier(eager = true)
+        val nRows = li.count(); orders.count()
+        val dirty0 = li.select(
+          when(col("l_orderkey") % 103 === 0, -col("l_orderkey") - 1)
+            .otherwise(col("l_orderkey")).as("l_orderkey"),
+          col("l_linenumber"),
+          when(col("l_orderkey") % 97 === 0, -col("l_quantity"))
+            .otherwise(col("l_quantity")).as("l_quantity"),
+          when(col("l_orderkey") % 101 === 0, lit(null).cast("timestamp"))
+            .otherwise(col("l_shipdate")).as("l_shipdate"))
+        val dirty = dirty0.unionByName(dirty0.filter(col("l_orderkey") % 109 === 0))
+        val sec = rep2d {
+          check(dirty, Seq(
+            Expect("positive_quantity", col("l_quantity") > 0),
+            Expect("shipdate_not_null", col("l_shipdate").isNotNull),
+            ExpectUnique("unique_line", Seq("l_orderkey", "l_linenumber")),
+            ExpectFk("fk_orders", Seq("l_orderkey"), orders, Seq("o_orderkey"))))
+            .metrics.collect(); ()
+        }
+        println(f"[sp] dq10x k=$k%-2d rows=$nRows%-9d contract=$sec%6.2f s")
         Housekeeping.releaseAll(spark)
       }
     }
@@ -309,7 +358,7 @@ object ScalingProbe {
         concat_ws(" ", (0 until 10).map(j =>
           concat(lit("u"), col("id") * 10 + j)): _*).as("text"))
       // materialize once so both dial settings read identical input blocks
-      val corpus = hot.unionByName(cold).localCheckpoint()
+      val corpus = hot.unionByName(cold).barrier(eager = true)
       println(s"[sp] skew corpus: ${corpus.count()} docs (hot=$nHot cold=$nCold)")
       for ((label, salt, dial) <- Seq(
           ("dial-off          ", 1, 0L),

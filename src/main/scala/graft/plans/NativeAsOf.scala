@@ -43,11 +43,16 @@ import org.apache.spark.sql.functions.col
   * the implementations agree row-for-row even on tied inputs. The
   * forward merge is the backward merge under time-reversed sort order —
   * one algorithm, a flipped comparison. Null keys or times never match
-  * (SQL join-null semantics).
+  * (SQL join-null semantics; for composite keys, ANY null component
+  * disqualifies the row — consistent with equi-join conjunction).
   *
-  * Types: key and both time columns must be LongType or TimestampType
-  * (micros-as-long internally) — the shapes the testdata and q49-family
-  * catalog queries use; widen with casts upstream.
+  * Types: keys may be LongType, IntegerType, DateType, StringType, or
+  * TimestampType, composite allowed (r15 — r14 accepted a single
+  * Long/Timestamp key only); string keys compare by UTF8String binary
+  * order, exactly the order Spark's own SortOrder imposes on StringType,
+  * so the merge's lexicographic key comparison agrees with the
+  * planner-provided sort. Both TIME columns must still be LongType or
+  * TimestampType (micros-as-long internally); widen with casts upstream.
   */
 object NativeAsOf {
 
@@ -56,7 +61,7 @@ object NativeAsOf {
     * the right side are consumed by the match and not re-emitted. */
   case class AsOfJoinNode(
       left: LogicalPlan, right: LogicalPlan,
-      leftKey: Expression, rightKey: Expression,
+      leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       leftTime: Expression, rightTime: Expression,
       payload: Seq[Attribute], forward: Boolean) extends BinaryNode {
     override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
@@ -76,7 +81,7 @@ object NativeAsOf {
   }
 
   case class AsOfJoinExec(
-      leftKey: Expression, rightKey: Expression,
+      leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       leftTime: Expression, rightTime: Expression,
       payload: Seq[Attribute], forward: Boolean,
       left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
@@ -84,10 +89,10 @@ object NativeAsOf {
     override def output: Seq[Attribute] =
       left.output ++ payload.map(_.withNullability(true))
 
-    // each side clusters on its own key — Catalyst co-partitions the two
+    // each side clusters on its own keys — Catalyst co-partitions the two
     // exchanges exactly as it does for SortMergeJoin
     override def requiredChildDistribution: Seq[Distribution] =
-      ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
     // the merge keeps the LAST tied (key, time) right row it passes, so
     // the tiebreak sort direction encodes the composed operators' rules:
@@ -96,9 +101,9 @@ object NativeAsOf {
     // hash wins (asOfForward's `first` over ascending __tb)
     private def timeDir = if (forward) Descending else Ascending
     override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-      Seq(SortOrder(leftKey, Ascending, NullsFirst, Seq.empty),
-        SortOrder(leftTime, timeDir, timeDir.defaultNullOrdering, Seq.empty)),
-      Seq(SortOrder(rightKey, Ascending, NullsFirst, Seq.empty),
+      leftKeys.map(SortOrder(_, Ascending, NullsFirst, Seq.empty)) :+
+        SortOrder(leftTime, timeDir, timeDir.defaultNullOrdering, Seq.empty),
+      rightKeys.map(SortOrder(_, Ascending, NullsFirst, Seq.empty)) ++ Seq(
         SortOrder(rightTime, timeDir, timeDir.defaultNullOrdering, Seq.empty),
         SortOrder(XxHash64(payload, 42L), timeDir,
           timeDir.defaultNullOrdering, Seq.empty)))
@@ -109,14 +114,26 @@ object NativeAsOf {
         newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
       copy(left = newLeft, right = newRight)
 
+    // component comparison for every supported key type; UTF8String
+    // compares by binary order — the same order SortOrder(Ascending)
+    // imposes on StringType, so the merge agrees with the planner's sort
+    private def compareComponent(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+      case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+      case (x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+      case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+
     override protected def doExecute(): RDD[InternalRow] = {
       val lOut = left.output
       val rOut = right.output
       val outAttrs = output
-      val lk = BindReferences.bindReference(leftKey, lOut)
+      val lks = leftKeys.map(BindReferences.bindReference(_, lOut)).toArray
       val lt = BindReferences.bindReference(leftTime, lOut)
-      val rk = BindReferences.bindReference(rightKey, rOut)
+      val rks = rightKeys.map(BindReferences.bindReference(_, rOut)).toArray
       val rt = BindReferences.bindReference(rightTime, rOut)
+      val nKeys = lks.length
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         // bind payload against NULLABLE right attrs: unmatched left rows
         // feed an all-null right row, so the bound reference must carry a
@@ -131,14 +148,37 @@ object NativeAsOf {
           private var rNext: InternalRow = _
           private var rNextValid = advanceRight()
           private var held: InternalRow = _
-          private var heldKey = 0L
+          private var heldKeys: Array[Any] = _
           private var heldValid = false
 
+          // any-null key tuple disqualifies the row (equi-conjunction
+          // semantics); returns null for "disqualified"
+          private def evalKeys(exprs: Array[Expression],
+              row: InternalRow): Array[Any] = {
+            val out = new Array[Any](nKeys)
+            var i = 0
+            while (i < nKeys) {
+              val v = exprs(i).eval(row)
+              if (v == null) return null
+              out(i) = v; i += 1
+            }
+            out
+          }
+          private def compareKeys(a: Array[Any], b: Array[Any]): Int = {
+            var i = 0
+            while (i < nKeys) {
+              val c = compareComponent(a(i), b(i))
+              if (c != 0) return c
+              i += 1
+            }
+            0
+          }
           private def advanceRight(): Boolean = {
             while (rIter.hasNext) {
               val r = rIter.next()
-              val k = rk.eval(r); val t = rt.eval(r)
-              if (k != null && t != null) { rNext = r; return true }
+              if (evalKeys(rks, r) != null && rt.eval(r) != null) {
+                rNext = r; return true
+              }
               // null key/time right rows can never match — drop them
             }
             false
@@ -151,23 +191,32 @@ object NativeAsOf {
           override def hasNext: Boolean = lIter.hasNext
           override def next(): InternalRow = {
             val l = lIter.next()
-            val kv = lk.eval(l); val tv = lt.eval(l)
-            if (kv == null || tv == null) return resultProj(joined(l, nullRight))
-            val k = asLong(kv); val t = asLong(tv)
+            val ks = evalKeys(lks, l); val tv = lt.eval(l)
+            if (ks == null || tv == null) return resultProj(joined(l, nullRight))
+            val t = asLong(tv)
             var continue = rNextValid
             while (continue) {
-              val rKey = asLong(rk.eval(rNext))
-              val rT = if (rKey == k) asLong(rt.eval(rNext)) else 0L
-              val timeOk = if (forward) rT >= t else rT <= t
-              if (rKey < k || (rKey == k && timeOk)) {
-                if (rKey == k) { // candidate: copy out of the reused buffer
-                  held = rNext.copy(); heldKey = k; heldValid = true
+              val rKs = evalKeys(rks, rNext)
+              val cmp = compareKeys(rKs, ks)
+              val timeOk = cmp == 0 && {
+                val rT = asLong(rt.eval(rNext))
+                if (forward) rT >= t else rT <= t
+              }
+              if (cmp < 0 || timeOk) {
+                if (cmp == 0) { // candidate: copy out of the reused buffer
+                  held = rNext.copy()
+                  // re-evaluate off the COPY: the UTF8String components of
+                  // rKs point into the reused scan buffer and go stale on
+                  // the next advance; the copy owns its memory
+                  heldKeys = evalKeys(rks, held)
+                  heldValid = true
                 }
                 rNextValid = advanceRight()
                 continue = rNextValid
               } else continue = false
             }
-            if (heldValid && heldKey == k) resultProj(joined(l, held))
+            if (heldValid && compareKeys(heldKeys, ks) == 0)
+              resultProj(joined(l, held))
             else resultProj(joined(l, nullRight))
           }
         }
@@ -175,21 +224,21 @@ object NativeAsOf {
     }
   }
 
-  /** `left` (key, leftTime, ...) matched to the most recent `right`
-    * (key, rightTime, payload...) row — output: left.* + `asof_<payload>`
-    * columns, exactly [[graft.ext.AsOfJoin.asOf]]'s surface. The two
-    * inputs must not share attribute lineage (re-read the table for a
-    * self-as-of, as q208 does) and payload names must not collide with
-    * left's columns. */
+  /** `left` (keys..., leftTime, ...) matched to the most recent `right`
+    * (keys..., rightTime, payload...) row — output: left.* +
+    * `asof_<payload>` columns, exactly [[graft.ext.AsOfJoin.asOf]]'s
+    * surface generalized to composite keys. The two inputs must not share
+    * attribute lineage (re-read the table for a self-as-of, as q208 does)
+    * and payload names must not collide with left's columns. */
   def asOf(
       left: DataFrame, right: DataFrame,
-      key: String, leftTime: String, rightTime: String,
-      payload: Seq[String], forward: Boolean = false): DataFrame = {
+      keys: Seq[String], leftTime: String, rightTime: String,
+      payload: Seq[String], forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    val rNarrow = right.select((key +: rightTime +: payload).distinct.map(col): _*)
+    val rNarrow = right.select((keys ++ (rightTime +: payload)).distinct.map(col): _*)
     val lp = left.queryExecution.analyzed
     val rp = rNarrow.queryExecution.analyzed
     require(lp.outputSet.intersect(rp.outputSet).isEmpty,
@@ -197,12 +246,43 @@ object NativeAsOf {
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
+    import org.apache.spark.sql.types._
+    val keyTypes: Set[DataType] = Set(LongType, IntegerType, StringType,
+      TimestampType, DateType)
+    (keys.map(attr(lp, _)) ++ keys.map(attr(rp, _))).foreach { a =>
+      require(keyTypes.contains(a.dataType),
+        s"as-of key ${a.name}: ${a.dataType} unsupported (use ${keyTypes.mkString("/")})")
+    }
+    Seq(attr(lp, leftTime), attr(rp, rightTime)).foreach { a =>
+      require(a.dataType == LongType || a.dataType == TimestampType,
+        s"as-of time ${a.name}: ${a.dataType} must be Long or Timestamp (micros)")
+    }
     val payloadAttrs = payload.map(attr(rp, _))
     val node = AsOfJoinNode(lp, rp,
-      attr(lp, key), attr(rp, key), attr(lp, leftTime), attr(rp, rightTime),
+      keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+      attr(lp, leftTime), attr(rp, rightTime),
       payloadAttrs, forward)
     val joinedDf = org.apache.spark.sql.graft.PlanBridge.ofRows(spark, node)
     joinedDf.select(left.columns.map(col) ++
       payload.map(p => col(p).as(s"asof_$p")): _*)
   }
+
+  def asOf(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame =
+    asOf(left, right, keys, leftTime, rightTime, payload, forward = false)
+
+  /** Single-key convenience — the r14 surface, unchanged. */
+  def asOf(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      payload: Seq[String], forward: Boolean): DataFrame =
+    asOf(left, right, Seq(key), leftTime, rightTime, payload, forward)
+
+  def asOf(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame =
+    asOf(left, right, Seq(key), leftTime, rightTime, payload, forward = false)
 }

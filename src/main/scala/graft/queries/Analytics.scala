@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import graft.{Q, QueryDsl}
 import QueryDsl._
 import org.apache.spark.sql.functions._
@@ -369,6 +371,131 @@ object Analytics {
         ON c.user_id = p.user_id AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
     """))
 
+  /** COMPOSITE-KEY NATIVE AS-OF — each event matched to the most recent
+    * PRIOR event of the same (user_id, event_type): the inter-event
+    * recurrence lookup (time-since-last-purchase, error-recurrence gaps)
+    * that real as-of workloads key by (entity, category) — a LONG + STRING
+    * composite, the r15 [[graft.plans.NativeAsOf]] extension (r14 accepted
+    * one Long/Timestamp key; string keys merge by UTF8String binary order,
+    * the same order the planner's sort imposes). STRICT "prior" rides the
+    * inclusive <= contract by shifting the right timeline +1µs (time
+    * columns are Long micros — also exercising the Long-time path); the
+    * DuckDB twin shifts the same epoch in a subquery. Two narrow-width
+    * exchanges + one O(1)-state merge, the q208 scale shape. */
+  lazy val q236AsOfComposite: Q = Q(
+    "q236_asof_composite",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t_us"), col("ts"), col("value"))
+      val prior = t(s, dir, "events") // fresh scan → fresh lineage
+        .select(col("user_id"), col("event_type"),
+          (unix_micros(col("ts")) + 1).as("t_us"),
+          col("event_id").as("prev_event_id"), col("value").as("prev_value"))
+      graft.plans.NativeAsOf.asOf(ev, prior, Seq("user_id", "event_type"),
+          "t_us", "t_us", Seq("prev_event_id", "prev_value"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("event_ts"),
+          col("asof_prev_event_id").as("prev_event_id"),
+          col("asof_prev_value").as("prev_value"))
+    },
+    Some("""
+      SELECT e.user_id, e.event_type, e.event_id,
+        CAST(e.ts AS TIMESTAMP) AS event_ts,
+        p.event_id AS prev_event_id, p.value AS prev_value
+      FROM events e
+      ASOF LEFT JOIN (
+        SELECT user_id, event_type, epoch_us(ts) + 1 AS t_us, event_id, value
+        FROM events) p
+        ON e.user_id = p.user_id AND e.event_type = p.event_type
+       AND epoch_us(e.ts) >= p.t_us
+    """))
+
+  /** WELCH'S T-TEST + COHEN'S D — the unequal-variance two-sample test
+    * (the default the equal-variance Student's t should never be at
+    * scale: cohorts rarely share variance) over purchase values split by
+    * the q224/q234 parity cohorts. Same moment discipline as q225: values
+    * to exact µ-unit longs, (n, Σv, Σv²) per cohort through DECIMAL
+    * products (Σv² at 100 TB overflows int64 — DuckDB throws, Spark wraps
+    * silently; decimal/HUGEINT keep both exact), then ONE identical
+    * double chain per statistic — t, the Welch–Satterthwaite df, and
+    * Cohen's d with the pooled sd — rounded @6. Output is one row from
+    * five exact integers; the only data-sized pass is the cohort
+    * aggregate (map-side partial). */
+  lazy val q237WelchT: Q = Q(
+    "q237_welch_t",
+    (s, dir) => {
+      val micros = (round(col("value"), 6).cast(DecimalType(28, 6)) * 1000000)
+        .cast("long")
+      val v = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("g"), micros.as("v"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(19, 0))
+      val m = v.groupBy(col("g")).agg(count(lit(1)).as("n"),
+        sum(dec(col("v"))).as("sv"), sum(dec(col("v")) * dec(col("v"))).as("svv"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val w = m.agg(
+        max(when(col("g") === 0, col("n"))).as("n0"),
+        max(when(col("g") === 1, col("n"))).as("n1"),
+        max(when(col("g") === 0, d(col("sv")))).as("sv0"),
+        max(when(col("g") === 1, d(col("sv")))).as("sv1"),
+        max(when(col("g") === 0, d(col("svv")))).as("svv0"),
+        max(when(col("g") === 1, d(col("svv")))).as("svv1"))
+      val c2 = w.select(col("n0"), col("n1"),
+        (col("sv0") / col("n0") / 1e6).as("m0"),
+        (col("sv1") / col("n1") / 1e6).as("m1"),
+        ((col("n0") * col("svv0") - col("sv0") * col("sv0"))
+          / (d(col("n0")) * (col("n0") - 1)) / 1e12).as("s20"),
+        ((col("n1") * col("svv1") - col("sv1") * col("sv1"))
+          / (d(col("n1")) * (col("n1") - 1)) / 1e12).as("s21"))
+      c2.select(col("n0"), col("n1"),
+        round(col("m0"), 6).as("mean0"), round(col("m1"), 6).as("mean1"),
+        round((col("m0") - col("m1"))
+          / sqrt(col("s20") / col("n0") + col("s21") / col("n1")), 6)
+          .as("t_stat"),
+        round(((col("s20") / col("n0") + col("s21") / col("n1"))
+            * (col("s20") / col("n0") + col("s21") / col("n1")))
+          / ((col("s20") / col("n0")) * (col("s20") / col("n0")) / (col("n0") - 1)
+            + (col("s21") / col("n1")) * (col("s21") / col("n1")) / (col("n1") - 1)),
+          6).as("df_welch"),
+        round((col("m0") - col("m1"))
+          / sqrt(((col("n0") - 1) * col("s20") + (col("n1") - 1) * col("s21"))
+            / (col("n0") + col("n1") - 2)), 6).as("cohen_d"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id % 2 AS g,
+          CAST(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'),
+      m AS (
+        SELECT g, COUNT(*) AS n,
+          SUM(CAST(v AS HUGEINT)) AS sv,
+          SUM(CAST(v AS HUGEINT) * v) AS svv
+        FROM v GROUP BY g),
+      w AS (
+        SELECT
+          MAX(CASE WHEN g = 0 THEN n END) AS n0,
+          MAX(CASE WHEN g = 1 THEN n END) AS n1,
+          MAX(CASE WHEN g = 0 THEN CAST(sv AS DOUBLE) END) AS sv0,
+          MAX(CASE WHEN g = 1 THEN CAST(sv AS DOUBLE) END) AS sv1,
+          MAX(CASE WHEN g = 0 THEN CAST(svv AS DOUBLE) END) AS svv0,
+          MAX(CASE WHEN g = 1 THEN CAST(svv AS DOUBLE) END) AS svv1
+        FROM m),
+      c AS (
+        SELECT n0, n1,
+          sv0 / n0 / 1e6 AS m0, sv1 / n1 / 1e6 AS m1,
+          (n0 * svv0 - sv0 * sv0) / (CAST(n0 AS DOUBLE) * (n0 - 1)) / 1e12 AS s20,
+          (n1 * svv1 - sv1 * sv1) / (CAST(n1 AS DOUBLE) * (n1 - 1)) / 1e12 AS s21
+        FROM w)
+      SELECT n0, n1, round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+        round((m0 - m1) / sqrt(s20 / n0 + s21 / n1), 6) AS t_stat,
+        round(((s20 / n0 + s21 / n1) * (s20 / n0 + s21 / n1)) /
+          ((s20 / n0) * (s20 / n0) / (n0 - 1)
+            + (s21 / n1) * (s21 / n1) / (n1 - 1)), 6) AS df_welch,
+        round((m0 - m1) / sqrt(((n0 - 1) * s20 + (n1 - 1) * s21)
+          / (n0 + n1 - 2)), 6) AS cohen_d
+      FROM c
+    """))
+
   /** LOW-WATERMARK SCAN — each order against the cheapest order seen
     * BEFORE it on the global (day, orderkey) timeline: the
     * "new-minimum?" / record-tracking shape (price floors, best-quote
@@ -679,9 +806,9 @@ object Analytics {
         .select(col("day"), (col("cx") - col("cy")).as("d"))
         .filter(col("d") =!= 0)
         .withColumn("absd", abs(col("d")))
-        .localCheckpoint(eager = false) // feeds ranks, tie term, and the final join
+        .barrier() // feeds ranks, tie term, and the final join
       val byVal = d.groupBy(col("absd")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false)
+        .barrier()
       val w = Window.orderBy(col("absd"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val ranked = byVal
@@ -754,7 +881,7 @@ object Analytics {
           unix_date(to_date(col("ts"))).cast("long").as("day"))
         .agg(sum((round(col("value"), 6).cast(DecimalType(28, 6)) * 1000000)
           .cast("long")).as("rev"))
-        .localCheckpoint(eager = false) // three self-join arms
+        .barrier() // three self-join arms
       def lagged(k: Int, err: String) = daily
         .join(daily.select(col("event_type"), (col("day") + k).as("day"),
           col("rev").as("prev")), Seq("event_type", "day"))
@@ -1044,7 +1171,7 @@ object Analytics {
           sum((round(col("value"), 6).cast(DecimalType(28, 6)) * 1000000)
             .cast("long")).as("s"),
           count(lit(1)).as("c"))
-        .localCheckpoint(eager = false) // totals + LOO ratios reuse it
+        .barrier() // totals + LOO ratios reuse it
       val tot = buckets.agg(sum(col("s")).as("st"), sum(col("c")).as("nt"),
         count(lit(1)).as("nb"))
       val loo = buckets.crossJoin(tot)
@@ -1626,7 +1753,7 @@ object Analytics {
     q213LowWatermark, q215GapsIslands, q216CrossCorrelation, q218M4Downsample,
     q219IntervalMerge, q221Wilcoxon, q222Mase, q223KendallTau,
     q224DiffInDiff, q225Cuped, q226Jackknife, q228NelsonAalen, q230CohortLtv,
-    q231Stickiness, q232Mde, q234OddsRatio)
+    q231Stickiness, q232Mde, q234OddsRatio, q236AsOfComposite, q237WelchT)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by
@@ -1647,7 +1774,7 @@ object Analytics {
     (s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-        .localCheckpoint(eager = false) // feeds counts AND the pair join
+        .barrier() // feeds counts AND the pair join
       val cnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
       val pairs = li.select(col("ok"), col("pk").as("a"))
         .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
@@ -1784,7 +1911,7 @@ object Analytics {
         .agg(sum(col("value").cast(DecimalType(28, 8))).as("total_dec"))
         .select(unix_date(col("day")).cast("long").as("d"),
           col("total_dec").cast("double").as("y"))
-        .localCheckpoint(eager = false) // both sides of the pair join
+        .barrier() // both sides of the pair join
       val a = daily.select(col("d").as("da"), col("y").as("ya"))
       val b = daily.select(col("d").as("db"), col("y").as("yb"))
       a.join(broadcast(b), col("db") > col("da"))
@@ -1829,7 +1956,7 @@ object Analytics {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "events").select(col("event_type"), col("value"))
         .withColumn("bin", round(col("value") * 100).cast("long"))
-        .localCheckpoint(eager = false) // feeds cutoffs AND the trim
+        .barrier() // feeds cutoffs AND the trim
       val counts = e.groupBy(col("event_type"), col("bin"))
         .agg(count(lit(1)).as("c"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
@@ -1953,7 +2080,7 @@ object Analytics {
         .agg(sum(col("value").cast(DecimalType(28, 8))).as("total_dec"),
           count(lit(1)).as("n_events"))
         .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
-        .localCheckpoint(eager = false) // feeds seasonal means AND residuals
+        .barrier() // feeds seasonal means AND residuals
       val seasonal = daily.groupBy(col("dow"))
         .agg((sum(col("total_dec")).cast("double") / count(lit(1))).as("dow_mean"))
       daily.join(broadcast(seasonal), Seq("dow"))
@@ -1999,7 +2126,7 @@ object Analytics {
         .select(col("day"), col("total_dec").cast("double").as("x"),
           col("mu"),
           (col("total_dec").cast("double") - col("mu")).as("dev"))
-        .localCheckpoint(eager = false) // feeds both sides of the prefix join
+        .barrier() // feeds both sides of the prefix join
       val a = withDev.select(col("day"), col("x"), col("mu"))
       val b = withDev.select(col("day").as("bday"), col("dev"))
       a.join(broadcast(b), col("bday") <= col("day"))
@@ -2116,7 +2243,7 @@ object Analytics {
       val ranked = t(s, dir, "events")
         .select(col("event_type"), col("event_id"), col("value"))
         .withColumn("rk", row_number().over(w).cast("long"))
-        .localCheckpoint(eager = false) // feeds counts, rank means, join-back
+        .barrier() // feeds counts, rank means, join-back
       val minN = ranked.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .agg(min(col("n")).as("min_n"))
       val kept = ranked.crossJoin(broadcast(minN)).filter(col("rk") <= col("min_n"))
@@ -2166,7 +2293,7 @@ object Analytics {
       val scored = feats.select(
           round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p"),
           (col("urgent_ratio") > 0.25).cast("long").as("y"))
-        .localCheckpoint(eager = false) // feeds cutoffs AND bucketing
+        .barrier() // feeds cutoffs AND bucketing
       val cuts = scored.agg(expr(
         "percentile(p, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))").as("qs"))
       val bucket = (1 until 10).map(i =>
@@ -2251,7 +2378,7 @@ object Analytics {
         .withColumn("factor",
           (col("at_risk") - col("deaths")).cast("double")
             / col("at_risk").cast("double"))
-        .localCheckpoint(eager = false) // feeds both sides of the day join
+        .barrier() // feeds both sides of the day join
       val a = risk.select(col("day"), col("at_risk"), col("deaths"), col("censored"))
       val b = risk.select(col("day").as("bday"), col("factor"))
       a.join(broadcast(b), col("bday") <= col("day"))
@@ -2367,7 +2494,7 @@ object Analytics {
     "q162_equidepth_hist",
     (s, dir) => {
       val o = t(s, dir, "orders").select(col("o_totalprice").as("v"))
-        .localCheckpoint(eager = false) // feeds cutoffs AND bucketing
+        .barrier() // feeds cutoffs AND bucketing
       val cuts = o.agg(expr(
         "percentile(v, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))").as("qs"))
       val bucket = (1 until 10).map(i =>
@@ -2955,7 +3082,7 @@ object Analytics {
         .select(col("user_id"),
           expr("CAST(unix_date(to_date(ts)) AS BIGINT) div 7").as("wk"))
         .distinct()
-        .localCheckpoint(eager = false) // feeds cohorts AND activity
+        .barrier() // feeds cohorts AND activity
       val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
       val ret = uw.join(cohort, Seq("user_id"))
         .groupBy(col("cwk").as("cohort_week"),
@@ -3005,9 +3132,9 @@ object Analytics {
           expr("CAST(unix_date(to_date(ts)) AS BIGINT) div 7").as("wk"),
           (round(col("value"), 6).cast(DecimalType(28, 6)) * 1000000)
             .cast("long").as("v"))
-        .localCheckpoint(eager = false) // feeds cohorts AND revenue
+        .barrier() // feeds cohorts AND revenue
       val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
-        .localCheckpoint(eager = false) // feeds sizes AND the revenue join
+        .barrier() // feeds sizes AND the revenue join
       val sizes = cohort.groupBy(col("cwk").as("cohort_week"))
         .agg(countDistinct(col("user_id")).as("n_users"))
       val weekly = ev.filter(col("event_type") === "purchase")
@@ -3070,7 +3197,7 @@ object Analytics {
         .select(col("user_id"),
           unix_date(to_date(col("ts"))).cast("long").as("day"))
         .distinct()
-        .localCheckpoint(eager = false) // spine, reaches, and first-seen share it
+        .barrier() // spine, reaches, and first-seen share it
       val days = ud.select(col("day")).distinct()
       def reach(win: Int, cname: String) = ud
         .select(col("user_id"),
@@ -3279,14 +3406,14 @@ object Analytics {
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
-        .localCheckpoint(eager = false) // feeds all three stage scans
+        .barrier() // feeds all three stage scans
       val s1 = ev.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
-        .localCheckpoint(eager = false) // feeds stage 2 AND the count
+        .barrier() // feeds stage 2 AND the count
       val s2 = ev.filter(col("event_type") === "click")
         .join(s1, Seq("user_id")).filter(col("us") > col("t1"))
         .groupBy(col("user_id")).agg(min(col("us")).as("t2"), min(col("t1")).as("t1"))
-        .localCheckpoint(eager = false) // feeds stage 3 AND the count
+        .barrier() // feeds stage 3 AND the count
       val s3 = ev.filter(col("event_type") === "purchase")
         .join(s2, Seq("user_id")).filter(col("us") > col("t2"))
         .groupBy(col("user_id")).agg(min(col("us")).as("t3"), min(col("t1")).as("t1"))
@@ -3346,7 +3473,7 @@ object Analytics {
     (s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-        .localCheckpoint(eager = false) // feeds N, counts, AND the pair join
+        .barrier() // feeds N, counts, AND the pair join
       val total = li.select(col("ok")).distinct()
         .agg(count(lit(1)).as("n_orders"))
       val cnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
@@ -3492,7 +3619,7 @@ object Analytics {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("x"),
           sum(col("value").cast(DecimalType(28, 8))).as("y"))
-        .localCheckpoint(eager = false) // feeds both rank tables + join-back
+        .barrier() // feeds both rank tables + join-back
       def rank2(keyed: org.apache.spark.sql.DataFrame, c: String,
           out: String): org.apache.spark.sql.DataFrame = {
         val cnt = keyed.groupBy(col(c)).agg(count(lit(1)).as("__c"))
@@ -3562,14 +3689,14 @@ object Analytics {
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(col("value").cast(DecimalType(28, 8))).as("tot"))
         .select(unix_date(col("day")).cast("long").as("d"), col("tot"))
-        .localCheckpoint(eager = false) // feeds stats, both join sides, den
+        .barrier() // feeds stats, both join sides, den
       val stats = daily.agg(count(lit(1)).as("n"),
         sum(col("tot")).cast("double").as("sm"))
       val dev = daily.crossJoin(broadcast(stats))
         .select(col("d"),
           (col("tot").cast("double") - col("sm") / col("n").cast("double"))
             .as("dv"))
-        .localCheckpoint(eager = false)
+        .barrier()
       val den = dev.agg(
         sum(round(col("dv") * col("dv"), 6).cast(DecimalType(28, 6)))
           .as("den"))
@@ -3665,7 +3792,7 @@ object Analytics {
     (s, dir) => {
       val c = t(s, dir, "customer")
         .select(col("c_nationkey").as("x"), col("c_mktsegment").as("y"))
-        .localCheckpoint(eager = false) // feeds all three count tables
+        .barrier() // feeds all three count tables
       val nxy = c.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
       val nx = c.groupBy(col("x")).agg(count(lit(1)).as("n_x"))
       val ny = c.groupBy(col("y")).agg(count(lit(1)).as("n_y"))

@@ -1,10 +1,13 @@
 package graft.queries
 
+import graft.plans.ScaleLint.BarrierSyntax
+
 import graft.{Q, QueryDsl}
 import QueryDsl._
 import graft.ext.{Dedup, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** North-star text-analysis + dedup operators over `documents`
   * (LLM-training-data pipeline surface; graded alongside SURVEY §2).
@@ -1486,7 +1489,7 @@ object TextQueries {
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
           Dedup.shingles(col("toks"), 2).as("g2"),
           Dedup.shingles(col("toks"), 3).as("g3"))
-        .localCheckpoint(eager = false) // feeds the metrics AND the mass explode
+        .barrier() // feeds the metrics AND the mass explode
       val mass = d.select(col("doc_id"), explode(col("g2")).as("gram"))
         .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
@@ -1628,6 +1631,133 @@ object TextQueries {
     """
     })
 
+  /** PMI COLLOCATIONS — the corpus-linguistics "which word pairs belong
+    * together" table (Church & Hanks 1990): pointwise mutual information
+    * ln(p(ab)/(p(a)p(b))) over ADJACENT token pairs, min-count floored
+    * (PMI without a count floor is a rare-pair leaderboard). Bigrams come
+    * from one LEAD over the (doc_id, pos) window — the q233/q188 recipe,
+    * O(tokens) work, never a positional self-join; unigram/bigram counts
+    * are keyed aggregates; totals are 1-row broadcast cross joins. The
+    * PMI ratio is assembled as one double product chain written
+    * identically in both engines (the exact integer products would pass
+    * 1e19 at sf0.1 — past int64 — so the doubles ARE the contract), ln is
+    * the shared libm, ordering is on the rounded score with a full word
+    * tiebreak ⇒ full oracle. */
+  lazy val q238PmiCollocations: Q = Q(
+    "q238_pmi_collocations",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bigAll = toks
+        .withColumn("wb", lead(col("w"), 1).over(wDoc))
+        .filter(col("wb").isNotNull)
+        .groupBy(col("w").as("w1"), col("wb").as("w2"))
+        .agg(count(lit(1)).as("c_ab"))
+        .barrier() // feeds the total AND the scored join
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .barrier() // feeds the total AND two join arms
+      val nb = bigAll.agg(sum(col("c_ab")).as("nb"))
+      val nu = uni.agg(sum(col("c")).as("nu"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      bigAll.filter(col("c_ab") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .select(col("w1"), col("w2"), col("c_ab"),
+          round(log((d(col("c_ab")) * d(col("nu")) * d(col("nu")))
+            / (d(col("nb")) * d(col("c1")) * d(col("c2")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks0 AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+      toks AS (
+        SELECT doc_id, UNNEST(l) AS w, UNNEST(range(len(l))) AS pos
+        FROM toks0),
+      uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+      nuni AS (SELECT SUM(c) AS nu FROM uni),
+      big AS (
+        SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c_ab
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+      nbig AS (SELECT SUM(c_ab) AS nb FROM big)
+      SELECT w1, w2, c_ab,
+        round(ln((CAST(c_ab AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE))
+          / (CAST(nb AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6)
+          AS pmi
+      FROM big, nuni, nbig
+      JOIN uni u1 ON big.w1 = u1.w
+      JOIN uni u2 ON big.w2 = u2.w
+      WHERE c_ab >= 5
+      ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """))
+
+  /** PER-SOURCE KL DIVERGENCE — the corpus-drift leaderboard ("which
+    * source's token distribution diverges most from the rest"), the text
+    * twin of q100's numeric PSI: add-one-smoothed unigram distribution of
+    * each source vs the complement, KL(p_s ‖ p_rest) in nats. The grid is
+    * |sources| × |vocab| (source count is catalog metadata — bounded;
+    * vocab data-sized but every join is keyed on the token), absent words
+    * still contribute through smoothing via the left join. Float
+    * discipline: each term is one identical double chain rounded @9, the
+    * per-source sum runs in DECIMAL (a bare double Σ over a data-sized
+    * vocab is partition-order-dependent — the q204 recipe), final KL
+    * rounded @6 ⇒ full oracle. */
+  lazy val q239SourceKl: Q = Q(
+    "q239_source_kl",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      val sw = toks.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .barrier() // feeds gw, ns, and the grid join
+      val gw = sw.groupBy(col("w")).agg(sum(col("c")).as("cg"))
+      val ns = sw.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val tot = gw.agg(sum(col("cg")).as("ng"), count(lit(1)).as("v"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val grid = gw.crossJoin(broadcast(ns)) // |sources| × |vocab|, keyed below
+        .join(sw, Seq("source", "w"), "left")
+        .select(col("source"), col("n"), col("cg"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .crossJoin(broadcast(tot))
+      grid
+        .select(col("source"),
+          round((d(col("c") + 1) / (col("n") + col("v")))
+            * log((d(col("c") + 1) / (col("n") + col("v")))
+              / (d(col("cg") - col("c") + 1)
+                / (col("ng") - col("n") + col("v")))), 9).as("term"))
+        .groupBy(col("source"))
+        .agg(round(sum(col("term").cast(DecimalType(38, 9))).cast("double"), 6)
+          .as("kl"))
+    },
+    Some("""
+      WITH toks0 AS (
+        SELECT source, string_split(lower(text), ' ') AS l FROM documents),
+      toks AS (SELECT source, UNNEST(l) AS w FROM toks0),
+      sw AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      gw AS (SELECT w, SUM(c) AS cg FROM sw GROUP BY w),
+      ns AS (SELECT source, SUM(c) AS n FROM sw GROUP BY source),
+      tot AS (SELECT SUM(cg) AS ng, COUNT(*) AS v FROM gw),
+      grid AS (
+        SELECT s.source, g.w, g.cg, COALESCE(sw.c, 0) AS c, s.n
+        FROM ns s
+        CROSS JOIN gw g
+        LEFT JOIN sw ON sw.source = s.source AND sw.w = g.w),
+      terms AS (
+        SELECT source,
+          round((CAST(c + 1 AS DOUBLE) / (n + v)) *
+            ln((CAST(c + 1 AS DOUBLE) / (n + v)) /
+               (CAST(cg - c + 1 AS DOUBLE) / (ng - n + v))), 9) AS term
+        FROM grid, tot)
+      SELECT source,
+        round(CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 6) AS kl
+      FROM terms GROUP BY source
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
@@ -1636,5 +1766,5 @@ object TextQueries {
     q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval,
     q131BpeMerges, q142BpeEncode, q143Bm25, q152PreferencePairs, q163TopNgramMass,
     q167ContainmentPairs, q190TokenizerFertility, q209ZipfSlope, q229DocRepetition,
-    q233TextRank)
+    q233TextRank, q238PmiCollocations, q239SourceKl)
 }
