@@ -312,4 +312,70 @@ object Stateful {
     keyed.transformWithState(
       new FunnelProcessor(), TimeMode.None(), OutputMode.Update())
   }
+
+  /** STREAMING AS-OF (latest-state enrichment) — the incremental twin of
+    * the batch backward as-of join (q49 composed / q208 native): per key,
+    * state is the LATEST right-side row seen ((tsMicros, id, value)); each
+    * left-side row emits tagged with the held right row at-or-before it.
+    * This is the stream-enrichment shape ("stamp each event with the most
+    * recent quote/config/snapshot for its key") that the watermarked
+    * stream-stream join cannot express with O(1) state — the symmetric
+    * join buffers a whole time-range window per key, while as-of needs
+    * exactly ONE held row per key, ever.
+    *
+    * Ordering contract (the EWMA/CUSUM parity discipline): within a
+    * micro-batch rows fold in (ts, right-before-left, id) order — a right
+    * row at the SAME instant as a left row applies first, so equal
+    * timestamps match, the batch operator's inclusive `rightTime <=
+    * leftTime` contract; across batches the caller feeds per-key
+    * event-time order (the watermark contract). Under that contract every
+    * emitted match BIT-equals the batch as-of at the same left row
+    * (spec-pinned across uneven slicings against [[graft.ext.AsOfJoin]]).
+    * A defensive (ts, id) monotonicity guard makes a late right row a
+    * no-op rather than a state regression. A left row arriving before any
+    * right emits id −1 / value 0.0 — the batch left-join null. */
+  class AsOfLatestProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Int, Double),
+        (Long, Long, Long, Long, Double)] {
+    // input:  (key, tsMicros, id, side: 0 = right / 1 = left, value)
+    // output: (key, leftId, leftTs, matchedRightId or -1, matchedRightValue)
+    @transient private var state: ValueState[(Long, Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[(Long, Long, Double)](
+        "latest", Encoders.product[(Long, Long, Double)], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long, Int, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Double)] = {
+      var held = if (state.exists()) state.get() else (-1L, -1L, 0.0)
+      val out = Seq.newBuilder[(Long, Long, Long, Long, Double)]
+      // rights fold before lefts at an equal instant (inclusive <=)
+      rows.toSeq.sortBy(r => (r._2, r._4, r._3)).foreach {
+        case (_, ts, id, 0, v) =>
+          if (ts > held._1 || (ts == held._1 && id >= held._2))
+            held = (ts, id, v)
+        case (_, ts, id, _, _) =>
+          out += ((key, id, ts,
+            if (held._1 >= 0) held._2 else -1L,
+            if (held._1 >= 0) held._3 else 0.0))
+      }
+      state.update(held)
+      out.result().iterator
+    }
+  }
+
+  /** Wire the latest-state as-of onto a keyed union stream of
+    * (key, tsMicros, id, side 0=right/1=left, value): emits one
+    * (key, left_id, left_ts, matched_right_id, matched_right_value) row
+    * per LEFT input row per micro-batch (-1 = no right row yet). */
+  def asOfLatest(
+      keyed: KeyValueGroupedDataset[Long, (Long, Long, Long, Int, Double)])
+      : Dataset[(Long, Long, Long, Long, Double)] = {
+    implicit val enc: Encoder[(Long, Long, Long, Long, Double)] =
+      Encoders.product[(Long, Long, Long, Long, Double)]
+    keyed.transformWithState(
+      new AsOfLatestProcessor(), TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -661,6 +661,53 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming as-of: every left emission BIT-matches the batch backward as-of across slicings") {
+    withRocksDb {
+      val dir = "/root/testdata/sf0.001"
+      // union-tagged real data: clicks are the right (state) side,
+      // purchases the left (probe) side; globally (ts, right-first, id)
+      // ordered ⇒ per-key event-time order holds in every slice
+      val ev = graft.Tables.load(spark, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("t"), $"event_id",
+          $"event_type", $"value")
+        .as[(Long, Long, Long, String, Double)].collect()
+      val tagged = ev.collect {
+        case (u, t, id, "click", v) => (u, t, id, 0, v)
+        case (u, t, id, "purchase", v) => (u, t, id, 1, v)
+      }.sortBy(r => (r._2, r._4, r._3)).toSeq
+      val in = MemoryStream[(Long, Long, Long, Int, Double)](spark)
+      val out = Stateful.asOfLatest(in.toDS().groupByKey(_._1))
+      val ckpt = tmp() + "/asof-ckpt"
+      val q = out.writeStream.format("memory").queryName("tws_asof")
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      try {
+        in.addData(tagged.take(101): _*); q.processAllAvailable()
+        in.addData(tagged.slice(101, 102): _*); q.processAllAvailable()
+        in.addData(tagged.drop(102): _*); q.processAllAvailable()
+        val got = spark.table("tws_asof").as[(Long, Long, Long, Long, Double)]
+          .collect().map(r => r._2 -> ((r._4, r._5))).toMap
+        // batch truth: the composed backward as-of on the same inputs
+        def purchases = graft.Tables.load(spark, dir, "events")
+          .filter($"event_type" === "purchase")
+          .select("event_id", "ts", "user_id", "value")
+        def clicks = graft.Tables.load(spark, dir, "events")
+          .filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_id"),
+            $"value".as("click_value"))
+        val expect = graft.ext.AsOfJoin.asOf(purchases, clicks,
+            "user_id", "ts", "ts", Seq("click_id", "click_value"))
+          .select($"event_id",
+            coalesce($"asof_click_id", lit(-1L)).as("cid"),
+            coalesce($"asof_click_value", lit(0.0)).as("cv"))
+          .as[(Long, Long, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got.size === expect.size, "exactly one emission per left row")
+        assert(got === expect,
+          "streaming latest-state as-of must BIT-match the batch join, nulls included")
+      } finally q.stop()
+    }
+  }
+
   test("transformWithState state survives a checkpoint restart (ST8 + ST3)") {
     withRocksDb {
       val dir = tmp()
