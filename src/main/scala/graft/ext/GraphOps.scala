@@ -184,4 +184,49 @@ object GraphOps {
     }
     visited
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM'99) over a directed edge
+    * list — the mutual-reinforcement twin of [[PageRank]]: authority(p) =
+    * Σ hub(u) over in-edges, hub(u) = Σ authority(p) over out-edges, each
+    * vector L1-normalized per half-round. Runs in the q130 integer-
+    * micromass discipline so the scores are BIT-EXACT across engines and
+    * partitionings: hubs start at scale/|src|, every half-round is one
+    * src- or dst-keyed join + keyed sum, and normalization is
+    * `x * scale div total` in exact Long arithmetic. Overflow contract:
+    * each normalized vector sums to ≤ scale, so every raw sum ≤ scale and
+    * every product ≤ scale² — the default 1e9 keeps scale² = 1e18 inside
+    * int64 in BOTH engines (DuckDB would throw on overflow, Spark would
+    * wrap silently; neither gets the chance). Per half-round cost is
+    * O(|E|) — two keyed shuffles — and the 1-row totals broadcast.
+    *
+    * @return (hubs: (node, hub), authorities: (node, auth)) after `iters`
+    *         full rounds; scores in units of `scale`⁻¹. */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000000L)
+      : (DataFrame, DataFrame) = {
+    require(iters >= 1, "need at least one round")
+    val e = edges.select(col("src"), col("dst")).distinct().barrier(eager = true)
+    val nSrc = e.select(col("src")).distinct().count()
+    require(nSrc >= 1, "empty graph")
+    var hubs = e.select(col("src")).distinct()
+      .withColumn("hub", lit(scale / nSrc))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(hubs, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("araw"))
+        .barrier() // feeds the total AND the normalization
+      val ta = araw.agg(sum(col("araw")).as("ta"))
+      auths = araw.crossJoin(broadcast(ta))
+        .select(col("dst"), expr(s"(araw * ${scale}L) div ta").as("auth"))
+        .barrier(eager = true)
+      val hraw = e.join(auths, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("hraw"))
+        .barrier()
+      val th = hraw.agg(sum(col("hraw")).as("th"))
+      hubs = hraw.crossJoin(broadcast(th))
+        .select(col("src"), expr(s"(hraw * ${scale}L) div th").as("hub"))
+        .barrier(eager = true)
+    }
+    (hubs.select(col("src").as("node"), col("hub")),
+      auths.select(col("dst").as("node"), col("auth")))
+  }
 }

@@ -496,6 +496,169 @@ object Analytics {
       FROM c
     """))
 
+  /** PER-SEGMENT LOG-LOG OLS (price-elasticity style) — slope, intercept,
+    * R² of ln(quantity) on ln(price) per return flag: the grouped
+    * regression readout pricing teams run per category. Float discipline:
+    * each row's (ln x, ln y) pair is ONE libm call rounded @6 and frozen
+    * as DECIMAL(18,6), so all five moments (Σx, Σy, Σxy, Σx², Σy²) are
+    * EXACT decimal sums — order-independent, unlike a bare double Σ (the
+    * q204 rule applied to regression). The closing S-form chains run once
+    * per GROUP (bounded rows) in identical double arithmetic. One keyed
+    * aggregate over the scan; map-side partial. */
+  lazy val q240SegmentOls: Q = Q(
+    "q240_segment_ols",
+    (s, dir) => {
+      val pts = t(s, dir, "lineitem")
+        .filter(col("l_extendedprice") > 0 && col("l_quantity") > 0)
+        .select(col("l_returnflag").as("seg"),
+          round(log(col("l_extendedprice")), 6).cast(DecimalType(18, 6)).as("x"),
+          round(log(col("l_quantity")), 6).cast(DecimalType(18, 6)).as("y"))
+      val m = pts.groupBy(col("seg")).agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val sNum = col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      val sDen = col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      m.select(col("seg"), col("n"),
+        round(sNum / sDen, 6).as("slope"),
+        round((d(col("sy")) - (sNum / sDen) * d(col("sx"))) / col("n"), 6)
+          .as("intercept"),
+        round((sNum * sNum)
+          / (sDen * (col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+          .as("r2"))
+    },
+    Some("""
+      WITH pts AS (
+        SELECT l_returnflag AS seg,
+          CAST(round(ln(l_extendedprice), 6) AS DECIMAL(18,6)) AS x,
+          CAST(round(ln(l_quantity), 6) AS DECIMAL(18,6)) AS y
+        FROM lineitem WHERE l_extendedprice > 0 AND l_quantity > 0),
+      m AS (
+        SELECT seg, COUNT(*) AS n,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+          SUM(x*x) AS sxx, SUM(y*y) AS syy
+        FROM pts GROUP BY seg)
+      SELECT seg, n,
+        round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+          AS slope,
+        round((CAST(sy AS DOUBLE)
+            - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+        round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+          / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+          6) AS r2
+      FROM m
+    """))
+
+  /** MARKOV STATIONARY DISTRIBUTION of the event-type chain — where the
+    * q154 transition matrix SETTLES: π after four exact power-method
+    * rounds from uniform, the long-run "share of attention" per event
+    * type (the steady-state a session simulator would sample from). The
+    * transition rows come from one LEAD over the (user, ts) window
+    * (q188's recipe); probabilities and π live in integer micromass
+    * (p = c·1e9 div c_row, π step = Σ π·p div 1e9 — every product ≤ 1e18,
+    * inside int64 in both engines) ⇒ FULL oracle, the q130 discipline on
+    * a row-stochastic matrix instead of a graph. State space is the
+    * event-type alphabet — the iteration tables are trivially bounded;
+    * the only data-sized pass is the transition count. */
+  lazy val q242MarkovStationary: Q = Q(
+    "q242_markov_stationary",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val S = 1000000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .barrier() // feeds row totals AND the probability join
+      val rowTot = trans.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+      val p = trans.join(rowTot, Seq("a"))
+        .select(col("a"), col("b"), expr(s"(c * ${S}L) div ca").as("p"))
+        .barrier(eager = true) // the 4 rounds re-read this ≤|A|² table
+      val nStates = rowTot.count()
+      var pi = rowTot.select(col("a").as("st")).withColumn("pi", lit(S / nStates))
+      for (_ <- 1 to 4) {
+        pi = p.join(pi, col("a") === col("st"))
+          .select(col("b"), expr(s"(pi * p) div ${S}L").as("contrib"))
+          .groupBy(col("b")).agg(sum(col("contrib")).as("pi"))
+          .select(col("b").as("st"), col("pi"))
+      }
+      pi.select(col("st").as("event_type"), col("pi"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS nxt
+        FROM events),
+      c AS (SELECT event_type AS a, nxt AS b, COUNT(*) AS c FROM ev
+            WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      rowtot AS (SELECT a, SUM(c) AS ca FROM c GROUP BY a),
+      p AS (SELECT a, b, CAST(c * 1000000000 // ca AS BIGINT) AS p
+            FROM c JOIN rowtot USING (a)),
+      pi0 AS (SELECT a AS st, CAST(1000000000 // (SELECT COUNT(*) FROM rowtot)
+                AS BIGINT) AS pi FROM rowtot),
+      pi1 AS (SELECT b AS st, CAST(SUM(pi * p // 1000000000) AS BIGINT) AS pi
+              FROM p JOIN pi0 ON p.a = pi0.st GROUP BY b),
+      pi2 AS (SELECT b AS st, CAST(SUM(pi * p // 1000000000) AS BIGINT) AS pi
+              FROM p JOIN pi1 ON p.a = pi1.st GROUP BY b),
+      pi3 AS (SELECT b AS st, CAST(SUM(pi * p // 1000000000) AS BIGINT) AS pi
+              FROM p JOIN pi2 ON p.a = pi2.st GROUP BY b),
+      pi4 AS (SELECT b AS st, CAST(SUM(pi * p // 1000000000) AS BIGINT) AS pi
+              FROM p JOIN pi3 ON p.a = pi3.st GROUP BY b)
+      SELECT st AS event_type, pi FROM pi4
+    """))
+
+  /** THEIL INDEX of customer revenue — the entropy-based inequality
+    * measure that DECOMPOSES (unlike q176's Gini): T = Σ (xᵢ/X)·ln(n·xᵢ/X)
+    * over per-customer revenue. Revenue is exact integer cents; each
+    * customer's term is one identical double chain rounded @9 and the
+    * data-sized Σ runs in DECIMAL (the q204/q239 order-independence
+    * recipe); totals ride a 1-row broadcast. One keyed aggregate + one
+    * global sum — map-side partial all the way. */
+  lazy val q243TheilIndex: Q = Q(
+    "q243_theil_index",
+    (s, dir) => {
+      val x = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(28, 2)) * 100)
+          .cast("long")).as("cents"))
+        .barrier() // feeds the total AND the terms
+      val tot = x.agg(sum(col("cents").cast(DecimalType(38, 0))).as("tc"),
+        count(lit(1)).as("n"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      x.crossJoin(broadcast(tot))
+        .select(round((d(col("cents")) / d(col("tc")))
+          * log(d(col("cents")) * col("n") / d(col("tc"))), 9).as("term"))
+        .agg(round(sum(col("term").cast(DecimalType(38, 9))).cast("double"), 6)
+          .as("theil"),
+          count(lit(1)).as("n_customers"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)) * 100) AS BIGINT)
+            AS cents
+        FROM orders GROUP BY o_custkey),
+      tot AS (SELECT SUM(CAST(cents AS HUGEINT)) AS tc, COUNT(*) AS n FROM x),
+      terms AS (
+        SELECT round((CAST(cents AS DOUBLE) / CAST(tc AS DOUBLE)) *
+          ln(CAST(cents AS DOUBLE) * n / CAST(tc AS DOUBLE)), 9) AS term
+        FROM x, tot)
+      SELECT round(CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 6) AS theil,
+        CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM terms
+    """))
+
   /** LOW-WATERMARK SCAN — each order against the cheapest order seen
     * BEFORE it on the global (day, orderkey) timeline: the
     * "new-minimum?" / record-tracking shape (price floors, best-quote
@@ -1753,7 +1916,8 @@ object Analytics {
     q213LowWatermark, q215GapsIslands, q216CrossCorrelation, q218M4Downsample,
     q219IntervalMerge, q221Wilcoxon, q222Mase, q223KendallTau,
     q224DiffInDiff, q225Cuped, q226Jackknife, q228NelsonAalen, q230CohortLtv,
-    q231Stickiness, q232Mde, q234OddsRatio, q236AsOfComposite, q237WelchT)
+    q231Stickiness, q232Mde, q234OddsRatio, q236AsOfComposite, q237WelchT,
+    q240SegmentOls, q242MarkovStationary, q243TheilIndex)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by

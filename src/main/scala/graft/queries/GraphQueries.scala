@@ -422,6 +422,53 @@ object GraphQueries {
     """
     })
 
+  /** HITS AUTHORITIES (Kleinberg, JACM'99) over the customer→part
+    * purchase bipartite graph: "which parts do the BROADEST buyers buy"
+    * — authority mass flows from hub customers (those buying many
+    * authoritative parts), the mutual-reinforcement ranking q130's
+    * single-vector damped walk cannot express. [[GraphOps.hits]] runs
+    * the q130 integer-micromass discipline (exact Long sums, `div`
+    * normalization, scale 1e9 so every product stays inside int64 in
+    * both engines) ⇒ FULL oracle: DuckDB unrolls the same two rounds of
+    * half-steps in exact BIGINT. Top-20 with the full tiebreak. Scale
+    * shape: per half-round one keyed join + keyed sum over |E|, 1-row
+    * totals broadcast; never all-pairs. */
+  val q241Hits: Q = Q(
+    "q241_hits_authorities",
+    (s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      val (_, auths) = GraphOps.hits(edges, iters = 2)
+      auths.orderBy(col("auth").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("part_key"), col("auth"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      nsrc AS (SELECT COUNT(DISTINCT src) AS n FROM e),
+      h0 AS (
+        SELECT src, CAST(1000000000 // (SELECT n FROM nsrc) AS BIGINT) AS hub
+        FROM (SELECT DISTINCT src FROM e)),
+      a1r AS (SELECT dst, CAST(SUM(hub) AS BIGINT) AS araw
+              FROM e JOIN h0 USING (src) GROUP BY dst),
+      a1 AS (SELECT dst, CAST(araw * 1000000000 // (SELECT SUM(araw) FROM a1r)
+               AS BIGINT) AS auth FROM a1r),
+      h1r AS (SELECT src, CAST(SUM(auth) AS BIGINT) AS hraw
+              FROM e JOIN a1 USING (dst) GROUP BY src),
+      h1 AS (SELECT src, CAST(hraw * 1000000000 // (SELECT SUM(hraw) FROM h1r)
+               AS BIGINT) AS hub FROM h1r),
+      a2r AS (SELECT dst, CAST(SUM(hub) AS BIGINT) AS araw
+              FROM e JOIN h1 USING (src) GROUP BY dst),
+      a2 AS (SELECT dst, CAST(araw * 1000000000 // (SELECT SUM(araw) FROM a2r)
+               AS BIGINT) AS auth FROM a2r)
+      SELECT dst AS part_key, auth FROM a2
+      ORDER BY auth DESC, part_key LIMIT 20
+    """))
+
   val all: Seq[Q] = Seq(q130PageRank, q136KnnGraph, q137TriangleCensus,
-    q138LabelProp, q179KCore, q198BfsReach, q207PersonalizedPagerank)
+    q138LabelProp, q179KCore, q198BfsReach, q207PersonalizedPagerank,
+    q241Hits)
 }

@@ -184,4 +184,31 @@ class GraphOpsSpec extends SparkSuite {
     // a seed not in the edge list still reports itself at distance 0
     assert(run(Seq(42L), 3) === Map(42L -> 0L))
   }
+
+  test("hits: mutual reinforcement ranks the shared authority first; invariant under layout; L1 ≈ scale") {
+    // star-ish bipartite: part 100 bought by ALL three buyers, 101 by two,
+    // 102 by one, 103 only by a lone buyer — authority must rank 100 >
+    // 101 > 102; hub 1 (buys the most authoritative basket) tops hubs
+    val edges = Seq(
+      (1L, 100L), (1L, 101L), (1L, 102L),
+      (2L, 100L), (2L, 101L),
+      (3L, 100L),
+      (4L, 103L)
+    ).toDF("src", "dst")
+    val scale = 1000000000L
+    val (hubs, auths) = GraphOps.hits(edges, iters = 2, scale = scale)
+    val a = auths.as[(Long, Long)].collect().toMap
+    assert(a(100L) > a(101L) && a(101L) > a(102L),
+      s"authority order must follow buyer breadth: $a")
+    assert(a(102L) > 0 && a(103L) > 0)
+    // L1 normalization: floor losses only — within |nodes| of scale
+    assert(math.abs(a.values.sum - scale) <= a.size,
+      s"authority mass must sum to ~scale: ${a.values.sum}")
+    val h = hubs.as[(Long, Long)].collect().toMap
+    assert(h(1L) > h(2L) && h(2L) > h(3L), s"hub order must follow basket authority: $h")
+    // partition-layout invariance: the integer recurrence is exact
+    val (h2, a2) = GraphOps.hits(edges.repartition(7), iters = 2, scale = scale)
+    assert(a2.as[(Long, Long)].collect().toMap === a)
+    assert(h2.as[(Long, Long)].collect().toMap === h)
+  }
 }
