@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   *    a maintained artifact, not a per-query rebuild.
   *
   * Run: `sbt "runMain graft.ScalingProbe
-  * [q82counts|q112counts|skew|annknee|opqsweep|hardneg|asofbytes|graph|dq10x|all]"`.
+  * [q82counts|q112counts|skew|annknee|opqsweep|hardneg|asofbytes|asofkeys|graph|dq10x|all]"`.
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
@@ -260,6 +260,52 @@ object ScalingProbe {
         Housekeeping.releaseAll(spark)
       }
       spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+
+    if (mode == "asofkeys" || mode == "all") {
+      // Composite-key native as-of (r15) vs the only composed equivalent a
+      // user had before: concat the key tuple into ONE string column and
+      // run the single-key composed join. The concat approach pays (a) the
+      // synthetic-key materialization on every row of both sides and (b)
+      // a wider shuffle (the concat key rides the exchange alongside the
+      // columns it was built from); the native exec shuffles the real
+      // tuple and merges with O(1) state. Wall as min-of-2, q236's shape
+      // (events keyed by (user_id, event_type)) at sf0.1.
+      val dir = "/root/testdata/sf0.1"
+      def rep2k(f: => Long): Double =
+        (1 to 2).map { _ => val t = timed(f); t._2 }.min
+      def widenK(df: org.apache.spark.sql.DataFrame, vcol: String,
+          pre: String, n: Int) =
+        (0 until n).foldLeft(df)((d, i) =>
+          d.withColumn(s"${pre}_w$i", col(vcol) * (i + 1)))
+      for (extraCols <- Seq(0, 32)) {
+        val l = widenK(Tables.load(spark, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")), "value", "l", extraCols)
+          .barrier(eager = true)
+        val r = widenK(Tables.load(spark, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id").as("prev_id"), col("value").as("prev_value")),
+          "prev_value", "r", extraCols).barrier(eager = true)
+        val payload = Seq("prev_id", "prev_value") ++
+          (0 until extraCols).map(i => s"r_w$i")
+        def lSyn = l.withColumn("k",
+          concat_ws("", col("user_id"), col("event_type")))
+        def rSyn = r.withColumn("k",
+          concat_ws("", col("user_id"), col("event_type")))
+        for ((name, f) <- Seq(
+            "composed+concat" -> (() =>
+              ext.AsOfJoin.asOf(lSyn, rSyn, "k", "ts", "ts", payload)),
+            "native-composite" -> (() => plans.NativeAsOf.asOf(
+              l, r, Seq("user_id", "event_type"), "ts", "ts", payload)))) {
+          f().count() // warm
+          val sec = rep2k(f().count())
+          println(f"[sp] asofkeys width=+$extraCols%-3d $name%-17s wall=$sec%5.2f s")
+          // NO releaseAll inside the width block: it would unpersist the
+          // shared l/r barriers (lineage truncated => unrecoverable)
+        }
+        Housekeeping.releaseAll(spark)
+      }
     }
 
     if (mode == "graph" || mode == "all") {
