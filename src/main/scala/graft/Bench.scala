@@ -72,7 +72,7 @@ object Bench {
       // the engine's own sessions run linted (warn-only): every planned
       // query passes through ScaleLint, error findings land in the log
       // and the count is surfaced as `lint_errors` in the JSON below
-      .config("spark.sql.extensions", "graft.plans.GraftLintExtension")
+      .config("spark.sql.queryExecutionListeners", "graft.plans.GraftLintListener")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional arg: comma-separated substring filters for targeted timing
@@ -126,6 +126,9 @@ object Bench {
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // the lint listener dispatches async on the listener bus — drain it so
+    // the tripwire has seen every executed plan before we read it
+    org.apache.spark.graft.CleanerBridge.waitListenerBusEmpty(spark.sparkContext)
     val lintErrors = graft.plans.ScaleLint.errorCount.get()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","calib_pre":$calibPre,"calib_post":$calibPost,"calib_series":$calibJson,"n_failed":${failures.size},"failures":$fjson,"lint_errors":$lintErrors,"queries":$qjson,"sf":"$sfDir"}"""
     println(line)

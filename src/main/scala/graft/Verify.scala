@@ -21,7 +21,7 @@ object Verify {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       // warn-only scale lint on every planned query (see graft.Bench)
-      .config("spark.sql.extensions", "graft.plans.GraftLintExtension")
+      .config("spark.sql.queryExecutionListeners", "graft.plans.GraftLintListener")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -50,6 +50,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    org.apache.spark.graft.CleanerBridge.waitListenerBusEmpty(spark.sparkContext)
     System.err.println(
       s"[verify] lint_errors: ${graft.plans.ScaleLint.errorCount.get()}")
     spark.stop()

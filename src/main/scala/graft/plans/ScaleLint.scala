@@ -218,9 +218,40 @@ object ScaleLint {
 
 /** `spark.sql.extensions=graft.plans.GraftLintExtension` (or
   * `.withExtensions(new GraftLintExtension)`): every query planned in the
-  * session is linted, findings land in the driver log. */
+  * session is linted, findings land in the driver log.
+  *
+  * CAVEAT — the injected rule runs in the user-rule optimizer batch,
+  * BEFORE rewrites like LimitPushDownThroughWindow / InferWindowGroupLimit
+  * that BOUND shapes the rules care about (q197's `rn <= k` filter over a
+  * rank window gets a GlobalLimit pushed under the global window only in
+  * a later batch), so it can warn on plans whose FINAL form is clean. For
+  * a zero-false-positive tripwire use [[GraftLintListener]], which lints
+  * the optimized plan that actually executed. */
 class GraftLintExtension
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
     ext.injectOptimizerRule(_ => new ScaleLint.LintRule)
+}
+
+/** Post-execution lint of the FINAL optimized plan — the plan that
+  * actually ran, after every bounding rewrite. Error findings log and
+  * bump [[ScaleLint.errorCount]] (the `lint_errors` tripwire the engine's
+  * Bench/Verify sessions surface). Register via
+  * `spark.sql.queryExecutionListeners=graft.plans.GraftLintListener` or
+  * `spark.listenerManager.register(new GraftLintListener)`. Dispatch is
+  * async on the listener bus — drain it before reading the counter. */
+class GraftLintListener
+    extends org.apache.spark.sql.util.QueryExecutionListener {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  override def onSuccess(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      durationNs: Long): Unit = {
+    ScaleLint.lint(qe.optimizedPlan).foreach { f =>
+      if (f.severity == ScaleLint.Error) ScaleLint.errorCount.incrementAndGet()
+      log.warn(s"[scale-lint] ${f.severity}/${f.rule}: ${f.detail}")
+    }
+  }
+  override def onFailure(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      exception: Exception): Unit = ()
 }

@@ -179,22 +179,47 @@ class ScaleLintSpec extends SparkSuite {
     new GraftLintExtension().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
-  test("the injected rule counts error findings (the lint_errors session tripwire)") {
-    // Bench/Verify build their sessions with spark.sql.extensions =
-    // GraftLintExtension and surface ScaleLint.errorCount in their
-    // artifacts; the suite's shared session can't be rebuilt with the
-    // extension, so exercise the exact rule object the extension injects
+  test("the lint listener counts error findings on EXECUTED final plans (the lint_errors tripwire)") {
+    // Bench/Verify register GraftLintListener via
+    // spark.sql.queryExecutionListeners and surface ScaleLint.errorCount
+    // in their artifacts. The listener lints the FINAL optimized plan —
+    // the injected optimizer rule sees the plan mid-rewrite and can
+    // false-positive on shapes a later batch bounds (q197's rn<=k filter
+    // gets its GlobalLimit pushed under the global window only after the
+    // user-rule batch ran), so the tripwire lives here.
     val events = Tables.load(spark, dir, "events")
-    val rule = new ScaleLint.LintRule
-    val before = ScaleLint.errorCount.get()
-    rule(events.withColumn("rn",
-      row_number().over(Window.orderBy($"ts", $"event_id")))
-      .queryExecution.optimizedPlan)
-    assert(ScaleLint.errorCount.get() === before + 1,
-      "a deliberately-bad probe plan must raise the error count")
-    rule(events.groupBy($"event_type").agg(count(lit(1)).as("n"))
-      .queryExecution.optimizedPlan)
-    assert(ScaleLint.errorCount.get() === before + 1,
-      "clean plans must not raise the count")
+    val listener = new GraftLintListener
+    spark.listenerManager.register(listener)
+    try {
+      def drain(): Unit =
+        org.apache.spark.graft.CleanerBridge.waitListenerBusEmpty(spark.sparkContext)
+      drain()
+      val before = ScaleLint.errorCount.get()
+      // consume the window's OUTPUT (a bare count() would let the
+      // optimizer prune the window away entirely — and the listener,
+      // correctly, lints only what actually ran)
+      events.withColumn("rn",
+        row_number().over(Window.orderBy($"ts", $"event_id")))
+        .agg(sum($"rn")).head()
+      drain()
+      assert(ScaleLint.errorCount.get() === before + 1,
+        "a deliberately-bad executed query must raise the error count")
+      events.groupBy($"event_type").agg(count(lit(1)).as("n")).count()
+      drain()
+      assert(ScaleLint.errorCount.get() === before + 1,
+        "clean plans must not raise the count")
+      // the q197 shape that false-positives in the mid-rewrite rule: the
+      // rn<=k filter's limit is pushed under the global window in the
+      // FINAL plan, so the listener must stay quiet on it
+      val P = 1000003L
+      val h = pmod(pmod($"doc_id", lit(P)) * lit(2654435761L), lit(P))
+      Tables.load(spark, dir, "documents")
+        .select($"doc_id", h.as("h"))
+        .withColumn("rn", row_number().over(Window.orderBy($"h", $"doc_id")))
+        .filter($"rn" <= 16).collect()
+      drain()
+      assert(ScaleLint.errorCount.get() === before + 1,
+        "the limit-pushed rank-filter idiom must not trip the tripwire")
+    } finally spark.listenerManager.unregister(listener)
   }
 }
