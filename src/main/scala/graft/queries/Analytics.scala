@@ -659,6 +659,151 @@ object Analytics {
       FROM terms
     """))
 
+  /** SPRT — Wald's sequential probability ratio test over the purchase
+    * stream in event order: the "stop the experiment as soon as the
+    * evidence decides" readout (H₀: p = 0.45 vs H₁: p = 0.55 for
+    * P(value > 50), α = β = 0.05 ⇒ boundaries ±ln 19). The log-likelihood
+    * ratio is a RANDOM WALK over the globally ordered observations — a
+    * data-sized running sum, so it rides [[graft.ext.Scan]]'s distributed
+    * prefix scan (never a single-partition window; the fourth data-sized
+    * Scan consumer after q195/q202/q213) plus the distributed dense rank
+    * for the step index. Float discipline: the two LLR increments and the
+    * boundary are CONSTANTS computed in-engine (same libm both sides),
+    * frozen to µ-nat longs — the walk itself is exact integer addition,
+    * so crossing positions are bit-deterministic. Output: one row —
+    * n_obs, first boundary-crossing step per hypothesis (null = never),
+    * final LLR. */
+  lazy val q245Sprt: Q = Q(
+    "q245_sprt",
+    (s, dir) => {
+      val inc1 = round(log(lit(0.55) / lit(0.45)) * 1000000).cast("long")
+      val inc0 = round(log(lit(0.45) / lit(0.55)) * 1000000).cast("long")
+      val b = round(log(lit(19.0)) * 1000000).cast("long")
+      val obs = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts"), col("event_id"),
+          when(col("value") > 50, inc1).otherwise(inc0).as("term"))
+      val ranked = graft.ext.Dedup.distributedDenseRank(
+        obs, Seq(col("ts"), col("event_id")), "pos")
+      val cum = graft.ext.Scan.runningSumExclusive(ranked,
+          Seq(col("ts"), col("event_id")), "term", "llr_before")
+        .select(col("pos"),
+          (coalesce(col("llr_before"), lit(0L)) + col("term")).as("llr"))
+      cum.agg(
+        count(lit(1)).as("n_obs"),
+        min(when(col("llr") >= b, col("pos"))).as("first_accept_h1"),
+        min(when(col("llr") <= -b, col("pos"))).as("first_accept_h0"),
+        expr("max_by(llr, pos)").as("final_llr"))
+    },
+    Some("""
+      WITH consts AS (
+        SELECT CAST(round(ln(0.55 / 0.45) * 1000000) AS BIGINT) AS inc1,
+               CAST(round(ln(0.45 / 0.55) * 1000000) AS BIGINT) AS inc0,
+               CAST(round(ln(19.0) * 1000000) AS BIGINT) AS b),
+      obs AS (
+        SELECT ts, event_id,
+          CASE WHEN value > 50 THEN (SELECT inc1 FROM consts)
+               ELSE (SELECT inc0 FROM consts) END AS term
+        FROM events WHERE event_type = 'purchase'),
+      cum AS (
+        SELECT CAST(SUM(term) OVER (ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS llr,
+          CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS pos
+        FROM obs)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+        MIN(CASE WHEN llr >= (SELECT b FROM consts) THEN pos END)
+          AS first_accept_h1,
+        MIN(CASE WHEN llr <= -(SELECT b FROM consts) THEN pos END)
+          AS first_accept_h0,
+        CAST(max_by(llr, pos) AS BIGINT) AS final_llr
+      FROM cum
+    """))
+
+  /** RETENTION DECAY FIT — the exponential-decay readout growth teams put
+    * on top of a q199-style cohort curve: the day-0 cohort's daily
+    * active-rate r_k, fit ln r_k = a − λk by OLS over the (bounded,
+    * ≤ span-days) point table ⇒ decay rate λ and half-life ln2/λ. The
+    * only data-sized passes are the per-user first-day aggregate and the
+    * cohort-day distinct; the fit runs over ≤ 30 points — but still in
+    * the q240 discipline (ln rounded @6 frozen as DECIMAL, exact moment
+    * sums) because even a 30-row double Σ is partition-order-dependent.
+    * Cross-engine: day arithmetic is epoch-day integers, ln the shared
+    * libm, one identical closing chain ⇒ full oracle. */
+  lazy val q246RetentionDecay: Q = Q(
+    "q246_retention_decay",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_date(to_date(col("ts"))).cast("long").as("d"))
+        .barrier() // feeds first-day, cohort, and activity
+      val fm = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      val g0 = fm.agg(min(col("d0")).as("gmin"))
+      val cohort = fm.crossJoin(broadcast(g0))
+        .filter(col("d0") === col("gmin")).select(col("user_id"))
+      val act = ev.join(cohort, Seq("user_id"))
+        .crossJoin(broadcast(g0))
+        .select(col("user_id"), (col("d") - col("gmin")).as("k"))
+        .groupBy(col("k")).agg(countDistinct(col("user_id")).as("active"))
+        .barrier() // feeds base AND points
+      val base = act.filter(col("k") === 0).select(col("active").as("n0"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val pts = act.crossJoin(broadcast(base))
+        .filter(col("k") >= 1 && col("active") > 0)
+        .select(col("k").cast(DecimalType(18, 6)).as("x"),
+          round(log(d(col("active")) / col("n0")), 6)
+            .cast(DecimalType(18, 6)).as("y"),
+          col("n0"))
+      val m = pts.groupBy(col("n0")).agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val sNum = col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      val sDen = col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      m.select(col("n0").as("cohort_size"), col("n").as("n_points"),
+        round(-(sNum / sDen), 6).as("lambda_per_day"),
+        round(lit(0.6931471805599453) / (-(sNum / sDen)), 6)
+          .as("half_life_days"),
+        round((sNum * sNum)
+          / (sDen * (col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+          .as("r2"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        FROM events),
+      fm AS (SELECT user_id, MIN(d) AS d0 FROM ev GROUP BY user_id),
+      g0 AS (SELECT MIN(d0) AS gmin FROM fm),
+      cohort AS (SELECT user_id FROM fm, g0 WHERE d0 = gmin),
+      act AS (
+        SELECT e.d - g0.gmin AS k, COUNT(DISTINCT e.user_id) AS active
+        FROM ev e JOIN cohort c ON e.user_id = c.user_id, g0
+        GROUP BY 1),
+      base AS (SELECT active AS n0 FROM act WHERE k = 0),
+      pts AS (
+        SELECT CAST(k AS DECIMAL(18,6)) AS x,
+          CAST(round(ln(CAST(active AS DOUBLE) / n0), 6) AS DECIMAL(18,6)) AS y,
+          n0
+        FROM act, base WHERE k >= 1 AND active > 0),
+      m AS (
+        SELECT n0, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+        FROM pts GROUP BY n0)
+      SELECT n0 AS cohort_size, n AS n_points,
+        round(-((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))),
+          6) AS lambda_per_day,
+        round(0.6931471805599453 /
+          (-((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))),
+          6) AS half_life_days,
+        round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+          / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+          6) AS r2
+      FROM m
+    """))
+
   /** LOW-WATERMARK SCAN — each order against the cheapest order seen
     * BEFORE it on the global (day, orderkey) timeline: the
     * "new-minimum?" / record-tracking shape (price floors, best-quote
@@ -1917,7 +2062,8 @@ object Analytics {
     q219IntervalMerge, q221Wilcoxon, q222Mase, q223KendallTau,
     q224DiffInDiff, q225Cuped, q226Jackknife, q228NelsonAalen, q230CohortLtv,
     q231Stickiness, q232Mde, q234OddsRatio, q236AsOfComposite, q237WelchT,
-    q240SegmentOls, q242MarkovStationary, q243TheilIndex)
+    q240SegmentOls, q242MarkovStationary, q243TheilIndex, q245Sprt,
+    q246RetentionDecay)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by

@@ -1758,6 +1758,53 @@ object TextQueries {
       FROM terms GROUP BY source
     """))
 
+  /** TOKEN BURSTINESS — the variance-to-mean ratio (index of dispersion)
+    * of each frequent token's per-document count, zeros included: the
+    * corpus-linguistics content/function-word split (Church & Gale 1995
+    * class of statistics — bursty tokens concentrate in few docs, VMR ≫ 1;
+    * boilerplate spreads Poisson-like, VMR ≈ 1). Per-(token, doc) counts
+    * are one keyed aggregate; per-token (Σc, Σc²) exact integers (Σc²
+    * through DECIMAL — overflow-safe at any SF); the zero-doc mass enters
+    * through D (total docs) in the closing VMR chain, never a dense
+    * token×doc grid. Min-count floor 50 keeps the leaderboard off rare
+    * tokens. One identical double chain rounded @6, full tiebreak ⇒ full
+    * oracle. */
+  lazy val q244TokenBurstiness: Q = Q(
+    "q244_token_burstiness",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      val dc = toks.groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+      val m = dc.groupBy(col("w")).agg(sum(col("c")).as("s1"),
+          sum(col("c").cast(DecimalType(19, 0))
+            * col("c").cast(DecimalType(19, 0))).as("s2d"))
+        .select(col("w"), col("s1"), col("s2d").cast("long").as("s2"))
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      m.filter(col("s1") >= 50).crossJoin(broadcast(nd))
+        .select(col("w"), col("s1"),
+          round(((d(col("s2")) / col("nd"))
+            - (d(col("s1")) / col("nd")) * (d(col("s1")) / col("nd")))
+            / (d(col("s1")) / col("nd")), 6).as("vmr"))
+        .orderBy(col("vmr").desc, col("w")).limit(20)
+    },
+    Some("""
+      WITH toks0 AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+      toks AS (SELECT doc_id, UNNEST(l) AS w FROM toks0),
+      dc AS (SELECT w, doc_id, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      m AS (SELECT w, CAST(SUM(c) AS BIGINT) AS s1,
+              CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS s2
+            FROM dc GROUP BY w),
+      d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+      SELECT w, s1,
+        round(((CAST(s2 AS DOUBLE) / nd)
+          - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd))
+          / (CAST(s1 AS DOUBLE) / nd), 6) AS vmr
+      FROM m, d WHERE s1 >= 50
+      ORDER BY vmr DESC, w LIMIT 20
+    """))
+
   val all: Seq[Q] = Seq(
     q26TextStats, q27LangQuality, q28Fingerprint, q29DedupExact,
     q30JaccardPairs, q31MinhashLsh, q32TokenHistogram, q50Tfidf, q59BpeTokens,
@@ -1766,5 +1813,5 @@ object TextQueries {
     q108HybridDedup, q111DatasetCard, q127CcnetBuckets, q129DupSpanRemoval,
     q131BpeMerges, q142BpeEncode, q143Bm25, q152PreferencePairs, q163TopNgramMass,
     q167ContainmentPairs, q190TokenizerFertility, q209ZipfSlope, q229DocRepetition,
-    q233TextRank, q238PmiCollocations, q239SourceKl)
+    q233TextRank, q238PmiCollocations, q239SourceKl, q244TokenBurstiness)
 }
