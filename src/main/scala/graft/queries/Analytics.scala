@@ -659,6 +659,55 @@ object Analytics {
       FROM terms
     """))
 
+  /** BASKET-BRAND ENTROPY per order priority — Shannon entropy of the
+    * part-brand mix each priority class buys (the assortment-diversity
+    * readout next to q211's mutual information and q239's KL: MI asks
+    * "are two categoricals dependent", KL "how far apart are two
+    * distributions", this "how spread is ONE distribution"). Counts from
+    * one three-way keyed star join + grouped count; each −p·ln p term is
+    * one identical double chain rounded @9 and the per-group Σ runs in
+    * DECIMAL (brand support is data-sized in general — the q204/q239
+    * order-independence recipe), output one row per priority. */
+  lazy val q247BasketEntropy: Q = Q(
+    "q247_basket_entropy",
+    (s, dir) => {
+      val bl = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("o_orderpriority").as("prio"), col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("c"))
+        .barrier() // feeds the per-priority total AND the terms
+      val tot = bl.groupBy(col("prio")).agg(sum(col("c")).as("n"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      bl.join(tot, Seq("prio"))
+        .select(col("prio"), col("n"),
+          round(-(d(col("c")) / col("n")) * log(d(col("c")) / col("n")), 9)
+            .as("term"))
+        .groupBy(col("prio"))
+        .agg(max(col("n")).as("n_lines"),
+          round(sum(col("term").cast(DecimalType(38, 9))).cast("double"), 6)
+            .as("brand_entropy"))
+    },
+    Some("""
+      WITH bl AS (
+        SELECT o.o_orderpriority AS prio, p.p_brand AS brand, COUNT(*) AS c
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2),
+      tot AS (SELECT prio, SUM(c) AS n FROM bl GROUP BY prio),
+      terms AS (
+        SELECT bl.prio,
+          round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9) AS term,
+          n
+        FROM bl JOIN tot ON bl.prio = tot.prio)
+      SELECT prio,
+        CAST(MAX(n) AS BIGINT) AS n_lines,
+        round(CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 6)
+          AS brand_entropy
+      FROM terms GROUP BY prio
+    """))
+
   /** SPRT — Wald's sequential probability ratio test over the purchase
     * stream in event order: the "stop the experiment as soon as the
     * evidence decides" readout (H₀: p = 0.45 vs H₁: p = 0.55 for
@@ -2063,7 +2112,7 @@ object Analytics {
     q224DiffInDiff, q225Cuped, q226Jackknife, q228NelsonAalen, q230CohortLtv,
     q231Stickiness, q232Mde, q234OddsRatio, q236AsOfComposite, q237WelchT,
     q240SegmentOls, q242MarkovStationary, q243TheilIndex, q245Sprt,
-    q246RetentionDecay)
+    q246RetentionDecay, q247BasketEntropy)
 
   /** ITEM-ITEM CO-PURCHASE SIMILARITY — the collaborative-filtering
     * primitive ("customers who bought X also bought Y"): parts scored by

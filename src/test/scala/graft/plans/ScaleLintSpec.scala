@@ -113,6 +113,38 @@ class ScaleLintSpec extends SparkSuite {
       "unregistered barriers are data-sized by default")
   }
 
+  test("barrier chains: boundedness propagates through checkpoint-of-checkpoint lineage") {
+    val events = Tables.load(spark, dir, "events")
+    // bounded → cut → derived (still bounded: unary over a bounded
+    // barrier) → cut again: the second registration must consult the
+    // FIRST barrier's registry entry, not see an opaque leaf
+    val agg = ScaleLint.barrier(
+      events.groupBy($"event_type").agg(count(lit(1)).as("n")))
+    val derived = ScaleLint.barrier(agg.filter($"n" > 0).select($"event_type", $"n"))
+    val win = derived.withColumn("rnk",
+      row_number().over(Window.orderBy($"n".desc, $"event_type")))
+    assert(errs(win).isEmpty,
+      s"bounded verdict must survive a two-cut chain: ${errs(win)}")
+
+    // data-sized → cut → aggregate → cut: the aggregate RE-bounds the
+    // chain even though the inner barrier is data-sized
+    val rawCut = ScaleLint.barrier(events.select($"user_id", $"event_type"))
+    val reAgg = ScaleLint.barrier(
+      rawCut.groupBy($"event_type").agg(count(lit(1)).as("n")))
+    val win2 = reAgg.withColumn("rnk",
+      row_number().over(Window.orderBy($"n".desc, $"event_type")))
+    assert(errs(win2).isEmpty, s"aggregate re-bounds above a data cut: ${errs(win2)}")
+
+    // data-sized → cut → projection (still data-sized) → cut: stays data
+    val rawCut2 = ScaleLint.barrier(
+      ScaleLint.barrier(events.select($"user_id", $"ts", $"event_id"))
+        .select($"user_id", $"ts", $"event_id"))
+    val win3 = rawCut2.withColumn("rn",
+      row_number().over(Window.orderBy($"ts", $"event_id")))
+    assert(errs(win3).exists(_.rule == "global-window-over-raw"),
+      "a projection chain over a data cut must stay data-sized")
+  }
+
   test("exact-percentile is found inside Window expressions (the hoisted sweep)") {
     val f = ScaleLint.check(
       Tables.load(spark, dir, "orders")
