@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   *    a maintained artifact, not a per-query rebuild.
   *
   * Run: `sbt "runMain graft.ScalingProbe
-  * [q82counts|q112counts|skew|annknee|opqsweep|hardneg|asofbytes|asofkeys|graph|dq10x|all]"`.
+  * [q82counts|q112counts|skew|annknee|opqsweep|hardneg|asofbytes|asofkeys|graph|dq10x|bottomk|all]"`.
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
@@ -378,6 +378,62 @@ object ScalingProbe {
         println(f"[sp] dq10x k=$k%-2d rows=$nRows%-9d contract=$sec%6.2f s")
         Housekeeping.releaseAll(spark)
       }
+    }
+
+    if (mode == "bottomk" || mode == "all") {
+      // Window top-k (q180's shape) vs the native mergeable aggregate
+      // (functions.BottomKPairs, q248), swept over replication (1×/4×/16×
+      // of sf0.1 documents) at fixed group count. MEASURED NULL RESULT on
+      // bytes: Spark 4's InferWindowGroupLimit plants a partial
+      // WindowGroupLimit below the window's exchange, so BOTH forms ship
+      // O(groups·k) (~5 KB flat at every replication) — the hypothesized
+      // O(rows)-vs-O(groups·k) byte separation does not exist on Spark 4.
+      // What separates them is SORT work: the window form full-sorts every
+      // partition twice (pre-shuffle for the partial limit, post-shuffle
+      // for the Window); the aggregate does O(n log k) heap updates in
+      // plain hash aggregation — the measured ~2.5× wall gap.
+      // AQE off for exact per-exchange SQLMetrics.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def shuffleMiB2(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val bytes = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+        }.sum
+        (sec, bytes / 1048576.0)
+      }
+      val p = 1000003L
+      for (k <- Seq(1, 4, 16)) {
+        val reps = spark.range(k)
+        val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+          .select(col("source"), col("doc_id"))
+          .crossJoin(broadcast(reps))
+          .select(col("source"), (col("doc_id") * k + col("id")).as("doc_id"))
+          .barrier(eager = true)
+        val nRows = docs.count()
+        val hashed = docs.select(col("source"), col("doc_id"),
+          pmod(pmod(col("doc_id"), lit(p)) * lit(2654435761L), lit(p)).as("h"))
+        def windowForm = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+          hashed.withColumn("rn", row_number().over(w)).filter(col("rn") <= 16)
+            .groupBy(col("source")).agg(max(col("h")).as("kth"))
+        }
+        def aggForm = hashed.groupBy(col("source"))
+          .agg(functions.BottomKPairs.bottomkPairs(col("h"), col("doc_id"), 16)
+            .as("sk"))
+        for ((name, f) <- Seq(
+            "window" -> (() => windowForm), "nativeagg" -> (() => aggForm))) {
+          shuffleMiB2(f()) // warm
+          val (sec, mib) = shuffleMiB2(f())
+          println(f"[sp] bottomk rep=$k%-3d rows=$nRows%-9d $name%-9s " +
+            f"wall=$sec%5.2f s shuffleWrite=$mib%8.3f MiB")
+        }
+        Housekeeping.releaseAll(spark)
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
 
     if (mode == "skew" || mode == "all") {

@@ -87,6 +87,12 @@ object GraftFunctions {
         DamerauLevenshtein(args(0), args(1))
       },
       "damerau_levenshtein(a, b) - unrestricted adjacent-transposition edit distance"),
+    ("bottomk_pairs",
+      { args: Seq[Expression] =>
+        require(args.length == 3, "bottomk_pairs(ord, id, k)")
+        BottomKPairs(args(0), args(1), intArg(args(2), "k"))
+      },
+      "bottomk_pairs(ord, id, k) - k smallest (ord, id) long pairs, merged map-side (O(groups*k) shuffle)"),
     // Spark ships these two as unregistered internal expressions (used only
     // by its InjectRuntimeFilter rule); surfacing them gives SQL users the
     // explicit runtime-filter path of plans.RuntimeFilter: build a bloom in

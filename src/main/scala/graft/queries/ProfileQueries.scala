@@ -478,6 +478,58 @@ object ProfileQueries {
       FROM ranked WHERE rn <= 16
     """))
 
+  /** KMV VIA THE NATIVE MERGEABLE AGGREGATE — q180's sketch re-planned
+    * through [[graft.functions.BottomKPairs]] (a `TypedImperativeAggregate`)
+    * instead of the keyed window. Same result, and — honestly — similar
+    * shuffle BYTES: Spark 4's InferWindowGroupLimit already plants a
+    * partial group-limit below q180's exchange, so both forms ship
+    * O(groups·k) (measured identical in ScalingProbe `bottomk`). The
+    * aggregate's real wins: it removes BOTH of the window form's full
+    * local sorts (O(n log n) → O(n log k) heap updates; ~2.5× wall at
+    * every probe replication), and it composes — the sketch can ride the
+    * SAME groupBy pass as other aggregates (q180's shape needs its own
+    * window pass). The oracle is IDENTICAL to q180's (window-ranked
+    * bottom-16 in DuckDB), so a hash match proves the native heap + merge
+    * reproduces the window's first-k rows bit-for-bit; partitioning
+    * invariance (32→2→7 parity) is pinned in BottomKPairsSpec. */
+  lazy val q248KmvNative: Q = Q(
+    "q248_kmv_native",
+    (s, dir) => {
+      val P = 1000003L
+      val h = pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), h.as("h"))
+        .groupBy(col("source"))
+        .agg(graft.functions.BottomKPairs
+          .bottomkPairs(col("h"), col("doc_id"), 16).as("sk"))
+        .select(col("source"),
+          size(col("sk")).cast("long").as("k_used"),
+          element_at(col("sk"), size(col("sk"))).getField("ord").as("kth_hash"),
+          aggregate(col("sk"), lit(0L), (acc, x) => acc + x.getField("id"))
+            .as("sample_id_sum"))
+        .withColumn("est_distinct",
+          (col("k_used") - 1).cast("double") * lit(P.toDouble)
+            / col("kth_hash").cast("double"))
+    },
+    Some("""
+      WITH hashed AS (
+        SELECT source, doc_id,
+          ((doc_id % 1000003) * 2654435761) % 1000003 AS h
+        FROM documents),
+      ranked AS (
+        SELECT source, doc_id, h,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        FROM hashed)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS k_used,
+        CAST(MAX(h) AS BIGINT) AS kth_hash,
+        CAST(SUM(doc_id) AS BIGINT) AS sample_id_sum,
+        CAST(COUNT(*) - 1 AS DOUBLE) * 1000003.0
+          / CAST(MAX(h) AS DOUBLE) AS est_distinct
+      FROM ranked WHERE rn <= 16
+      GROUP BY source
+    """))
+
   /** DECLARATIVE EXPECTATIONS — the contract-enforcement half of the DQ
     * surface ([[graft.ext.Expectations]]): q86 profiles what the data IS;
     * this enforces what it MUST BE. A deterministically dirtied lineitem
@@ -743,5 +795,6 @@ object ProfileQueries {
 
   val all: Seq[Q] = Seq(q86Profile, q100PsiDrift, q119ApproxProfile, q149CountMin,
     q164Benford, q170ReplicaReconcile, q173SpaceSavingTokens, q180KmvSketch,
-    q197KmvMerge, q220DqExpectations, q227KmvIntersect, q235DqContractMultiFk)
+    q197KmvMerge, q220DqExpectations, q227KmvIntersect, q235DqContractMultiFk,
+    q248KmvNative)
 }
