@@ -208,7 +208,8 @@ object QueryCatalog {
     _root_.graft.queries.ScaleQueries.all ++
     _root_.graft.queries.ProfileQueries.all ++
     _root_.graft.queries.GraphQueries.all ++
-    _root_.graft.queries.DimQueries.all
+    _root_.graft.queries.DimQueries.all ++
+    _root_.graft.queries.StatQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -468,7 +468,74 @@ object GraphQueries {
       ORDER BY auth DESC, part_key LIMIT 20
     """))
 
+  /** ADAMIC–ADAR LINK PREDICTION — which customer pairs are MOST LIKELY
+    * to be connected, given the part co-purchase graph? AA(u,v) =
+    * Σ_{p ∈ N(u)∩N(v)} 1/ln(deg(p)) (Adamic & Adar 2003): sharing a RARE
+    * part is strong evidence, sharing a hub part is weak — the classic
+    * common-neighbor score recommender candidate-generation starts from.
+    * (The customer–PART graph, not customer–supplier: parts scale with
+    * the data while suppliers stay countable, so part degree is roughly
+    * CONSTANT across SF — the graph stays AA-shaped at any scale.)
+    *
+    * Scale discipline: naive common-neighbor enumeration is
+    * Σ_p deg(p)² — one hub part bought by 10⁶ customers is 10¹² pairs.
+    * The degree cap (2 ≤ deg ≤ 32) bounds the self-join fan-out at
+    * deg·(deg−1)/2 ≤ 496 pairs per part ⇒ O(|E|·cap) total work,
+    * and is PRINCIPLED, not just cheap: a deg-10⁶ hub contributes
+    * 1/ln(10⁶) ≈ 0.07 per pair — noise — while the cap keeps every
+    * high-signal rare neighbor (the q161 frequency-cap rule applied to
+    * candidate generation; same reasoning as SymSpell's deletion-key
+    * buckets in q112). The degree join is unhinted (parts are
+    * data-sized, the q193 rule).
+    *
+    * Determinism: 1/ln(deg) is one transcendental of an exact integer —
+    * identical doubles — rounded @9 into DECIMAL so the per-pair SUM is
+    * exact and order-free (the q127 rule); the top-20 has the full
+    * unique tiebreak. */
+  val q254AdamicAdar: Q = Q(
+    "q254_adamic_adar",
+    (s, dir) => {
+      val cs = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("sk"))
+        .distinct()
+      val deg = cs.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2 && col("deg") <= 32)
+        .withColumn("term",
+          round(lit(1.0) / log(col("deg").cast("double")), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      val ec = cs.join(deg, Seq("sk"))
+      val pairs = ec.select(col("sk"), col("c").as("c1"), col("term"))
+        .join(ec.select(col("sk"), col("c").as("c2")), Seq("sk"))
+        .filter(col("c1") < col("c2"))
+      pairs.groupBy(col("c1"), col("c2"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(col("term")).cast("double").as("aa_score"))
+        .orderBy(col("aa_score").desc, col("c1"), col("c2"))
+        .limit(20)
+    },
+    Some("""
+      WITH cs AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS sk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      deg AS (
+        SELECT sk, CAST(COUNT(*) AS BIGINT) AS deg,
+          CAST(round(1.0 / ln(CAST(COUNT(*) AS DOUBLE)), 9)
+            AS DECIMAL(18,9)) AS term
+        FROM cs GROUP BY sk
+        HAVING COUNT(*) BETWEEN 2 AND 32),
+      pairs AS (
+        SELECT a.c AS c1, b.c AS c2, d.term
+        FROM cs a JOIN deg d ON a.sk = d.sk
+        JOIN cs b ON b.sk = d.sk
+        WHERE a.c < b.c)
+      SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS n_common,
+        CAST(SUM(term) AS DOUBLE) AS aa_score
+      FROM pairs GROUP BY c1, c2
+      ORDER BY aa_score DESC, c1, c2 LIMIT 20
+    """))
+
   val all: Seq[Q] = Seq(q130PageRank, q136KnnGraph, q137TriangleCensus,
     q138LabelProp, q179KCore, q198BfsReach, q207PersonalizedPagerank,
-    q241Hits)
+    q241Hits, q254AdamicAdar)
 }
