@@ -1682,6 +1682,302 @@ object EmbedQueries {
       k = 10, poolSize = 30, lambda = 0.7),
     None)
 
+  /** SIMPLIFIED SILHOUETTE — is the q92 clustering any GOOD? The
+    * centroid-based silhouette (a = distance to own centroid, b = distance
+    * to the nearest OTHER centroid, s = (b−a)/max(a,b)) — the O(n·k)
+    * form production uses at scale because the textbook pairwise
+    * silhouette is O(n²). Clustering protocol = exactly q92's first
+    * update (assign → update → the cents1 the second pass would use), so
+    * the two queries audit the same model. Per-point distances are the
+    * bit-stable sqDist chain (fused native expression ≡ dot−2dot+dot,
+    * the q33/q92 recipe), √ is correctly-rounded IEEE, per-point s
+    * rounds @9 into DECIMAL so per-cluster means are exact sums over
+    * identical terms. One broadcast-centroid scan + one keyed argmin —
+    * the q92 cost shape. */
+  val q260Silhouette: Q = Q(
+    "q260_silhouette",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val init = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      val cents1 = Similarity.kmeansUpdate(Similarity.kmeansAssign(corpus, init))
+      val d = corpus.crossJoin(broadcast(cents1))
+        .select(col("id"), col("cid"),
+          Similarity.sqDist(col("vec"), col("cvec")).as("d2"))
+      val two = d.groupBy(col("id"))
+        .agg(slice(sort_array(collect_list(struct(col("d2"), col("cid")))),
+          1, 2).as("t2"))
+        .select(col("id"),
+          element_at(col("t2"), 1).getField("cid").as("cluster"),
+          sqrt(element_at(col("t2"), 1).getField("d2")).as("a"),
+          sqrt(element_at(col("t2"), 2).getField("d2")).as("b"))
+      val sPoint = when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+      two.select(col("cluster"),
+          round(sPoint, 9).cast(DecimalType(18, 9)).as("s"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          (sum(col("s")).cast("double") / count(lit(1))).as("mean_silhouette"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cents0 AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      d0 AS (
+        SELECT c.id, c.vec, k.cid,
+          list_dot_product(c.vec, c.vec) - 2 * list_dot_product(c.vec, k.cvec)
+            + list_dot_product(k.cvec, k.cvec) AS d2
+        FROM corpus c CROSS JOIN cents0 k),
+      a0 AS (
+        SELECT id, vec, cid FROM (
+          SELECT id, vec, cid,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+          FROM d0) WHERE rn = 1),
+      exp0 AS (
+        SELECT cid, generate_subscripts(vec, 1) AS dim, unnest(vec) AS comp
+        FROM a0),
+      comp0 AS (
+        SELECT cid, dim,
+          CAST(SUM(CAST(round(comp, 7) AS DECIMAL(28,10))) AS DOUBLE)
+            / COUNT(*) AS c
+        FROM exp0 GROUP BY cid, dim),
+      cents1 AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM comp0 GROUP BY cid),
+      d1 AS (
+        SELECT c.id, k.cid,
+          list_dot_product(c.vec, c.vec) - 2 * list_dot_product(c.vec, k.cvec)
+            + list_dot_product(k.cvec, k.cvec) AS d2
+        FROM corpus c CROSS JOIN cents1 k),
+      two AS (
+        SELECT id,
+          MAX(CASE WHEN rn = 1 THEN cid END) AS cluster,
+          sqrt(MAX(CASE WHEN rn = 1 THEN d2 END)) AS a,
+          sqrt(MAX(CASE WHEN rn = 2 THEN d2 END)) AS b
+        FROM (
+          SELECT id, cid, d2,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+          FROM d1) WHERE rn <= 2
+        GROUP BY id),
+      pts AS (
+        SELECT cluster,
+          CAST(round(CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+            ELSE (b - a) / greatest(a, b) END, 9) AS DECIMAL(18,9)) AS s
+        FROM two)
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+        CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_silhouette
+      FROM pts GROUP BY cluster
+    """))
+
+  /** CLUSTER–LABEL NMI — how much does the unsupervised clustering KNOW
+    * about the ground-truth labels? Normalized mutual information between
+    * the q150 nearest-centroid assignment and the embeddings' `label`
+    * column: NMI = I(C;L)/√(H(C)·H(L)) — the external clustering-quality
+    * score that, unlike accuracy, needs no cluster↔label matching. All
+    * three count tables from one assignment scan (the q211 discipline:
+    * per-cell terms round@6 into DECIMAL so the sums are exact); the
+    * cell grid is |clusters|×|labels|, support-bounded. */
+  val q261ClusterNmi: Q = Q(
+    "q261_cluster_nmi",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val all0 = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      val assigned = Similarity.assignNearestCentroid(all0, cents)
+        .select(col("id"), col("cid"))
+      val c = assigned
+        .join(emb.select(col("vec_id").as("id"), col("label")), Seq("id"))
+        .select(col("cid").as("x"), col("label").cast("long").as("y"))
+        .barrier() // feeds all three count tables
+      val nxy = c.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      val nx = c.groupBy(col("x")).agg(count(lit(1)).as("n_x"))
+      val ny = c.groupBy(col("y")).agg(count(lit(1)).as("n_y"))
+      val tot = c.agg(count(lit(1)).as("n"))
+      val dd = (cc: org.apache.spark.sql.Column) => cc.cast("double")
+      val mi = nxy.join(broadcast(nx), Seq("x")).join(broadcast(ny), Seq("y"))
+        .crossJoin(broadcast(tot))
+        .select(round((dd(col("n_xy")) / dd(col("n")))
+          * log((dd(col("n_xy")) * dd(col("n"))) / (dd(col("n_x")) * dd(col("n_y")))),
+          6).cast(DecimalType(18, 6)).as("term"))
+        .agg(sum(col("term")).cast("double").as("mi"))
+      def entropy(cnt: org.apache.spark.sql.DataFrame, ccol: String, out: String) =
+        cnt.crossJoin(broadcast(tot))
+          .select(round(-(dd(col(ccol)) / dd(col("n")))
+            * log(dd(col(ccol)) / dd(col("n"))), 6)
+            .cast(DecimalType(18, 6)).as("term"))
+          .agg(sum(col("term")).cast("double").as(out))
+      val hx = entropy(nx, "n_x", "hx")
+      val hy = entropy(ny, "n_y", "hy")
+      val counts = c.agg(count(lit(1)).as("n"),
+        countDistinct(col("x")).as("n_clusters"),
+        countDistinct(col("y")).as("n_labels"))
+      counts.crossJoin(broadcast(mi)).crossJoin(broadcast(hx))
+        .crossJoin(broadcast(hy))
+        .select(col("n"), col("n_clusters"), col("n_labels"),
+          col("mi"), round(col("hx"), 6).as("h_cluster"),
+          round(col("hy"), 6).as("h_label"),
+          round(col("mi") / sqrt(col("hx") * col("hy")), 6).as("nmi"))
+    },
+    Some("""
+      WITH c0 AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id % 100 = 0),
+      assigned AS (
+        SELECT id, cid FROM (
+          SELECT id, cid,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+              list_dot_product(vec, cvec)
+                / (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(cvec, cvec)))
+              DESC, cid) AS rn
+          FROM c0 CROSS JOIN cents)
+        WHERE rn = 1),
+      c AS (
+        SELECT a.cid AS x, CAST(e.label AS BIGINT) AS y
+        FROM assigned a JOIN embeddings e ON a.id = e.vec_id),
+      nxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM c GROUP BY 1, 2),
+      nx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_x FROM c GROUP BY 1),
+      ny AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_y FROM c GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+      mi AS (
+        SELECT CAST(SUM(CAST(round((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+            * ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE))
+              / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6)
+          AS DECIMAL(18,6))) AS DOUBLE) AS mi
+        FROM nxy JOIN nx USING (x) JOIN ny USING (y) CROSS JOIN tot),
+      hx AS (
+        SELECT CAST(SUM(CAST(round(-(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))
+            * ln(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+          AS DECIMAL(18,6))) AS DOUBLE) AS hx
+        FROM nx CROSS JOIN tot),
+      hy AS (
+        SELECT CAST(SUM(CAST(round(-(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))
+            * ln(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+          AS DECIMAL(18,6))) AS DOUBLE) AS hy
+        FROM ny CROSS JOIN tot),
+      counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          COUNT(DISTINCT x) AS n_clusters, COUNT(DISTINCT y) AS n_labels
+        FROM c)
+      SELECT n, n_clusters, n_labels, mi,
+        round(hx, 6) AS h_cluster, round(hy, 6) AS h_label,
+        round(mi / sqrt(hx * hy), 6) AS nmi
+      FROM counts, mi, hx, hy
+    """))
+
+  /** RETRIEVAL EVAL HARNESS (recall@10 / MRR / NDCG@10) — the measurement
+    * operator that closes the ANN tier: score q56's IVF ranking against
+    * q33's exact brute-force truth, per query, with the three metrics
+    * every retrieval deployment tracks. Both rankings are deterministic
+    * oracle-checked queries already, so the EVAL is oracle-checkable too
+    * — the DuckDB twin re-derives truth, index, probes, candidates, and
+    * the metric arithmetic. Gains 1/log₂(rank+1) are transcendentals of
+    * identical small-int inputs rounded @9 into DECIMAL sums (the q127
+    * rule). Everything is |queries|×k-sized after the two ANN passes. */
+  val q262RetrievalEval: Q = Q(
+    "q262_retrieval_eval",
+    (s, dir) => {
+      val cents = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31 * 64)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val truth = Similarity.bruteForceTopK(corpus(s, dir), queriesDf(s, dir), 10)
+        .select(col("qid"), col("id"), col("rank").as("rank_t"))
+        .barrier() // joined AND idcg sides
+      val ann = Similarity.ivfTopK(corpus(s, dir), queriesDf(s, dir), cents, 10,
+        nProbe = 2)
+        .select(col("qid"), col("id"), col("rank").as("rank_a"))
+      val gain = (r: org.apache.spark.sql.Column) =>
+        round(lit(1.0) / log2(r.cast("double") + 1.0), 9).cast(DecimalType(18, 9))
+      val joined = ann.join(truth, Seq("qid", "id"), "left")
+      val perQ = joined.groupBy(col("qid")).agg(
+        countIf(col("rank_t").isNotNull).as("hits"),
+        (countIf(col("rank_t").isNotNull).cast("double") / 10.0).as("recall10"),
+        coalesce(max(when(col("rank_t") === 1,
+          lit(1.0) / col("rank_a").cast("double"))), lit(0.0)).as("mrr"),
+        sum(when(col("rank_t").isNotNull, gain(col("rank_a")))
+          .otherwise(lit(0.0).cast(DecimalType(18, 9)))).as("dcg"))
+      val idcg = truth.groupBy(col("qid"))
+        .agg(sum(gain(col("rank_t"))).as("idcg"))
+      perQ.join(idcg, Seq("qid"))
+        .select(col("qid"), col("hits"), col("recall10"),
+          round(col("mrr"), 6).as("mrr"),
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+            .as("ndcg10"))
+    },
+    Some("""
+      WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+            FROM embeddings WHERE vec_id < 5),
+      k AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+        WHERE vec_id % 31 = 0 AND vec_id < 31 * 64),
+      truth AS (
+        SELECT qid, id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY sim DESC, id) AS BIGINT) AS rank_t
+        FROM (
+          SELECT qid, id,
+            list_dot_product(qvec, vec)
+              / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS sim
+          FROM c, q WHERE id <> qid)
+        QUALIFY rank_t <= 10),
+      assigned AS (
+        SELECT id, cid, vec FROM (
+          SELECT c.id, k.cid, c.vec,
+            ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+              list_dot_product(c.vec, k.cvec)
+                / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(k.cvec, k.cvec)))
+              DESC, k.cid) AS rn
+          FROM c CROSS JOIN k) WHERE rn = 1),
+      probes AS (
+        SELECT qid, qvec, cid FROM (
+          SELECT q.qid, q.qvec, k.cid,
+            ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+              list_dot_product(q.qvec, k.cvec)
+                / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(k.cvec, k.cvec)))
+              DESC, k.cid) AS rn
+          FROM q CROSS JOIN k) WHERE rn <= 2),
+      ann AS (
+        SELECT qid, id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY sim DESC, id) AS BIGINT) AS rank_a
+        FROM (
+          SELECT p.qid, a.id,
+            list_dot_product(p.qvec, a.vec)
+              / (sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(a.vec, a.vec))) AS sim
+          FROM assigned a JOIN probes p USING (cid)
+          WHERE a.id <> p.qid)
+        QUALIFY rank_a <= 10),
+      joined AS (
+        SELECT ann.qid, ann.rank_a, truth.rank_t
+        FROM ann LEFT JOIN truth ON ann.qid = truth.qid AND ann.id = truth.id),
+      perq AS (
+        SELECT qid,
+          CAST(SUM(CASE WHEN rank_t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+          CAST(SUM(CASE WHEN rank_t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            / 10.0 AS recall10,
+          COALESCE(MAX(CASE WHEN rank_t = 1
+            THEN 1.0 / CAST(rank_a AS DOUBLE) END), 0.0) AS mrr,
+          SUM(CASE WHEN rank_t IS NOT NULL
+            THEN CAST(round(1.0 / log2(CAST(rank_a AS DOUBLE) + 1.0), 9)
+              AS DECIMAL(18,9))
+            ELSE CAST(0.0 AS DECIMAL(18,9)) END) AS dcg
+        FROM joined GROUP BY qid),
+      idcg AS (
+        SELECT qid, SUM(CAST(round(1.0 / log2(CAST(rank_t AS DOUBLE) + 1.0), 9)
+          AS DECIMAL(18,9))) AS idcg
+        FROM truth GROUP BY qid)
+      SELECT perq.qid, hits, recall10,
+        round(mrr, 6) AS mrr,
+        round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg10
+      FROM perq JOIN idcg ON perq.qid = idcg.qid
+    """))
+
   val all: Seq[Q] = Seq(
     q33CosineTopK, q34AnnLsh, q35VectorStats, q36LabelCentroids, q56AnnIvf,
     q57EmbedNearDup, q73QuantizeEmbeddings, q88SemDedup, q92Kmeans, q117PqAdcTopK,
@@ -1689,5 +1985,6 @@ object EmbedQueries {
     q123IvfPqResidualRefine, q124IvfPqPersisted, q125AnnRetrainPromote,
     q128ContrastivePairs, q133RandomProjection, q140EmbeddingDrift,
     q150ClusterLabels, q172PcaSpectrum, q191MatryoshkaEval, q194HardNegatives,
-    q196HardNegativesAnn, q205Sq8AdcTopK, q206RrfFusion, q217MmrRerank)
+    q196HardNegativesAnn, q205Sq8AdcTopK, q206RrfFusion, q217MmrRerank,
+    q260Silhouette, q261ClusterNmi, q262RetrievalEval)
 }

@@ -535,7 +535,64 @@ object GraphQueries {
       ORDER BY aa_score DESC, c1, c2 LIMIT 20
     """))
 
+  /** kNN-CLASSIFIER EVAL — the label-prediction accuracy of the q136
+    * similarity graph: predict each vector's label by MAJORITY VOTE of
+    * its 5 nearest in-cluster neighbors (leave-one-out by construction —
+    * the kNN graph excludes self-edges), score against the embeddings'
+    * ground-truth `label`. The standard embedding-quality probe ("do
+    * near neighbors share labels?") that complements q261's NMI
+    * (clustering-level) with an instance-level readout. Vote counts are
+    * exact integers; the argmax tiebreaks (count desc, label asc) so
+    * both engines pick the same winner; accuracy is one integer
+    * division. Everything after the q136 kNN pass is |vectors|×k-sized. */
+  val q266KnnEval: Q = Q(
+    "q266_knn_label_eval",
+    (s, dir) => {
+      val labels = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val votes = knn(s, dir, 5)
+        .join(labels.select(col("vec_id").as("dst"),
+          col("label").as("nbr_label")), Seq("dst"))
+        .groupBy(col("src"), col("nbr_label"))
+        .agg(count(lit(1)).as("votes"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("votes").desc, col("nbr_label"))
+      val predicted = votes
+        .withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .select(col("src"), col("nbr_label").as("predicted"))
+      predicted
+        .join(labels.select(col("vec_id").as("src"),
+          col("label").as("truth")), Seq("src"))
+        .groupBy(col("truth"))
+        .agg(count(lit(1)).as("n"),
+          countIf(col("predicted") === col("truth")).as("n_correct"))
+        .withColumn("accuracy",
+          col("n_correct").cast("double") / col("n").cast("double"))
+    },
+    Some(s"""$knnCte,
+      votes AS (
+        SELECT knn.src, CAST(e.label AS BIGINT) AS nbr_label,
+          CAST(COUNT(*) AS BIGINT) AS votes
+        FROM knn JOIN embeddings e ON knn.dst = e.vec_id
+        GROUP BY 1, 2),
+      predicted AS (
+        SELECT src, nbr_label AS predicted FROM (
+          SELECT src, nbr_label,
+            ROW_NUMBER() OVER (PARTITION BY src
+              ORDER BY votes DESC, nbr_label) AS rn
+          FROM votes) WHERE rn = 1)
+      SELECT CAST(e.label AS BIGINT) AS truth,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        ${QueryDsl.oracleCountIf("predicted = CAST(e.label AS BIGINT)")}
+          AS n_correct,
+        ${QueryDsl.oracleCountIf("predicted = CAST(e.label AS BIGINT)")}
+          / CAST(COUNT(*) AS DOUBLE) AS accuracy
+      FROM predicted p JOIN embeddings e ON p.src = e.vec_id
+      GROUP BY 1
+    """))
+
   val all: Seq[Q] = Seq(q130PageRank, q136KnnGraph, q137TriangleCensus,
     q138LabelProp, q179KCore, q198BfsReach, q207PersonalizedPagerank,
-    q241Hits, q254AdamicAdar)
+    q241Hits, q254AdamicAdar, q266KnnEval)
 }

@@ -924,8 +924,237 @@ object StatQueries {
       FROM diffs, ate
     """))
 
+  /** GROUP-MEDIAN IMPUTATION — the standard missing-value repair for a
+    * numeric feature: nulls get their group's median, computed from the
+    * NON-NULL survivors via the q169/q187 counting percentile (cent bins
+    * ⇒ aggregation state bounded by value-range × 100 at any row count —
+    * never Spark's exact `percentile`, the q187 OOM class). The missing
+    * pattern is planted deterministically (event_id ≡ 0 mod 37 → NULL)
+    * so both engines dirty identically; imputed values are exact
+    * bin-boundary doubles from one identical division, and the post-
+    * imputation mean is a decimal-exact sum. */
+  val q263Impute: Q = Q(
+    "q263_impute_median",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          when(col("event_id") % 37 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+        .withColumn("bin",
+          when(col("v").isNotNull, round(col("v") * 100).cast("long")))
+        .barrier() // feeds the cutoffs AND the imputation pass
+      val counts = e.filter(col("bin").isNotNull)
+        .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val med = counts
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("nn", sum(col("c")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 2 >= col("nn"), col("bin"))).as("med_bin"))
+      val imputed = coalesce(col("v"), col("med_bin").cast("double") / 100.0)
+      e.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countIf(col("v").isNull).as("n_imputed"),
+          max(col("med_bin").cast("double") / 100.0).as("median_used"),
+          (sum(imputed.cast(DecimalType(28, 8))).cast("double")
+            / count(lit(1))).as("imputed_mean"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_type,
+          CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS v,
+          CASE WHEN event_id % 37 = 0 THEN NULL
+            ELSE CAST(round(value * 100) AS BIGINT) END AS bin
+        FROM events),
+      counts AS (
+        SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e WHERE bin IS NOT NULL GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, bin,
+          CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+        FROM counts),
+      med AS (
+        SELECT event_type,
+          MIN(CASE WHEN cum * 2 >= nn THEN bin END) AS med_bin
+        FROM cum GROUP BY event_type)
+      SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        ${oracleCountIf("v IS NULL")} AS n_imputed,
+        MAX(CAST(med_bin AS DOUBLE) / 100.0) AS median_used,
+        CAST(SUM(CAST(COALESCE(v, CAST(med_bin AS DOUBLE) / 100.0)
+          AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS imputed_mean
+      FROM e JOIN med USING (event_type)
+      GROUP BY event_type
+    """))
+
+  /** POISSON BOOTSTRAP — THE bootstrap at 100 TB (Chamandy et al. 2012):
+    * instead of resampling n rows with replacement (which needs global
+    * coordination), each row independently enters replicate r with
+    * Poisson(1) multiplicity — map-side, embarrassingly parallel, and
+    * here fully DETERMINISTIC: the multiplicity comes from the catalog's
+    * portable modular hash of (event_id, r) inverse-CDF'd through exact
+    * integer thresholds (P(0)·10⁴ = 3679 …), so both engines draw the
+    * SAME bootstrap. 20 replicates of the mean purchase value via one
+    * explode (fan-out exactly R — the q231 shape), exact decimal
+    * weighted sums per replicate, and the replicate-mean spread folded
+    * @9 into DECIMAL for the SE. */
+  val q264PoissonBootstrap: Q = Q(
+    "q264_poisson_bootstrap",
+    (s, dir) => {
+      val p = 1000003L
+      val reps = 20
+      val micros = (round(col("value"), 6).cast(DecimalType(28, 6)) * 1000000)
+        .cast("long")
+      val rows = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), micros.as("v"))
+        .select(col("event_id"), col("v"),
+          explode(sequence(lit(0L), lit(reps - 1L))).as("r"))
+        .withColumn("u",
+          pmod(pmod(col("event_id") * (col("r") + 13), lit(p))
+            * lit(2654435761L), lit(p)) % 10000)
+        // Poisson(1) inverse CDF at 1e-4 resolution: P(0)=.3679 P(1)=.3679
+        // P(2)=.1839 P(3)=.0613 else 4
+        .withColumn("wt",
+          when(col("u") < 3679, 0L).when(col("u") < 7358, 1L)
+            .when(col("u") < 9197, 2L).when(col("u") < 9810, 3L).otherwise(4L))
+      val perRep = rows.groupBy(col("r"))
+        .agg(sum(col("wt")).as("nw"),
+          sum((col("wt") * col("v")).cast(DecimalType(38, 0))).as("sw"))
+        .select(col("r"),
+          (col("sw").cast("double") / col("nw").cast("double") / 1e6).as("m"))
+      perRep
+        .select(round(col("m"), 9).cast(DecimalType(28, 9)).as("md"),
+          round(col("m") * col("m"), 9).cast(DecimalType(28, 9)).as("md2"))
+        .agg(count(lit(1)).as("n_reps"),
+          (sum(col("md")).cast("double") / count(lit(1))).as("boot_mean"),
+          sqrt((sum(col("md2")).cast("double")
+            - sum(col("md")).cast("double") * sum(col("md")).cast("double")
+              / count(lit(1)))
+            / (count(lit(1)) - 1)).as("boot_se"))
+        .select(col("n_reps"), round(col("boot_mean"), 6).as("boot_mean"),
+          round(col("boot_se"), 6).as("boot_se"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_id,
+          CAST(CAST(round(value, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'),
+      drawn AS (
+        SELECT event_id, v, unnest(generate_series(0, 19)) AS r
+        FROM base),
+      weighted AS (
+        SELECT r, v,
+          CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+            WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3 ELSE 4 END AS wt
+        FROM (SELECT r, v,
+          ((event_id * (r + 13)) % 1000003 * 2654435761) % 1000003 % 10000 AS u
+          FROM drawn)),
+      perrep AS (
+        SELECT r,
+          CAST(SUM(CAST(wt * v AS HUGEINT)) AS DOUBLE)
+            / CAST(SUM(wt) AS DOUBLE) / 1e6 AS m
+        FROM weighted GROUP BY r),
+      folded AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+          CAST(SUM(CAST(round(m, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sm,
+          CAST(SUM(CAST(round(m * m, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sm2
+        FROM perrep)
+      SELECT n_reps,
+        round(sm / n_reps, 6) AS boot_mean,
+        round(sqrt((sm2 - sm * sm / n_reps) / (n_reps - 1)), 6) AS boot_se
+      FROM folded
+    """))
+
+  /** SPLIT-CONFORMAL PREDICTION INTERVALS — distribution-free intervals
+    * with a finite-sample coverage guarantee (Vovk et al.; the split form
+    * of Lei et al. 2018): calibrate the ⌈(n+1)·0.9⌉-th absolute residual
+    * on one hash-half, measure coverage on the other. The predictor is
+    * deliberately simple (per-priority calibration mean) — conformal
+    * wraps ANY point predictor; what the operator contributes is the
+    * quantile machinery. The residual quantile uses the q169 COUNTING
+    * percentile at WHOLE-DOLLAR bins: conformal residuals are
+    * high-cardinality (cent bins would make the support row-sized — the
+    * q157 trap), and the interval's resolution only needs to match the
+    * domain, so the bin width is the dial that keeps state bounded by
+    * VALUE RANGE at any row count. The (n+1) in the rank is the exact
+    * finite-sample conformal correction, integer arithmetic on both
+    * engines; the split is the q64 portable hash. */
+  val q265Conformal: Q = Q(
+    "q265_conformal",
+    (s, dir) => {
+      val p = 1000003L
+      val half = pmod(pmod(pmod(col("o_orderkey"), lit(p)) * lit(2654435761L),
+        lit(p)), lit(2L))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("seg"), col("o_totalprice").as("y"),
+          half.as("half"))
+        .barrier() // calibration AND test halves
+      val pred = o.filter(col("half") === 0).groupBy(col("seg"))
+        .agg((sum(col("y").cast(DecimalType(28, 2))).cast("double")
+          / count(lit(1))).as("mean_pred"), count(lit(1)).as("n_cal"))
+      val resid = o.filter(col("half") === 0)
+        .join(broadcast(pred), Seq("seg"))
+        .select(col("seg"), round(abs(col("y") - col("mean_pred"))).cast("long")
+          .as("rbin"))
+      val w = Window.partitionBy(col("seg")).orderBy(col("rbin"))
+      val qhat = resid.groupBy(col("seg"), col("rbin")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .join(broadcast(pred.select(col("seg"), col("n_cal"))), Seq("seg"))
+        .groupBy(col("seg"))
+        .agg(min(when(col("cum") * 10 >= (col("n_cal") + 1) * 9, col("rbin")))
+          .as("qhat"))
+      o.filter(col("half") === 1)
+        .join(broadcast(pred), Seq("seg"))
+        .join(broadcast(qhat), Seq("seg"))
+        .groupBy(col("seg"))
+        .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+          round(max(col("mean_pred")), 6).as("mean_pred"),
+          max(col("qhat")).as("qhat"),
+          (countIf(abs(col("y") - col("mean_pred")) <= col("qhat").cast("double"))
+            .cast("double") / count(lit(1))).as("coverage"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderpriority AS seg, o_totalprice AS y,
+          ((o_orderkey % 1000003) * 2654435761) % 1000003 % 2 AS half
+        FROM orders),
+      pred AS (
+        SELECT seg,
+          CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS mean_pred,
+          CAST(COUNT(*) AS BIGINT) AS n_cal
+        FROM o WHERE half = 0 GROUP BY seg),
+      resid AS (
+        SELECT o.seg, CAST(round(abs(y - mean_pred)) AS BIGINT) AS rbin
+        FROM o JOIN pred USING (seg) WHERE half = 0),
+      cum AS (
+        SELECT seg, rbin,
+          CAST(SUM(c) OVER (PARTITION BY seg ORDER BY rbin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM (SELECT seg, rbin, CAST(COUNT(*) AS BIGINT) AS c
+              FROM resid GROUP BY 1, 2)),
+      qhat AS (
+        SELECT cum.seg,
+          MIN(CASE WHEN cum * 10 >= (n_cal + 1) * 9 THEN rbin END) AS qhat
+        FROM cum JOIN pred ON cum.seg = pred.seg
+        GROUP BY cum.seg)
+      SELECT o.seg, MAX(n_cal) AS n_cal, CAST(COUNT(*) AS BIGINT) AS n_test,
+        round(MAX(mean_pred), 6) AS mean_pred,
+        MAX(qhat) AS qhat,
+        CAST(SUM(CASE WHEN abs(y - mean_pred) <= CAST(qhat AS DOUBLE)
+          THEN 1 ELSE 0 END) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS coverage
+      FROM o JOIN pred USING (seg) JOIN qhat USING (seg)
+      WHERE half = 1
+      GROUP BY o.seg
+    """))
+
   val all: Seq[Q] = Seq(
     q249BhFdr, q250TargetEncoding, q251Changepoint, q252LogRank,
     q253IsotonicCalibration, q255ShapleyAttribution, q256HoltForecast,
-    q257MannKendall, q258WinsorizedMean, q259StratifiedAte)
+    q257MannKendall, q258WinsorizedMean, q259StratifiedAte,
+    q263Impute, q264PoissonBootstrap, q265Conformal)
 }

@@ -292,6 +292,141 @@ class StatQueriesSpec extends SparkSuite {
       s"ate=$ate recombined=${num.toDouble / den}")
   }
 
+  // ----------------------------------- q260-q262 clustering/retrieval eval
+
+  test("q260 silhouette: values bounded and clusters cover the corpus") {
+    val rows = run("q260_silhouette").collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getAs[Long]("n_members")).sum === 500)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 && s <= 1.0)
+    }
+  }
+
+  test("q261 NMI: information inequalities hold") {
+    val r = run("q261_cluster_nmi").collect().head
+    val mi = r.getAs[Double]("mi")
+    val hc = r.getAs[Double]("h_cluster"); val hl = r.getAs[Double]("h_label")
+    val nmi = r.getAs[Double]("nmi")
+    assert(mi >= -1e-6 && nmi >= -1e-6 && nmi <= 1.0)
+    assert(mi <= math.min(hc, hl) + 1e-4, s"MI $mi exceeds min entropy")
+    assert(hc <= math.log(r.getAs[Long]("n_clusters").toDouble) + 1e-6)
+    assert(hl <= math.log(r.getAs[Long]("n_labels").toDouble) + 1e-6)
+  }
+
+  test("q262 retrieval eval: metrics bounded, recall matches an independent intersection") {
+    val rows = run("q262_retrieval_eval").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall10")
+      val mrr = r.getAs[Double]("mrr"); val ndcg = r.getAs[Double]("ndcg10")
+      assert(rec >= 0 && rec <= 1 && mrr >= 0 && mrr <= 1 && ndcg >= 0 && ndcg <= 1)
+      assert(r.getAs[Long]("hits").toDouble / 10.0 === rec)
+      // NDCG can't be positive with zero hits, must be 1 at full recall
+      if (rec == 1.0) assert(ndcg === 1.0)
+      if (r.getAs[Long]("hits") == 0L) assert(ndcg === 0.0)
+    }
+    // independent intersection: brute-force truth vs IVF candidates
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = emb.filter(col("vec_id") % 31 === 0 && col("vec_id") < 31 * 64)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val truth = graft.ext.Similarity.bruteForceTopK(corpus, queries, 10)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val ann = graft.ext.Similarity.ivfTopK(corpus, queries, cents, 10, 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val hitsByQ = truth.intersect(ann).groupBy(_._1).view.mapValues(_.size).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits").toInt === hitsByQ.getOrElse(r.getAs[Long]("qid"), 0))
+    }
+  }
+
+  // -------------------------------------------------- q263-q264 repair/CI
+
+  test("q263 imputation: median matches brute force, imputed count ≈ n/37") {
+    val rows = run("q263_impute_median").collect()
+    val raw = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val all = raw.filter(_._1 == et)
+      val kept = all.filter(_._2 % 37 != 0).map(x => math.round(x._3 * 100))
+        .sorted
+      // lower-median convention: first bin with 2·cum ≥ n
+      val med = kept((kept.length - 1) / 2) / 100.0
+      assert(r.getAs[Double]("median_used") === med, s"$et median")
+      assert(r.getAs[Long]("n_imputed") === all.count(_._2 % 37 == 0).toLong)
+      assert(r.getAs[Long]("n") === all.length.toLong)
+    }
+  }
+
+  test("q264 Poisson bootstrap: deterministic, SE positive, mean near the sample mean") {
+    val a = run("q264_poisson_bootstrap").collect().head
+    val b = run("q264_poisson_bootstrap").collect().head
+    assert(a === b, "bootstrap must be deterministic")
+    val se = a.getAs[Double]("boot_se")
+    val bm = a.getAs[Double]("boot_mean")
+    assert(a.getAs[Long]("n_reps") === 20L)
+    assert(se > 0)
+    val sample = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(avg(col("value"))).head.getDouble(0)
+    assert(math.abs(bm - sample) < 5 * se,
+      s"boot mean $bm vs sample mean $sample (se $se)")
+  }
+
+  // ------------------------------------------------- q265-q266 guarantees
+
+  test("q265 conformal: splits partition the data and coverage tracks the 90% target") {
+    val rows = run("q265_conformal").collect()
+    val totals = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      assert(r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") === totals(seg))
+      assert(r.getAs[Long]("qhat") > 0)
+      val cov = r.getAs[Double]("coverage")
+      // ≥90% in expectation; finite halves wobble — generous floor per
+      // segment, and the mean must sit at/above the nominal level − noise
+      assert(cov >= 0.75 && cov <= 1.0, s"$seg coverage $cov")
+    }
+    val meanCov = rows.map(_.getAs[Double]("coverage")).sum / rows.length
+    assert(meanCov >= 0.85, s"mean coverage $meanCov below the target band")
+  }
+
+  test("q266 kNN eval: majority vote matches an independent recomputation") {
+    val rows = run("q266_knn_label_eval").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === 500)
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(acc === r.getAs[Long]("n_correct").toDouble / r.getAs[Long]("n"))
+    }
+    // independent vote recomputation from the q136 kNN edges
+    val knn = QueryCatalog.queries("q136_knn_graph")(spark, dir)
+      .select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val correctByLabel = knn.groupBy(_._1).toSeq.map { case (src, es) =>
+      val votes = es.map(e => labels(e._2)).groupBy(identity)
+        .map { case (l, vs) => (l, vs.size) }
+      val predicted = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      (labels(src), predicted == labels(src))
+    }.groupBy(_._1).map { case (l, xs) => l -> xs.count(_._2).toLong }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_correct") ===
+        correctByLabel.getOrElse(r.getAs[Long]("truth"), 0L),
+        s"label ${r.getAs[Long]("truth")}")
+    }
+  }
+
   // ----------------------------------------------------- q254 Adamic–Adar
 
   test("q254 Adamic–Adar: top-20 matches a brute-force recomputation") {
