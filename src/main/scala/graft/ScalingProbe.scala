@@ -31,8 +31,14 @@ import org.apache.spark.sql.functions._
   *    stays near-flat while build grows ~n^1.5, which is why the index is
   *    a maintained artifact, not a per-query rebuild.
   *
+  *  - `catalog100x`: the 10 heaviest CATALOG queries run unchanged against
+  *    answer-linear synthetic scalings of their sf0.1 input tables at
+  *    1×/10×/100× rows (SP_CAT_K) — the wall-vs-rows curves behind
+  *    SCALING.md's "catalog-scale torture" table. Not part of `all`
+  *    (the 100× rung is a long run by design).
+  *
   * Run: `sbt "runMain graft.ScalingProbe
-  * [q82counts|q112counts|skew|annknee|opqsweep|hardneg|asofbytes|asofkeys|graph|dq10x|bottomk|all]"`.
+  * [q82counts|q112counts|skew|annknee|opqsweep|hardneg|asofbytes|asofkeys|graph|dq10x|bottomk|catalog100x|all]"`.
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
@@ -472,6 +478,129 @@ object ScalingProbe {
         println(f"[sp] skew $label: $sec%.1f s wall, maxTask=${mt}ms, pairs=$n")
         // NO releaseAll here: it would unpersist the shared corpus
         // checkpoint (lineage truncated ⇒ unrecoverable for run 2)
+      }
+    }
+
+    // CATALOG-SCALE TORTURE (SCALING.md "100× catalog probe"): the 10
+    // heaviest catalog queries run UNCHANGED against synthetic scaled
+    // table dirs at k× the sf0.1 row counts (k from SP_CAT_K, default
+    // 1,10,100). Replication is ANSWER-LINEAR by construction — each
+    // replica is content-disjoint from the others, so result sizes grow
+    // ×k, never ×k² (replicating rows verbatim would measure answer
+    // blow-up, not operator cost):
+    //  - keys offset per replica (moduli preserved: doc/vec offset is a
+    //    multiple of 97·100 so the %97 benchmark split and %100/%20
+    //    centroid/dup dials keep their per-replica density);
+    //  - document tokens suffixed `~rep` (disjoint vocab per replica ⇒
+    //    Jaccard/prefix-postings structure identical within a replica,
+    //    zero cross-replica candidates);
+    //  - embeddings circularly rotated by rep (norms and within-replica
+    //    geometry exact; cross-replica similarity decorrelated);
+    //  - customer names prefixed with a 6-char tag, any two tags ≥3 edits
+    //    apart (SymSpell at maxEdit 1 never crosses replicas).
+    // q189's media corpus is synthesized, not table-read: its twin scales
+    // the synthesize count instead.
+    if (mode == "catalog100x") {
+      val scales = sys.env.getOrElse("SP_CAT_K", "1,10,100")
+        .split(",").map(_.trim.toInt).toSeq
+      val base = "/root/testdata/sf0.1"
+      val outRoot = sys.env.getOrElse("SP_CAT_DIR", "/tmp/sp_cat")
+      val heavies = Seq(
+        "q254_adamic_adar", "q130_pagerank", "q241_hits_authorities",
+        "q116_fuzzy_decontam", "q108_hybrid_dedup", "q112_entity_resolution",
+        "q179_kcore", "q122_ivfpq_residual", "q82_fuzzy_pairs")
+      val DocK = 970000L   // multiple of 97·100 (and 20); > maxDocId + dup offsets
+      val CustK = 1000000L
+      val OrdK = 10000000L
+      val PartK = 1000000L
+
+      def reps(k: Int) = broadcast(
+        spark.range(k).select(col("id").cast("int").as("__rep")))
+      // 6-char replica tag, any two ≥3 substitutions apart (two chars,
+      // each repeated 3×); replica 0 is the empty tag = original data
+      def tags(k: Int) = typedLit(
+        (0 until k).map(i => if (i == 0) ""
+          else s"${('a' + i / 10).toChar}" * 3 + s"${('a' + i % 10).toChar}" * 3))
+
+      def buildScaled(k: Int): String = {
+        val dir = s"$outRoot/x$k"
+        if (new java.io.File(s"$dir/_done").exists) return dir
+        def w(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+          df.drop("__rep").write.mode("overwrite").parquet(s"$dir/$name.parquet")
+        val r = reps(k)
+        w(Tables.load(spark, base, "lineitem").crossJoin(r)
+          .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * OrdK)
+          .withColumn("l_partkey", col("l_partkey") + col("__rep") * PartK)
+          .withColumn("l_suppkey", col("l_suppkey") + col("__rep") * PartK),
+          "lineitem")
+        w(Tables.load(spark, base, "orders").crossJoin(r)
+          .withColumn("o_orderkey", col("o_orderkey") + col("__rep") * OrdK)
+          .withColumn("o_custkey", col("o_custkey") + col("__rep") * CustK),
+          "orders")
+        w(Tables.load(spark, base, "customer").crossJoin(r)
+          .withColumn("c_custkey", col("c_custkey") + col("__rep") * CustK)
+          .withColumn("c_name",
+            concat(element_at(tags(k), col("__rep") + 1), col("c_name"))),
+          "customer")
+        w(Tables.load(spark, base, "documents").crossJoin(r)
+          .withColumn("doc_id", col("doc_id") + col("__rep") * DocK)
+          .withColumn("text", when(col("__rep") === 0, col("text"))
+            .otherwise(concat(
+              regexp_replace(col("text"), lit(" "),
+                concat(lit("~"), col("__rep").cast("string"), lit(" "))),
+              lit("~"), col("__rep").cast("string")))),
+          "documents")
+        w(Tables.load(spark, base, "embeddings").crossJoin(r)
+          .withColumn("vec_id", col("vec_id") + col("__rep") * DocK)
+          .withColumn("__shift", pmod(col("__rep"), size(col("embedding"))))
+          .withColumn("embedding", when(col("__shift") === 0, col("embedding"))
+            .otherwise(concat(
+              slice(col("embedding"), col("__shift") + 1,
+                size(col("embedding")) - col("__shift")),
+              slice(col("embedding"), lit(1), col("__shift")))))
+          .drop("__shift"),
+          "embeddings")
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/_done"))
+        dir
+      }
+
+      // q189's body with the synthesize count as the scale dial
+      // (queries/MedallionQuery.scala q189, media-count parameterized)
+      def q189At(n: Long): org.apache.spark.sql.DataFrame = {
+        import graft.ext.{Components, Multimodal}
+        import graft.plans.ScaleLint.BarrierSyntax
+        val media = Multimodal.synthesize(spark, n)
+        val dups = media.filter(col("kind") === "image" && col("media_id") % 30 === 0)
+          .withColumn("media_id", col("media_id") + 100000000L)
+        val corpus = media.unionByName(dups)
+          .filter(col("kind") === "image")
+          .select(col("media_id"), length(col("payload")).cast("long").as("bytes"))
+          .barrier()
+        val pairs = Multimodal.imageNearDupPairs(
+          media.unionByName(dups), maxHamming = 3)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val comp = Components.connectedComponents(
+          corpus.select(col("media_id").as("id")), pairs)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("comp"))
+          .orderBy(col("bytes").desc, col("media_id"))
+        comp.join(corpus, col("id") === col("media_id"))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rn") === 1)
+      }
+
+      for (k <- scales) {
+        val dir = buildScaled(k)
+        Housekeeping.releaseAll(spark)
+        for (name <- heavies) {
+          val fn = SparkEntry.queries(name)
+          val (n, sec, mt) = timed(fn(spark, dir).count())
+          println(f"[sp] cat k=$k%-3d $name rows=$n wall=$sec%.2fs maxTask=${mt}ms")
+          Housekeeping.releaseAll(spark)
+        }
+        val (n189, sec189, mt189) = timed(q189At(3000L * k).count())
+        println(f"[sp] cat k=$k%-3d q189_image_canonical rows=$n189 wall=$sec189%.2fs maxTask=${mt189}ms")
+        Housekeeping.releaseAll(spark)
       }
     }
     spark.stop()

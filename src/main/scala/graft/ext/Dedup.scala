@@ -100,6 +100,42 @@ object Dedup {
         graft.functions.MinHashSig.minhashSig(split(normalized(col(textCol)), " "), k).as("sig"))
       .select(col("id"), explode(lshBandHashes(col("sig"), k, bands)).as("bh"))
       .barrier(eager = true)
+    capVerifyBuckets(toksOf, buckets, threshold, maxBucketSize)
+  }
+
+  /** [[minhashNearDups]] re-keyed to [[PortableHash]]'s modular-BIGINT
+    * family (token fold → shingle chain → k seeded mixes → band chain) —
+    * identical LSH plumbing and cost shape, but every signature and bucket
+    * is re-derivable by an ANSI engine, so the FULL pair set (not just the
+    * verified-Jaccard semantics) is oracle-checkable (q31). The xxhash64
+    * form stays the throughput path for persisted indexes
+    * ([[minhashBuckets]]); this one is the auditable path. The signature
+    * is the NATIVE fused [[graft.functions.PortableMinHashSig]] (one
+    * codegen'd pass; the Column composition is interpreted and
+    * CollapseProject clones it per seed — measured 4× q31's budget),
+    * spec-pinned bit-equal to [[PortableHash.minhashSignature]]. */
+  def minhashNearDupsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.6,
+      maxBucketSize: Int = 500): DataFrame = {
+    val toksOf = df.select(
+      col(idCol).as("id"),
+      array_distinct(split(normalized(col(textCol)), " ")).as("toks"))
+    val buckets = df
+      .select(col(idCol).as("id"),
+        graft.functions.PortableHashSig.portableMinhashSig(
+          split(normalized(col(textCol)), " "), k).as("sig"))
+      .select(col("id"), explode(PortableHash.lshBands(col("sig"), k, bands)).as("bh"))
+      .barrier(eager = true)
+    capVerifyBuckets(toksOf, buckets, threshold, maxBucketSize)
+  }
+
+  /** Shared LSH tail: degenerate-bucket cap → bucket self-join → pair
+    * dedup → exact-Jaccard verification. `buckets` must be (id, bh) with
+    * bh a struct key; `toksOf` (id, toks) with distinct token sets. */
+  private def capVerifyBuckets(
+      toksOf: DataFrame, buckets: DataFrame,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
     // degenerate-bucket cap WITHOUT a window: bucket sizes come from a
     // map-side-combined groupBy (tiny output: one row per oversized bucket
     // — at most rows×bands/maxBucketSize of them), then a broadcast

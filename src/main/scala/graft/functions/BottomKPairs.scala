@@ -53,8 +53,6 @@ case class BottomKPairs(
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[BottomKPairs.Heap] {
 
-  require(k > 0 && k <= 65536, s"bottomk_pairs k must be in [1, 65536], got $k")
-
   override def children: Seq[Expression] = Seq(ord, id)
   override def nullable: Boolean = false
   override def prettyName: String = "bottomk_pairs"
@@ -65,8 +63,15 @@ case class BottomKPairs(
       StructField("id", LongType, nullable = false))),
     containsNull = false)
 
+  // k is validated here (not a constructor require) so an out-of-range k
+  // arriving through the SQL registration surfaces as an AnalysisException
+  // like the input-type check, not an IllegalArgumentException at
+  // expression-construction time.
   override def checkInputDataTypes(): TypeCheckResult =
-    (ord.dataType, id.dataType) match {
+    if (k <= 0 || k > 65536) {
+      TypeCheckResult.TypeCheckFailure(
+        s"bottomk_pairs k must be in [1, 65536], got $k")
+    } else (ord.dataType, id.dataType) match {
       case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"bottomk_pairs needs (long, long), got $other")

@@ -546,13 +546,18 @@ object EmbedQueries {
 
   /** IVF×PQ + EXACT RE-RANK ([[Similarity.ivfPqRefine]], the FAISS
     * refine stage): q120's list-pruned ADC search over-fetches a
-    * 50-candidate shortlist per query, raw vectors are fetched for THOSE
+    * 100-candidate shortlist per query, raw vectors are fetched for THOSE
     * ROWS ONLY (broadcast-pruned keyed join — full-precision data is
-    * ~50 rows/query at any corpus size, never a scan), and exact
+    * ~100 rows/query at any corpus size, never a scan), and exact
     * squared-L2 re-ranks the final 10. The refined distance is the
     * dot-product combination both engines evaluate with identical
     * left-to-right accumulation (the q33 recipe) ⇒ full oracle with the
-    * RAW double in the output — no rounding step to introduce ties. */
+    * RAW double in the output — no rounding step to introduce ties.
+    * Shortlist 50 → 100 in r16: QUALITY.md's dial sweep puts recall@10 at
+    * 0.58 vs 0.70 on this corpus — the shortlist is the dominant recall
+    * lever (ADC error demotes true neighbors WITHIN the fetch, never out
+    * of it until the fetch itself truncates), and the cost is ~100 keyed
+    * raw-vector fetches per query, corpus-size-independent. */
   val q121IvfPqRefine: Q = Q(
     "q121_ivfpq_refine",
     (s, dir) => {
@@ -567,7 +572,7 @@ object EmbedQueries {
       val queries = corpus.filter(col("id") < 5)
         .select(col("id").as("qid"), col("vec").as("qvec"))
       Similarity.ivfPqRefine(index, cents, books, queries, corpus,
-        m = 4, k = 10, nProbe = 2, shortlist = 50)
+        m = 4, k = 10, nProbe = 2, shortlist = 100)
     },
     Some("""
       WITH corpus AS (
@@ -625,7 +630,7 @@ object EmbedQueries {
           SELECT qid, id,
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS srank
           FROM scored)
-        WHERE srank <= 50),
+        WHERE srank <= 100),
       refined AS (
         SELECT sl.qid, sl.id,
           list_dot_product(c.vec, c.vec) - 2*list_dot_product(c.vec, q.vec)
@@ -1712,8 +1717,11 @@ object EmbedQueries {
           1, 2).as("t2"))
         .select(col("id"),
           element_at(col("t2"), 1).getField("cid").as("cluster"),
-          sqrt(element_at(col("t2"), 1).getField("d2")).as("a"),
-          sqrt(element_at(col("t2"), 2).getField("d2")).as("b"))
+          // clamp: the dot-product identity can go fractionally negative by
+          // cancellation when a point ~coincides with a centroid; sqrt(-ε)
+          // would be NaN and poison the cluster mean (oracle mirrors)
+          sqrt(greatest(element_at(col("t2"), 1).getField("d2"), lit(0.0))).as("a"),
+          sqrt(greatest(element_at(col("t2"), 2).getField("d2"), lit(0.0))).as("b"))
       val sPoint = when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
         .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
       two.select(col("cluster"),
@@ -1755,8 +1763,8 @@ object EmbedQueries {
       two AS (
         SELECT id,
           MAX(CASE WHEN rn = 1 THEN cid END) AS cluster,
-          sqrt(MAX(CASE WHEN rn = 1 THEN d2 END)) AS a,
-          sqrt(MAX(CASE WHEN rn = 2 THEN d2 END)) AS b
+          sqrt(greatest(MAX(CASE WHEN rn = 1 THEN d2 END), 0)) AS a,
+          sqrt(greatest(MAX(CASE WHEN rn = 2 THEN d2 END), 0)) AS b
         FROM (
           SELECT id, cid, d2,
             ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn

@@ -4,7 +4,7 @@ import graft.plans.ScaleLint.BarrierSyntax
 
 import graft.{Q, QueryDsl}
 import QueryDsl._
-import graft.functions.SimHash64.simhash64
+import graft.ext.PortableHash
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -47,10 +47,17 @@ object MiscQueries {
           approx_count_distinct(col("l_partkey")).as("approx_parts")),
     None)
 
-  /** SimHash near-dup pairs via the native [[graft.functions.SimHash64]]
-    * expression: fingerprint per doc, 16-bit band bucketing, Hamming ≤ 3
-    * verification with bit_count(xor). Hash-dependent ⇒ rows-only; semantics
-    * property-tested in SimHashSpec. */
+  /** SimHash near-dup pairs: fingerprint per doc, 16-bit band bucketing,
+    * Hamming ≤ 3 verification with bit_count(xor) — FULL-ORACLE since r16:
+    * fingerprints come from [[graft.ext.PortableHash]]'s modular-BIGINT
+    * bit votes (64 seeded mixes per token hash, sign-summed per bit, sign
+    * bits packed 16 per band), so DuckDB re-derives every fingerprint,
+    * band bucket and Hamming distance with identical integer arithmetic.
+    * The array<long>-of-4-bands layout (vs one packed int64) keeps bit 63
+    * off the BIGINT sign and IS the LSH band key set. Pre-r16 this used
+    * the native xxhash64-based [[graft.functions.SimHash64]] ⇒ rows-only;
+    * that expression stays spec-covered (SimHashSpec) as the throughput
+    * form. */
   val q39SimhashNearDup: Q = Q(
     "q39_simhash_neardup",
     (s, dir) => {
@@ -59,23 +66,75 @@ object MiscQueries {
         d.filter(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + 100000)
           .withColumn("text", upper(col("text"))))
-      val fp = corpus.select(
-        col("doc_id").as("id"),
-        simhash64(split(lower(trim(col("text"))), " ")).as("fp"))
+      // native fused expression (PortableSimHashBands): the Column
+      // composition (simhashVotes → simhashPack) is interpreted AND
+      // CollapseProject clones the 64-vote fold once per packed bit —
+      // measured 540 s at sf0.1 vs sub-second fused; bit-equal by spec
+      val fp = corpus.select(col("doc_id").as("id"),
+        graft.functions.PortableHashSig.portableSimhashBands(
+          split(lower(trim(col("text"))), " ")).as("fp"))
       val banded = fp.select(col("id"), col("fp"),
         explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), shiftrightunsigned(col("fp"), b * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bh"))
+          struct(lit(b).as("band"),
+            get(col("fp"), lit(b)).as("key"))): _*)).as("bh"))
       val a = banded.select(col("bh"), col("id").as("id_a"), col("fp").as("fp_a"))
       val b = banded.select(col("bh"), col("id").as("id_b"), col("fp").as("fp_b"))
       a.join(b, Seq("bh"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+          aggregate(
+            zip_with(col("fp_a"), col("fp_b"),
+              (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+            lit(0L), (acc, c) => acc + c).as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
     },
-    None)
+    Some("""
+      WITH corpus AS (
+        SELECT * FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, upper(text) AS text, lang, source,
+          n_chars
+        FROM documents WHERE doc_id % 10 = 0),
+      toks AS (
+        SELECT doc_id AS id,
+          list_filter(string_split(lower(trim(text)), ' '),
+            t -> length(t) > 0) AS tk
+        FROM corpus),
+      th AS (
+        SELECT id, list_transform(tk, t ->
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(t)),
+                i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+            (a, c) -> (a * 31 + c) % 1000003)) AS hs
+        FROM toks),
+      votes AS (
+        SELECT id, list_transform(generate_series(0, 63), b ->
+          CAST(list_sum(list_transform(hs, h ->
+            CASE WHEN ((h * (b + 1)) % 1000003 * 2654435761) % 1000003 * 2
+                   >= 1000003
+              THEN 1 ELSE -1 END)) AS BIGINT)) AS v
+        FROM th),
+      fp AS (
+        SELECT id, list_transform(generate_series(0, 3), band ->
+          CAST(list_sum(list_transform(generate_series(0, 15), i ->
+            CASE WHEN v[band * 16 + i + 1] > 0
+              THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT)) AS f
+        FROM votes),
+      banded AS (
+        SELECT id, f, t.band AS band, f[t.band + 1] AS key
+        FROM fp, generate_series(0, 3) t(band)),
+      pairs AS (
+        SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+          CAST(bit_count(xor(a.f[1], b2.f[1])) + bit_count(xor(a.f[2], b2.f[2]))
+             + bit_count(xor(a.f[3], b2.f[3])) + bit_count(xor(a.f[4], b2.f[4]))
+            AS BIGINT) AS hamming
+        FROM banded a JOIN banded b2 USING (band, key)
+        WHERE a.id < b2.id)
+      SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """))
 
   /** Bivariate stats: correlation + sample covariance. Both engines'
     * accumulation orders differ only in the ~1e-12 relative tail; rounding

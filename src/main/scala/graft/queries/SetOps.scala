@@ -171,7 +171,42 @@ object SetOps {
         ON CAST(o.o_orderdate AS DATE) BETWEEN w.win_start AND w.win_end
     """))
 
+  /** q55 THROUGH THE NATIVE PHYSICAL OPERATOR
+    * ([[graft.plans.NativeRange]]) — same bin-replication semantics, but
+    * the per-bin hash join + post-filter is an exec-side interval sweep
+    * (active-set merge, O(|P|+|I|+matches) per bin instead of the bin
+    * cross product). Same oracle as q55; NativeRangeSpec pins the two
+    * implementations bit-equal on testdata and adversarial layouts. The
+    * two inputs re-read the table (fresh attribute lineage — the q208
+    * discipline for self-joins through native nodes). */
+  val q267RangeNative: Q = Q(
+    "q267_range_native",
+    (s, dir) => {
+      val points = t(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("pdate"))
+        .withColumn("pday", unix_date(col("pdate")).cast("long"))
+      val win = t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(50)
+        .select(col("o_orderkey").as("win_id"), to_date(col("o_orderdate")).as("win_start"))
+        .withColumn("win_end", date_add(col("win_start"), 7))
+        .withColumn("sday", unix_date(col("win_start")).cast("long"))
+        .withColumn("eday", unix_date(col("win_end")).cast("long"))
+      graft.plans.NativeRange.pointInInterval(
+          points, win, "pday", "sday", "eday", binWidth = 16)
+        .select(col("win_id"), col("o_orderkey"), col("pdate"))
+    },
+    Some("""
+      WITH win AS (
+        SELECT o_orderkey AS win_id,
+               CAST(o_orderdate AS DATE) AS win_start,
+               CAST(o_orderdate AS DATE) + 7 AS win_end
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50)
+      SELECT w.win_id, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS pdate
+      FROM orders o JOIN win w
+        ON CAST(o.o_orderdate AS DATE) BETWEEN w.win_start AND w.win_end
+    """))
+
   val all: Seq[Q] = Seq(
     q12Union, q13Except, q14Semi, q15Anti, q16LeftJoinAgg, q52Intersect, q53FullOuter,
-    q55RangeJoin)
+    q55RangeJoin, q267RangeNative)
 }

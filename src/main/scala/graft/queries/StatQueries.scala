@@ -303,6 +303,7 @@ object StatQueries {
         .select((col("user_id") % 2).as("g"),
           when(col("conv").isNotNull, 1L).otherwise(0L).as("event"),
           expr("(coalesce(conv, tend) - t0) div 86400000000").as("day"))
+        .barrier() // feeds the day table AND the cohort totals
       val perDay = per.groupBy(col("day")).agg(
         countIf(col("event") === 1 && col("g") === 1).as("d1"),
         countIf(col("event") === 0 && col("g") === 1).as("c1"),

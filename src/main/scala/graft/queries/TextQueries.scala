@@ -156,14 +156,76 @@ object TextQueries {
     """))
 
   /** MinHash + LSH near-dup pairs (k=32 hashes, 8 bands), verified with
-    * exact Jaccard. Hash functions are engine-specific ⇒ rows-only check
-    * (no oracle); correctness is property-tested in DedupSpec. */
+    * exact Jaccard — FULL-ORACLE since r16: signatures use
+    * [[graft.ext.PortableHash]]'s modular-BIGINT family (token codepoint
+    * fold → 3-token shingle chain → 32 seeded mixes → 4-wide band chains),
+    * so DuckDB re-derives every signature, band bucket, candidate pair and
+    * the final Jaccard with identical integer arithmetic. The oracle
+    * mirrors the degenerate-bucket cap (>500 members dropped) and the
+    * pair-dedup-before-verify, i.e. the whole LSH pipeline is checked,
+    * not just the verified-pair semantics. Pre-r16 this was rows-only
+    * (xxhash64 signatures are Spark-private). */
   val q31MinhashLsh: Q = Q(
     "q31_minhash_neardup",
     (s, dir) =>
-      Dedup.minhashNearDups(corpusWithDups(s, dir), "doc_id", "text",
+      Dedup.minhashNearDupsPortable(corpusWithDups(s, dir), "doc_id", "text",
         k = 32, bands = 8, threshold = 0.9),
-    None)
+    Some(s"""
+      WITH corpus AS ($corpusSql),
+      toks AS (
+        SELECT doc_id AS id,
+          list_filter(string_split(lower(trim(text)), ' '),
+            t -> length(t) > 0) AS tk
+        FROM corpus),
+      th AS (
+        SELECT id, list_transform(tk, t ->
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(t)),
+                i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+            (a, c) -> (a * 31 + c) % 1000003)) AS hs
+        FROM toks),
+      sh AS (
+        SELECT id, CASE WHEN len(hs) < 3
+          THEN [list_reduce(list_prepend(CAST(7 AS BIGINT), hs),
+                 (a, c) -> (a * 8191 + c) % 1000003)]
+          ELSE list_transform(generate_series(1, len(hs) - 2),
+                 i -> list_reduce(list_prepend(CAST(7 AS BIGINT), hs[i:i+2]),
+                        (a, c) -> (a * 8191 + c) % 1000003))
+          END AS shs
+        FROM th),
+      sig AS (
+        SELECT id, list_transform(generate_series(0, 31), j ->
+          list_min(list_transform(shs,
+            h -> ((h * (j + 1)) % 1000003 * 2654435761) % 1000003))) AS sg
+        FROM sh),
+      bh AS (
+        SELECT id, t.b AS band,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT), sg[t.b * 4 + 1 : t.b * 4 + 4]),
+            (a, c) -> (a * 8191 + c) % 1000003) AS bucket
+        FROM sig, generate_series(0, 7) t(b)),
+      over_b AS (
+        SELECT band, bucket FROM bh GROUP BY 1, 2 HAVING COUNT(*) > 500),
+      capped AS (
+        SELECT bh.* FROM bh ANTI JOIN over_b USING (band, bucket)),
+      pairs AS (
+        SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+        FROM capped a JOIN capped b2 USING (band, bucket)
+        WHERE a.id < b2.id),
+      p AS (
+        SELECT doc_id AS id,
+          list_distinct(string_split(lower(trim(text)), ' ')) AS dt
+        FROM corpus),
+      scored AS (
+        SELECT id_a, id_b,
+          CAST(len(list_intersect(pa.dt, pb.dt)) AS DOUBLE)
+            / len(list_distinct(list_concat(pa.dt, pb.dt))) AS jaccard
+        FROM pairs
+        JOIN p pa ON pairs.id_a = pa.id
+        JOIN p pb ON pairs.id_b = pb.id)
+      SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.9
+    """))
 
   /** Token frequency via explode (generator op) + top-k. */
   val q32TokenHistogram: Q = Q(

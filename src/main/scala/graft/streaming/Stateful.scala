@@ -273,22 +273,46 @@ object Stateful {
     * event-time pipeline provides; within a batch rows are sorted by
     * (ts, event_id) exactly like [[CusumProcessor]]. Under that contract
     * the emitted triple bit-matches q200's batch derivation at every
-    * micro-batch boundary (spec-pinned across uneven slicings). */
+    * micro-batch boundary (spec-pinned across uneven slicings).
+    *
+    * The contract is MECHANICALLY ENFORCED (r16, the
+    * [[AsOfLatestProcessor]] monotonicity-guard pattern hardened into a
+    * failure): state carries the high-water mark (ts, event_id) of the
+    * last folded event per key, and a batch whose earliest row sits
+    * BEFORE that mark throws rather than silently mis-staging — an
+    * order-sensitive fold that keeps running on disordered input
+    * produces confidently wrong funnels, the worst failure mode.
+    * Re-delivery of exactly the high-water-mark row (at-least-once
+    * replay) is tolerated: the guard is strict-less-than, and the fold's
+    * first-hit conditions make the duplicate a no-op. */
   class FunnelProcessor
       extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long, Long, Long)] {
-    @transient private var state: ValueState[(Long, Long, Long)] = _
+    // (signup, click, purchase, hwmTs, hwmId)
+    @transient private var state: ValueState[(Long, Long, Long, Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[(Long, Long, Long)](
-        "funnel", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+      state = getHandle.getValueState[(Long, Long, Long, Long, Long)](
+        "funnel", Encoders.product[(Long, Long, Long, Long, Long)], TTLConfig.NONE)
     }
 
     override def handleInputRows(
         key: Long, rows: Iterator[(Long, Long, Long, String)],
         timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
-      var (s, c, p) = if (state.exists()) state.get() else (-1L, -1L, -1L)
+      var (s, c, p, hwmTs, hwmId) =
+        if (state.exists()) state.get()
+        else (-1L, -1L, -1L, Long.MinValue, Long.MinValue)
       // (key, tsMicros, event_id, event_type) → event order within batch
-      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      sorted.headOption.foreach { r =>
+        if (r._2 < hwmTs || (r._2 == hwmTs && r._3 < hwmId))
+          throw new IllegalStateException(
+            s"FunnelProcessor: out-of-order input for key $key — event " +
+              s"(ts=${r._2}, id=${r._3}) arrived after the state high-water " +
+              s"mark (ts=$hwmTs, id=$hwmId). The funnel fold is " +
+              "order-sensitive; feed per-key event-time-ordered " +
+              "micro-batches (the watermark contract).")
+      }
+      sorted.foreach { r =>
         r._4 match {
           case "signup" if s < 0 => s = r._2
           case "click" if s >= 0 && c < 0 && r._2 > s => c = r._2
@@ -296,7 +320,8 @@ object Stateful {
           case _ => ()
         }
       }
-      state.update((s, c, p))
+      sorted.lastOption.foreach { r => hwmTs = r._2; hwmId = r._3 }
+      state.update((s, c, p, hwmTs, hwmId))
       Iterator((key, s, c, p))
     }
   }

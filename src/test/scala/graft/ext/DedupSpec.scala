@@ -38,6 +38,31 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "unrelated doc must not pair")
   }
 
+  test("portable minhash LSH (q31's engine-portable hash family) matches the " +
+      "xxhash form's semantics on exact/near/unrelated") {
+    val pairs = Dedup.minhashNearDupsPortable(
+        docs, "doc_id", "text", k = 32, bands = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)), "case dup must be found")
+    assert(pairs.contains((1L, 3L)), "near dup (8/10 shared tokens) must be found")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "unrelated doc must not pair")
+  }
+
+  test("portable hash family: empty tokens dropped, short docs single-shingle, " +
+      "values within [0, P)") {
+    val r = docs.limit(1).select(
+      PortableHash.tokenHashes(lit("a  b   c")).as("hs"), // double spaces
+      PortableHash.shingleHashes(PortableHash.tokenHashes(lit("a b")), 3).as("short"),
+      PortableHash.minhashSignature(
+        PortableHash.shingleHashes(PortableHash.tokenHashes(lit("x y z w")), 3), 8).as("sig"))
+      .head
+    assert(r.getSeq[Long](0).length === 3, "empty tokens from runs of spaces must drop")
+    assert(r.getSeq[Long](1).length === 1, "sub-w doc is one whole-sequence shingle")
+    val sig = r.getSeq[Long](2)
+    assert(sig.length === 8)
+    assert(sig.forall(v => v >= 0 && v < PortableHash.P))
+  }
+
   test("shingles produce w-grams and degrade gracefully on short docs") {
     val out = docs.limit(1).select(
       Dedup.shingles(split(lit("a b c d"), " "), 3).as("sh"),

@@ -94,4 +94,17 @@ class BottomKPairsSpec extends SparkSuite {
       .as[(String, Seq[(Long, Long)])].collect().toMap
     assert(viaSql === windowForm(16))
   }
+
+  test("SQL registration: out-of-range k is an analysis error, not an IAE") {
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("bk_docs")
+    for (badK <- Seq(0, -3, 65537)) {
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(
+          s"""SELECT bottomk_pairs(h, doc_id, $badK) FROM bk_docs""").collect()
+      }
+      assert(err.getMessage.contains("bottomk_pairs"),
+        s"k=$badK should fail analysis with the operator named: ${err.getMessage}")
+    }
+  }
 }

@@ -129,4 +129,40 @@ class CodegenSpec extends SparkSuite {
       assert(diff === 0)
     }
   }
+
+  test("PortableMinHashSig codegen compiles and is bit-equal to the Column " +
+      "composition (PortableHash.minhashSignature over shingle hashes)") {
+    withForcedCodegen {
+      import graft.ext.PortableHash
+      val docs = Tables.load(spark, dir, "documents")
+        // adversarial extras: runs of spaces, sub-w docs, single token
+        .select(lower(trim($"text")).as("t"))
+        .unionAll(Seq("a  b   c", "one two", "solo", "x y z w v").toDF("t"))
+      val toks = docs.select(split($"t", " ").as("toks"))
+      val diff = toks.filter(
+        PortableHashSig.portableMinhashSig($"toks", 32) =!=
+          PortableHash.minhashSignature(
+            PortableHash.shingleHashes(
+              transform(filter($"toks", x => length(x) > 0),
+                PortableHash.tokenHash(_))), 32)).count()
+      assert(diff === 0)
+    }
+  }
+
+  test("PortableSimHashBands codegen compiles and is bit-equal to the Column " +
+      "composition (simhashVotes -> simhashPack)") {
+    withForcedCodegen {
+      import graft.ext.PortableHash
+      val docs = Tables.load(spark, dir, "documents")
+        .select(lower(trim($"text")).as("t"))
+        .unionAll(Seq("a  b   c", "one two", "solo").toDF("t"))
+      val toks = docs.select(split($"t", " ").as("toks"))
+      val diff = toks.filter(
+        PortableHashSig.portableSimhashBands($"toks") =!=
+          PortableHash.simhashPack(PortableHash.simhashVotes(
+            transform(filter($"toks", x => length(x) > 0),
+              PortableHash.tokenHash(_))))).count()
+      assert(diff === 0)
+    }
+  }
 }

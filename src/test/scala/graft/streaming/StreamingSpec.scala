@@ -17,6 +17,26 @@ class StreamingSpec extends SparkSuite {
 
   private def tmp(): String = Files.createTempDirectory("graft-stream").toString
 
+  // r16: the 266 batch query plans are linted in the driver's own sessions,
+  // but foreachBatch bodies plan PER MICRO-BATCH and never went through
+  // ScaleLint. This listener lints every batch action the suite runs —
+  // crucially the StreamPipes ingest pipelines' micro-batch plans — and the
+  // suite's final test asserts the whole run stayed clean.
+  private val lintErrors = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[String]())
+  private val lintListener = new org.apache.spark.sql.util.QueryExecutionListener {
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      graft.plans.ScaleLint.lint(qe.optimizedPlan)
+        .filter(_.severity == graft.plans.ScaleLint.Error)
+        .foreach(f => lintErrors.add(s"${f.rule}: ${f.detail}"))
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+  }
+  spark.listenerManager.register(lintListener)
+
   test("bronze ingest: checkpointed availableNow parquet sink, partitioned (S2/S8/S9/ST1)") {
     val dir = tmp()
     val bronzePath = s"$dir/bronze"
@@ -586,6 +606,35 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming funnel: violated watermark contract fails loudly, not silently") {
+    withRocksDb {
+      val in = MemoryStream[(Long, Long, Long, String)](spark)
+      val out = Stateful.funnel(in.toDS().groupByKey(_._1))
+      val ckpt = tmp() + "/funnel-guard-ckpt"
+      val q = out.writeStream.format("memory").queryName("tws_funnel_guard")
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      try {
+        in.addData((21L, 10L, 5L, "signup")); q.processAllAvailable()
+        // exact replay of the high-water-mark row is tolerated
+        // (at-least-once re-delivery); the first-hit fold makes it a no-op
+        in.addData((21L, 10L, 5L, "signup")); q.processAllAvailable()
+        assert(spark.table("tws_funnel_guard")
+          .as[(Long, Long, Long, Long)].collect().toSet === Set((21L, 10L, -1L, -1L)))
+        // a row BEFORE the mark violates the order contract: the query
+        // must FAIL (silently folding it would mis-stage the funnel)
+        in.addData((21L, 4L, 1L, "click"))
+        val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        def chain(t: Throwable): Seq[Throwable] =
+          if (t == null) Seq.empty else t +: chain(t.getCause)
+        assert(chain(err).exists(t =>
+          Option(t.getMessage).exists(_.contains("out-of-order"))),
+          s"failure must name the order-contract violation: $err")
+      } finally q.stop()
+    }
+  }
+
   test("streaming CUSUM: bit-matches the batch prefix fold at every micro-batch boundary") {
     withRocksDb {
       val mu = 0.5
@@ -869,5 +918,18 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/clean").count() === 4)
     assert(spark.read.parquet(s"$dir/quarantine").count() === 4)
     assert(spark.read.parquet(s"$dir/metrics").count() === 3)
+  }
+
+  // LAST test by declaration order: the listener registered at suite
+  // construction has linted every batch action above — including every
+  // foreachBatch ingest's per-micro-batch plans (bronze/silver/dedup/
+  // DSIR/ANN/SCD2/aggregate/expectations). A single Error-severity
+  // finding anywhere fails the suite with the offending rule+plan detail.
+  test("scale lint: zero errors across every ingest pipeline's micro-batch plans (r16)") {
+    org.apache.spark.graft.CleanerBridge.waitListenerBusEmpty(spark.sparkContext)
+    spark.listenerManager.unregister(lintListener)
+    val errs = lintErrors.toArray.mkString("\n")
+    assert(lintErrors.isEmpty,
+      s"lint errors in streaming micro-batch plans:\n$errs")
   }
 }
