@@ -481,6 +481,50 @@ object ScalingProbe {
       }
     }
 
+    // NATIVE vs COMPOSED RANGE JOIN (SCALING.md r16): the claim behind
+    // plans/NativeRange is that the exec-side sweep sheds the composed
+    // form's PER-BIN CARTESIAN (hash-probe emits every interval replica in
+    // the point's bin, then filters). That term only matters when bins are
+    // DENSE relative to the match set — so measure both regimes honestly:
+    //  - well-dialed: binWidth ≈ interval length (composed's design
+    //    point) — expect ~parity, the r15 asofkeys-style null result;
+    //  - dense-bin: binWidth 100× the interval length (mis-sized dial or
+    //    skewed interval placement) — bins hold thousands of replicas per
+    //    point while few contain it; the sweep touches active ones only.
+    // Identical inputs, identical outputs (counts printed), min-of-2 walls.
+    if (mode == "rangenative") {
+      val nPts = sys.env.getOrElse("SP_RN_PTS", "2000000").toLong
+      val nIv = sys.env.getOrElse("SP_RN_IV", "200000").toLong
+      // points and interval starts uniform over [0, 1e6); length-100
+      // intervals. width=100 is the well-dialed point (emits/point ≈
+      // active/point); width=10000 makes every bin hold ~nIv/100 replicas
+      // — the composed probe emits ~2000 per point where the sweep's
+      // active set holds ~20.
+      val pts = spark.range(nPts).select(col("id").as("pid"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("p"))
+        .barrier(eager = true)
+      val ivs = spark.range(nIv).select(col("id").as("iid"),
+          pmod(xxhash64(col("id"), lit(7)), lit(1000000L)).as("s"))
+        .withColumn("e", col("s") + 100)
+        .barrier(eager = true)
+      println(s"[sp] rangenative: ${pts.count()} points, ${ivs.count()} intervals")
+      for (width <- Seq(100L, 10000L)) {
+        def rep2r(f: => Long): (Long, Double) = {
+          val runs = (1 to 2).map(_ => timed(f))
+          (runs.head._1, runs.map(_._2).min)
+        }
+        val (nc, secC) = rep2r(ext.RangeJoin.pointInInterval(
+          pts, ivs, "p", "s", "e", width).count())
+        val (nn, secN) = rep2r(plans.NativeRange.pointInInterval(
+          pts, ivs, "p", "s", "e", width).count())
+        require(nc == nn, s"native/composed disagree: $nc vs $nn")
+        println(f"[sp] rangenative width=$width%-6d matches=$nc " +
+          f"composed=$secC%.2fs native=$secN%.2fs ratio=${secC / secN}%.2f")
+        // no releaseAll inside the loop: it would unpersist the shared
+        // pts/ivs checkpoints the next width still reads (the skew-probe rule)
+      }
+    }
+
     // CATALOG-SCALE TORTURE (SCALING.md "100× catalog probe"): the 10
     // heaviest catalog queries run UNCHANGED against synthetic scaled
     // table dirs at k× the sf0.1 row counts (k from SP_CAT_K, default

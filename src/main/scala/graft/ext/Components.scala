@@ -123,7 +123,19 @@ object Components {
     // errs toward the distributed path, never toward an oversized collect.
     if (idIsLong && e.count() <= smallGraphMaxEdges)
       return smallGraphComponents(nodes, e)
-    val undirected = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    // Both orientations from ONE Generate over the checkpointed blocks — NOT
+    // the self-union `e.unionByName(e.select(b as a, a as b))`: the r16
+    // catalog100x torture probe caught Spark's Union constraint rewrite
+    // (UnionBase.rewriteConstraints) throwing `key not found: a#...` on that
+    // shape — the swapped child's inferred constraints reference the shared
+    // child plan's attributes, which the sibling's output map lacks. The
+    // crash is masked below smallGraphMaxEdges (this path never ran), so it
+    // surfaced only at 100× scale. Explode carries no cross-child
+    // constraints and reads the blocks once.
+    val undirected = e.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("__e"))
+      .select(col("__e.a").as("a"), col("__e.b").as("b"))
     // Iterate ONLY over edge-touched nodes: a node with no edge can never
     // change its label, so singletons — the vast majority of a near-dup
     // graph at any real scale — are unioned back at the end with their own

@@ -302,11 +302,17 @@ object Similarity {
   def cosineNearDupPairs(
       corpus: DataFrame, threshold: Double,
       nPlanes: Int = 12, nTables: Int = 4,
-      maxBucketSize: Int = 500): DataFrame = {
+      maxBucketSize: Int = 500,
+      portablePlanes: Boolean = false): DataFrame = {
     import graft.functions.HyperplaneSig.hyperplaneSig
+    // portablePlanes: see [[lshTopK]] — q57's full-oracle conversion (r16)
+    def sig(t: Int) =
+      if (portablePlanes)
+        graft.functions.PortableHashSig.portableHyperplaneSig(
+          col("vec"), nPlanes, planeOffset = t * nPlanes)
+      else hyperplaneSig(col("vec"), nPlanes, planeOffset = t * nPlanes)
     val sigs = corpus.select(
-      col("id") +: (0 until nTables).map(t =>
-        hyperplaneSig(col("vec"), nPlanes, planeOffset = t * nPlanes).as(s"sig$t")): _*)
+      col("id") +: (0 until nTables).map(t => sig(t).as(s"sig$t")): _*)
     val buckets = sigs.select(col("id"), explode(array((0 until nTables).map(t =>
       struct(lit(t).as("table"), col(s"sig$t").as("bucket"))): _*)).as("bh"))
     val oversized = buckets.groupBy(col("bh")).agg(count(lit(1)).as("n"))
@@ -1003,12 +1009,21 @@ object Similarity {
     * testdata (QUALITY.md); the amplified default is measured materially
     * above chance there, with the dial curve on record. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int = 12, nTables: Int = 1): DataFrame = {
+      nPlanes: Int = 12, nTables: Int = 1,
+      portablePlanes: Boolean = false): DataFrame = {
+    // portablePlanes (r16): plane components from the PortableHash modular
+    // family instead of xxhash64 — identical structure and cost, but a
+    // DuckDB oracle re-derives the exact bucket keys (q34's full-oracle
+    // conversion); sign bits come from identical left-to-right double
+    // chains (the q33 recipe), so the keys match bit-for-bit
+    def sig(vecCol: String, t: Int) =
+      if (portablePlanes)
+        graft.functions.PortableHashSig.portableHyperplaneSig(
+          col(vecCol), nPlanes, planeOffset = t * nPlanes)
+      else hyperplaneSignature(col(vecCol), nPlanes, planeOffset = t * nPlanes)
     def buckets(df: DataFrame, idCol: String, vecCol: String) = df.select(
       col(idCol), explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("table"),
-          hyperplaneSignature(col(vecCol), nPlanes, planeOffset = t * nPlanes)
-            .as("sig"))): _*)).as("bh"))
+        struct(lit(t).as("table"), sig(vecCol, t).as("sig"))): _*)).as("bh"))
     val bc = buckets(corpus, "id", "vec")
     val bq = buckets(queries, "qid", "qvec")
     // pair-distinct on the INTEGER keys before the vector attach + verify:

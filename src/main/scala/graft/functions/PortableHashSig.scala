@@ -41,6 +41,12 @@ object PortableHashSig {
     * keys (64 bit-votes packed 16 per band). */
   def portableSimhashBands(tokens: Column): Column =
     ColumnBridge.column(PortableSimHashBands(ColumnBridge.expression(tokens)))
+
+  /** `portableHyperplaneSig(vec, nPlanes, planeOffset)` → long bucket key
+    * of `nPlanes` sign bits against portable pseudo-random hyperplanes. */
+  def portableHyperplaneSig(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    ColumnBridge.column(PortableHyperplaneSig(
+      ColumnBridge.expression(vec), nPlanes, planeOffset))
 }
 
 /** k portable-MinHash minima over w-shingles of a token array, one pass. */
@@ -252,5 +258,100 @@ case class PortableSimHashBands(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): PortableSimHashBands =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signature against PORTABLE pseudo-random planes —
+  * [[HyperplaneSig]] with the xxhash64 plane generation swapped for the
+  * [[PortableHashSig]] modular family, so a DuckDB oracle re-derives the
+  * exact bucket keys (q34/q57, rows-only before r16):
+  *
+  *   base(plane, dim) = ((7·8191 + plane) mod P · 8191 + dim) mod P
+  *   m(plane, dim)    = base · 2654435761 mod 2000001
+  *   component        = (m − 1000000) / 1e6   ∈ [−1, 1.000001)
+  *
+  * Projections accumulate `vec(d) · component` left-to-right in doubles —
+  * identical IEEE chains on both engines (the q33 recipe), so the SIGN is
+  * identical and the bucket keys match bit-for-bit. A null element nulls
+  * the plane's projection → bit 0, mirroring [[HyperplaneSig]]. Distinct
+  * `planeOffset`s give independent plane sets (the multi-table
+  * OR-amplification dial).
+  */
+case class PortableHyperplaneSig(child: Expression, nPlanes: Int, planeOffset: Int = 0)
+    extends UnaryExpression {
+  import PortableHashSig.{P, Mix}
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_hyperplane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (nPlanes < 1 || nPlanes > 63 || planeOffset < 0) {
+      TypeCheckResult.TypeCheckFailure(
+        s"portable_hyperplane_sig needs nPlanes in [1,63] and planeOffset >= 0, " +
+          s"got nPlanes=$nPlanes planeOffset=$planeOffset")
+    } else child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"portable_hyperplane_sig needs array<float|double>, got $other")
+    }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val plane = planeOffset + p
+      val a = (7L * 8191L + plane) % P
+      var acc = 0.0
+      var anyNull = false
+      var d = 0
+      while (d < n && !anyNull) {
+        if (vec.isNullAt(d)) anyNull = true
+        else {
+          val m = (a * 8191L + d) % P * Mix % 2000001L
+          val comp = (m - 1000000L).toDouble / 1000000.0
+          val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+          acc += x * comp
+        }
+        d += 1
+      }
+      if (!anyNull && acc >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val get = if (isFloat) s"(double) $vec.getFloat" else s"$vec.getDouble"
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p"); val d = ctx.freshName("d")
+      val a = ctx.freshName("a"); val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull"); val m = ctx.freshName("m")
+      s"""
+        int $n = $vec.numElements();
+        long $sig = 0L;
+        for (int $p = 0; $p < $nPlanes; $p++) {
+          long $a = (7L * 8191L + ($planeOffset + $p)) % ${P}L;
+          double $acc = 0.0;
+          boolean $anyNull = false;
+          for (int $d = 0; $d < $n && !$anyNull; $d++) {
+            if ($vec.isNullAt($d)) { $anyNull = true; } else {
+              long $m = ($a * 8191L + $d) % ${P}L * ${Mix}L % 2000001L;
+              $acc += $get($d) * (($m - 1000000L) / 1000000.0);
+            }
+          }
+          if (!$anyNull && $acc >= 0.0) $sig |= (1L << $p);
+        }
+        ${ev.value} = $sig;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PortableHyperplaneSig =
     copy(child = newChild)
 }

@@ -46,20 +46,71 @@ object EmbedQueries {
     headline = true)
 
   /** LSH-bucketed approximate top-k (hyperplane signatures, multi-table
-    * OR-amplification). Bucket keys are engine-specific hashes ⇒ rows-only
-    * check; recall is property-tested in SimilaritySpec against the
-    * brute-force truth and measured in QUALITY.md. Operating point: the r9
-    * single-table 8-plane configuration measured recall@10 = 0.00 on the
-    * near-orthogonal testdata (the analytic worst case for bucketed LSH);
-    * 6 planes × 8 OR'd tables buys measurable recall by admitting
-    * ~nTables/2⁶ of the corpus as candidates per query — the honest LSH
-    * price on structureless data, with the nTables dial curve in
-    * QUALITY.md. */
+    * OR-amplification) — FULL-ORACLE since r16: planes come from the
+    * [[graft.functions.PortableHyperplaneSig]] portable modular family
+    * (not xxhash64), and the sign of each projection is a left-to-right
+    * double chain both engines evaluate identically (the q33 recipe), so
+    * DuckDB re-derives the exact bucket keys, the candidate pair set, and
+    * the cosine ranking. Recall property-tested in SimilaritySpec and
+    * measured in QUALITY.md. Operating point: the r9 single-table 8-plane
+    * configuration measured recall@10 = 0.00 on the near-orthogonal
+    * testdata (the analytic worst case for bucketed LSH); 6 planes × 8
+    * OR'd tables buys measurable recall by admitting ~nTables/2⁶ of the
+    * corpus as candidates per query — the honest LSH price on
+    * structureless data, with the nTables dial curve in QUALITY.md. */
   val q34AnnLsh: Q = Q(
     "q34_ann_lsh",
     (s, dir) => Similarity.lshTopK(corpus(s, dir), queriesDf(s, dir), 10,
-      nPlanes = 6, nTables = 8),
-    None)
+      nPlanes = 6, nTables = 8, portablePlanes = true),
+    Some("""
+      WITH c AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings
+        WHERE vec_id < 5),
+      sigc AS (
+        SELECT id, t.tbl AS tbl,
+          CAST(list_sum(list_transform(generate_series(0, 5), p ->
+            CASE WHEN list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(generate_series(1, len(vec)), d ->
+                    vec[d] * (CAST((((7 * 8191 + (t.tbl * 6 + p)) % 1000003
+                        * 8191 + (d - 1)) % 1000003 * 2654435761) % 2000001
+                        - 1000000 AS DOUBLE) / 1000000.0))),
+                (a, x) -> a + x) >= 0
+              THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS sig
+        FROM c, generate_series(0, 7) t(tbl)),
+      sigq AS (
+        SELECT qid, t.tbl AS tbl,
+          CAST(list_sum(list_transform(generate_series(0, 5), p ->
+            CASE WHEN list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(generate_series(1, len(qvec)), d ->
+                    qvec[d] * (CAST((((7 * 8191 + (t.tbl * 6 + p)) % 1000003
+                        * 8191 + (d - 1)) % 1000003 * 2654435761) % 2000001
+                        - 1000000 AS DOUBLE) / 1000000.0))),
+                (a, x) -> a + x) >= 0
+              THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS sig
+        FROM q, generate_series(0, 7) t(tbl)),
+      cand AS (
+        SELECT DISTINCT sq.qid, sc.id
+        FROM sigc sc JOIN sigq sq ON sc.tbl = sq.tbl AND sc.sig = sq.sig
+        WHERE sc.id <> sq.qid),
+      sims AS (
+        SELECT cand.qid, cand.id,
+          list_dot_product(q.qvec, c.vec)
+            / (sqrt(list_dot_product(q.qvec, q.qvec))
+               * sqrt(list_dot_product(c.vec, c.vec))) AS sim
+        FROM cand JOIN c ON c.id = cand.id JOIN q ON q.qid = cand.qid),
+      ranked AS (
+        SELECT qid, id, sim,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+            AS BIGINT) AS rank
+        FROM sims)
+      SELECT qid, rank, id, sim FROM ranked WHERE rank <= 10
+    """))
 
   /** IVF-Flat approximate top-k: deterministic sampled centroids, 2-probe.
     * FULLY oracle-checked since r10 — unlike the hash-bucketed LSH paths,
@@ -115,8 +166,11 @@ object EmbedQueries {
 
   /** Embedding-cosine near-dup pairs (multi-table hyperplane LSH, exact
     * cosine verify ≥ 0.98) over the corpus ∪ synthesized perturbed dups
-    * (all raw embeddings are near-orthogonal random vectors). Buckets are
-    * engine-specific hashes ⇒ rows-only; recall vs brute force is
+    * (all raw embeddings are near-orthogonal random vectors) —
+    * FULL-ORACLE since r16 via [[graft.functions.PortableHyperplaneSig]]
+    * (the q34 conversion applied to the pair path): DuckDB re-derives the
+    * 4×12-plane bucket keys, the >500 degenerate-bucket cap, the distinct
+    * pair set, and the exact cosine verify. Recall vs brute force stays
     * property-tested in SimilaritySpec. */
   val q57EmbedNearDup: Q = Q(
     "q57_embed_neardup",
@@ -130,9 +184,53 @@ object EmbedQueries {
             .cast("float")).as("vec"))
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
         .unionByName(dups)
-      Similarity.cosineNearDupPairs(corpus, threshold = 0.98)
+      // nTables 4 → 6 with the r16 portable plane family: the new draw
+      // measured pair recall 0.94 at 4 tables (floor 0.95); two more OR'd
+      // tables put the per-pair all-miss probability at ~0.43⁶ ≈ 0.006
+      // (measured 1.00 on testdata) for +50% bucket-join volume
+      Similarity.cosineNearDupPairs(corpus, threshold = 0.98, nTables = 6,
+        portablePlanes = true)
     },
-    None)
+    Some("""
+      WITH corpus AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS id,
+          list_transform(generate_series(1, len(embedding)), i ->
+            CAST(CAST(embedding[i]::DOUBLE
+              + ((vec_id * i) % 7 - 3) * 0.005 AS REAL) AS DOUBLE)) AS vec
+        FROM embeddings WHERE vec_id % 10 = 0),
+      sigs AS (
+        SELECT id, t.tbl AS tbl,
+          CAST(list_sum(list_transform(generate_series(0, 11), p ->
+            CASE WHEN list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(generate_series(1, len(vec)), d ->
+                    vec[d] * (CAST((((7 * 8191 + (t.tbl * 12 + p)) % 1000003
+                        * 8191 + (d - 1)) % 1000003 * 2654435761) % 2000001
+                        - 1000000 AS DOUBLE) / 1000000.0))),
+                (a, x) -> a + x) >= 0
+              THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS sig
+        FROM corpus, generate_series(0, 5) t(tbl)),
+      over_b AS (
+        SELECT tbl, sig FROM sigs GROUP BY 1, 2 HAVING COUNT(*) > 500),
+      capped AS (
+        SELECT sigs.* FROM sigs ANTI JOIN over_b USING (tbl, sig)),
+      pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM capped a JOIN capped b USING (tbl, sig)
+        WHERE a.id < b.id),
+      scored AS (
+        SELECT p.id_a, p.id_b,
+          list_dot_product(ca.vec, cb.vec)
+            / (sqrt(list_dot_product(ca.vec, ca.vec))
+               * sqrt(list_dot_product(cb.vec, cb.vec))) AS cosine
+        FROM pairs p
+        JOIN corpus ca ON ca.id = p.id_a
+        JOIN corpus cb ON cb.id = p.id_b)
+      SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.98
+    """))
 
   /** SemDeDup semantic dedup ([[Similarity.semanticDedup]]): nearest-centroid
     * clustering bounds the near-dup search to within-cluster pairs; the
