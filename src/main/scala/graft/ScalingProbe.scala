@@ -481,6 +481,49 @@ object ScalingProbe {
       }
     }
 
+    // STAGE-LEVEL DIAGNOSIS of one query on one dir (SP_STAGE_Q /
+    // SP_STAGE_DIR): per-stage task count, max/total task time, shuffle
+    // volumes — the tool for root-causing a maxTask outlier the
+    // catalog100x table surfaces (straggler cliffs are invisible in wall
+    // time alone). Prints stages sorted by max task desc.
+    if (mode == "stages") {
+      val qName = sys.env.getOrElse("SP_STAGE_Q", "q254_adamic_adar")
+      val dir = sys.env.getOrElse("SP_STAGE_DIR", "/tmp/sp_cat/x100")
+      case class St(var name: String = "", var nTasks: Int = 0,
+        var maxMs: Long = 0, var sumMs: Long = 0,
+        var shRead: Long = 0, var shWrite: Long = 0, var inRec: Long = 0)
+      val stages = new java.util.concurrent.ConcurrentHashMap[Int, St]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val st = stages.computeIfAbsent(te.stageId, _ => St())
+          st.synchronized {
+            st.nTasks += 1
+            st.maxMs = math.max(st.maxMs, te.taskInfo.duration)
+            st.sumMs += te.taskInfo.duration
+            val m = te.taskMetrics
+            if (m != null) {
+              st.shRead += m.shuffleReadMetrics.totalBytesRead
+              st.shWrite += m.shuffleWriteMetrics.bytesWritten
+              st.inRec += m.inputMetrics.recordsRead
+            }
+          }
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val st = stages.computeIfAbsent(sc.stageInfo.stageId, _ => St())
+          st.name = sc.stageInfo.name.takeWhile(_ != '\n').take(90)
+        }
+      })
+      val (n, sec, _) = timed(SparkEntry.queries(qName)(spark, dir).count())
+      println(f"[sp] stages $qName on $dir: rows=$n wall=$sec%.1fs")
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._2.maxMs).take(12).foreach { case (id, s) =>
+        println(f"[sp] stage $id%-4d tasks=${s.nTasks}%-4d max=${s.maxMs}%-8d " +
+          f"sum=${s.sumMs}%-9d shR=${s.shRead / 1048576}%-6dMiB " +
+          f"shW=${s.shWrite / 1048576}%-6dMiB inRec=${s.inRec}%-11d ${s.name}")
+      }
+    }
+
     // NATIVE vs COMPOSED RANGE JOIN (SCALING.md r16): the claim behind
     // plans/NativeRange is that the exec-side sweep sheds the composed
     // form's PER-BIN CARTESIAN (hash-probe emits every interval replica in
@@ -569,8 +612,17 @@ object ScalingProbe {
       def buildScaled(k: Int): String = {
         val dir = s"$outRoot/x$k"
         if (new java.io.File(s"$dir/_done").exists) return dir
+        // repartition before write: the crossJoin(broadcast(reps)) keeps the
+        // SOURCE read's partitioning (1-4 tasks for the small sf0.1 files),
+        // which would land k× the rows in 1-4 giant parquet files — the
+        // first diag run read that back as one ~500 s task per query and
+        // looked exactly like operator skew (q112 stage 5: 8 tasks, one at
+        // 478 s of a 612 s sum). Input layout is the probe's job to get
+        // right; 32·ceil(k/8) files keeps splits balanced at every scale.
+        val nOut = 32 * math.max(1, k / 8)
         def w(df: org.apache.spark.sql.DataFrame, name: String): Unit =
-          df.drop("__rep").write.mode("overwrite").parquet(s"$dir/$name.parquet")
+          df.drop("__rep").repartition(nOut)
+            .write.mode("overwrite").parquet(s"$dir/$name.parquet")
         val r = reps(k)
         w(Tables.load(spark, base, "lineitem").crossJoin(r)
           .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * OrdK)
@@ -633,18 +685,34 @@ object ScalingProbe {
           .filter(col("rn") === 1)
       }
 
+      // SP_CAT_ONLY: comma list of query-name substrings to re-run a subset
+      // after a fix; one query's failure is RECORDED, never fatal to the run
+      val only = sys.env.get("SP_CAT_ONLY").map(_.split(",").map(_.trim).toSeq)
+      def wanted(name: String) = only.forall(_.exists(name.contains))
       for (k <- scales) {
         val dir = buildScaled(k)
         Housekeeping.releaseAll(spark)
-        for (name <- heavies) {
-          val fn = SparkEntry.queries(name)
-          val (n, sec, mt) = timed(fn(spark, dir).count())
-          println(f"[sp] cat k=$k%-3d $name rows=$n wall=$sec%.2fs maxTask=${mt}ms")
+        for (name <- heavies if wanted(name)) {
+          try {
+            val fn = SparkEntry.queries(name)
+            val (n, sec, mt) = timed(fn(spark, dir).count())
+            println(f"[sp] cat k=$k%-3d $name rows=$n wall=$sec%.2fs maxTask=${mt}ms")
+          } catch { case e: Throwable =>
+            println(s"[sp] cat k=$k $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            e.printStackTrace()
+          }
           Housekeeping.releaseAll(spark)
         }
-        val (n189, sec189, mt189) = timed(q189At(3000L * k).count())
-        println(f"[sp] cat k=$k%-3d q189_image_canonical rows=$n189 wall=$sec189%.2fs maxTask=${mt189}ms")
-        Housekeeping.releaseAll(spark)
+        if (wanted("q189_image_canonical")) {
+          try {
+            val (n189, sec189, mt189) = timed(q189At(3000L * k).count())
+            println(f"[sp] cat k=$k%-3d q189_image_canonical rows=$n189 wall=$sec189%.2fs maxTask=${mt189}ms")
+          } catch { case e: Throwable =>
+            println(s"[sp] cat k=$k q189_image_canonical FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            e.printStackTrace()
+          }
+          Housekeeping.releaseAll(spark)
+        }
       }
     }
     spark.stop()

@@ -76,16 +76,41 @@ object ScaleLint {
     * computed on the plan that EXISTS at cut time, not asserted by
     * convention. Lazy by default (the catalog's plan-reuse idiom); pass
     * `eager = true` for the iterative-operator pattern (PageRank rounds,
-    * BPE merges) that wants the blocks materialized now. */
+    * BPE merges) that wants the blocks materialized now.
+    *
+    * STAT-EXPLOSION GUARD (r16, caught by the catalog100x torture probe):
+    * `Dataset.localCheckpoint` PRESERVES the origin plan's statistics in
+    * the LogicalRDD it leaves behind, so a barrier-per-round loop (the CC
+    * superstep) compounds join-stat PRODUCTS round over round — sizeInBytes
+    * grows doubly-exponentially (bits ×3 per superstep) until Catalyst's
+    * SizeInBytesOnlyStatsPlanVisitor throws `BigInteger would overflow
+    * supported range` at ~round 16 (q189's CC at 300k media died exactly
+    * there). When the carried sizeInBytes exceeds [[StatsCap]], the
+    * LogicalRDD is rebuilt with NO origin stats (→ the session default),
+    * which resets the compounding each round while leaving every sane
+    * barrier's stats — and the broadcast-planning they feed — untouched. */
+  val StatsCap: BigInt = BigInt(Long.MaxValue)
+
   def barrier(df: DataFrame, eager: Boolean = false): DataFrame = {
     val b = bounded(df.queryExecution.optimizedPlan)
     val out = df.localCheckpoint(eager)
-    out.queryExecution.analyzed.foreach {
+    val guarded = out.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if l.stats.sizeInBytes > StatsCap =>
+        org.apache.spark.sql.graft.PlanBridge.ofRows(df.sparkSession,
+          org.apache.spark.sql.execution.LogicalRDD(
+            l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+            l.isStreaming, l.stream)(
+            df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            None, None))
+      case _ => out
+    }
+    guarded.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         barrierBounded.put(l.rdd.id, b)
       case _ => ()
     }
-    out
+    guarded
   }
 
   /** Suffix syntax so call sites read like the localCheckpoint they

@@ -734,7 +734,13 @@ object TextQueries {
           (x.cast("double") +
             (pmod(col("id") * (i + lit(1)), lit(7)).cast("double") - 3.0) * 0.005)
             .cast("float")))
-        .withColumn("text", concat(lit("zz "), col("id").cast("string")))
+        // ONE unique token (no space): the r16 catalog100x probe caught the
+        // two-token "zz <id>" form putting every dupsEmb doc on the shared
+        // "zz" prefix-posting key — n²/2 candidate pairs through one task
+        // (350 s of a 386 s wall at 100×), ALL failing the 0.95 verify
+        // (jaccard is 1/3). The text is throwaway by design ("invisible to
+        // the text modality"); a single unique token makes that structural.
+        .withColumn("text", concat(lit("zz"), col("id").cast("string")))
         .withColumn("id", col("id") + 100000)
         .select("id", "text", "vec")
       val dupsText = base.filter(col("id") % 20 === 10)
@@ -754,7 +760,7 @@ object TextQueries {
         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
       dups_emb AS (
         SELECT id + 100000 AS id,
-          concat('zz ', CAST(id AS VARCHAR)) AS text,
+          concat('zz', CAST(id AS VARCHAR)) AS text,
           list_transform(generate_series(1, len(embedding)),
             i -> CAST(embedding[i]::DOUBLE
                    + ((id * i) % 7 - 3) * 0.005 AS REAL)) AS embedding

@@ -254,4 +254,25 @@ class ScaleLintSpec extends SparkSuite {
         "the limit-pushed rank-filter idiom must not trip the tripwire")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("barrier loop does not compound join stats to a BigInteger overflow") {
+    // the q189 CC shape distilled: localCheckpoint PRESERVES origin stats,
+    // so a barrier-per-round loop of self-joins multiplies sizeInBytes
+    // round over round (bits ×3 per round) — pre-guard, Catalyst's stats
+    // visitor threw `BigInteger would overflow supported range` at ~round
+    // 16; the guard resets any carried sizeInBytes above StatsCap
+    import graft.plans.ScaleLint.BarrierSyntax
+    var cur = spark.range(8).toDF("id").barrier()
+    for (round <- 1 to 20) {
+      cur = cur
+        .join(cur.withColumnRenamed("id", "id2"), $"id" === $"id2")
+        .join(cur.withColumnRenamed("id", "id3"), $"id" === $"id3")
+        .select($"id")
+        .barrier()
+      val sz = cur.queryExecution.analyzed.stats.sizeInBytes
+      assert(sz <= ScaleLint.StatsCap,
+        s"round $round carried sizeInBytes $sz past the cap")
+    }
+    assert(cur.count() === 8L, "the loop's data must be untouched by the guard")
+  }
 }
