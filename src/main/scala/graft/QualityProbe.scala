@@ -265,6 +265,21 @@ object QualityProbe {
         dialRecall("lsh_ntables", nt,
           Similarity.lshTopK(fCorpus, fQueries, k = 10, nPlanes = 6,
             nTables = nt), exactCos)
+      // r17 (verdict ask): the PORTABLE plane family at the q34 operating
+      // point — the r16 swap moved q34 recall@10 0.34 → 0.32, and the OR
+      // dial (planeOffset gives independent plane sets per table) is the
+      // recovery lever. Candidate cost per table is |corpus|/2⁶ expected
+      // rows per query; the `candidates` rows below record the MEASURED
+      // distinct-(qid,id) volume so the recall price is on record.
+      for (nt <- Seq(8, 9, 10, 12, 16))
+        dialRecall("lsh_ntables_portable", nt,
+          Similarity.lshTopK(fCorpus, fQueries, k = 10, nPlanes = 6,
+            nTables = nt, portablePlanes = true), exactCos)
+      for (nt <- Seq(8, 9, 10))
+        out += ((s"lsh_portable_nt$nt", "candidates",
+          Similarity.lshTopK(fCorpus, fQueries, k = Int.MaxValue,
+            nPlanes = 6, nTables = nt, portablePlanes = true).count().toDouble,
+          "distinct (qid,id) candidate rows across the 5 probe queries"))
     }
     // knee per dial: the smallest setting reaching 90% of that dial's best
     def kneeLine(dial: String): String = {

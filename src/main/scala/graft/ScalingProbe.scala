@@ -31,14 +31,20 @@ import org.apache.spark.sql.functions._
   *    stays near-flat while build grows ~n^1.5, which is why the index is
   *    a maintained artifact, not a per-query rebuild.
   *
-  *  - `catalog100x`: the 10 heaviest CATALOG queries run unchanged against
+  *  - `catalog100x`: the heaviest CATALOG queries run unchanged against
   *    answer-linear synthetic scalings of their sf0.1 input tables at
   *    1×/10×/100× rows (SP_CAT_K) — the wall-vs-rows curves behind
-  *    SCALING.md's "catalog-scale torture" table. Not part of `all`
-  *    (the 100× rung is a long run by design).
+  *    SCALING.md's "catalog-scale torture" table. r17 adds the
+  *    dedup-maintenance family (q102/q67/q167 — bench ranks 1/5/2 were
+  *    missing from the r16 set) and a decode-vs-CC phase split for q189.
+  *    Not part of `all` (the 100× rung is a long run by design).
+  *  - `stages`: per-stage task/shuffle diagnosis of one query on one dir
+  *    (SP_STAGE_Q / SP_STAGE_DIR) — the straggler root-causing tool.
+  *  - `rangenative`: native interval-sweep range join vs the composed
+  *    per-bin hash join, well-dialed and dense-bin regimes.
   *
   * Run: `sbt "runMain graft.ScalingProbe
-  * [q82counts|q112counts|skew|annknee|opqsweep|hardneg|asofbytes|asofkeys|graph|dq10x|bottomk|catalog100x|all]"`.
+  * [q82counts|q112counts|skew|annknee|opqsweep|hardneg|asofbytes|asofkeys|graph|dq10x|bottomk|stages|rangenative|catalog100x|all]"`.
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
@@ -556,7 +562,7 @@ object ScalingProbe {
           val runs = (1 to 2).map(_ => timed(f))
           (runs.head._1, runs.map(_._2).min)
         }
-        val (nc, secC) = rep2r(ext.RangeJoin.pointInInterval(
+        val (nc, secC) = rep2r(ext.RangeJoin.pointInIntervalComposed(
           pts, ivs, "p", "s", "e", width).count())
         val (nn, secN) = rep2r(plans.NativeRange.pointInInterval(
           pts, ivs, "p", "s", "e", width).count())
@@ -595,7 +601,13 @@ object ScalingProbe {
       val heavies = Seq(
         "q254_adamic_adar", "q130_pagerank", "q241_hits_authorities",
         "q116_fuzzy_decontam", "q108_hybrid_dedup", "q112_entity_resolution",
-        "q179_kcore", "q122_ivfpq_residual", "q82_fuzzy_pairs")
+        "q179_kcore", "q122_ivfpq_residual", "q82_fuzzy_pairs",
+        // r17: the dedup-maintenance family — bench ranks 1/5/2 at sf0.1
+        // (q102 4.09 s, q67 3.54 s, q167 3.71 s) yet absent from the r16
+        // torture set; the prefix-postings index + CC at 60M docs is
+        // exactly where the next q108-class defect would hide
+        "q102_incremental_neardup", "q67_canonical_docs",
+        "q167_containment_pairs")
       val DocK = 970000L   // multiple of 97·100 (and 20); > maxDocId + dup offsets
       val CustK = 1000000L
       val OrdK = 10000000L
@@ -618,8 +630,8 @@ object ScalingProbe {
         // first diag run read that back as one ~500 s task per query and
         // looked exactly like operator skew (q112 stage 5: 8 tasks, one at
         // 478 s of a 612 s sum). Input layout is the probe's job to get
-        // right; 32·ceil(k/8) files keeps splits balanced at every scale.
-        val nOut = 32 * math.max(1, k / 8)
+        // right; 32·⌈k/8⌉ files keeps splits balanced at every scale.
+        val nOut = 32 * ((k + 7) / 8)
         def w(df: org.apache.spark.sql.DataFrame, name: String): Unit =
           df.drop("__rep").repartition(nOut)
             .write.mode("overwrite").parquet(s"$dir/$name.parquet")
@@ -661,8 +673,15 @@ object ScalingProbe {
       }
 
       // q189's body with the synthesize count as the scale dial
-      // (queries/MedallionQuery.scala q189, media-count parameterized)
-      def q189At(n: Long): org.apache.spark.sql.DataFrame = {
+      // (queries/MedallionQuery.scala q189, media-count parameterized).
+      // r17: returns (corpus, pairs, canonical) with the decode-dominated
+      // derivations barrier()ed, so the runner can time PHASE 1 (synthesize
+      // + PNG decode + aHash + near-dup pairs — per-row work, expected
+      // linear) apart from PHASE 2 (CC + canonical select over the pinned
+      // pairs) — the attribution the r16 rung (262.6 s at 100×, measured
+      // dirty) could not make.
+      def q189At(n: Long): (org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
         import graft.ext.{Components, Multimodal}
         import graft.plans.ScaleLint.BarrierSyntax
         val media = Multimodal.synthesize(spark, n)
@@ -675,14 +694,16 @@ object ScalingProbe {
         val pairs = Multimodal.imageNearDupPairs(
           media.unionByName(dups), maxHamming = 3)
           .select(col("id_a").as("a"), col("id_b").as("b"))
+          .barrier()
         val comp = Components.connectedComponents(
           corpus.select(col("media_id").as("id")), pairs)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("comp"))
           .orderBy(col("bytes").desc, col("media_id"))
-        comp.join(corpus, col("id") === col("media_id"))
+        val canonical = comp.join(corpus, col("id") === col("media_id"))
           .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
           .filter(col("rn") === 1)
+        (corpus, pairs, canonical)
       }
 
       // SP_CAT_ONLY: comma list of query-name substrings to re-run a subset
@@ -705,8 +726,16 @@ object ScalingProbe {
         }
         if (wanted("q189_image_canonical")) {
           try {
-            val (n189, sec189, mt189) = timed(q189At(3000L * k).count())
-            println(f"[sp] cat k=$k%-3d q189_image_canonical rows=$n189 wall=$sec189%.2fs maxTask=${mt189}ms")
+            val (corpus, pairs, canonical) = q189At(3000L * k)
+            // phase 1: synthesize + decode + aHash + pair derivation (the
+            // barriers materialize here); phase 2: CC + canonical select
+            // over the pinned inputs. total = decode + cc.
+            val (nPairs, secDecode, mtD) = timed(pairs.count() + corpus.count())
+            val (n189, secCC, mt189) = timed(canonical.count())
+            println(f"[sp] cat k=$k%-3d q189_image_canonical rows=$n189 " +
+              f"wall=${secDecode + secCC}%.2fs decode=$secDecode%.2fs " +
+              f"cc=$secCC%.2fs pairs+corpus=$nPairs " +
+              f"maxTask=${math.max(mtD, mt189)}ms")
           } catch { case e: Throwable =>
             println(s"[sp] cat k=$k q189_image_canonical FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             e.printStackTrace()

@@ -20,6 +20,11 @@ object ThroughputProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r17: the probe's ingest flows (dedup/ann/dsir/scd2/agg) plan their
+    // micro-batches OUTSIDE the suite's lint listener — register the same
+    // post-execution lint here so every plan the probe actually ran is
+    // checked, and surface the count machine-readably like Bench does
+    spark.listenerManager.register(new graft.plans.GraftLintListener)
     if (mode == "medallion" || mode == "all") medallion(spark)
     if (mode == "dedup" || mode == "all") dedupIngest(spark)
     if (mode == "ann" || mode == "all") annIngest(spark)
@@ -29,6 +34,10 @@ object ThroughputProbe {
     if (mode == "agg" || mode == "all") aggFold(spark)
     if (mode == "triangles" || mode == "all") trianglesSkew(spark)
     if (mode == "dq" || mode == "all") dqContract(spark)
+    // listener dispatch is async — drain before reading the counter
+    org.apache.spark.graft.CleanerBridge.waitListenerBusEmpty(spark.sparkContext)
+    println(s"""{"probe":"throughput","mode":"$mode","lint_errors":${
+      graft.plans.ScaleLint.errorCount.get()}}""")
     spark.stop()
   }
 

@@ -24,20 +24,63 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact floor-division for bin assignment (r17, was `floor(c / w.toDouble)`):
+    * the double round-trip silently mis-bins magnitudes above 2⁵³ (a long
+    * that rounds to a neighbouring double crosses a bin edge ⇒ dropped
+    * matches). `c − pmod(c, w)` is the exact largest multiple of w ≤ c
+    * (pmod is nonnegative), and integral `div` of an exact multiple is
+    * exact for every sign — all in 64-bit integer arithmetic. Domain:
+    * c > Long.MinValue + w (the subtraction must not wrap), which every
+    * epoch-unit column satisfies. */
+  private[graft] def binOf(c: org.apache.spark.sql.Column, binWidth: Long)
+      : org.apache.spark.sql.Column =
+    call_function("div", c.cast("long") - pmod(c.cast("long"), lit(binWidth)),
+      lit(binWidth))
+
   /** `point`, `start`, `end` are integral-valued columns in the same units
     * (e.g. epoch days/seconds); match condition is `start <= point <= end`
-    * (inclusive both ends). Output: all columns of both inputs. */
+    * (inclusive both ends). Output: all columns of both inputs.
+    *
+    * DISPATCH (r17): the default path is now the native exec
+    * ([[graft.plans.NativeRange]] — exec-side interval sweep,
+    * O(|P|+|I|+matches) per bin instead of the per-bin hash-probe cross
+    * product; bit-equal output, NativeRangeSpec's parity matrix). The
+    * native node needs (a) Long/Int range columns and (b) attribute-
+    * disjoint inputs (the q208 self-join discipline — re-read the table
+    * for a self-range-join); calls that don't qualify fall back to
+    * [[pointInIntervalComposed]], which is also the permanent oracle
+    * cross-check form. The two forms share [[binOf]], so they bin
+    * identically at every magnitude. */
   def pointInInterval(
       points: DataFrame, intervals: DataFrame,
       point: String, start: String, end: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val pb = points.withColumn("__bin",
-      floor(col(point) / lit(binWidth.toDouble)).cast("long"))
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val lp = points.queryExecution.analyzed
+    val rp = intervals.queryExecution.analyzed
+    val integral = Seq(lp.output.find(_.name == point),
+      rp.output.find(_.name == start), rp.output.find(_.name == end))
+      .forall(_.exists(a => a.dataType == LongType || a.dataType == IntegerType))
+    if (integral && lp.outputSet.intersect(rp.outputSet).isEmpty)
+      graft.plans.NativeRange.pointInInterval(
+        points, intervals, point, start, end, binWidth)
+    else pointInIntervalComposed(points, intervals, point, start, end, binWidth)
+  }
+
+  /** The composed (bin hash-join + verify-filter) form — the pre-r17
+    * default, kept as the dispatch fallback and the independent
+    * implementation every native-parity check compares against. */
+  def pointInIntervalComposed(
+      points: DataFrame, intervals: DataFrame,
+      point: String, start: String, end: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val pb = points.withColumn("__bin", binOf(col(point), binWidth))
     val ib = intervals.withColumn("__bin",
       explode(sequence(
-        floor(col(start) / lit(binWidth.toDouble)).cast("long"),
-        floor(col(end) / lit(binWidth.toDouble)).cast("long"))))
+        binOf(col(start), binWidth),
+        binOf(col(end), binWidth))))
     pb.join(ib, Seq("__bin"))
       .filter(col(point) >= col(start) && col(point) <= col(end))
       .drop("__bin")
@@ -60,13 +103,11 @@ object RangeJoin {
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     def bins(df: DataFrame, s: String, e: String) = df.withColumn("__bin",
-      explode(sequence(
-        floor(col(s) / lit(binWidth.toDouble)).cast("long"),
-        floor(col(e) / lit(binWidth.toDouble)).cast("long"))))
+      explode(sequence(binOf(col(s), binWidth), binOf(col(e), binWidth))))
     bins(left, lStart, lEnd).join(bins(right, rStart, rEnd), Seq("__bin"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       .filter(col("__bin") ===
-        floor(greatest(col(lStart), col(rStart)) / lit(binWidth.toDouble)).cast("long"))
+        binOf(greatest(col(lStart), col(rStart)), binWidth))
       .drop("__bin")
   }
 }

@@ -429,21 +429,39 @@ object Similarity {
     * bounded by the nearest-centroid cluster (the same SemDeDup trick
     * every quadratic-avoiding stage here uses): cost
     * O(Σ cluster-size²·d), never O(n²·d), with |centroids| the √n dial.
-    * The plan is one cid-keyed self-join (both sides shuffle once on
-    * cid) + a src-keyed window top-k; fully deterministic (bit-stable
-    * cosine, id tiebreak) ⇒ oracle-checkable. Output (src, dst, sim,
-    * rk), rk 1-based by falling similarity. */
+    * The plan is one cid-keyed self-join + a src-keyed window top-k;
+    * fully deterministic (bit-stable cosine, id tiebreak) ⇒
+    * oracle-checkable. Output (src, dst, sim, rk), rk 1-based by falling
+    * similarity.
+    *
+    * SKEW HARDENING (r17): the cid self-join is routed through
+    * [[graft.plans.Salt.tiledPairJoin]] — an ATTRACTOR cluster (one
+    * centroid capturing far more than the average n/|centroids| rows, the
+    * q179 100×-torture straggler: a single 116 s task under a 139 s wall)
+    * otherwise lands its whole m² pair block on one task. Tiling splits
+    * any cluster over [[KnnPairBudget]] pairs into √-budget-sized tiles
+    * (exact same pair set, f² tasks); clusters under the budget keep the
+    * plain join's exact shuffle shape (factor 1, zero replication). The
+    * input is barrier()ed because it now feeds three branches (tile
+    * factors + both join sides) and is typically an expensive
+    * assignment lineage. */
   def knnGraph(assigned: DataFrame, k: Int): DataFrame = {
-    val a = assigned.select(col("cid"), col("id").as("src"), col("vec").as("svec"))
-    val b = assigned.select(col("cid"), col("id").as("dst"), col("vec").as("dvec"))
+    val pinned = assigned.barrier()
+    val a = pinned.select(col("cid"), col("id").as("src"), col("vec").as("svec"))
+    val b = pinned.select(col("cid"), col("id").as("dst"), col("vec").as("dvec"))
     val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
-    a.join(b, Seq("cid"))
+    graft.plans.Salt.tiledPairJoin(a, b, "cid", "src", "dst", KnnPairBudget)
       .filter(col("src") =!= col("dst"))
       .withColumn("sim", cosine(col("svec"), col("dvec")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("src"), col("dst"), col("sim"), col("rk"))
   }
+
+  /** Per-tile pair ceiling for [[knnGraph]]'s self-join: 4M dim-64 cosines
+    * ≈ a sub-second task, so even a total-attractor cluster (every row in
+    * one centroid's pull) decomposes into uniformly sub-second tiles. */
+  private val KnnPairBudget = 4L * 1024 * 1024
 
   /** Squared L2 distance (‖a‖² − 2a·b + ‖b‖²) via the native fused-loop
     * expression ([[graft.functions.SqL2Distance]]) — bit-identical to the

@@ -217,12 +217,15 @@ object NativeRange {
     if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ RangeJoinStrategy
+    // exact integer floor-division (r17): the former floor(col / w.toDouble)
+    // mis-bins magnitudes above 2^53 — see RangeJoin.binOf, shared so the
+    // native and composed forms bin identically at every magnitude
     val pb = points.withColumn("__bin",
-      floor(col(point) / lit(binWidth.toDouble)).cast("long"))
+      graft.ext.RangeJoin.binOf(col(point), binWidth))
     val ib = intervals.withColumn("__bin",
       explode(sequence(
-        floor(col(start) / lit(binWidth.toDouble)).cast("long"),
-        floor(col(end) / lit(binWidth.toDouble)).cast("long"))))
+        graft.ext.RangeJoin.binOf(col(start), binWidth),
+        graft.ext.RangeJoin.binOf(col(end), binWidth))))
     val lp = pb.queryExecution.analyzed
     val rp = ib.queryExecution.analyzed
     require(lp.outputSet.intersect(rp.outputSet).isEmpty,

@@ -35,4 +35,48 @@ object Salt {
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(col(key))
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("total"))
+
+  /** 2-D TILED pair self-join for skewed key groups — the all-pairs
+    * analogue of [[saltedJoin]]. `left.join(right, key)` on a self-join
+    * shape (both sides the same per-key row sets under different column
+    * names) sends a group of m rows to ONE task that emits all m² pairs;
+    * one oversized group is then a straggler no matter how balanced the
+    * rest of the shuffle is (the q179 kNN-graph attractor cluster:
+    * one 116 s task under a 139 s wall at 100×).
+    *
+    * The fix is the standard grid decomposition for all-pairs work: split
+    * each group into f sub-groups (f = ⌈m / √pairBudget⌉, so every tile
+    * holds ≤ pairBudget pairs), assign each left row its hash tile row
+    * `h(id) mod f` replicated across all f tile columns, each right row
+    * its hash tile column replicated across all f tile rows, and equi-join
+    * on (key, tileRow, tileCol). A pair (a, b) meets in EXACTLY the tile
+    * (h(a) mod f, h(b) mod f) — same pair set as the plain join, no dedup
+    * needed — while the group's m² pairs spread over f² tasks. Replication
+    * is f× per side (m·f = m²/√pairBudget rows), asymptotically dwarfed by
+    * the pair work itself, and f = 1 (zero replication, the plain join's
+    * exact shuffle) for every group under the budget.
+    *
+    * Per-group factors come from one narrow count aggregate over `left`,
+    * broadcast back to both sides — no collect, factors scale with the
+    * data. CALLER CONTRACT: `left`/`right` derived from an expensive
+    * lineage should be barrier()ed first, or the sizes branch re-derives
+    * it a third time. Deterministic (xxhash64 tiles) ⇒ replays stable. */
+  def tiledPairJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftId: String, rightId: String, pairBudget: Long): DataFrame = {
+    require(pairBudget > 0, "pairBudget must be positive")
+    val side = math.max(1.0, math.sqrt(pairBudget.toDouble))
+    val factors = left.groupBy(col(key)).agg(count(lit(1)).as("__gsz"))
+      .select(col(key),
+        greatest(lit(1), ceil(col("__gsz") / lit(side)).cast("int")).as("__f"))
+    val l = left.join(broadcast(factors), Seq(key))
+      .withColumn("__ta", pmod(xxhash64(col(leftId)), col("__f")).cast("int"))
+      .withColumn("__tb", explode(sequence(lit(0), col("__f") - 1)))
+      .drop("__f")
+    val r = right.join(broadcast(factors), Seq(key))
+      .withColumn("__ta", explode(sequence(lit(0), col("__f") - 1)))
+      .withColumn("__tb", pmod(xxhash64(col(rightId)), col("__f")).cast("int"))
+      .drop("__f")
+    l.join(r, Seq(key, "__ta", "__tb")).drop("__ta", "__tb")
+  }
 }

@@ -145,14 +145,21 @@ object SetOps {
   /** Range (point-in-interval) join via binning ([[graft.ext.RangeJoin]]):
     * orders falling inside the 7-day windows opened by the 50 biggest
     * orders. The naive BETWEEN join is a nested-loop plan; the binned form
-    * is an equi-join on the bin id + exact verify. */
+    * is an equi-join on the bin id + exact verify. Since r17 the
+    * production path plans through the NATIVE exec (the
+    * `RangeJoin.pointInInterval` dispatcher): the two sides re-read the
+    * table (fresh lineage, the q208/q267 discipline), so the call
+    * qualifies for [[graft.plans.NativeRange]]'s interval sweep; q267
+    * keeps the explicit-native twin and NativeRangeSpec pins parity on
+    * this exact production call. */
   val q55RangeJoin: Q = Q(
     "q55_range_join",
     (s, dir) => {
-      val o = t(s, dir, "orders")
-      val points = o.select(col("o_orderkey"), to_date(col("o_orderdate")).as("pdate"))
+      val points = t(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("pdate"))
         .withColumn("pday", unix_date(col("pdate")))
-      val win = o.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(50)
+      val win = t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(50)
         .select(col("o_orderkey").as("win_id"), to_date(col("o_orderdate")).as("win_start"))
         .withColumn("win_end", date_add(col("win_start"), 7))
         .withColumn("sday", unix_date(col("win_start")))

@@ -284,7 +284,21 @@ object Stateful {
     * produces confidently wrong funnels, the worst failure mode.
     * Re-delivery of exactly the high-water-mark row (at-least-once
     * replay) is tolerated: the guard is strict-less-than, and the fold's
-    * first-hit conditions make the duplicate a no-op. */
+    * first-hit conditions make the duplicate a no-op.
+    *
+    * CHECKPOINT COMPATIBILITY: the r16 guard widened the `funnel` value
+    * state from a 3-tuple to this 5-tuple UNDER THE SAME STATE NAME — a
+    * query restored from a pre-r16 checkpoint fails state deserialization
+    * rather than migrating. Intentional (the narrower state cannot prove
+    * the order contract, so a silent migration would resume unguarded);
+    * restart pre-r16 pipelines from a fresh checkpoint.
+    *
+    * OPERATIONAL NOTE: fail-fast is correct for a contract violation, but
+    * the throw happens inside `transformWithState`, so a single disordered
+    * key poisons the stream PERMANENTLY — restart replays the same batch
+    * and throws again. Where that retry loop is the worse failure mode,
+    * wire [[funnelDeadLetter]] instead: violations freeze their key and
+    * route to a side output; every other key keeps exact batch parity. */
   class FunnelProcessor
       extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long, Long, Long)] {
     // (signup, click, purchase, hwmTs, hwmId)
@@ -336,6 +350,79 @@ object Stateful {
       Encoders.product[(Long, Long, Long, Long)]
     keyed.transformWithState(
       new FunnelProcessor(), TimeMode.None(), OutputMode.Update())
+  }
+
+  /** DEAD-LETTER funnel (r17) — the operational alternative to
+    * [[FunnelProcessor]]'s fail-fast order guard. Same fold, same
+    * high-water-mark contract, but a violation QUARANTINES the key instead
+    * of killing the query: the key's funnel state FREEZES at its last
+    * good value (a fold that has seen disorder cannot be trusted to stage
+    * correctly, so it stops folding rather than guess), every subsequent
+    * row for that key counts into a per-key violation tally, and the
+    * emitted row carries (n_violations, frozen) so violations route to a
+    * side output with one `filter(frozen)` — the count metric is the
+    * tally itself, aggregable downstream. Keys that never violate emit
+    * tallies of 0 and bit-match [[FunnelProcessor]] (and therefore the
+    * q200 batch twin) exactly — one bad key never perturbs its neighbors.
+    *
+    * State lives under its OWN name (`funnel_dl`, a 7-tuple), so the two
+    * modes never collide in a checkpoint and switching modes is an
+    * explicit re-bootstrap, not a silent schema break. Fail-fast stays
+    * the default wiring ([[funnel]]); choose this at pipeline
+    * construction where a poison key must not halt the stream. */
+  class DeadLetterFunnelProcessor
+      extends StatefulProcessor[
+        Long, (Long, Long, Long, String), (Long, Long, Long, Long, Long, Boolean)] {
+    // (signup, click, purchase, hwmTs, hwmId, violations)
+    @transient private var state: ValueState[(Long, Long, Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[(Long, Long, Long, Long, Long, Long)](
+        "funnel_dl", Encoders.product[(Long, Long, Long, Long, Long, Long)],
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long, String)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long, Boolean)] = {
+      var (s, c, p, hwmTs, hwmId, viol) =
+        if (state.exists()) state.get()
+        else (-1L, -1L, -1L, Long.MinValue, Long.MinValue, 0L)
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      val disordered = sorted.headOption.exists(r =>
+        r._2 < hwmTs || (r._2 == hwmTs && r._3 < hwmId))
+      if (viol > 0 || disordered) {
+        // frozen (now or previously): quarantine the whole batch — state
+        // stays at its last good fold, the tally records the loss
+        viol += sorted.size
+      } else {
+        sorted.foreach { r =>
+          r._4 match {
+            case "signup" if s < 0 => s = r._2
+            case "click" if s >= 0 && c < 0 && r._2 > s => c = r._2
+            case "purchase" if c >= 0 && p < 0 && r._2 > c => p = r._2
+            case _ => ()
+          }
+        }
+        sorted.lastOption.foreach { r => hwmTs = r._2; hwmId = r._3 }
+      }
+      state.update((s, c, p, hwmTs, hwmId, viol))
+      Iterator((key, s, c, p, viol, viol > 0))
+    }
+  }
+
+  /** Wire the dead-letter funnel: emits (user_id, signup_ts, click_ts,
+    * purchase_ts, n_violations, frozen) per updated user per micro-batch.
+    * `filter(!frozen)` is the exact funnel stream (bit-parity with
+    * [[funnel]] on contract-respecting keys); `filter(frozen)` is the
+    * dead-letter side output. */
+  def funnelDeadLetter(
+      keyed: KeyValueGroupedDataset[Long, (Long, Long, Long, String)])
+      : Dataset[(Long, Long, Long, Long, Long, Boolean)] = {
+    implicit val enc: Encoder[(Long, Long, Long, Long, Long, Boolean)] =
+      Encoders.product[(Long, Long, Long, Long, Long, Boolean)]
+    keyed.transformWithState(
+      new DeadLetterFunnelProcessor(), TimeMode.None(), OutputMode.Update())
   }
 
   /** STREAMING AS-OF (latest-state enrichment) — the incremental twin of

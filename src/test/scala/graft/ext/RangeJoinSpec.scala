@@ -11,15 +11,20 @@ class RangeJoinSpec extends SparkSuite {
   val intervals = Seq((10L, 0L, 9L), (20L, 10L, 10L), (30L, 15L, 40L), (40L, 50L, 60L))
     .toDF("iid", "s", "e")
 
-  test("binned range join equals the naive BETWEEN join, across bin widths") {
+  test("binned range join equals the naive BETWEEN join, across bin widths, both forms") {
     val naive = points.join(intervals, $"p" >= $"s" && $"p" <= $"e")
       .select($"pid", $"iid").as[(Long, Long)].collect().toSet
     assert(naive === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 30L)))
-    for (w <- Seq(1L, 4L, 16L, 100L)) {
-      val binned = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", w)
+    for (w <- Seq(1L, 4L, 16L, 100L);
+         (form, f) <- Seq[(String, (org.apache.spark.sql.DataFrame,
+             org.apache.spark.sql.DataFrame, String, String, String, Long)
+               => org.apache.spark.sql.DataFrame)](
+           ("dispatch", RangeJoin.pointInInterval),
+           ("composed", RangeJoin.pointInIntervalComposed))) {
+      val binned = f(points, intervals, "p", "s", "e", w)
         .select($"pid", $"iid").as[(Long, Long)].collect()
-      assert(binned.length === binned.toSet.size, s"no duplicate pairs at width $w")
-      assert(binned.toSet === naive, s"binned join must equal naive at width $w")
+      assert(binned.length === binned.toSet.size, s"no duplicate pairs at width $w ($form)")
+      assert(binned.toSet === naive, s"$form join must equal naive at width $w")
     }
   }
 
@@ -32,9 +37,27 @@ class RangeJoinSpec extends SparkSuite {
 
   test("negative domain values bin correctly (floor, not truncate)") {
     val ivl = Seq((1L, -10L, -1L)).toDF("iid", "s", "e")
-    val got = RangeJoin.pointInInterval(points, ivl, "p", "s", "e", 7)
-      .select($"pid").as[Long].collect().toSeq
-    assert(got === Seq(5L))
+    for (f <- Seq(RangeJoin.pointInInterval _, RangeJoin.pointInIntervalComposed _)) {
+      val got = f(points, ivl, "p", "s", "e", 7)
+        .select($"pid").as[Long].collect().toSeq
+      assert(got === Seq(5L))
+    }
+  }
+
+  test("bins are exact above 2^53 (r17: integer floor-div, no double round-trip)") {
+    // two adjacent giants straddling a bin edge at a magnitude where
+    // doubles have 1024-ulp spacing: floor(x / w.toDouble) collapses both
+    // into one bin and can mis-bin the interval ends; the exact path keeps
+    // them distinct and the match set right
+    val big = (1L << 60) // 1.15e18, far past 2^53
+    val pts = Seq((1L, big - 1L), (2L, big), (3L, big + 999L))
+      .toDF("pid", "p")
+    val ivl = Seq((10L, big, big + 999L)).toDF("iid", "s", "e")
+    for (f <- Seq(RangeJoin.pointInInterval _, RangeJoin.pointInIntervalComposed _)) {
+      val got = f(pts, ivl, "p", "s", "e", 1000L)
+        .select($"pid").as[Long].collect().toSet
+      assert(got === Set(2L, 3L))
+    }
   }
 
   test("interval-overlap join equals the naive inequality join, duplicate-free across widths") {

@@ -4,7 +4,7 @@ import graft.{SparkSuite, Tables}
 import org.apache.spark.sql.functions._
 
 /** The native physical range join ([[NativeRange]]) against the composed
-  * bin-join formulation ([[graft.ext.RangeJoin.pointInInterval]]) — same
+  * bin-join formulation ([[graft.ext.RangeJoin.pointInIntervalComposed]]) — same
   * bin-replication semantics, exec-side sweep: equality is BIT-equality on
   * full result sets, across partition layouts and adversarial interval
   * geometries (dense bins, multi-bin spans, bin-boundary points, nulls).
@@ -29,7 +29,7 @@ class NativeRangeSpec extends SparkSuite {
     df.collect().map(_.toString).sorted.toSeq
 
   test("native == composed on the q55 inputs, across partition layouts and widths") {
-    val expected = canon(graft.ext.RangeJoin.pointInInterval(
+    val expected = canon(graft.ext.RangeJoin.pointInIntervalComposed(
         points, windows, "pday", "sday", "eday", binWidth = 16)
       .select("win_id", "o_orderkey", "pday"))
     assert(expected.nonEmpty)
@@ -56,7 +56,7 @@ class NativeRangeSpec extends SparkSuite {
       899L, 900L, 905L, 906L) ++ Seq(11L, 11L, 25L)) // duplicates
       .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
     for (width <- Seq(1L, 3L, 16L, 1000L)) {
-      val expected = canon(graft.ext.RangeJoin.pointInInterval(
+      val expected = canon(graft.ext.RangeJoin.pointInIntervalComposed(
         pts, intervals, "p", "s", "e", width).select("pid", "iid"))
       val got = canon(NativeRange.pointInInterval(
         pts, intervals, "p", "s", "e", width).select("pid", "iid"))
@@ -76,7 +76,7 @@ class NativeRangeSpec extends SparkSuite {
       (10L, Some(5L), Some(15L)),
       (11L, None, Some(25L)),
       (12L, Some(18L), None)).toDF("iid", "s", "e")
-    val expected = canon(graft.ext.RangeJoin.pointInInterval(
+    val expected = canon(graft.ext.RangeJoin.pointInIntervalComposed(
       pts, ivs, "p", "s", "e", 8).select("pid", "iid"))
     val got = canon(NativeRange.pointInInterval(
       pts, ivs, "p", "s", "e", 8).select("pid", "iid"))
@@ -92,6 +92,31 @@ class NativeRangeSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoop"), "must not fall back to BNLJ")
     assert("Exchange hashpartitioning".r.findAllIn(p).length >= 2,
       s"both sides must cluster on their bin ids:\n$p")
+  }
+
+  test("q55's production call routes through the native exec and stays bit-equal (r17)") {
+    // the dispatcher (RangeJoin.pointInInterval) must pick the native path
+    // for q55's re-read inputs — and its output must bit-match the composed
+    // form on the exact production call shape
+    val viaDispatch = graft.ext.RangeJoin.pointInInterval(
+      points, windows, "pday", "sday", "eday", binWidth = 16)
+    val plan = viaDispatch.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoin"),
+      s"q55's dispatcher call must plan the native exec:\n$plan")
+    val expected = canon(graft.ext.RangeJoin.pointInIntervalComposed(
+        points, windows, "pday", "sday", "eday", binWidth = 16)
+      .select("win_id", "o_orderkey", "pday"))
+    assert(canon(viaDispatch.select("win_id", "o_orderkey", "pday")) === expected)
+  }
+
+  test("dispatcher falls back to the composed form on shared lineage (r17)") {
+    val o = points
+    val shared = graft.ext.RangeJoin.pointInInterval(
+      o, o.withColumnRenamed("pday", "s2").withColumn("e2", col("s2") + 5),
+      "pday", "s2", "e2", 8)
+    assert(!shared.queryExecution.executedPlan.toString.contains("RangeJoinExec"),
+      "shared lineage must take the composed path")
+    assert(shared.count() > 0)
   }
 
   test("shared-lineage self-join is rejected with a clear error") {

@@ -635,6 +635,42 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming funnel dead-letter mode: violator quarantined, other keys stay exact (r17)") {
+    withRocksDb {
+      val in = MemoryStream[(Long, Long, Long, String)](spark)
+      val out = Stateful.funnelDeadLetter(in.toDS().groupByKey(_._1))
+      val ckpt = tmp() + "/funnel-dl-ckpt"
+      val q = out.writeStream.format("memory").queryName("tws_funnel_dl")
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      try {
+        // batch 1: two healthy keys progress
+        in.addData((31L, 10L, 1L, "signup"), (32L, 11L, 2L, "signup"))
+        q.processAllAvailable()
+        // batch 2: key 31 violates the order contract (ts 4 < hwm 10);
+        // key 32 progresses normally — the stream must NOT fail
+        in.addData((31L, 4L, 3L, "click"), (32L, 15L, 4L, "click"))
+        q.processAllAvailable()
+        // batch 3: the frozen key's later (in-order!) rows stay quarantined
+        // — a fold that saw disorder is untrusted forever; key 32 converts
+        in.addData((31L, 20L, 5L, "click"), (32L, 18L, 6L, "purchase"))
+        q.processAllAvailable()
+        val rows = spark.table("tws_funnel_dl")
+          .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+        // healthy key: exact FunnelProcessor parity at every boundary
+        assert(rows.filter(_._1 == 32L) === Set(
+          (32L, 11L, -1L, -1L, 0L, false),
+          (32L, 11L, 15L, -1L, 0L, false),
+          (32L, 11L, 15L, 18L, 0L, false)))
+        // violator: state frozen at the last good fold, tally counts every
+        // quarantined row, frozen rows ARE the side output
+        assert(rows.filter(_._1 == 31L) === Set(
+          (31L, 10L, -1L, -1L, 0L, false),
+          (31L, 10L, -1L, -1L, 1L, true),
+          (31L, 10L, -1L, -1L, 2L, true)))
+      } finally q.stop()
+    }
+  }
+
   test("streaming CUSUM: bit-matches the batch prefix fold at every micro-batch boundary") {
     withRocksDb {
       val mu = 0.5
