@@ -469,7 +469,8 @@ object QualityProbe {
     md ++= "rel err = |approx − exact| / exact over every group × column.\n\n"
     md ++= "**GUARDED since r12**: these numbers are no longer measurement-only —\n"
     md ++= "`QualityGuardSpec` (runs in `sbt test`, at sf0.01) pins machine-independent\n"
-    md ++= "floors: q34 LSH recall ≥ 0.25, q121 refined recall ≥ 0.5, q57 pair-recall\n"
+    md ++= "floors: q34 LSH recall ≥ 0.30 (raised r17 with the 9-table point), q121\n"
+    md ++= "refined recall ≥ 0.5, q57 pair-recall\n"
     md ++= "≥ 0.95, sketch max rel-err ≤ 10% (q38/q99/q115); r14 adds q196\n"
     md ++= "ANN-routed hard-negative mining (exact subset invariant — the ANN\n"
     md ++= "shortlist's best sims can never exceed the exact miner's — plus\n"
@@ -554,7 +555,9 @@ object QualityProbe {
     md ++= "  direction (√n lists) is also the recall direction on this corpus.\n"
     md ++= "- LSH tables amplify candidate volume ∝ nTables/2^planes of the\n"
     md ++= "  corpus; recall rises steadily with tables, paying linearly in\n"
-    md ++= "  bucket-join volume. q34 ships the 8-table point; 16 doubles recall\n"
+    md ++= "  bucket-join volume. q34 ships the 9-table point (r17: the 9th table\n"
+    md ++= "  recovered the r16 portable-swap dip 0.32 -> 0.34 at +5.4% candidates);\n"
+    md ++= "  16 tables adds recall\n"
     md ++= "  again at 2x candidate cost — IVF×PQ+refine dominates it per cost.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("QUALITY.md"),
       md.toString.getBytes("UTF-8"))

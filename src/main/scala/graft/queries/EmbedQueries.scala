@@ -54,14 +54,16 @@ object EmbedQueries {
     * the cosine ranking. Recall property-tested in SimilaritySpec and
     * measured in QUALITY.md. Operating point: the r9 single-table 8-plane
     * configuration measured recall@10 = 0.00 on the near-orthogonal
-    * testdata (the analytic worst case for bucketed LSH); 6 planes × 8
-    * OR'd tables buys measurable recall by admitting ~nTables/2⁶ of the
-    * corpus as candidates per query — the honest LSH price on
-    * structureless data, with the nTables dial curve in QUALITY.md. */
+    * testdata (the analytic worst case for bucketed LSH); 6 planes × 9
+    * OR'd tables (r17 — the 9th table recovered the r16 portable-plane
+    * swap's recall dip, 0.32 → 0.34 at sf0.1 for +5.4% candidate volume,
+    * 1637 → 1725 rows; the lsh_ntables_portable dial curve in QUALITY.md)
+    * buys measurable recall by admitting ~nTables/2⁶ of the corpus as
+    * candidates per query — the honest LSH price on structureless data. */
   val q34AnnLsh: Q = Q(
     "q34_ann_lsh",
     (s, dir) => Similarity.lshTopK(corpus(s, dir), queriesDf(s, dir), 10,
-      nPlanes = 6, nTables = 8, portablePlanes = true),
+      nPlanes = 6, nTables = 9, portablePlanes = true),
     Some("""
       WITH c AS (
         SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -80,7 +82,7 @@ object EmbedQueries {
                 (a, x) -> a + x) >= 0
               THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END))
             AS BIGINT) AS sig
-        FROM c, generate_series(0, 7) t(tbl)),
+        FROM c, generate_series(0, 8) t(tbl)),
       sigq AS (
         SELECT qid, t.tbl AS tbl,
           CAST(list_sum(list_transform(generate_series(0, 5), p ->
@@ -93,7 +95,7 @@ object EmbedQueries {
                 (a, x) -> a + x) >= 0
               THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END))
             AS BIGINT) AS sig
-        FROM q, generate_series(0, 7) t(tbl)),
+        FROM q, generate_series(0, 8) t(tbl)),
       cand AS (
         SELECT DISTINCT sq.qid, sc.id
         FROM sigc sc JOIN sigq sq ON sc.tbl = sq.tbl AND sc.sig = sq.sig

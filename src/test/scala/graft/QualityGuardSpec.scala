@@ -80,9 +80,11 @@ class QualityGuardSpec extends SparkSuite {
     assert(rel <= 0.5, f"KMV intersect estimate drifted: est $est%.1f vs true $truth%.0f (rel $rel%.2f)")
   }
 
-  test("q34 LSH recall@10 >= 0.25 vs exact cosine") {
+  test("q34 LSH recall@10 >= 0.30 vs exact cosine") {
+    // r17: floor raised 0.25 -> 0.30 with the 9-table operating point
+    // (sf0.1 recall 0.34, sf0.01 well above — no silent floor lowering)
     val r = recall(q("q34_ann_lsh"), q("q33_cosine_topk"))
-    assert(r >= 0.25, f"q34 LSH recall collapsed: $r%.3f < 0.25")
+    assert(r >= 0.30, f"q34 LSH recall collapsed: $r%.3f < 0.30")
   }
 
   test("q121 IVF-PQ refined recall@10 >= 0.5 vs exact L2") {
