@@ -574,6 +574,40 @@ object ScalingProbe {
       }
     }
 
+    // ASSIGNMENT-COST ANATOMY (r17): the q179 stage diagnosis attributed
+    // the 100× rung's wall to the nearest-centroid ASSIGNMENT stage —
+    // 4,063 CPU-seconds over 32 BALANCED tasks (max 129 s ≈ mean 127 s,
+    // not skew) for 200k vectors × 2k centroids = 400M broadcast cosines
+    // ≈ 10 µs each, ~100× off fused-loop speed. This mode times the
+    // assignment alone on SP_ASSIGN_DIR and prints the executed plan, to
+    // pin WHERE the per-row constant goes (join materialization? agg
+    // buffer? interpreted eval?) before optimizing it.
+    if (mode == "assign") {
+      val dir = sys.env.getOrElse("SP_ASSIGN_DIR", "/tmp/sp_cat/x100")
+      val emb = Tables.load(spark, dir, "embeddings")
+      val all = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      println(s"[sp] assign: ${all.count()} vectors, ${cents.count()} centroids")
+      val assigned = ext.Similarity.assignNearestCentroid(all, cents)
+      val (n, sec, mt) = timed(assigned.count())
+      println(f"[sp] assign current: rows=$n wall=$sec%.2fs maxTask=${mt}ms")
+      Housekeeping.releaseAll(spark)
+      // the checkpoint-materialization pathology (r17): count() is 3 s but
+      // barrier(eager).count() measured 211 s in ONE task — the RDD the
+      // checkpoint pins runs the whole pipeline somewhere count() does not.
+      // Print the RDD-path plan (what toRdd executes) vs the count plan.
+      val assigned2 = ext.Similarity.assignNearestCentroid(all, cents)
+      println("[sp] --- executedPlan (as Dataset.localCheckpoint sees it) ---")
+      println(assigned2.queryExecution.executedPlan.toString.linesIterator
+        .take(40).mkString("\n"))
+      val (_, secB, mtB) = timed(assigned2.barrier(eager = true).count())
+      println(f"[sp] assign barrier(eager): wall=$secB%.2fs maxTask=${mtB}ms")
+      Housekeeping.releaseAll(spark)
+    }
+
     // CATALOG-SCALE TORTURE (SCALING.md "100× catalog probe"): the 10
     // heaviest catalog queries run UNCHANGED against synthetic scaled
     // table dirs at k× the sf0.1 row counts (k from SP_CAT_K, default
@@ -674,15 +708,16 @@ object ScalingProbe {
 
       // q189's body with the synthesize count as the scale dial
       // (queries/MedallionQuery.scala q189, media-count parameterized).
-      // r17: returns (corpus, pairs, canonical) with the decode-dominated
-      // derivations barrier()ed, so the runner can time PHASE 1 (synthesize
-      // + PNG decode + aHash + near-dup pairs — per-row work, expected
-      // linear) apart from PHASE 2 (CC + canonical select over the pinned
-      // pairs) — the attribution the r16 rung (262.6 s at 100×, measured
-      // dirty) could not make.
-      def q189At(n: Long): (org.apache.spark.sql.DataFrame,
-          org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-        import graft.ext.{Components, Multimodal}
+      // r17 v2: the first phase-split attempt timed pairs.count() AFTER
+      // building the CC frame — but Components.connectedComponents is
+      // ITERATIVE, so its CONSTRUCTION runs eager jobs (per-round
+      // convergence counts) that materialize the barriered pairs/corpus
+      // untimed. (r16's single-number timing had the same blind spot in
+      // reverse.) The split is only honest if the decode phase is timed
+      // BEFORE the CC frame exists — hence two builders.
+      def q189Parts(n: Long): (org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame) = {
+        import graft.ext.Multimodal
         import graft.plans.ScaleLint.BarrierSyntax
         val media = Multimodal.synthesize(spark, n)
         val dups = media.filter(col("kind") === "image" && col("media_id") % 30 === 0)
@@ -695,15 +730,18 @@ object ScalingProbe {
           media.unionByName(dups), maxHamming = 3)
           .select(col("id_a").as("a"), col("id_b").as("b"))
           .barrier()
-        val comp = Components.connectedComponents(
+        (corpus, pairs)
+      }
+      def q189Canonical(corpus: org.apache.spark.sql.DataFrame,
+          pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val comp = graft.ext.Components.connectedComponents(
           corpus.select(col("media_id").as("id")), pairs)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("comp"))
           .orderBy(col("bytes").desc, col("media_id"))
-        val canonical = comp.join(corpus, col("id") === col("media_id"))
+        comp.join(corpus, col("id") === col("media_id"))
           .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
           .filter(col("rn") === 1)
-        (corpus, pairs, canonical)
       }
 
       // SP_CAT_ONLY: comma list of query-name substrings to re-run a subset
@@ -726,12 +764,16 @@ object ScalingProbe {
         }
         if (wanted("q189_image_canonical")) {
           try {
-            val (corpus, pairs, canonical) = q189At(3000L * k)
-            // phase 1: synthesize + decode + aHash + pair derivation (the
-            // barriers materialize here); phase 2: CC + canonical select
-            // over the pinned inputs. total = decode + cc.
+            // phase 1: synthesize + PNG decode + aHash + band join +
+            // pair distinct (the barriers materialize under this count)
+            val (corpus, pairs) = q189Parts(3000L * k)
             val (nPairs, secDecode, mtD) = timed(pairs.count() + corpus.count())
-            val (n189, secCC, mt189) = timed(canonical.count())
+            // phase 2: CC (iterative — runs during construction) +
+            // canonical select, all over the pinned phase-1 outputs
+            val tCc = System.nanoTime()
+            val canonical = q189Canonical(corpus, pairs)
+            val (n189, _, mt189) = timed(canonical.count())
+            val secCC = (System.nanoTime() - tCc) / 1e9
             println(f"[sp] cat k=$k%-3d q189_image_canonical rows=$n189 " +
               f"wall=${secDecode + secCC}%.2fs decode=$secDecode%.2fs " +
               f"cc=$secCC%.2fs pairs+corpus=$nPairs " +

@@ -38,7 +38,11 @@ object LabelProp {
       labels = e.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))
-        .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("label"))
+        // argmax, NOT max_by: the struct-buffered max_by plans as an
+        // interpreted SortAggregate (functions/ArgExtremum); counts are
+        // exact in double below 2^53, far above any degree here
+        .agg(graft.functions.ArgExtremum.argmax(
+          col("label"), col("c").cast("double")).as("label"))
         .select(col("dst").as("node"), col("label"))
     }
     labels

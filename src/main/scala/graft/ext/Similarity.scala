@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.plans.ScaleLint.BarrierSyntax
 
+import graft.functions.ArgExtremum.{argmax, argmin}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -272,7 +273,11 @@ object Similarity {
     val assigned = corpus.crossJoin(broadcast(centroids))
       .select(col("id"), col("cid"), cosine(col("vec"), col("cvec")).as("sim_c"))
       .groupBy(col("id"))
-      .agg(max_by(col("cid"), struct(col("sim_c"), -col("cid"))).as("cid"))
+      // argmax, NOT max_by: the struct-buffered max_by degrades the agg to
+      // SortAggregate with interpreted per-row updates — 10 µs × n·|cents|
+      // rows was the q179 catalog100x wall (see functions/ArgExtremum)
+      .agg(argmax(col("cid").cast("long"), col("sim_c"))
+        .cast(centroids.schema("cid").dataType).as("cid"))
       .join(corpus, Seq("id"))
       .select(col("id"), col("cid"), col("vec"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("sim_c").desc, col("cid"))
@@ -368,7 +373,11 @@ object Similarity {
     corpus.crossJoin(broadcast(centroids))
       .select(col("id"), col("cid"), cosine(col("vec"), col("cvec")).as("sim_c"))
       .groupBy(col("id"))
-      .agg(max_by(col("cid"), struct(col("sim_c"), -col("cid"))).as("cid"))
+      // argmax, NOT max_by — identical result, HashAggregate instead of an
+      // interpreted SortAggregate over the whole cross product (the r17
+      // catalog100x find; anatomy in functions/ArgExtremum's scaladoc)
+      .agg(argmax(col("cid").cast("long"), col("sim_c"))
+        .cast(centroids.schema("cid").dataType).as("cid"))
       .join(corpus, Seq("id"))
       .select(col("id"), col("cid"), col("vec"))
 
@@ -491,9 +500,12 @@ object Similarity {
     corpus.crossJoin(broadcast(centroids))
       .select(col("id"), col("cid"), sqDist(col("vec"), col("cvec")).as("d2"))
       .groupBy(col("id"))
-      .agg(min_by(struct(col("cid"), col("d2")),
-        struct(col("d2"), col("cid"))).as("m"))
-      .select(col("id"), col("m.cid").as("cluster"), col("m.d2").as("d2"))
+      // argmin + plain min, NOT a struct-buffered min_by (SortAggregate
+      // degradation — functions/ArgExtremum); min(d2) IS the chosen
+      // cluster's distance because the cluster is the d2-argmin
+      .agg(argmin(col("cid").cast("long"), col("d2"))
+          .cast(centroids.schema("cid").dataType).as("cluster"),
+        min(col("d2")).as("d2"))
       .join(corpus, Seq("id"))
       .select(col("id"), col("cluster"), col("d2"), col("vec"))
 
@@ -578,7 +590,8 @@ object Similarity {
     parts.join(broadcast(codebooks), Seq("subspace"))
       .withColumn("d2", sqDist(col("sub"), col("cvec")))
       .groupBy(col("id"), col("subspace"))
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+      .agg(argmin(col("cid").cast("long"), col("d2"))
+        .cast(codebooks.schema("cid").dataType).as("code"))
       .groupBy(col("id"))
       .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
         x => x.getField("code")).as("codes"))
@@ -641,7 +654,8 @@ object Similarity {
       .join(broadcast(codebooks.withColumnRenamed("cid", "bcid")), Seq("subspace"))
       .withColumn("d2", sqDist(col("sub"), col("cvec")))
       .groupBy(col("id"), col("cid"), col("subspace"))
-      .agg(min_by(col("bcid"), struct(col("d2"), col("bcid"))).as("code"))
+      .agg(argmin(col("bcid").cast("long"), col("d2"))
+        .cast(codebooks.schema("cid").dataType).as("code"))
       .groupBy(col("id"), col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
         x => x.getField("code")).as("codes"))
@@ -774,7 +788,8 @@ object Similarity {
       .join(broadcast(codebooks.withColumnRenamed("cid", "bcid")), Seq("subspace"))
       .withColumn("d2", sqDist(col("sub"), col("cvec")))
       .groupBy(col("id"), col("cid"), col("subspace"))
-      .agg(min_by(col("bcid"), struct(col("d2"), col("bcid"))).as("code"))
+      .agg(argmin(col("bcid").cast("long"), col("d2"))
+        .cast(codebooks.schema("cid").dataType).as("code"))
       .groupBy(col("id"), col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
         x => x.getField("code")).as("codes"))
