@@ -228,6 +228,51 @@ object ScaleLint {
     * tripwire (0 = clean session), not a precise finding tally. */
   val errorCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** PHYSICAL-plan lint (r17) — the logical rules above cannot see
+    * physical degradations. One rule, Advice severity:
+    *
+    * `struct-buffered-argmax`: a SortAggregateExec evaluating MaxBy /
+    * MinBy. Their ordering value lives in a STRUCT-typed aggregation
+    * buffer, which HashAggregate's mutable-buffer requirement rejects —
+    * so the plan silently falls back to SortAggregate, whose per-row
+    * update path (interpreted struct build + compare + copy) costs
+    * ~10 µs. Invisible at test scale; at assignment-cross-product scale
+    * it WAS the wall (q179's 100× rung: 4,063 CPU-s in one balanced
+    * stage — the r16 verdict misread it as join skew). Advice, not
+    * error: over a support-bounded input a SortAggregate is harmless,
+    * and the repo keeps one such site (bounded per-key positions). The
+    * fix for data-sized inputs is [[graft.functions.ArgExtremum]]
+    * (flat-primitive-buffer argmax/argmin, stays HashAggregate).
+    *
+    * The walk descends through AQE wrappers (AdaptiveSparkPlanExec's
+    * current executed plan, QueryStageExec's inner plan) so post-run
+    * listener calls see the stages that actually executed. */
+  def lintPhysical(plan: org.apache.spark.sql.execution.SparkPlan): Seq[Finding] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(walk) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => Seq.empty
+      }))
+    walk(plan).collect {
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+          if s.aggregateExpressions.exists(_.aggregateFunction match {
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy => true
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.MinBy => true
+            case _ => false
+          }) =>
+        Finding("struct-buffered-argmax", Advice,
+          "max_by/min_by planned as SortAggregate (struct ordering buffer " +
+            "is not hash-aggregable): ~10 µs interpreted per-row updates — " +
+            "the q179-r17 wall class. For data-sized inputs use " +
+            "graft.functions.ArgExtremum (flat buffer, stays HashAggregate). " +
+            s"Node: ${s.simpleStringWithNodeId()}")
+    }
+  }
+
   /** Warn-only optimizer rule: logs findings, counts errors, never
     * rewrites. */
   class LintRule extends Rule[LogicalPlan] {
@@ -271,7 +316,8 @@ class GraftLintListener
   override def onSuccess(funcName: String,
       qe: org.apache.spark.sql.execution.QueryExecution,
       durationNs: Long): Unit = {
-    ScaleLint.lint(qe.optimizedPlan).foreach { f =>
+    (ScaleLint.lint(qe.optimizedPlan) ++
+        ScaleLint.lintPhysical(qe.executedPlan)).foreach { f =>
       if (f.severity == ScaleLint.Error) ScaleLint.errorCount.incrementAndGet()
       log.warn(s"[scale-lint] ${f.severity}/${f.rule}: ${f.detail}")
     }

@@ -62,6 +62,19 @@ class ArgExtremumSpec extends SparkSuite {
       "upstream max_by became hash-aggregable — revisit ArgExtremum's rationale")
   }
 
+  test("the degradation class is linted: physical lint flags max_by-in-SortAggregate, not argmax (r17)") {
+    val bad = df.groupBy($"k").agg(max_by($"arg", struct($"score", -$"arg")))
+    bad.collect()
+    val findings = graft.plans.ScaleLint.lintPhysical(bad.queryExecution.executedPlan)
+    assert(findings.exists(_.rule == "struct-buffered-argmax"),
+      "SortAggregate'd max_by must be flagged")
+    assert(findings.forall(_.severity == graft.plans.ScaleLint.Advice),
+      "advice severity — bounded-input sort-aggs are legitimate")
+    val good = df.groupBy($"k").agg(ArgExtremum.argmax($"arg", $"score"))
+    good.collect()
+    assert(graft.plans.ScaleLint.lintPhysical(good.queryExecution.executedPlan).isEmpty)
+  }
+
   test("first-valid-row semantics at extreme scores (-inf/+inf present in data)") {
     val d = Seq((1L, 5L, Double.NegativeInfinity), (1L, 3L, Double.NegativeInfinity))
       .toDF("k", "arg", "score")
