@@ -34,12 +34,15 @@ import org.apache.spark.sql.types._
   *    of the highest score, ties broken by the SMALLEST arg.
   *  - `argmin(arg, score)` ≡ `min_by(arg, struct(score, arg))`: the arg of
   *    the lowest score, ties broken by the smallest arg.
-  *  - Rows with a null score or null arg are ignored (max_by's contract);
-  *    a group with no valid row evaluates to null.
-  *  - NaN scores: primitive-comparison semantics (NaN never wins a `>`),
-  *    matching IEEE, NOT max_by's total-order-with-NaN-largest. No caller
-  *    produces NaN (cosine/sqdist over finite vectors); documented, not
-  *    silently depended on.
+  *  - Rows with a null score, null arg, or NaN score are ignored; a group
+  *    with no valid row evaluates to null. NaN-as-invalid (r18) is the
+  *    only DETERMINISTIC primitive-buffer treatment: under IEEE
+  *    comparisons nothing can displace a NaN that arrives first (NaN>x,
+  *    x>NaN, NaN==x are all false), so "first valid row wins" would make
+  *    the result partition-order-dependent for any caller whose score can
+  *    be NaN (cosine of a zero-norm vector is 0/0). This differs from
+  *    max_by's total-order-with-NaN-largest; no current caller produces
+  *    NaN, and ArgExtremumSpec pins the drop-NaN contract.
   *
   * `arg` must be LongType and `score` DoubleType — the assignment shape
   * (integer ids scored by a float metric). Callers with integer scores
@@ -88,7 +91,7 @@ case class ArgExtremum(arg: Expression, score: Expression, maximize: Boolean)
   }
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val valid = And(IsNotNull(score), IsNotNull(arg))
+    val valid = And(And(IsNotNull(score), IsNotNull(arg)), Not(IsNaN(score)))
     val isBetter = And(valid, beats(score, arg, bestScore, bestArg, seen))
     Seq(
       If(isBetter, score, bestScore),
@@ -111,7 +114,130 @@ case class ArgExtremum(arg: Expression, score: Expression, maximize: Boolean)
   override def prettyName: String = if (maximize) "argmax_by" else "argmin_by"
 }
 
+/** [[ArgExtremum]] with CARRIED PAYLOAD (r18): the winner row's extra
+  * columns ride in the SAME flat aggregation buffer — (bestScore, bestArg,
+  * seen, payload…), every field a fixed-width primitive, so the aggregate
+  * stays HashAggregate while returning `struct(arg, p1…pn)` per group.
+  *
+  * Exists because the fetch-back alternative (argmax ids + join the source
+  * again for payloads) pays an extra scan, a lineage barrier, and N
+  * broadcast joins — measured 2–4× the whole-query wall on q218's M4
+  * downsample, whose four struct-buffered min/max were the generalized
+  * physical lint's first in-catalog catch of the q179 degradation class.
+  *
+  * Same selection semantics as [[ArgExtremum]] (highest/lowest score, ties
+  * → smallest arg, null/NaN scores and null args ignored; group with no
+  * valid row → null struct). Payload NULLS are carried faithfully: the
+  * buffer fields are nullable primitives (fixed width + null bit — still
+  * hash-aggregable). Payload types must be UnsafeRow-mutable; anything
+  * else fails analysis loudly. */
+case class ArgExtremumPayload(arg: Expression, score: Expression,
+    payload: Seq[Expression], maximize: Boolean) extends DeclarativeAggregate {
+
+  override def children: Seq[Expression] = arg +: score +: payload
+  override def nullable: Boolean = true
+  override lazy val dataType: DataType = StructType(
+    StructField("arg", LongType, nullable = false) +:
+      payload.zipWithIndex.map { case (p, i) =>
+        StructField(s"p${i + 1}", p.dataType, nullable = true) })
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(arg = newChildren(0), score = newChildren(1),
+      payload = newChildren.drop(2))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val badP = payload.filterNot(p => UnsafeRow.isMutable(p.dataType))
+    if (arg.dataType != LongType || score.dataType != DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"arg_extremum needs (LongType arg, DoubleType score), got " +
+          s"(${arg.dataType}, ${score.dataType})")
+    else if (badP.nonEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "payload columns must be fixed-width primitives (hash-aggregable), got " +
+          badP.map(_.dataType.simpleString).mkString(", "))
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val bestScore =
+    AttributeReference("bestScore", DoubleType, nullable = false)()
+  private lazy val bestArg =
+    AttributeReference("bestArg", LongType, nullable = false)()
+  private lazy val seen =
+    AttributeReference("seen", BooleanType, nullable = false)()
+  private lazy val pbuf = payload.zipWithIndex.map { case (p, i) =>
+    AttributeReference(s"p${i + 1}", p.dataType, nullable = true)() }
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(bestScore, bestArg, seen) ++ pbuf
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(
+      Literal(if (maximize) Double.NegativeInfinity else Double.PositiveInfinity),
+      Literal(Long.MaxValue),
+      Literal(false)) ++ payload.map(p => Literal(null, p.dataType))
+
+  private def beats(s: Expression, a: Expression, curS: Expression,
+      curA: Expression, curSeen: Expression): Expression = {
+    val cmp = if (maximize) GreaterThan(s, curS) else LessThan(s, curS)
+    Or(Not(curSeen), Or(cmp, And(EqualTo(s, curS), LessThan(a, curA))))
+  }
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val valid = And(And(IsNotNull(score), IsNotNull(arg)), Not(IsNaN(score)))
+    val isBetter = And(valid, beats(score, arg, bestScore, bestArg, seen))
+    Seq(
+      If(isBetter, score, bestScore),
+      If(isBetter, arg, bestArg),
+      Or(seen, valid)) ++
+      payload.zip(pbuf).map { case (p, b) => If(isBetter, p, b) }
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val isBetter = And(seen.right,
+      beats(bestScore.right, bestArg.right, bestScore.left, bestArg.left, seen.left))
+    Seq(
+      If(isBetter, bestScore.right, bestScore.left),
+      If(isBetter, bestArg.right, bestArg.left),
+      Or(seen.left, seen.right)) ++
+      pbuf.map(b => If(isBetter, b.right, b.left))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(seen,
+      CreateNamedStruct(
+        (Literal("arg") :: (bestArg: Expression) :: Nil) ++
+          pbuf.zipWithIndex.flatMap { case (b, i) =>
+            Seq(Literal(s"p${i + 1}"), b) }),
+      Literal(null, dataType))
+
+  override def prettyName: String =
+    if (maximize) "argmax_payload" else "argmin_payload"
+}
+
 object ArgExtremum {
+
+  /** SQL-surface widening (r18): integral args widen to Long and numeric
+    * scores to Double — both exact below 2⁵³ — while anything else (string,
+    * array, struct, decimal beyond the exact range is the caller's call)
+    * fails ANALYSIS loudly via [[ArgExtremum.checkInputDataTypes]], never
+    * silently degrades. Builder-side because Spark's implicit-cast trait
+    * types are `private[sql]`. */
+  def widened(arg: Expression, score: Expression, maximize: Boolean): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    // arg: INTEGRAL widening only — a float arg must fail, not truncate
+    val a = if (arg.resolved && (arg.dataType match {
+        case _: ByteType | _: ShortType | _: IntegerType => true
+        case _ => false
+      })) Cast(arg, LongType) else arg
+    // score: any numeric primitive widens (exact below 2^53)
+    val s = if (score.resolved && (score.dataType match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+             _: FloatType => true
+        case _ => false
+      })) Cast(score, DoubleType) else score
+    ArgExtremum(a, s, maximize)
+  }
 
   /** The long `arg` of the HIGHEST double `score`; ties → smallest arg.
     * Drop-in for `max_by(arg, struct(score, -arg))`, HashAggregate-able. */
@@ -124,4 +250,20 @@ object ArgExtremum {
   def argmin(arg: Column, score: Column): Column =
     ColumnBridge.column(ArgExtremum(ColumnBridge.expression(arg),
       ColumnBridge.expression(score), maximize = false).toAggregateExpression())
+
+  /** `struct(arg, p1…pn)` of the row with the HIGHEST score (ties →
+    * smallest arg), payload carried in the flat buffer — the
+    * HashAggregate-able replacement for `max_by(struct(...), struct(...))`
+    * / `max(struct(score, tiebreak, payload…))`. */
+  def argmaxStruct(arg: Column, score: Column, payload: Column*): Column =
+    ColumnBridge.column(ArgExtremumPayload(ColumnBridge.expression(arg),
+      ColumnBridge.expression(score), payload.map(ColumnBridge.expression),
+      maximize = true).toAggregateExpression())
+
+  /** `struct(arg, p1…pn)` of the row with the LOWEST score (ties →
+    * smallest arg); see [[argmaxStruct]]. */
+  def argminStruct(arg: Column, score: Column, payload: Column*): Column =
+    ColumnBridge.column(ArgExtremumPayload(ColumnBridge.expression(arg),
+      ColumnBridge.expression(score), payload.map(ColumnBridge.expression),
+      maximize = false).toAggregateExpression())
 }

@@ -93,6 +93,24 @@ object GraftFunctions {
         BottomKPairs(args(0), args(1), intArg(args(2), "k"))
       },
       "bottomk_pairs(ord, id, k) - k smallest (ord, id) long pairs, merged map-side (O(groups*k) shuffle)"),
+    // r18 (verdict ask #2): the hash-aggregable argmax/argmin on the SQL
+    // surface. Without these a SQL user only has max_by/min_by — the
+    // struct-buffered aggregates that silently degrade to SortAggregate
+    // (the q179-r17 wall class the physical lint now flags). The analyzer
+    // wraps a bare AggregateFunction in its AggregateExpression; implicit
+    // casts widen integral args/scores, anything else fails analysis loudly.
+    ("argmax",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "argmax(arg, score)")
+        ArgExtremum.widened(args(0), args(1), maximize = true)
+      },
+      "argmax(arg, score) - arg of the highest score, ties -> smallest arg; hash-aggregable (use instead of max_by)"),
+    ("argmin",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "argmin(arg, score)")
+        ArgExtremum.widened(args(0), args(1), maximize = false)
+      },
+      "argmin(arg, score) - arg of the lowest score, ties -> smallest arg; hash-aggregable (use instead of min_by)"),
     // Spark ships these two as unregistered internal expressions (used only
     // by its InjectRuntimeFilter rule); surfacing them gives SQL users the
     // explicit runtime-filter path of plans.RuntimeFilter: build a bloom in

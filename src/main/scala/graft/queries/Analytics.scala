@@ -1014,16 +1014,27 @@ object Analytics {
     * dashboard over a 100 TB series needs: a line drawn through the M4
     * points is pixel-identical to one drawn through all of them.
     *
-    * Scale shape: pure GROUP BY — one pass, map-side partial min/max of
-    * (key, tiebreak, payload) STRUCTS (lexicographic struct ordering is the
-    * deterministic arg-min: ties on time or value break by event_id inside
-    * the comparator, so no window sort per bucket and no min_by tie
-    * nondeterminism). The bucket id is exact integer µs arithmetic against
+    * Scale shape (r18 — caught by the generalized physical lint): the
+    * original min/max of (key, tiebreak, payload) STRUCTS carried
+    * struct-typed aggregation buffers, which HashAggregate rejects — the
+    * whole series silently paid SortAggregate's interpreted per-row
+    * updates, the exact q179-r17 degradation class on the one operator
+    * DESIGNED for billion-point inputs. Now: four
+    * [[graft.functions.ArgExtremumPayload]] aggregates — the winner's
+    * (us, v) payload rides in the same FLAT buffer, so the plan is the
+    * original's single pass and single aggregate, HashAggregate'd (a
+    * fetch-back join variant measured 2–4× the wall; the payload buffer
+    * costs nothing). Tie semantics are IDENTICAL to the struct
+    * comparators (min struct ties → smallest event_id = argmin; max
+    * struct ties → largest event_id = argmax on the NEGATED id): the
+    * oracle is unchanged. Scores are exact in double (µs < 2⁵³; v
+    * pre-rounded). The bucket id is exact integer µs arithmetic against
     * the global [lo, hi] span (one scalar-aggregate broadcast); IEEE
     * division+floor is bit-identical cross-engine. Full DuckDB oracle. */
   lazy val q218M4Downsample: Q = Q(
     "q218_m4_downsample",
     (s, dir) => {
+      import graft.functions.ArgExtremum.{argmaxStruct, argminStruct}
       val w = 100
       val e = t(s, dir, "events").filter(col("event_type") === "view")
         .select(col("event_id"), unix_micros(col("ts")).as("us"),
@@ -1036,16 +1047,20 @@ object Analytics {
               (col("hi") - col("lo") + 1).cast("double"))))
         .groupBy(col("bucket"))
         .agg(
-          min(struct(col("us"), col("event_id"), col("v"))).as("p_first"),
-          max(struct(col("us"), col("event_id"), col("v"))).as("p_last"),
-          min(struct(col("v"), col("event_id"), col("us"))).as("p_vmin"),
-          max(struct(col("v"), col("event_id"), col("us"))).as("p_vmax"),
+          argminStruct(col("event_id"), col("us").cast("double"),
+            col("us"), col("v")).as("p_first"),
+          argmaxStruct(-col("event_id"), col("us").cast("double"),
+            col("us"), col("v")).as("p_last"),
+          argminStruct(col("event_id"), col("v"),
+            col("us"), col("v")).as("p_vmin"),
+          argmaxStruct(-col("event_id"), col("v"),
+            col("us"), col("v")).as("p_vmax"),
           count(lit(1)).as("n"))
         .select(col("bucket"), col("n"),
-          col("p_first.us").as("first_us"), col("p_first.v").as("first_v"),
-          col("p_last.us").as("last_us"), col("p_last.v").as("last_v"),
-          col("p_vmin.v").as("min_v"), col("p_vmin.us").as("min_v_us"),
-          col("p_vmax.v").as("max_v"), col("p_vmax.us").as("max_v_us"))
+          col("p_first.p1").as("first_us"), col("p_first.p2").as("first_v"),
+          col("p_last.p1").as("last_us"), col("p_last.p2").as("last_v"),
+          col("p_vmin.p2").as("min_v"), col("p_vmin.p1").as("min_v_us"),
+          col("p_vmax.p2").as("max_v"), col("p_vmax.p1").as("max_v_us"))
     },
     Some("""
       WITH e AS (
@@ -1768,6 +1783,43 @@ object Analytics {
       WHERE e.vec_id < 200
     """))
 
+  /** The hash-aggregable argmax/argmin driven through the SQL SURFACE
+    * (r18, verdict ask #2): [[graft.functions.ArgExtremum]] registered
+    * under SQL names, so a SQL user is no longer funneled into the
+    * silently-degrading `max_by` (struct aggregation buffer →
+    * SortAggregate, the q179-r17 wall class — `lintPhysical` rule 1).
+    * Exercises both directions, the smallest-arg tie-break (the modular
+    * score collides constantly), and the implicit integral→double score
+    * cast. The DuckDB twin re-derives the exact semantics from MIN/MAX +
+    * a self-join — portable SQL, no reliance on DuckDB's arg_max
+    * tie-break order. */
+  val q268SqlArgmax: Q = Q(
+    "q268_sql_argmax",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "orders").createOrReplaceTempView("g_argmax_orders")
+      s.sql("""
+        SELECT o_custkey,
+          argmax(o_orderkey, o_totalprice) AS best_order,
+          argmin(o_orderkey, o_totalprice) AS worst_order,
+          argmin(o_orderkey, o_orderkey % 7) AS tied_order
+        FROM g_argmax_orders
+        GROUP BY o_custkey
+      """)
+    },
+    Some("""
+      SELECT o.o_custkey,
+        MIN(CASE WHEN o.o_totalprice = m.mx THEN o.o_orderkey END) AS best_order,
+        MIN(CASE WHEN o.o_totalprice = m.mn THEN o.o_orderkey END) AS worst_order,
+        MIN(CASE WHEN o.o_orderkey % 7 = m.ms THEN o.o_orderkey END) AS tied_order
+      FROM orders o
+      JOIN (SELECT o_custkey AS ck, MAX(o_totalprice) AS mx,
+              MIN(o_totalprice) AS mn, MIN(o_orderkey % 7) AS ms
+            FROM orders GROUP BY o_custkey) m
+        ON o.o_custkey = m.ck
+      GROUP BY o.o_custkey
+    """))
+
   /** Per-group top-k via the typed Aggregator (map-side-partial top-k in
     * ONE aggregation pass — no window sort); oracle is the equivalent
     * rank-filter window. */
@@ -2093,7 +2145,8 @@ object Analytics {
     q40GlobalAgg, q41Having, q42Rollup, q43Pivot, q44Regex, q45Json, q46SqlApi,
     q47Percentiles, q115ApproxPercentiles, q48CollectList, q49AsOfJoin, q58Unpivot,
     q61Cube, q62Correlated,
-    q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q78TopKAgg,
+    q74WindowSuite, q75RegionalRevenue, q77SqlNativeFuncs, q268SqlArgmax,
+    q78TopKAgg,
     q94TimeRangeWindow, q95CohortRetention, q96ZscoreNormalize, q103GlobalRank,
     q104ExistsChain, q109SlidingWindow, q110FromJson, q141RobustZscore,
     q144Attribution, q151Ewma, q153TemporalSplit, q154SessionTransitions,
