@@ -68,6 +68,17 @@ object Dedup {
     * keep the pure symmetric plan (the probe finds no hot token). */
   val AutoSaltMinPostings: Long = 65536L
 
+  /** Per-tile pair ceiling for the hot-token 2-D grid decomposition in
+    * [[prefixJaccardPairs]]/[[dedupComponents]] (r18 — the knnGraph
+    * [[graft.plans.Salt.tiledPairJoin]] budget applied to the PPJoin hot
+    * branch): a hot token with df postings splits into ⌈df/√budget⌉² tiles
+    * of ≤ 4M row-pairs each — the positional prefilter then prunes inside
+    * each tile. At the dial threshold (df = 64k) that is 32×32 tiles,
+    * each ~2 s of merge-verify work; per-task pair work is bounded by the
+    * budget NO MATTER how hot the token, where the former fixed-chunk
+    * salting still held m²/chunks (quadratic in the postings). */
+  val HotPairBudget: Long = 4L * 1024 * 1024
+
   /** End-to-end MinHash-LSH near-dup candidate pairs, verified with exact
     * Jaccard ≥ `threshold`. Output: (id_a, id_b, jaccard), id_a < id_b.
     *
@@ -498,15 +509,17 @@ object Dedup {
     * Output: (id_a, id_b, jaccard), id_a < id_b, global (no block column).
     *
     * Skew dial: `saltMinPostings` > 0 (the default, 64k) routes only
-    * tokens whose document frequency reaches it through the salted
-    * asymmetric join with `max(salt, 8)` chunks; all other tokens keep the
-    * symmetric self-join. `saltMinPostings = 0` disables the dial —
-    * with `salt = 1` that is the fully symmetric legacy plan, with
-    * `salt > 1` the legacy force-salt-every-token mode (use it for skew
-    * below the dial, e.g. uniform 10k-posting tokens). The hot set is a
-    * lazy broadcast subquery: plan construction runs NO job, and on a
-    * skew-free corpus AQE's empty-relation propagation removes the salted
-    * branch at runtime.
+    * tokens whose document frequency reaches it through the 2-D grid
+    * decomposition ([[graft.plans.Salt.tiledPairJoinWithFactors]], r18 —
+    * per-tile pairs ≤ [[HotPairBudget]] no matter how hot the token; the
+    * pre-r18 fixed-chunk salting still held m²/chunks, quadratic in the
+    * postings); all other tokens keep the symmetric self-join.
+    * `saltMinPostings = 0` disables the dial — with `salt = 1` that is
+    * the fully symmetric legacy plan, with `salt > 1` the legacy
+    * force-salt-every-token mode (use it for skew below the dial, e.g.
+    * uniform 10k-posting tokens). The hot set is a lazy broadcast
+    * subquery: plan construction runs NO job, and on a skew-free corpus
+    * AQE's empty-relation propagation removes the hot branch at runtime.
     *
     * NOTE: `spark.sql.adaptive.enabled` is sampled at PLAN-CONSTRUCTION
     * time (it selects between the lazy-AQE-pruned and the eager-probe
@@ -648,20 +661,24 @@ object Dedup {
       .select(col("rid"), col("n"), col("itoks"),
         posexplode(slice(col("itoks"), lit(1), col("plen"))).as(Seq("pos", "tid")))
       .select(col("rid"), col("n"), col("itoks"), (col("pos") + 1).as("p"), col("tid"))
-    // Hot-token salting: a prefix token with a huge postings list puts ALL
-    // its pairs in one join task (per-key work is quadratic in the
-    // postings). Salting chunks the join key: the left side sits in its
-    // own hash chunk, the right side replicates into every chunk, so a
-    // pair meets EXACTLY once (at the left row's chunk) and a hot token's
-    // pair work spreads over `chunks` keys. Lossless — spec-tested salted
-    // vs unsalted. The cost is one extra evaluation of the upstream
-    // pipeline (asymmetric sides defeat Catalyst's exchange reuse;
-    // measured ~1.8× when EVERY token is salted on a skew-free corpus).
+    // Hot-token decomposition: a prefix token with a huge postings list
+    // puts ALL its pairs in one join task (per-key work is quadratic in
+    // the postings). r18: hot tokens route through the 2-D grid
+    // (Salt.tiledPairJoinWithFactors) — each side hash-tiled into
+    // f = ceil(df/sqrt(HotPairBudget)) groups and replicated f× across the
+    // other axis, so a pair meets EXACTLY once (at tile (h(a)%f, h(b)%f))
+    // and NO tile holds more than the budget, however hot the token. The
+    // legacy 1-D chunked salting (saltedJoin below, kept for the
+    // force-salt mode) only divided the quadratic by a constant. Lossless
+    // — spec-tested against the unsalted plan. The cost is extra
+    // evaluations of the upstream pipeline (asymmetric sides defeat
+    // Catalyst's exchange reuse; measured ~1.8× when EVERY token is
+    // salted on a skew-free corpus).
     //
     // The dial is therefore DATA-DRIVEN (`saltMinPostings` > 0, the
     // default): only tokens whose document frequency — already computed
     // for the vocabulary ranking — reaches the threshold are routed
-    // through the salted asymmetric join; everything else keeps the
+    // through the tiled join; everything else keeps the
     // symmetric self-join whose identical subplans share one exchange.
     // Skew-free corpora have no hot token, the broadcast hot set comes
     // back empty at runtime, and AQE's empty-relation propagation prunes
@@ -681,7 +698,6 @@ object Dedup {
         .withColumn("salt", explode(sequence(lit(0), lit(chunks - 1))))
       leftPost.join(rightPost, Seq("tid", "salt")).drop("salt")
     }
-    val autoChunks = math.max(salt, 8)
     val repBase =
       if (saltMinPostings > 0) {
         // The hot set stays a LAZY broadcast subquery — plan construction
@@ -704,8 +720,22 @@ object Dedup {
         } else {
           val cold = prefixes.join(broadcast(hotTids), Seq("tid"), "left_anti")
           val hot = prefixes.join(broadcast(hotTids), Seq("tid"), "left_semi")
+          // r18 (verdict ask #5): the hot branch routes through the SAME
+          // 2-D grid decomposition as knnGraph (Salt.tiledPairJoin) instead
+          // of fixed-chunk 1-D salting — fixed chunks bound per-task pairs
+          // at m²/chunks, which still grows quadratically with the postings
+          // list; the grid caps every tile at HotPairBudget regardless of
+          // m. Tile factors come from the vocabulary's document frequency
+          // (≥ the prefix postings count — an upper bound, which only
+          // shrinks tiles), so no extra counting aggregate runs and the
+          // factor table reuses the vocab checkpoint the plan reads anyway.
+          val hotFactors = vocab.filter(col("df") >= saltMinPostings)
+            .select(col("tid"), greatest(lit(1),
+              ceil(col("df") / lit(math.sqrt(HotPairBudget.toDouble)))
+                .cast("int")).as("__f"))
           aSide(cold).join(bSide(cold), Seq("tid"))
-            .unionByName(saltedJoin(hot, autoChunks))
+            .unionByName(graft.plans.Salt.tiledPairJoinWithFactors(
+              aSide(hot), bSide(hot), "tid", "rid_a", "rid_b", hotFactors))
         }
       } else if (salt == 1) {
         aSide(prefixes).join(bSide(prefixes), Seq("tid"))
@@ -925,7 +955,8 @@ object Dedup {
     * `array_intersect` on the carried shingle arrays. Every join is
     * shingle- or id-keyed; no all-pairs stage. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, ngram: Int = 3): DataFrame = {
+      threshold: Double, ngram: Int = 3,
+      saltMinPostings: Long = AutoSaltMinPostings): DataFrame = {
     // Tokenize ONCE per doc and pin the array behind a checkpoint
     // barrier before the shingle transform reads it. Without the
     // barrier, CollapseProject inlines `split(...)` into every
@@ -961,8 +992,32 @@ object Dedup {
     val plen = (col("n") - ceil(col("n") * lit(threshold)).cast("long") + 1).cast("int")
     val prefix = ranked.select(col("id").as("id_a"), col("n").as("n_a"),
       explode(slice(transform(col("ord"), x => x.getField("s")), lit(1), plen)).as("s"))
-    val cands = prefix
-      .join(postings.select(col("id").as("id_b"), col("n").as("n_b"), col("s")), Seq("s"))
+    val postB = postings.select(col("id").as("id_b"), col("n").as("n_b"), col("s"))
+    // HOT-SHINGLE GRID TILING (r18, verdict ask #5 — the knnGraph/PPJoin
+    // budget applied to the containment generator): a boilerplate shingle
+    // with df postings lands up to p·df candidate rows (p = its prefix
+    // occurrences, p ≤ df since every prefix row is a postings row) on ONE
+    // join task. Keys with df ≥ the salt dial route through
+    // [[graft.plans.Salt.tiledPairJoinWithFactors]] with f = ⌈df/√budget⌉,
+    // capping any tile at ≤ HotPairBudget row-pairs; the factors broadcast
+    // is hot-keys-only (tiny), its inner attach doubles as the hot semi-join
+    // on both sides, and on a boilerplate-free corpus it is EMPTY — AQE's
+    // empty-relation propagation prunes the whole hot branch at runtime.
+    // saltMinPostings <= 0 turns the dial OFF (pure cold plan) — unlike
+    // repStructure's legacy force-salt mode there is no all-keys variant
+    // here: an all-keys factor table would be dfS-sized, far too big to
+    // broadcast
+    val dial = if (saltMinPostings <= 0) Long.MaxValue else saltMinPostings
+    val hotFactors = dfS.filter(col("df") >= dial)
+      .select(col("s"), greatest(lit(1),
+        ceil(col("df") / lit(math.sqrt(HotPairBudget.toDouble)))
+          .cast("int")).as("__f"))
+    val coldCand = prefix
+      .join(broadcast(hotFactors.select(col("s"))), Seq("s"), "left_anti")
+      .join(postB, Seq("s"))
+    val hotCand = graft.plans.Salt.tiledPairJoinWithFactors(
+      prefix, postB, "s", "id_a", "id_b", hotFactors)
+    val cands = coldCand.unionByName(hotCand.select(coldCand.columns.map(col): _*))
       // containment HAS a one-sided length bound: |A∩B| ≤ |B|, so
       // C(a→b) ≥ t forces n_b ≥ ⌈t·n_a⌉ — prune before the (expensive,
       // array-carrying) verify join. The other direction has no bound

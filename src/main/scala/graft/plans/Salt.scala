@@ -56,19 +56,44 @@ object Salt {
     * the pair work itself, and f = 1 (zero replication, the plain join's
     * exact shuffle) for every group under the budget.
     *
-    * Per-group factors come from one narrow count aggregate over `left`,
-    * broadcast back to both sides — no collect, factors scale with the
-    * data. CALLER CONTRACT: `left`/`right` derived from an expensive
-    * lineage should be barrier()ed first, or the sizes branch re-derives
-    * it a third time. Deterministic (xxhash64 tiles) ⇒ replays stable. */
+    * Per-group factors come from narrow count aggregates over BOTH sides
+    * (r18 — factors were left-only, which honored the budget only for the
+    * symmetric self-join shape; with asymmetric inputs per-tile pairs grew
+    * as pairBudget·(mR/mL)): f = ⌈√(mL·mR / pairBudget)⌉, so per-tile
+    * pairs = mL·mR/f² ≤ pairBudget for ANY shape, and the full-outer size
+    * merge means keys present on only one side keep a factor row (they
+    * emit zero pairs either way — inner join on key — but are never
+    * silently dropped by the factor attach). Factors broadcast back to
+    * both sides — no collect, they scale with the data. CALLER CONTRACT:
+    * `left`/`right` derived from an expensive lineage should be
+    * barrier()ed first, or the sizes branch re-derives it a third time.
+    * Deterministic (xxhash64 tiles) ⇒ replays stable. */
   def tiledPairJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftId: String, rightId: String, pairBudget: Long): DataFrame = {
     require(pairBudget > 0, "pairBudget must be positive")
-    val side = math.max(1.0, math.sqrt(pairBudget.toDouble))
-    val factors = left.groupBy(col(key)).agg(count(lit(1)).as("__gsz"))
+    val lSz = left.groupBy(col(key)).agg(count(lit(1)).as("__ml"))
+    val rSz = right.groupBy(col(key)).agg(count(lit(1)).as("__mr"))
+    val factors = lSz.join(rSz, Seq(key), "full_outer")
       .select(col(key),
-        greatest(lit(1), ceil(col("__gsz") / lit(side)).cast("int")).as("__f"))
+        greatest(lit(1), ceil(sqrt(
+          coalesce(col("__ml"), lit(1L)) * coalesce(col("__mr"), lit(1L))
+            / lit(pairBudget.toDouble))).cast("int")).as("__f"))
+    tiledPairJoinWithFactors(left, right, key, leftId, rightId, factors)
+  }
+
+  /** [[tiledPairJoin]] with CALLER-SUPPLIED per-key tile factors
+    * `(key, __f)` — for callers that already know (an upper bound on)
+    * per-key group sizes and can skip the counting aggregates: the PPJoin
+    * hot-token branch derives factors from the vocabulary's document
+    * frequencies it computes anyway (`ext/Dedup.repStructure`). Keys
+    * missing from `factors` are DROPPED (the inner attach) — supply a
+    * factor row for every key both sides can carry. A factor upper bound
+    * is safe: tiles get smaller, replication grows, the pair set is
+    * unchanged. */
+  def tiledPairJoinWithFactors(
+      left: DataFrame, right: DataFrame, key: String,
+      leftId: String, rightId: String, factors: DataFrame): DataFrame = {
     val l = left.join(broadcast(factors), Seq(key))
       .withColumn("__ta", pmod(xxhash64(col(leftId)), col("__f")).cast("int"))
       .withColumn("__tb", explode(sequence(lit(0), col("__f") - 1)))

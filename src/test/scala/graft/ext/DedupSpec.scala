@@ -114,6 +114,34 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("containment hot-shingle tiling: lossless with the hot branch engaged, per-tile bound named (r18)") {
+    // boilerplate corpus: every doc opens with the same 3 tokens, so ONE
+    // 3-gram shingle has df = n — the straggler shape the grid tiling caps.
+    // Each doc also carries unique tail tokens so answers stay small.
+    val n = 40L
+    val boiler = (1L to n).map(i =>
+      (i, s"legal header boilerplate u${i}a u${i}b u${i}c u${i}d u${i}e"))
+      .toDF("doc_id", "text")
+    val plain = Dedup.containmentPairs(boiler, "doc_id", "text", 0.3,
+        saltMinPostings = 0) // dial off: pure cold plan = ground truth
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val tiled = Dedup.containmentPairs(boiler, "doc_id", "text", 0.3,
+        saltMinPostings = 10) // df=40 boilerplate shingle crosses the dial
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(tiled === plain, "hot-shingle tiling must be lossless")
+    // THE BOUND, named per generator (verdict r18 ask #5): a hot key with
+    // df postings splits into f = ceil(df/sqrt(HotPairBudget)) tiles per
+    // axis; per-tile candidate pairs <= (df/f)^2 <= HotPairBudget, using
+    // p <= df (every prefix row is a postings row). The same budget bounds
+    // the PPJoin hot branch (repStructure) and knnGraph (KnnPairBudget).
+    val f = math.ceil(40.0 / math.sqrt(Dedup.HotPairBudget.toDouble))
+    assert(f >= 1 && (40.0 / f) * (40.0 / f) <= Dedup.HotPairBudget)
+    // and a dial the corpus never crosses leaves the answer identical
+    val off = Dedup.containmentPairs(boiler, "doc_id", "text", 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(off === plain)
+  }
+
   test("hot-token salting is lossless (forced salting == unsalted pairs)") {
     for (t <- Seq(0.5, 0.8)) {
       val plain = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t)
@@ -175,22 +203,23 @@ class DedupSpec extends SparkSuite {
     val dialOn = constructionJobs(Dedup.AutoSaltMinPostings)
     assert(dialOn === dialOff,
       s"the auto dial must not add construction-time jobs (off=$dialOff, on=$dialOn)")
-    // runtime shape: on a skew-free corpus the broadcast hot set is empty
-    // and AQE's empty-relation propagation prunes the salted branch (its
-    // `salt` attribute vanishes from the FINAL adaptive plan — the
-    // toString also appends the pre-execution "Initial Plan", which still
-    // carries the branch); on the skewed corpus the salted join executes
+    // runtime shape: on a skew-free corpus the broadcast hot factor set is
+    // empty and AQE's empty-relation propagation prunes the tiled branch
+    // (its `__ta` tile attribute vanishes from the FINAL adaptive plan —
+    // the toString also appends the pre-execution "Initial Plan", which
+    // still carries the branch); on the skewed corpus the tiled join
+    // executes (r18: the hot branch is the 2-D grid, not 1-D salting)
     def finalPlan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     val uniform = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.8)
     uniform.collect()
-    assert(!finalPlan(uniform).contains("salt#"),
-      "skew-free corpus must not execute the salted branch")
+    assert(!finalPlan(uniform).contains("__ta#"),
+      "skew-free corpus must not execute the tiled branch")
     val hot = Dedup.prefixJaccardPairs(skewed, "doc_id", "text", 0.1,
       saltMinPostings = 50)
     hot.collect()
-    assert(finalPlan(hot).contains("salt#"),
-      "crossing the dial must engage the salted branch")
+    assert(finalPlan(hot).contains("__ta#"),
+      "crossing the dial must engage the tiled branch")
   }
 
   test("auto-salt dial with AQE disabled: eager collapse, still lossless") {
@@ -210,14 +239,14 @@ class DedupSpec extends SparkSuite {
       val uniform = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.8)
       assert(uniform.as[(Long, Long, Double)].collect().toSet === plain,
         "AQE-off dial must be lossless on a skew-free corpus")
-      assert(!uniform.queryExecution.executedPlan.toString.contains("salt#"),
+      assert(!uniform.queryExecution.executedPlan.toString.contains("__ta#"),
         "AQE-off + skew-free must collapse to the symmetric plan at construction")
       val hot = Dedup.prefixJaccardPairs(skewed, "doc_id", "text", 0.1,
         saltMinPostings = 50)
       assert(hot.as[(Long, Long, Double)].collect().toSet === skewTruth,
         "AQE-off salted branch must be lossless on a skewed corpus")
-      assert(hot.queryExecution.executedPlan.toString.contains("salt#"),
-        "AQE-off + skew must still engage the salted branch")
+      assert(hot.queryExecution.executedPlan.toString.contains("__ta#"),
+        "AQE-off + skew must still engage the tiled branch")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
