@@ -228,27 +228,56 @@ object ScaleLint {
     * tripwire (0 = clean session), not a precise finding tally. */
   val errorCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** PHYSICAL-plan lint (r17) — the logical rules above cannot see
-    * physical degradations. One rule, Advice severity:
+  /** PHYSICAL-plan lint (r17, generalized r18) — the logical rules above
+    * cannot see physical degradations. All Advice severity (over a
+    * support-bounded input each shape is harmless, and boundedness is a
+    * logical property the physical walk can't always recover):
     *
-    * `struct-buffered-argmax`: a SortAggregateExec evaluating MaxBy /
-    * MinBy. Their ordering value lives in a STRUCT-typed aggregation
-    * buffer, which HashAggregate's mutable-buffer requirement rejects —
-    * so the plan silently falls back to SortAggregate, whose per-row
-    * update path (interpreted struct build + compare + copy) costs
-    * ~10 µs. Invisible at test scale; at assignment-cross-product scale
-    * it WAS the wall (q179's 100× rung: 4,063 CPU-s in one balanced
-    * stage — the r16 verdict misread it as join skew). Advice, not
-    * error: over a support-bounded input a SortAggregate is harmless,
-    * and the repo keeps one such site (bounded per-key positions). The
-    * fix for data-sized inputs is [[graft.functions.ArgExtremum]]
-    * (flat-primitive-buffer argmax/argmin, stays HashAggregate).
+    *  1. `struct-buffered-argmax`: a SortAggregateExec evaluating MaxBy /
+    *     MinBy. Their ordering value lives in a STRUCT-typed aggregation
+    *     buffer, which HashAggregate's mutable-buffer requirement rejects —
+    *     so the plan silently falls back to SortAggregate, whose per-row
+    *     update path (interpreted struct build + compare + copy) costs
+    *     ~10 µs. Invisible at test scale; at assignment-cross-product scale
+    *     it WAS the wall (q179's 100× rung: 4,063 CPU-s in one balanced
+    *     stage — the r16 verdict misread it as join skew). The fix for
+    *     data-sized inputs is [[graft.functions.ArgExtremum]]
+    *     (flat-primitive-buffer argmax/argmin, stays HashAggregate).
+    *  2. `sort-agg-non-mutable-buffer` (r18): the same silent-fallback
+    *     class for EVERY other aggregate — any SortAggregateExec caused by
+    *     a non-fixed-width aggregation buffer (the exact planner test:
+    *     `UnsafeRow.isMutable` over the buffer schema), reporting the
+    *     offending aggregate and buffer type. The r17 find was made by
+    *     hand via `ScalingProbe stages`; this catches the next member of
+    *     the class mechanically. A SortAggregate whose buffers are all
+    *     mutable is NOT flagged — the planner chose it for ordering
+    *     reasons, not as a fallback.
+    *  3. `codegen-fallback-expression` (r18): a CodegenFallback expression
+    *     inside a codegen-eligible ProjectExec/FilterExec — the expression
+    *     evaluates INTERPRETED per row inside the WholeStageCodegen span,
+    *     the same ~µs/row silent tax as rule 1 in scalar form.
+    *     Higher-order functions (transform/aggregate/filter over arrays)
+    *     are exempt: they are a visible, deliberately-chosen interpreted
+    *     tier (the alternative is a custom native expression, which the
+    *     repo builds where the profile justifies it), not a silent
+    *     planner fallback — and everything inside an HOF lambda is
+    *     necessarily interpreted with it.
+    *  4. `bnlj-raw-build` (r18): a BroadcastNestedLoopJoinExec whose build
+    *     side contains NO row-reducing operator (no filter, aggregate,
+    *     limit, or local relation) and is not a constant-size catalog
+    *     table — a data-sized broadcast that OOMs the driver at scale.
+    *     The logical `raw-broadcast-hint` rule catches the hinted form
+    *     pre-planning; this catches plans that reach BNLJ any other way
+    *     (stats mis-estimation, extension-built plans).
     *
     * The walk descends through AQE wrappers (AdaptiveSparkPlanExec's
     * current executed plan, QueryStageExec's inner plan) so post-run
     * listener calls see the stages that actually executed. */
-  def lintPhysical(plan: org.apache.spark.sql.execution.SparkPlan): Seq[Finding] = {
+  def lintPhysical(plan: org.apache.spark.sql.execution.SparkPlan,
+      constantTables: Set[String] = DefaultConstantTables): Seq[Finding] = {
     import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.catalyst.expressions.{Expression, HigherOrderFunction, UnsafeRow}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     def walk(p: SparkPlan): Seq[SparkPlan] =
       p +: (p.children.flatMap(walk) ++ (p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -257,19 +286,97 @@ object ScaleLint {
           walk(q.plan)
         case _ => Seq.empty
       }))
-    walk(plan).collect {
-      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec
-          if s.aggregateExpressions.exists(_.aggregateFunction match {
-            case _: org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy => true
-            case _: org.apache.spark.sql.catalyst.expressions.aggregate.MinBy => true
-            case _ => false
-          }) =>
-        Finding("struct-buffered-argmax", Advice,
-          "max_by/min_by planned as SortAggregate (struct ordering buffer " +
-            "is not hash-aggregable): ~10 µs interpreted per-row updates — " +
-            "the q179-r17 wall class. For data-sized inputs use " +
-            "graft.functions.ArgExtremum (flat buffer, stays HashAggregate). " +
-            s"Node: ${s.simpleStringWithNodeId()}")
+    // non-HOF CodegenFallback expressions; an HOF subtree is exempt whole
+    // (its lambda body is interpreted WITH it — one visible choice, not
+    // a second silent fallback)
+    def fallbacks(e: Expression): Seq[Expression] = e match {
+      case _: HigherOrderFunction => Seq.empty
+      case cf: CodegenFallback => Seq(cf)
+      case other => other.children.flatMap(fallbacks)
+    }
+    // "nothing row-reducing anywhere below, and some data-sized leaf":
+    // the physical mirror of the logical bareFullScan. File scans of
+    // constant catalog tables are exempt; RDD scans (lineage barriers)
+    // consult the same boundedness registry the logical rule uses —
+    // an unregistered RDD leaf is data-sized by the conservative default.
+    def rawBuild(p: SparkPlan): Boolean = {
+      val nodes = walk(p)
+      val reduced = nodes.exists {
+        // inferred IsNotNull guards reduce nothing (the logical rule's
+        // onlyNullGuards carve-out, same expression classes physically)
+        case f: org.apache.spark.sql.execution.FilterExec =>
+          !onlyNullGuards(f.condition)
+        // a filter fully pushed into the scan leaves no FilterExec — read
+        // the scan's own data filters
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.dataFilters.exists(e =>
+            !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull])
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case _: org.apache.spark.sql.execution.LocalLimitExec
+           | _: org.apache.spark.sql.execution.GlobalLimitExec
+           | _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+           | _: org.apache.spark.sql.execution.CollectLimitExec
+           | _: org.apache.spark.sql.execution.LocalTableScanExec => true
+        case _ => false
+      }
+      val dataLeaf = nodes.exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          !f.relation.location.rootPaths
+            .map(_.getName.replaceAll("\\.parquet$", ""))
+            .forall(constantTables.contains)
+        case r: org.apache.spark.sql.execution.RDDScanExec =>
+          !Option(barrierBounded.get(r.rdd.id)).exists(_.booleanValue)
+        case _ => false
+      }
+      !reduced && dataLeaf
+    }
+    walk(plan).flatMap {
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+        s.aggregateExpressions.map(_.aggregateFunction).flatMap {
+          case _: org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
+             | _: org.apache.spark.sql.catalyst.expressions.aggregate.MinBy =>
+            Some(Finding("struct-buffered-argmax", Advice,
+              "max_by/min_by planned as SortAggregate (struct ordering buffer " +
+                "is not hash-aggregable): ~10 µs interpreted per-row updates — " +
+                "the q179-r17 wall class. For data-sized inputs use " +
+                "graft.functions.ArgExtremum (flat buffer, stays HashAggregate). " +
+                s"Node: ${s.simpleStringWithNodeId()}"))
+          case f =>
+            val bad = f.aggBufferAttributes.filterNot(a => UnsafeRow.isMutable(a.dataType))
+            if (bad.isEmpty) None
+            else Some(Finding("sort-agg-non-mutable-buffer", Advice,
+              s"${f.prettyName} planned as SortAggregate because its aggregation " +
+                s"buffer holds non-fixed-width field(s) " +
+                bad.map(a => s"${a.name}: ${a.dataType.simpleString}").mkString(", ") +
+                " — interpreted per-row updates (the q179-r17 degradation class). " +
+                "Re-key the aggregate onto flat primitive buffers for data-sized " +
+                s"inputs. Node: ${s.simpleStringWithNodeId()}"))
+        }
+      case p: org.apache.spark.sql.execution.ProjectExec =>
+        p.projectList.flatMap(fallbacks).distinct.map(e =>
+          Finding("codegen-fallback-expression", Advice,
+            s"${e.prettyName} is CodegenFallback inside a codegen projection: " +
+              "interpreted eval per row inside the WholeStageCodegen span. " +
+              "Prefer a codegen'd built-in or a native Expression with doGenCode."))
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        fallbacks(f.condition).distinct.map(e =>
+          Finding("codegen-fallback-expression", Advice,
+            s"${e.prettyName} is CodegenFallback inside a codegen filter: " +
+              "interpreted eval per row inside the WholeStageCodegen span. " +
+              "Prefer a codegen'd built-in or a native Expression with doGenCode."))
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+        if (rawBuild(build))
+          Some(Finding("bnlj-raw-build", Advice,
+            "BroadcastNestedLoopJoin builds on a side with no row-reducing " +
+              "operator (no filter/aggregate/limit/local relation) and no " +
+              "constant-table exemption — a data-sized broadcast OOMs the " +
+              s"driver at scale. Node: ${j.simpleStringWithNodeId()}"))
+        else None
+      case _ => Seq.empty
     }
   }
 

@@ -255,6 +255,120 @@ class ScaleLintSpec extends SparkSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  // ---- physical-plan lint (r17 rule 1; r18 rules 2-4) ----
+  // struct-buffered-argmax's positive/negative cases live in
+  // ArgExtremumSpec; these pin the r18 generalizations.
+
+  private def phys(df: org.apache.spark.sql.DataFrame) =
+    ScaleLint.lintPhysical(df.queryExecution.executedPlan)
+
+  test("sort-agg-non-mutable-buffer names ANY aggregate that silently degrades, not just max_by (r18)") {
+    // min/max over a STRING carry a string aggregation buffer —
+    // UnsafeRow.isMutable rejects it, so the planner silently falls back
+    // to SortAggregate: the exact q179-r17 class with a different member
+    val o = Tables.load(spark, dir, "orders")
+    val bad = o.groupBy($"o_orderpriority").agg(max($"o_orderstatus").as("m"))
+    val f = phys(bad)
+    assert(f.exists(x => x.rule == "sort-agg-non-mutable-buffer"
+        && x.severity == ScaleLint.Advice && x.detail.contains("max")
+        && x.detail.contains("string")),
+      s"string-buffered max in SortAggregate must be flagged with its cause: $f")
+    // the numeric twin hash-aggregates and stays quiet
+    assert(phys(o.groupBy($"o_orderpriority").agg(max($"o_totalprice"))).isEmpty)
+  }
+
+  test("codegen-fallback-expression flags interpreted scalar evals in codegen projections; HOFs are exempt (r18)") {
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id",
+      concat(lit("""{"a":"""), $"doc_id", lit("}")).as("js"),
+      array($"doc_id", $"doc_id" * 2).as("arr"))
+    // from_json is a CodegenFallback expression: inside the projection it
+    // evaluates interpreted per row — the silent scalar tax
+    val bad = docs.select(from_json($"js",
+      new org.apache.spark.sql.types.StructType().add("a", "long")).as("p"))
+    assert(phys(bad).exists(x => x.rule == "codegen-fallback-expression"
+        && x.severity == ScaleLint.Advice),
+      s"from_json in a projection must be flagged: ${phys(bad)}")
+    // higher-order functions are a VISIBLE interpreted tier — exempt
+    val hof = docs.select(transform($"arr", x => x + 1).as("t"),
+      aggregate($"arr", lit(0L), (a, x) => a + x).as("s"))
+    assert(phys(hof).isEmpty, s"HOFs must not be flagged: ${phys(hof)}")
+    // plain codegen'd arithmetic stays quiet
+    assert(phys(docs.select(($"doc_id" * 3 + 1).as("x"))).isEmpty)
+  }
+
+  test("bnlj-raw-build flags a data-sized BNLJ build side; filtered/constant/bounded builds pass (r18)") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    // non-equi join with a hinted bare-scan build: the logical rule flags
+    // the hint; the physical rule must flag the planned BNLJ too
+    val bad = li.join(broadcast(o), $"l_orderkey" < $"o_orderkey")
+    assert(phys(bad).exists(x => x.rule == "bnlj-raw-build"
+        && x.severity == ScaleLint.Advice),
+      s"BNLJ over a raw build must flag: ${phys(bad)}")
+    // a row-reduced build side is the author-asserted scored-set idiom
+    val filtered = li.join(broadcast(o.filter($"o_orderpriority" === "1-URGENT")),
+      $"l_orderkey" < $"o_orderkey")
+    assert(!phys(filtered).exists(_.rule == "bnlj-raw-build"),
+      s"filtered build passes: ${phys(filtered)}")
+    // an aggregated (bounded) build side passes — the q218 bounds shape
+    val bounds = li.agg(min($"l_quantity").as("lo"), max($"l_quantity").as("hi"))
+    assert(!phys(li.crossJoin(broadcast(bounds))).exists(_.rule == "bnlj-raw-build"))
+    // constant-size catalog tables are exempt
+    val nation = Tables.load(spark, dir, "nation")
+    assert(!phys(li.join(broadcast(nation), $"l_suppkey" < $"n_nationkey"))
+      .exists(_.rule == "bnlj-raw-build"), "constant tables are exempt")
+  }
+
+  /** The physical-advice allowlist (r18): exactly these (query, rule)
+    * pairs may carry a physical Advice finding — each a documented,
+    * deliberately-kept shape. A new query that silently picks up a
+    * SortAggregate fallback / interpreted projection / raw BNLJ build
+    * trips this meta-test. The r18 sweep's fourth hit — q218's
+    * struct-buffered min/max over the whole series, the q179 class on the
+    * one operator designed for billion-point inputs — was FIXED
+    * (ArgExtremum re-key), not allowlisted.
+    *
+    *  - q86_profile: min/max/first over STRING columns — profiling's
+    *    semantics; a string buffer is variable-width, no flat-buffer
+    *    alternative exists. One scan, and the interpreted update is the
+    *    string comparison itself.
+    *  - q146_chi_square: the deliberate ordered fold (collect_list +
+    *    sorted aggregate) for the bit-stable oracle sum, over the
+    *    SUPPORT-BOUNDED |langs|×|sources| cell table — boundedness is a
+    *    logical property the physical walk cannot recover.
+    *  - q110_from_json: from_json IS the exercised operator (§2.7 JSON
+    *    extraction); its interpreted eval is the cost of JSON parsing,
+    *    not a silent fallback around it. */
+  private val physicalAdviceAllowlist: Set[(String, String)] = Set(
+    ("q86_profile", "sort-agg-non-mutable-buffer"),
+    ("q146_chi_square", "sort-agg-non-mutable-buffer"),
+    ("q110_from_json", "codegen-fallback-expression"))
+
+  test("the ENTIRE catalog passes the PHYSICAL lint; advice stays inside the pinned allowlist (r18)") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    val advice = scala.collection.mutable.ArrayBuffer[String]()
+    QueryCatalog.all.foreach { qq =>
+      val findings =
+        try ScaleLint.lintPhysical(qq.fn(spark, dir).queryExecution.executedPlan)
+        catch { case e: Throwable =>
+          failures += s"${qq.name}: construction failed: ${e.getMessage}"
+          Nil
+        }
+      findings.foreach { f =>
+        if (f.severity == ScaleLint.Error)
+          failures += s"${qq.name}: ${f.rule} - ${f.detail}"
+        else {
+          advice += s"${qq.name}: ${f.rule}"
+          if (!physicalAdviceAllowlist.contains((qq.name, f.rule)))
+            failures += s"${qq.name}: physical advice ${f.rule} outside the pinned allowlist (${f.detail.take(160)})"
+        }
+      }
+    }
+    assert(failures.isEmpty,
+      s"physical-lint findings in the catalog:\n  ${failures.distinct.mkString("\n  ")}")
+    info(s"physical advice findings: ${advice.distinct.mkString("; ")}")
+  }
+
   test("barrier loop does not compound join stats to a BigInteger overflow") {
     // the q189 CC shape distilled: localCheckpoint PRESERVES origin stats,
     // so a barrier-per-round loop of self-joins multiplies sizeInBytes
