@@ -87,17 +87,68 @@ object RangeJoin {
   }
 
   /** Interval × interval OVERLAP join (closed intervals, integral units):
-    * pairs where `lStart <= rEnd AND rStart <= lEnd`. Same binning shape
-    * as [[pointInInterval]], with one twist: an overlapping pair shares
+    * pairs where `lStart <= rEnd AND rStart <= lEnd`. Both inputs must
+    * hold VALID intervals (start ≤ end) with column names disjoint across
+    * the two sides.
+    *
+    * DISPATCH (r18, verdict ask #7): the default path decomposes the
+    * overlap into TWO native point-in-interval sweeps
+    * ([[graft.plans.NativeRange]]) via max-start attribution — every
+    * overlapping pair has `max(lStart, rStart)` inside both intervals, so
+    *  - pass 1 (`lStart ∈ [rStart, rEnd]`) emits exactly the pairs with
+    *    lStart ≥ rStart, and
+    *  - pass 2 (`rStart ∈ [lStart+1, lEnd]`, half-open via the +1 on
+    *    integral units) emits exactly the pairs with rStart > lStart —
+    * a disjoint, complete split: each pair exactly once, no dedup. Each
+    * sweep is O(|points| + |replicas| + matches) per bin where the
+    * composed single-join form pays the per-bin CROSS PRODUCT of left
+    * replicas × right replicas (BOTH sides replicated ~span/width×) —
+    * the dense-bin degradation measured in ScalingProbe `rangeoverlap`.
+    * Calls that don't qualify for the native exec (non-integral units or
+    * shared attribute lineage) fall back to [[intervalOverlapComposed]],
+    * the permanent oracle cross-check form. */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    val integral = Seq(lp.output.find(_.name == lStart),
+      lp.output.find(_.name == lEnd), rp.output.find(_.name == rStart),
+      rp.output.find(_.name == rEnd))
+      .forall(_.exists(a => a.dataType == LongType || a.dataType == IntegerType))
+    if (integral && lp.outputSet.intersect(rp.outputSet).isEmpty) {
+      val outCols = (left.columns ++ right.columns).map(col).toSeq
+      // pass 1: rStart <= lStart <= rEnd — overlap follows (lEnd >= lStart)
+      val p1 = graft.plans.NativeRange.pointInInterval(
+        left, right, lStart, rStart, rEnd, binWidth)
+        .select(outCols: _*)
+      // pass 2: lStart < rStart <= lEnd, strict via integral +1; intervals
+      // too short to host a strictly-greater start drop out structurally
+      val ls = left.withColumn("__s1", col(lStart) + 1)
+        .filter(col(lEnd) >= col("__s1"))
+      val p2 = graft.plans.NativeRange.pointInInterval(
+        right, ls, rStart, "__s1", lEnd, binWidth)
+        .select(outCols: _*)
+      p1.unionByName(p2)
+    } else intervalOverlapComposed(left, right, lStart, lEnd, rStart, rEnd,
+      binWidth)
+  }
+
+  /** The composed single-join overlap form — the pre-r18 default, kept as
+    * the dispatch fallback and the independent implementation the
+    * native-parity checks compare against. An overlapping pair shares
     * SEVERAL bins, so the match is attributed to exactly ONE canonical
     * bin — the bin of the overlap's START (`greatest(lStart, rStart)`),
     * which lies inside both intervals by definition of overlap and is
     * therefore covered by both replications. That keeps the join
     * duplicate-free WITHOUT a distinct pass (a distinct would shuffle the
     * whole match set a second time). Cost: one equi-join on the bin id +
-    * span/width replication per side. Column names must be disjoint
-    * across the two inputs. */
-  def intervalOverlap(
+    * span/width replication per side — and the per-bin replica cross
+    * product the native split sheds. */
+  def intervalOverlapComposed(
       left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       binWidth: Long): DataFrame = {

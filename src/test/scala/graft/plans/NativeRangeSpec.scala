@@ -119,6 +119,36 @@ class NativeRangeSpec extends SparkSuite {
     assert(shared.count() > 0)
   }
 
+  test("interval OVERLAP via two native sweeps == composed overlap; pairs exactly once (r18)") {
+    // synthetic intervals with deliberate nastiness: zero-length intervals,
+    // identical starts across sides (the lS == rS attribution edge), spans
+    // crossing many bins, and nulls
+    def side(seed: Int, pre: String) = spark.range(400)
+      .select((col("id") + seed * 1000).as(s"${pre}_id"),
+        pmod(xxhash64(col("id"), lit(seed)), lit(500L)).as(s"${pre}_s"))
+      .withColumn(s"${pre}_e",
+        col(s"${pre}_s") + pmod(xxhash64(col(s"${pre}_id")), lit(60L)))
+      .withColumn(s"${pre}_s", // every 7th: zero-length; every 11th: null
+        when(col(s"${pre}_id") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col(s"${pre}_s")))
+      .withColumn(s"${pre}_e",
+        when(col(s"${pre}_id") % 7 === 0, col(s"${pre}_s"))
+          .otherwise(col(s"${pre}_e")))
+    val l = side(1, "l"); val r = side(2, "r")
+    for (width <- Seq(4L, 32L, 10000L)) {
+      val composed = canon(graft.ext.RangeJoin.intervalOverlapComposed(
+        l, r, "l_s", "l_e", "r_s", "r_e", width).select("l_id", "r_id"))
+      val native = graft.ext.RangeJoin.intervalOverlap(
+        l, r, "l_s", "l_e", "r_s", "r_e", width)
+      assert(native.queryExecution.executedPlan.toString.contains("RangeJoin"),
+        "the overlap dispatcher must take the native path on disjoint integral inputs")
+      val got = canon(native.select("l_id", "r_id"))
+      assert(got === composed, s"overlap parity broke at width=$width")
+      // exactly-once: no pair may be emitted by BOTH sweeps
+      assert(got.distinct.size === got.size, "max-start split must be disjoint")
+    }
+  }
+
   test("shared-lineage self-join is rejected with a clear error") {
     val o = points
     val err = intercept[IllegalArgumentException] {
