@@ -275,9 +275,13 @@ object QualityProbe {
         dialRecall("lsh_ntables_portable", nt,
           Similarity.lshTopK(fCorpus, fQueries, k = 10, nPlanes = 6,
             nTables = nt, portablePlanes = true), exactCos)
+      // count the deduped candidate set directly (bucket join + distinct):
+      // r18, advisor fix — ranking through lshTopK at k = Int.MaxValue paid
+      // a vector attach + cosine verify + unbounded-k window sort per dial
+      // point just to count rows the bucket join already determines
       for (nt <- Seq(8, 9, 10))
         out += ((s"lsh_portable_nt$nt", "candidates",
-          Similarity.lshTopK(fCorpus, fQueries, k = Int.MaxValue,
+          Similarity.lshCandidates(fCorpus, fQueries,
             nPlanes = 6, nTables = nt, portablePlanes = true).count().toDouble,
           "distinct (qid,id) candidate rows across the 5 probe queries"))
     }

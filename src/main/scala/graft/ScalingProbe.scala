@@ -474,10 +474,14 @@ object ScalingProbe {
       // materialize once so both dial settings read identical input blocks
       val corpus = hot.unionByName(cold).barrier(eager = true)
       println(s"[sp] skew corpus: ${corpus.count()} docs (hot=$nHot cold=$nCold)")
+      // r18: the dial-on hot branch is now the budget-capped 2-D grid
+      // (Salt.tiledPairJoinWithFactors, f = ceil(df/sqrt(HotPairBudget)))
+      // — the salt param no longer dials the hot branch, so the probe runs
+      // one dial-on row plus the legacy forced-salt mode for reference
       for ((label, salt, dial) <- Seq(
-          ("dial-off          ", 1, 0L),
-          ("dial-on (8 chunks)", 1, ext.Dedup.AutoSaltMinPostings),
-          ("dial-on (32 chunks)", 32, ext.Dedup.AutoSaltMinPostings))) {
+          ("dial-off           ", 1, 0L),
+          ("dial-on (tiled)    ", 1, ext.Dedup.AutoSaltMinPostings),
+          ("legacy forced-salt ", 32, 0L))) {
         val (n, sec, mt) = timed(
           ext.Dedup.prefixJaccardPairs(corpus, "doc_id", "text", 0.3,
             salt = salt, saltMinPostings = dial).count())
@@ -574,6 +578,84 @@ object ScalingProbe {
       }
     }
 
+    // q34 CANDIDATE VOLUME AT 100× (r18, verdict ask #6): the r17 9th OR
+    // table recovered recall@10 0.34 "at +5.4% candidates" measured at
+    // sf0.1 — but bucket saturation changes with n (expected candidates
+    // per (query, table) ≈ n/2⁶; whether the DISTINCT-pair union grows
+    // the same way depends on cross-table overlap), so the dial's price
+    // must be re-measured at the 100× embedding count. Prints, per dir:
+    // corpus size, distinct candidates for nTables ∈ {8, 9}, the marginal
+    // cost of the 9th table, the candidates-per-query fraction of the
+    // corpus, and recall@10 vs the exact q33 twin ON THE SAME DIR.
+    // Requires the catalog100x scaled dir (run that mode first).
+    if (mode == "q34cand") {
+      import graft.ext.Similarity
+      for ((label, dir) <- Seq(
+          ("1x  ", "/root/testdata/sf0.1"),
+          ("100x", sys.env.getOrElse("SP_Q34_DIR", "/tmp/sp_cat/x100")))) {
+        require(new java.io.File(s"$dir/embeddings.parquet").exists,
+          s"$dir/embeddings.parquet missing - run catalog100x first")
+        val emb = Tables.load(spark, dir, "embeddings")
+        val fCorpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .barrier(eager = true)
+        val fQueries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+          .barrier(eager = true)
+        val n = fCorpus.count()
+        val cands = Seq(8, 9).map { nt =>
+          nt -> Similarity.lshCandidates(fCorpus, fQueries,
+            nPlanes = 6, nTables = nt, portablePlanes = true).count()
+        }.toMap
+        def pairs(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("qid"), col("id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val approx = pairs(SparkEntry.queries("q34_ann_lsh")(spark, dir))
+        val exact = pairs(SparkEntry.queries("q33_cosine_topk")(spark, dir))
+        val recall = (approx & exact).size.toDouble / math.max(exact.size, 1)
+        println(f"[sp] q34cand $label n=$n%-9d cand_nt8=${cands(8)}%-9d " +
+          f"cand_nt9=${cands(9)}%-9d ninth_table=+${
+            100.0 * (cands(9) - cands(8)) / math.max(cands(8), 1)}%.1f%% " +
+          f"cand_frac=${cands(9).toDouble / (5.0 * n)}%.4f recall@10=$recall%.2f")
+        Housekeeping.releaseAll(spark)
+      }
+    }
+
+    // NATIVE vs COMPOSED INTERVAL OVERLAP (r18, verdict ask #7): the
+    // composed overlap replicates BOTH sides to bins and pays the per-bin
+    // replica cross product; the native split (two point-in-interval
+    // sweeps under max-start attribution) touches active intervals only.
+    // Regimes mirror `rangenative`: well-dialed (binWidth ≈ interval
+    // length) and dense-bin (width 100× the length — every bin holds
+    // hundreds of replicas of BOTH sides, so the composed join's probe
+    // emits |L_bin|·|R_bin| pairs where the sweeps emit matches).
+    if (mode == "rangeoverlap") {
+      val nL = sys.env.getOrElse("SP_RO_L", "1000000").toLong
+      val nR = sys.env.getOrElse("SP_RO_R", "1000000").toLong
+      def side(n: Long, seed: Int, pre: String) = spark.range(n)
+        .select(col("id").as(s"${pre}_id"),
+          pmod(xxhash64(col("id"), lit(seed)), lit(10000000L)).as(s"${pre}_s"))
+        .withColumn(s"${pre}_e", col(s"${pre}_s")
+          + pmod(xxhash64(col(s"${pre}_id")), lit(100L)))
+        .barrier(eager = true)
+      val l = side(nL, 1, "l"); val r = side(nR, 2, "r")
+      println(s"[sp] rangeoverlap: ${l.count()} x ${r.count()} intervals, len<=100")
+      for (width <- Seq(100L, 10000L)) {
+        def rep2o(f: => Long): (Long, Double) = {
+          val runs = (1 to 2).map(_ => timed(f))
+          (runs.head._1, runs.map(_._2).min)
+        }
+        val (nc, secC) = rep2o(ext.RangeJoin.intervalOverlapComposed(
+          l, r, "l_s", "l_e", "r_s", "r_e", width).count())
+        val (nn, secN) = rep2o(ext.RangeJoin.intervalOverlap(
+          l, r, "l_s", "l_e", "r_s", "r_e", width).count())
+        require(nc == nn, s"native/composed overlap disagree: $nc vs $nn")
+        println(f"[sp] rangeoverlap width=$width%-6d matches=$nc " +
+          f"composed=$secC%.2fs native=$secN%.2fs ratio=${secC / secN}%.2f")
+        // no releaseAll inside the loop: the shared l/r barriers feed the
+        // next width (the skew-probe rule)
+      }
+    }
+
     // ASSIGNMENT-COST ANATOMY (r17): the q179 stage diagnosis attributed
     // the 100× rung's wall to the nearest-centroid ASSIGNMENT stage —
     // 4,063 CPU-seconds over 32 BALANCED tasks (max 129 s ≈ mean 127 s,
@@ -641,7 +723,15 @@ object ScalingProbe {
         // torture set; the prefix-postings index + CC at 60M docs is
         // exactly where the next q108-class defect would hide
         "q102_incremental_neardup", "q67_canonical_docs",
-        "q167_containment_pairs")
+        "q167_containment_pairs",
+        // r18 (verdict ask #4): the next bench-rank family. q135's
+        // incremental-agg fold claims O(batch+keys) — prove it at 60M facts
+        // the way q102 proved dedup admission; q207's PPR claims
+        // reached-set-sized state; q133 is the pure projection scan
+        // (linear-by-construction control); q193's basket pair join claims
+        // per-order-bounded fan-out
+        "q207_personalized_pagerank", "q135_incremental_agg",
+        "q133_random_projection", "q193_item_similarity")
       val DocK = 970000L   // multiple of 97·100 (and 20); > maxDocId + dup offsets
       val CustK = 1000000L
       val OrdK = 10000000L
@@ -748,14 +838,30 @@ object ScalingProbe {
       // after a fix; one query's failure is RECORDED, never fatal to the run
       val only = sys.env.get("SP_CAT_ONLY").map(_.split(",").map(_.trim).toSeq)
       def wanted(name: String) = only.forall(_.exists(name.contains))
+      // HOST CALIBRATION (r18, verdict ask #3): raw 100× walls are only
+      // comparable within a run — code-identical q254/q130/q112 read
+      // 1.3–2.3× across host windows in r16→r17, twice misread as
+      // regression. The bench already solves this (Bench.calibrate +
+      // segmentFactors); the probe adopts the same fixed CPU probe,
+      // interleaved BEFORE EVERY QUERY (a 60M-row rung runs minutes — one
+      // endpoint probe per rung would interpolate blindly across it), and
+      // emits raw AND normalized walls. Cross-round comparisons in
+      // SCALING.md use norm; the clamp [1,3] matches segmentFactors (a
+      // fast host never loosens, past 3× the host is too degraded to
+      // normalize honestly).
+      Bench.calibrate(spark) // pay the calib query's own JIT untimed
+      def hostFactor(): Double =
+        math.min(3.0, math.max(1.0, Bench.calibrate(spark) / 0.30))
       for (k <- scales) {
         val dir = buildScaled(k)
         Housekeeping.releaseAll(spark)
         for (name <- heavies if wanted(name)) {
           try {
+            val hf = hostFactor()
             val fn = SparkEntry.queries(name)
             val (n, sec, mt) = timed(fn(spark, dir).count())
-            println(f"[sp] cat k=$k%-3d $name rows=$n wall=$sec%.2fs maxTask=${mt}ms")
+            println(f"[sp] cat k=$k%-3d $name rows=$n wall=$sec%.2fs " +
+              f"norm=${sec / hf}%.2fs hf=$hf%.2f maxTask=${mt}ms")
           } catch { case e: Throwable =>
             println(s"[sp] cat k=$k $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             e.printStackTrace()
@@ -764,6 +870,7 @@ object ScalingProbe {
         }
         if (wanted("q189_image_canonical")) {
           try {
+            val hf = hostFactor()
             // phase 1: synthesize + PNG decode + aHash + band join +
             // pair distinct (the barriers materialize under this count)
             val (corpus, pairs) = q189Parts(3000L * k)
@@ -775,7 +882,8 @@ object ScalingProbe {
             val (n189, _, mt189) = timed(canonical.count())
             val secCC = (System.nanoTime() - tCc) / 1e9
             println(f"[sp] cat k=$k%-3d q189_image_canonical rows=$n189 " +
-              f"wall=${secDecode + secCC}%.2fs decode=$secDecode%.2fs " +
+              f"wall=${secDecode + secCC}%.2fs norm=${(secDecode + secCC) / hf}%.2fs " +
+              f"hf=$hf%.2f decode=$secDecode%.2fs " +
               f"cc=$secCC%.2fs pairs+corpus=$nPairs " +
               f"maxTask=${math.max(mtD, mt189)}ms")
           } catch { case e: Throwable =>

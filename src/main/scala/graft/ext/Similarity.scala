@@ -1044,6 +1044,28 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 12, nTables: Int = 1,
       portablePlanes: Boolean = false): DataFrame = {
+    val cand = lshCandidates(corpus, queries, nPlanes, nTables, portablePlanes)
+      .join(corpus, Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("sim", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+
+  /** The deduplicated LSH candidate set `(qid, id)` — [[lshTopK]]'s
+    * bucket-join stage WITHOUT the vector attach / cosine verify / rank.
+    * The per-query candidate volume is the recall-vs-cost dial the quality
+    * probe records; counting it here costs one bucket join + distinct
+    * (r18 — the probe previously ranked the full pipeline at
+    * k = Int.MaxValue, paying an unbounded-k window sort just to count).
+    * Pair-distinct happens on the INTEGER keys before any vector rides an
+    * exchange: a pair colliding in several tables shuffles one (qid, id)
+    * row and is verified once downstream. */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame,
+      nPlanes: Int = 12, nTables: Int = 1,
+      portablePlanes: Boolean = false): DataFrame = {
     // portablePlanes (r16): plane components from the PortableHash modular
     // family instead of xxhash64 — identical structure and cost, but a
     // DuckDB oracle re-derives the exact bucket keys (q34's full-oracle
@@ -1057,22 +1079,11 @@ object Similarity {
     def buckets(df: DataFrame, idCol: String, vecCol: String) = df.select(
       col(idCol), explode(array((0 until nTables).map(t =>
         struct(lit(t).as("table"), sig(vecCol, t).as("sig"))): _*)).as("bh"))
-    val bc = buckets(corpus, "id", "vec")
-    val bq = buckets(queries, "qid", "qvec")
-    // pair-distinct on the INTEGER keys before the vector attach + verify:
-    // a pair colliding in several tables shuffles one (qid, id) row and is
-    // cosine-verified once — vectors never ride the candidate exchange
-    val cand = bc.join(broadcast(bq), Seq("bh"))
+    buckets(corpus, "id", "vec")
+      .join(broadcast(buckets(queries, "qid", "qvec")), Seq("bh"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
       .distinct()
-      .join(corpus, Seq("id"))
-      .join(broadcast(queries), Seq("qid"))
-      .withColumn("sim", cosine(col("qvec"), col("vec")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
 
   /** Sign-matrix random projection (Achlioptas 2003: ±1 entries satisfy
