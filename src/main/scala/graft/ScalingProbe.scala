@@ -631,14 +631,20 @@ object ScalingProbe {
     if (mode == "rangeoverlap") {
       val nL = sys.env.getOrElse("SP_RO_L", "1000000").toLong
       val nR = sys.env.getOrElse("SP_RO_R", "1000000").toLong
+      // SP_RO_SPREAD dials bin density: per-bin rows ≈ n·width/spread, and
+      // the composed join's candidate term is (rows/bin)²·bins — the
+      // uniform 1e7 default keeps bins thin even at width=1e4, so the
+      // dense regime needs either a wider width or a tighter spread
+      val spread = sys.env.getOrElse("SP_RO_SPREAD", "10000000").toLong
       def side(n: Long, seed: Int, pre: String) = spark.range(n)
         .select(col("id").as(s"${pre}_id"),
-          pmod(xxhash64(col("id"), lit(seed)), lit(10000000L)).as(s"${pre}_s"))
+          pmod(xxhash64(col("id"), lit(seed)), lit(spread)).as(s"${pre}_s"))
         .withColumn(s"${pre}_e", col(s"${pre}_s")
           + pmod(xxhash64(col(s"${pre}_id")), lit(100L)))
         .barrier(eager = true)
       val l = side(nL, 1, "l"); val r = side(nR, 2, "r")
-      println(s"[sp] rangeoverlap: ${l.count()} x ${r.count()} intervals, len<=100")
+      println(s"[sp] rangeoverlap: ${l.count()} x ${r.count()} intervals, " +
+        s"len<=100, spread=$spread")
       for (width <- Seq(100L, 10000L)) {
         def rep2o(f: => Long): (Long, Double) = {
           val runs = (1 to 2).map(_ => timed(f))
