@@ -50,12 +50,30 @@ object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SP_SHUFFLE_PARTITIONS (r18): overrides the session's shuffle width
+    // AND disables AQE partition coalescing for the run. The 8 GiB
+    // catalog100x run OOM'd exactly the iterative whole-graph aggs
+    // (q130/q241/q207) — per-task hash-agg state is keys/partitions, so a
+    // 60M-node rank agg over the session's 32 partitions × 32 concurrent
+    // tasks needs GiBs of concurrent agg memory that a cluster-sized
+    // partition count would spread. Raising initialPartitionNum alone
+    // does NOT run the experiment: AQE's coalescing is BYTE-advisory
+    // (64 MB targets, parallelismFirst floors at default parallelism) and
+    // blind to per-key aggregation state, so it merged 512 back to ~32
+    // and reproduced the OOM — which is itself the finding: when agg
+    // state, not shuffle bytes, is the binding constraint, the partition
+    // count must be pinned, not advisory. This knob lets the memory-floor
+    // claim be MEASURED (same heap, same rung, only the partition count
+    // moved) instead of asserted.
+    val pinParts = sys.env.get("SP_SHUFFLE_PARTITIONS")
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", pinParts.getOrElse(cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = pinParts.fold(b0)(_ => b0.config(
+        "spark.sql.adaptive.coalescePartitions.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -858,6 +876,13 @@ object ScalingProbe {
       Bench.calibrate(spark) // pay the calib query's own JIT untimed
       def hostFactor(): Double =
         math.min(3.0, math.max(1.0, Bench.calibrate(spark) / 0.30))
+      // normalized walls per (query, rung) for the end-of-run monotonicity
+      // check: the pre-query calib can't see contention that STARTS inside
+      // a long query (r18: two 10× readings at hf=1.00 exceeded their own
+      // 100× rungs), but a rung costing more than the next rung of the
+      // same monotone operator is self-refuting — flag it as host noise so
+      // nobody reads it as a regression
+      val walls = scala.collection.mutable.Map.empty[(String, Int), Double]
       for (k <- scales) {
         val dir = buildScaled(k)
         Housekeeping.releaseAll(spark)
@@ -866,6 +891,7 @@ object ScalingProbe {
             val hf = hostFactor()
             val fn = SparkEntry.queries(name)
             val (n, sec, mt) = timed(fn(spark, dir).count())
+            walls((name, k)) = sec / hf
             println(f"[sp] cat k=$k%-3d $name rows=$n wall=$sec%.2fs " +
               f"norm=${sec / hf}%.2fs hf=$hf%.2f maxTask=${mt}ms")
           } catch { case e: Throwable =>
@@ -899,6 +925,16 @@ object ScalingProbe {
           Housekeeping.releaseAll(spark)
         }
       }
+      // rung-monotonicity sweep (1.1 slack for fixed overheads): a flagged
+      // reading is HOST NOISE by self-contradiction — same code, same
+      // operator, strictly more data at the next rung
+      for {
+        name <- heavies if wanted(name)
+        (k, kNext) <- scales.zip(scales.drop(1))
+        w <- walls.get((name, k)); wNext <- walls.get((name, kNext))
+        if w > wNext * 1.1
+      } println(f"[sp] cat NONMONOTONE $name k=$k ($w%.2fs) > k=$kNext " +
+        f"(${wNext}%.2fs) — treat the k=$k reading as host noise")
     }
     spark.stop()
   }
