@@ -67,9 +67,14 @@ object BpeLearn {
     */
   def learnMerges(spark: SparkSession, words: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
+    // lazy barriers (r18): each round's rewrite materializes INSIDE the
+    // next round's pair-count job instead of spending a separate
+    // materialization job per round — k rounds save k job round-trips on a
+    // vocabulary-bounded table (the checkpoint still truncates lineage, so
+    // round N never replays rounds 1..N−1)
     var seqs = words
       .select(split(col("word"), "").as("symbols"), col("freq"))
-      .barrier(eager = true)
+      .barrier()
     val merges = collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var done = false
     for (i <- 1 to k if !done) {
@@ -91,7 +96,7 @@ object BpeLearn {
           if (i < k)
             seqs = seqs
               .select(applyMerge(col("symbols"), a, b).as("symbols"), col("freq"))
-              .barrier(eager = true)
+              .barrier()
       }
     }
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
@@ -111,6 +116,21 @@ object BpeLearn {
     * scan — no join, no shuffle, cost O(corpus chars · k).
     * Output: one row per word instance (id, word, tokens). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+    // native fused fold (r18) — bit-identical to [[encodeHof]]'s composed
+    // k-rank aggregate-HOF chain (spec-pinned), minus the per-symbol
+    // interpreted lambda allocations that dominated the encode scan
+    words.select(col("id"), col("word"),
+      graft.functions.BpeEncodeWord.bpeEncodeWord(col("word"), merges)
+        .as("tokens"))
+  }
+
+  /** Reference HOF formulation of [[encode]], kept for the native/HOF
+    * equality spec only — interpreted, do not use in hot paths. */
+  def encodeHof(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val words = docs.select(col(idCol).as("id"),
       explode(regexp_extract_all(lower(col(textCol)),

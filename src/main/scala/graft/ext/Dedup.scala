@@ -189,8 +189,10 @@ object Dedup {
     val textPairs = prefixJaccardPairs(
         df.select(col("id"), col("text")), "id", "text", textThreshold)
       .select(col("id_a").as("a"), col("id_b").as("b"))
+    // pin (r18): the fused assignment is a pure projection and feeds both
+    // sides of the cluster-keyed pair self-join
     val assigned = graft.ext.Similarity.assignNearestCentroid(
-      df.select(col("id"), col("vec")), centroids)
+      df.select(col("id"), col("vec")), centroids).barrier()
     val embPairs = graft.ext.Similarity.cosinePairsWithinClusters(assigned, cosThreshold)
       .select(col("id_a").as("a"), col("id_b").as("b"))
     Components.connectedComponents(

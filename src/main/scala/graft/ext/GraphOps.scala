@@ -205,10 +205,12 @@ object GraphOps {
       : (DataFrame, DataFrame) = {
     require(iters >= 1, "need at least one round")
     val e = edges.select(col("src"), col("dst")).distinct().barrier(eager = true)
-    val nSrc = e.select(col("src")).distinct().count()
+    // one distinct-src pass serves both the count and the hub init (r18 —
+    // the former plan ran the edge-sized distinct aggregation twice)
+    val dsrc = e.select(col("src")).distinct().barrier(eager = true)
+    val nSrc = dsrc.count()
     require(nSrc >= 1, "empty graph")
-    var hubs = e.select(col("src")).distinct()
-      .withColumn("hub", lit(scale / nSrc))
+    var hubs = dsrc.withColumn("hub", lit(scale / nSrc))
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
       val araw = e.join(hubs, Seq("src"))

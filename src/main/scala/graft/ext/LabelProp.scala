@@ -31,7 +31,11 @@ object LabelProp {
     * @return (node: long, label: long). */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
-    val e = edges.select(col("src"), col("dst")).barrier(eager = true)
+    // pinned hash-partitioned + sorted on src (r18, the PageRank fix):
+    // each round's label join then reads an already co-partitioned, already
+    // sorted edge side instead of re-shuffling and re-sorting the edge
+    // table once per round — rounds shuffle only the label table.
+    val e = edges.select(col("src"), col("dst")).barrierByKey("src")
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {

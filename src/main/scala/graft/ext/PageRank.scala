@@ -51,13 +51,26 @@ object PageRank {
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
       dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // deg holds EXACTLY one row per node (every node has out-degree ≥ 1 by
+    // the symmetrization contract), so it IS the node table: pin it once
+    // and serve the node count and the rank init from it (r18 — the former
+    // plan re-ran a distinct aggregation over the full edge table for each,
+    // two extra edge-sized shuffles before the first iteration).
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outd"))
-    // one materialization: iterations re-read this, never the base tables
-    val ew = edges.join(deg, "src").barrier(eager = true)
-    val nNodes = ew.select(col("src")).distinct().count()
+      .barrier(eager = true)
+    // one materialization: iterations re-read this, never the base tables.
+    // Pinned hash-partitioned + sorted on src (r18, barrierByKey): every
+    // iteration's rank join then sees an already co-partitioned, already
+    // sorted edge side — the former plan re-shuffled AND re-sorted the full
+    // edge table once PER ITERATION (measured in q130's executed plan:
+    // 5 SortMergeJoins, each with its own Exchange over the checkpointed
+    // RDD). Iterations now shuffle only the two-column rank table, which
+    // is the documented scale contract.
+    val ew = edges.join(deg, "src").barrierByKey("src")
+    val nNodes = deg.count()
     val base = scale / nNodes
     val teleport = (100 - dampingPct) * base / 100 // exact Long arithmetic
-    var ranks = ew.select(col("src").as("node")).distinct()
+    var ranks = deg.select(col("src").as("node"))
       .withColumn("rank", lit(base))
     for (_ <- 1 to iters) {
       ranks = ew.join(ranks, col("src") === col("node"))
@@ -86,10 +99,15 @@ object PageRank {
   def runPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
       scale: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // same deg-as-node-table reuse as [[run]] (r18): the seed restriction
+    // semi-joins the (pinned, node-sized) degree table instead of
+    // re-distincting the full edge table.
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outd"))
-    val ew = edges.join(deg, "src").barrier(eager = true)
+      .barrier(eager = true)
+    // pinned partitioned+sorted on src, exactly as in [[run]] (r18)
+    val ew = edges.join(deg, "src").barrierByKey("src")
     val sd = seeds.select(col("node")).distinct()
-      .join(ew.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
+      .join(deg.select(col("src").as("node")), Seq("node"), "left_semi")
       .barrier(eager = true)
     val nSeeds = sd.count()
     require(nSeeds >= 1, "no seed appears in the graph")

@@ -269,23 +269,20 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int = 2): DataFrame = {
-    // narrow argmax + vector re-attach by key (the [[kmeansAssign]] shape)
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .select(col("id"), col("cid"), cosine(col("vec"), col("cvec")).as("sim_c"))
-      .groupBy(col("id"))
-      // argmax, NOT max_by: the struct-buffered max_by degrades the agg to
-      // SortAggregate with interpreted per-row updates — 10 µs × n·|cents|
-      // rows was the q179 catalog100x wall (see functions/ArgExtremum)
-      .agg(argmax(col("cid").cast("long"), col("sim_c"))
-        .cast(centroids.schema("cid").dataType).as("cid"))
-      .join(corpus, Seq("id"))
-      .select(col("id"), col("cid"), col("vec"))
+    val assigned = assignNearestCentroid(corpus, centroids)
     val wq = Window.partitionBy(col("qid")).orderBy(col("sim_c").desc, col("cid"))
+    // barrier (r18): probes carry the centroid filter's constraints, and
+    // the cand equi-join below would otherwise INFER those predicates onto
+    // assigned.cid — which is now a nearest_key(...) projection alias, so
+    // each inferred conjunct re-evaluates the full candidate scan per
+    // corpus row (measured 2× on q56). The barrier is bounded
+    // (queries × nProbe rows) and erases the constraints.
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("sim_c", cosine(col("qvec"), col("cvec")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("qvec"), col("cid"))
+      .barrier()
     val cand = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("id") =!= col("qid"))
       .withColumn("sim", cosine(col("qvec"), col("vec")))
@@ -354,7 +351,11 @@ object Similarity {
     */
   def semanticDedup(
       corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
-    val assigned = assignNearestCentroid(corpus, centroids)
+    // barrier (r18): the fused assignment is a pure projection now, and it
+    // feeds THREE plan branches here (both self-join sides + the final
+    // labeling join) — pin it once so the candidate scan runs once, as the
+    // old aggregate shape's exchange reuse used to guarantee
+    val assigned = assignNearestCentroid(corpus, centroids).barrier()
     val dropped = cosinePairsWithinClusters(assigned, threshold)
       .select(col("id_b").as("id")).distinct()
       .withColumn("hit", lit(true))
@@ -370,16 +371,26 @@ object Similarity {
     * [[kmeansAssign]] for why the payload must not ride the aggregation
     * buffers. */
   def assignNearestCentroid(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(centroids))
-      .select(col("id"), col("cid"), cosine(col("vec"), col("cvec")).as("sim_c"))
-      .groupBy(col("id"))
-      // argmax, NOT max_by — identical result, HashAggregate instead of an
-      // interpreted SortAggregate over the whole cross product (the r17
-      // catalog100x find; anatomy in functions/ArgExtremum's scaladoc)
-      .agg(argmax(col("cid").cast("long"), col("sim_c"))
-        .cast(centroids.schema("cid").dataType).as("cid"))
-      .join(corpus, Seq("id"))
-      .select(col("id"), col("cid"), col("vec"))
+    // fused (r18): ONE one-row broadcast (the sorted candidate array) and a
+    // single NearestKey evaluation per corpus row inside the scan's codegen
+    // span — no n·|cents| cross-product materialization, no per-id argmax
+    // hash aggregate over it, no payload re-attach join. Bit-equal to the
+    // former crossJoin + argmax + join shape (NearestKeySpec pins it;
+    // selection semantics identical to functions/ArgExtremum).
+    corpus.crossJoin(broadcast(candsOf(centroids, "cid", "cvec")))
+      .withColumn("__nk",
+        graft.functions.NearestKey.nearestByCosine(col("vec"), col("__cands")))
+      .select(col("id"),
+        col("__nk.key").cast(centroids.schema("cid").dataType).as("cid"),
+        col("vec"))
+
+  /** The one-row sorted candidate array `(key: long, cvec)` a fused
+    * [[graft.functions.NearestKey]] scan broadcasts — shared by every
+    * assignment/encode path (r18). */
+  private def candsOf(centroids: DataFrame, keyCol: String,
+      vecCol: String): DataFrame =
+    centroids.agg(sort_array(collect_list(struct(
+      col(keyCol).cast("long").as("k"), col(vecCol).as("cv")))).as("__cands"))
 
   /** Exact-cosine near-dup PAIRS searched within each nearest-centroid
     * cluster of an [[assignNearestCentroid]] output — the SemDeDup pair
@@ -411,7 +422,10 @@ object Similarity {
     * dialed to √n as everywhere else. Fully deterministic (bit-stable
     * cosine, id tiebreaks) ⇒ oracle-checkable. Output per anchor with
     * ≥2 cluster-mates: (anchor_id, pos_id, sim_pos, neg_id, sim_neg). */
-  def contrastivePairs(assigned: DataFrame, anchorFilter: Column): DataFrame = {
+  def contrastivePairs(assigned0: DataFrame, anchorFilter: Column): DataFrame = {
+    // pin (r18): the (now projection-shaped) assignment feeds both the
+    // anchor filter and the cluster-keyed join side
+    val assigned = assigned0.barrier()
     val anchors = assigned.filter(anchorFilter)
       .select(col("cid"), col("id").as("anchor_id"), col("vec").as("avec"))
     val w = Window.partitionBy(col("anchor_id"))
@@ -497,17 +511,16 @@ object Similarity {
     * second columnar scan — cheap next to payload-laden agg buffers).
     * Output: (id, cluster, d2, vec). */
   def kmeansAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(centroids))
-      .select(col("id"), col("cid"), sqDist(col("vec"), col("cvec")).as("d2"))
-      .groupBy(col("id"))
-      // argmin + plain min, NOT a struct-buffered min_by (SortAggregate
-      // degradation — functions/ArgExtremum); min(d2) IS the chosen
-      // cluster's distance because the cluster is the d2-argmin
-      .agg(argmin(col("cid").cast("long"), col("d2"))
-          .cast(centroids.schema("cid").dataType).as("cluster"),
-        min(col("d2")).as("d2"))
-      .join(corpus, Seq("id"))
-      .select(col("id"), col("cluster"), col("d2"), col("vec"))
+    // fused (r18) — see [[assignNearestCentroid]]: one NearestKey scan
+    // replaces the cross-product + argmin/min aggregate + re-attach join.
+    // nk.score IS min(d2) because the cluster is the d2-argmin.
+    corpus.crossJoin(broadcast(candsOf(centroids, "cid", "cvec")))
+      .withColumn("__nk",
+        graft.functions.NearestKey.nearestBySqDist(col("vec"), col("__cands")))
+      .select(col("id"),
+        col("__nk.key").cast(centroids.schema("cid").dataType).as("cluster"),
+        col("__nk.score").as("d2"),
+        col("vec"))
 
   /** Centroid update (mean of members, per dimension). Per-component sums
     * round@7 then accumulate in DECIMAL — associative and exact, so the
@@ -583,19 +596,32 @@ object Similarity {
     * the encoded corpus is m ints per vector (for 64-dim floats at m=4
     * that is a 16× storage/bandwidth cut — the reason PQ is the standard
     * billion-vector ANN representation). Output (id, codes array<int>). */
-  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
-    val parts = corpus.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => pqSlice(col("vec"), m, s))).as(Seq("subspace", "sub")))
-    parts.join(broadcast(codebooks), Seq("subspace"))
-      .withColumn("d2", sqDist(col("sub"), col("cvec")))
-      .groupBy(col("id"), col("subspace"))
-      .agg(argmin(col("cid").cast("long"), col("d2"))
-        .cast(codebooks.schema("cid").dataType).as("code"))
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
-        x => x.getField("code")).as("codes"))
-  }
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int): DataFrame =
+    // fused (r18): all m codes per row from one broadcast books-by-subspace
+    // array — no (id, subspace) explode, no n·m·ksub joined-row
+    // materialization, no two-level regroup. Per-subspace selection is
+    // NearestKey's sqdist-argmin, bit-equal to the former
+    // sqDist + argmin + array_sort(collect_list) shape.
+    corpus.crossJoin(broadcast(booksBySub(codebooks, m)))
+      .select(col("id"), pqCodes(codebooks, m).as("codes"))
+
+  /** One-row broadcast: per-subspace sorted candidate arrays, indexed by
+    * subspace — `__books[s + 1]` is subspace s's `(k, cv)` array. */
+  private def booksBySub(codebooks: DataFrame, m: Int): DataFrame =
+    codebooks.groupBy(col("subspace"))
+      .agg(sort_array(collect_list(struct(
+        col("cid").cast("long").as("k"), col("cvec").as("cv")))).as("cands"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("subspace"), col("cands")))),
+        x => x.getField("cands")).as("__books"))
+
+  /** The fused per-row PQ code array: for each subspace, NearestKey's
+    * argmin over that subspace's codebook on the row's slice. */
+  private def pqCodes(codebooks: DataFrame, m: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      graft.functions.NearestKey.nearestBySqDist(
+          pqSlice(col("vec"), m, s), element_at(col("__books"), s + 1))
+        .getField("key").cast(codebooks.schema("cid").dataType))
 
   /** PQ approximate top-k via ASYMMETRIC DISTANCE COMPUTATION: the query
     * precomputes its distance to every codebook centroid (m·ksub rows —
@@ -644,22 +670,15 @@ object Similarity {
     * recall refinement that would drop into [[pqEncode]]'s slice step
     * without changing this plan shape. */
   def ivfPqIndex(corpus: DataFrame, centroids: DataFrame,
-      codebooks: DataFrame, m: Int): DataFrame = {
-    val assigned = kmeansAssign(corpus, centroids)
-      .select(col("id"), col("cluster").as("cid"), col("vec"))
-    val parts = assigned.select(col("id"), col("cid"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => pqSlice(col("vec"), m, s))).as(Seq("subspace", "sub")))
-    parts
-      .join(broadcast(codebooks.withColumnRenamed("cid", "bcid")), Seq("subspace"))
-      .withColumn("d2", sqDist(col("sub"), col("cvec")))
-      .groupBy(col("id"), col("cid"), col("subspace"))
-      .agg(argmin(col("bcid").cast("long"), col("d2"))
-        .cast(codebooks.schema("cid").dataType).as("code"))
-      .groupBy(col("id"), col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
-        x => x.getField("code")).as("codes"))
-  }
+      codebooks: DataFrame, m: Int): DataFrame =
+    // fused (r18): assignment and encode are both per-row scans now, so the
+    // whole index build is two one-row broadcasts and a projection —
+    // zero corpus-sized shuffles (formerly: cross-product + argmin agg +
+    // re-attach join + explode-join + two regroup aggregates).
+    encodeAssigned(
+      kmeansAssign(corpus, centroids)
+        .select(col("id"), col("cluster").as("cid"), col("vec")),
+      codebooks, m)
 
   /** IVF×PQ approximate top-k — [[ivfTopK]]'s list pruning composed with
     * [[pqTopK]]'s asymmetric distance: each query probes its `nProbe`
@@ -676,11 +695,14 @@ object Similarity {
   def ivfPqTopK(index: DataFrame, centroids: DataFrame, codebooks: DataFrame,
       queries: DataFrame, m: Int, k: Int, nProbe: Int = 2): DataFrame = {
     val wq = Window.partitionBy(col("qid")).orderBy(col("d2c"), col("cid"))
+    // barrier (r18): same constraint-erasure as [[ivfTopK]]'s probes — the
+    // index side's cid is a fused nearest_key alias now
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("d2c", sqDist(col("qvec"), col("cvec")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("cid"))
+      .barrier()
     val qparts = queries.select(col("qid"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => pqSlice(col("qvec"), m, s))).as(Seq("subspace", "qsub")))
@@ -780,20 +802,11 @@ object Similarity {
   /** PQ-encode already-assigned rows (id, cid, vec) against frozen books —
     * the shared tail of the residual and rotated-residual encode paths. */
   private[ext] def encodeAssigned(assigned: DataFrame, codebooks: DataFrame,
-      m: Int): DataFrame = {
-    val parts = assigned.select(col("id"), col("cid"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => pqSlice(col("vec"), m, s))).as(Seq("subspace", "sub")))
-    parts
-      .join(broadcast(codebooks.withColumnRenamed("cid", "bcid")), Seq("subspace"))
-      .withColumn("d2", sqDist(col("sub"), col("cvec")))
-      .groupBy(col("id"), col("cid"), col("subspace"))
-      .agg(argmin(col("bcid").cast("long"), col("d2"))
-        .cast(codebooks.schema("cid").dataType).as("code"))
-      .groupBy(col("id"), col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
-        x => x.getField("code")).as("codes"))
-  }
+      m: Int): DataFrame =
+    // fused (r18) — the [[pqEncode]] shape with the list id flowing through
+    // the projection instead of riding two regroup aggregations
+    assigned.crossJoin(broadcast(booksBySub(codebooks, m)))
+      .select(col("id"), col("cid"), pqCodes(codebooks, m).as("codes"))
 
   /** Residual IVF×PQ approximate top-k: like [[ivfPqTopK]], but the ADC
     * lookup table is PER (query, probed list) — the query's residual to
@@ -1109,6 +1122,18 @@ object Similarity {
     * multiply-adds per row inside `transform`/`aggregate` HOFs.
     */
   def randomProject(vecs: DataFrame, idCol: String, vecCol: String,
+      dOut: Int): DataFrame =
+    vecs.select(col(idCol),
+      // native fused loop (r18) — bit-identical to [[randomProjectHof]],
+      // minus the d×dOut interpreted lambda evaluations per row that were
+      // the whole q133 wall (a zero-exchange projection scan)
+      graft.functions.RandomProjection.randomProjection(col(vecCol), dOut)
+        .as("proj"))
+
+  /** Reference HOF formulation of [[randomProject]], kept for the
+    * native/HOF equality spec only — interpreted, do not use in hot
+    * paths. */
+  def randomProjectHof(vecs: DataFrame, idCol: String, vecCol: String,
       dOut: Int): DataFrame =
     vecs.select(col(idCol),
       expr(

@@ -113,11 +113,60 @@ object ScaleLint {
     guarded
   }
 
+  /** [[barrier]] with a PINNED physical layout (r18): hash-repartition on
+    * `key` with an EXPLICIT partition count, sort within partitions, then
+    * eagerly checkpoint and rebuild the LogicalRDD with the layout
+    * declared. Exists because `Dataset.localCheckpoint` under AQE records
+    * `UnknownPartitioning` (the adaptive plan's final partitioning is not
+    * visible when the Dataset captures it — measured in q130's executed
+    * plan: every iteration re-shuffled AND re-sorted the checkpointed edge
+    * table), so iterative operators lost the one property that makes
+    * their materialization reusable. The declared layout is TRUE by
+    * construction: `repartition(n, key)` with an explicit n is never
+    * AQE-coalesced, so partition p holds exactly the rows with
+    * `pmod(hash(key), n) = p` — Spark's own HashPartitioning contract —
+    * and the within-partition sort is preserved verbatim by the
+    * checkpoint's row copy. Iteration joins keyed on `key` then reuse the
+    * blocks with no exchange and no sort; only the (small) per-round state
+    * table shuffles. */
+  def barrierByKey(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val b = bounded(df.queryExecution.optimizedPlan)
+    val out = df
+      .repartition(n, org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(key)
+      .localCheckpoint(true)
+    val pinned = out.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val attr = l.output.find(_.name == key).getOrElse(
+          throw new IllegalArgumentException(s"barrierByKey: no column $key"))
+        org.apache.spark.sql.graft.PlanBridge.ofRows(df.sparkSession,
+          org.apache.spark.sql.execution.LogicalRDD(
+            l.output, l.rdd,
+            HashPartitioning(Seq(attr), n),
+            Seq(SortOrder(attr, Ascending)),
+            l.isStreaming, l.stream)(
+            df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            None, None))
+      case _ => out
+    }
+    pinned.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        barrierBounded.put(l.rdd.id, b)
+      case _ => ()
+    }
+    pinned
+  }
+
   /** Suffix syntax so call sites read like the localCheckpoint they
     * replace: `df.barrier()` / `df.barrier(eager = true)`. */
   implicit class BarrierSyntax(private val df: DataFrame) extends AnyVal {
     def barrier(eager: Boolean = false): DataFrame =
       ScaleLint.barrier(df, eager)
+    def barrierByKey(key: String): DataFrame =
+      ScaleLint.barrierByKey(df, key)
   }
 
   /** Support-bounded: some node below caps the row count independently of

@@ -1217,7 +1217,9 @@ object EmbedQueries {
       val cents = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cid"),
           col("embedding").cast("array<double>").as("cvec"))
-      val assigned = Similarity.assignNearestCentroid(all, cents).select("id", "cid")
+      val assigned = Similarity.assignNearestCentroid(all, cents)
+        .select("id", "cid")
+        .barrier() // r18: fused-projection assignment, referenced twice below
       val toks = t(s, dir, "documents")
         .join(assigned, col("doc_id") === col("id"))
         .select(col("cid"),

@@ -495,19 +495,39 @@ object GraphQueries {
   val q254AdamicAdar: Q = Q(
     "q254_adamic_adar",
     (s, dir) => {
+      import graft.plans.ScaleLint.BarrierSyntax
+      // cs feeds both the degree aggregate and the member regroup below —
+      // pin it once (r18 optimization; the lazy plan evaluated the
+      // lineitem⋈orders distinct up to 3×: exchange reuse does not fire
+      // across the differently-projected self-join sides it used to feed).
       val cs = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("sk"))
         .distinct()
+        .barrier(eager = true)
       val deg = cs.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 2 && col("deg") <= 32)
         .withColumn("term",
           round(lit(1.0) / log(col("deg").cast("double")), 9)
             .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
       val ec = cs.join(deg, Seq("sk"))
-      val pairs = ec.select(col("sk"), col("c").as("c1"), col("term"))
-        .join(ec.select(col("sk"), col("c").as("c2")), Seq("sk"))
-        .filter(col("c1") < col("c2"))
+      // Pair generation WITHOUT the two-sided self-join (r18 optimization):
+      // the degree prefilter already bounds every surviving part at ≤ 32
+      // members, so regrouping them into one sorted array per part is a
+      // bounded-buffer aggregate (never a hub-sized collect — hubs were
+      // dropped by the cap BEFORE this regroup, exactly as before), and the
+      // m(m−1)/2 ordered pairs fall out of a nested explode over the
+      // ascending member array. Exact same pair multiset as the
+      // ec ⋈ ec self-join with c1 < c2 — minus one full sort-merge join
+      // (two sorted shuffle sides of ec) the old plan paid to meet pairs.
+      val grouped = ec.groupBy(col("sk"), col("term"))
+        .agg(sort_array(collect_list(col("c"))).as("members"))
+      val pairs = grouped
+        .select(col("term"), col("members"),
+          posexplode(col("members")).as(Seq("i", "c1")))
+        .select(col("term"), col("c1"),
+          explode(slice(col("members"), col("i") + 2,
+            size(col("members")) - col("i") - 1)).as("c2"))
       pairs.groupBy(col("c1"), col("c2"))
         .agg(count(lit(1)).as("n_common"),
           sum(col("term")).cast("double").as("aa_score"))

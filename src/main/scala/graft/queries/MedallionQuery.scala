@@ -105,7 +105,10 @@ object MedallionQuery {
     "q60_multimodal",
     (s, _) => {
       import graft.ext.Multimodal
-      val media = Multimodal.synthesize(s, 3000L)
+      // barrier (r18): synthesize PNG/WAV-encodes every payload in a
+      // mapPartitions — opaque and expensive — and the media table feeds
+      // several plan branches below; pin it so the codec pass runs once
+      val media = Multimodal.synthesize(s, 3000L).barrier()
       val feats = Multimodal.featurize(Multimodal.resizeMeta(media, 512), dim = 16)
       val frames = Multimodal.sampleFrames(media, stride = 30)
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
@@ -133,7 +136,10 @@ object MedallionQuery {
     "q147_image_neardup",
     (s, _) => {
       import graft.ext.Multimodal
-      val media = Multimodal.synthesize(s, 3000L)
+      // barrier (r18): synthesize PNG/WAV-encodes every payload in a
+      // mapPartitions — opaque and expensive — and the media table feeds
+      // several plan branches below; pin it so the codec pass runs once
+      val media = Multimodal.synthesize(s, 3000L).barrier()
       val dups = media.filter(col("kind") === "image" && col("media_id") % 30 === 0)
         .withColumn("media_id", col("media_id") + 1000000L)
       Multimodal.imageNearDupPairs(media.unionByName(dups), maxHamming = 3)
@@ -153,7 +159,10 @@ object MedallionQuery {
     "q189_image_canonical",
     (s, _) => {
       import graft.ext.{Components, Multimodal}
-      val media = Multimodal.synthesize(s, 3000L)
+      // barrier (r18): synthesize PNG/WAV-encodes every payload in a
+      // mapPartitions — opaque and expensive — and the media table feeds
+      // several plan branches below; pin it so the codec pass runs once
+      val media = Multimodal.synthesize(s, 3000L).barrier()
       val dups = media.filter(col("kind") === "image" && col("media_id") % 30 === 0)
         .withColumn("media_id", col("media_id") + 1000000L)
       val corpus = media.unionByName(dups)
@@ -216,7 +225,10 @@ object MedallionQuery {
     "q79_multimodal_meta",
     (s, _) => {
       import graft.ext.Multimodal
-      val media = Multimodal.synthesize(s, 3000L)
+      // barrier (r18): synthesize PNG/WAV-encodes every payload in a
+      // mapPartitions — opaque and expensive — and the media table feeds
+      // several plan branches below; pin it so the codec pass runs once
+      val media = Multimodal.synthesize(s, 3000L).barrier()
       val frames = Multimodal.sampleFrames(media, stride = 30)
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
       Multimodal.resizeMeta(media, 512)
@@ -270,7 +282,10 @@ object MedallionQuery {
     "q148_audio_neardup",
     (s, _) => {
       import graft.ext.Multimodal
-      val media = Multimodal.synthesize(s, 3000L)
+      // barrier (r18): synthesize PNG/WAV-encodes every payload in a
+      // mapPartitions — opaque and expensive — and the media table feeds
+      // several plan branches below; pin it so the codec pass runs once
+      val media = Multimodal.synthesize(s, 3000L).barrier()
       val dups = media.filter(col("kind") === "audio" && col("media_id") % 30 === 1)
         .withColumn("media_id", col("media_id") + 1000000L)
       Multimodal.audioNearDupPairs(media.unionByName(dups), maxHamming = 3)

@@ -94,6 +94,19 @@ class BpeLearnSpec extends SparkSuite {
     assert(enc("newest").length < 6)
   }
 
+  test("native encode ≡ the composed HOF fold chain (r18), incl. aaaa pathologies") {
+    val docs = Seq(
+      (1L, "the quick aaaa abab lowest newest widest"),
+      (2L, "aaa aab baa abba the thethe")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("t", "h"), ("th", "e"), ("aa", "aa"),
+      ("e", "s"), ("es", "t"))
+    val nat = BpeLearn.encode(docs, "doc_id", "text", merges)
+      .as[(Long, String, Seq[String])].collect().toSet
+    val hof = BpeLearn.encodeHof(docs, "doc_id", "text", merges)
+      .as[(Long, String, Seq[String])].collect().toSet
+    assert(nat === hof)
+  }
+
   test("bit-identical across partitionings") {
     val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
     val df = words.toSeq.toDF("word", "freq")

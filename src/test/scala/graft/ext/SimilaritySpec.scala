@@ -583,6 +583,27 @@ class SimilaritySpec extends SparkSuite {
     assert(pd === pu.zip(pv).map { case (a, b) => a - b })
   }
 
+  test("native randomProject is bit-equal to the HOF reference (r18), incl. null element") {
+    val vs = Seq((1L, Seq[java.lang.Float](0.5f, -0.25f, 1.0f, 0.125f)),
+      (2L, Seq[java.lang.Float](-1.5f, 0.0f, 0.375f, 2.0f)),
+      (3L, Seq[java.lang.Float](0.25f, null, 1.75f, -0.125f)))
+    val df = vs.toDF("vec_id", "embedding")
+    val nat = Similarity.randomProject(df, "vec_id", "embedding", dOut = 5)
+      .as[(Long, Seq[Option[Long]])].collect().toMap
+    val hof = Similarity.randomProjectHof(df, "vec_id", "embedding", dOut = 5)
+      .as[(Long, Seq[Option[Long]])].collect().toMap
+    assert(nat === hof)
+    assert(nat(3L).forall(_.isEmpty), "a null element must null every output sum")
+    // double-typed input path too
+    val dd = vs.take(2).map { case (id, v) => (id, v.map(_.toDouble)) }
+      .toDF("vec_id", "embedding")
+    val natD = Similarity.randomProject(dd, "vec_id", "embedding", dOut = 5)
+      .as[(Long, Seq[Long])].collect().toMap
+    val hofD = Similarity.randomProjectHof(dd, "vec_id", "embedding", dOut = 5)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(natD === hofD)
+  }
+
   test("randomProject on testdata: 16 dims, bit-identical across partitionings") {
     val emb = Tables.load(spark, dir, "embeddings")
     val a = Similarity.randomProject(emb.repartition(1), "vec_id", "embedding", 16)

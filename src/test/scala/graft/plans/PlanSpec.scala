@@ -148,7 +148,10 @@ class PlanSpec extends SparkSuite {
       s"each assignment pass must broadcast the centroid set:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"k-means must never shuffle-join the corpus against centroids:\n$p")
-    assert(p.contains("sq_l2_distance"), "native fused distance in the plan")
+    // r18: assignment is the fused per-row argmin scan (NearestKey wraps
+    // the same sq_l2_distance loop); one occurrence per Lloyd pass
+    assert("nearest_key\\(.*sqdist".r.findAllIn(p).nonEmpty,
+      s"native fused nearest-centroid selection in the plan:\n$p")
   }
 
   test("compactToTarget: file count derived from bytes, data identical") {
@@ -179,8 +182,15 @@ class PlanSpec extends SparkSuite {
       "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(broadcasts >= 2,
       s"codebook join (encode) and ADC-table join (search) must broadcast, got $broadcasts")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "all PQ joins are equi-joins — nested-loop means a key went missing")
+    // r18: the encode is the fused per-row scan against ONE broadcast
+    // books-by-subspace row — exactly one bounded nested-loop cross; the
+    // search joins stay equi-broadcasts
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"only the one-row books broadcast may nest-loop:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"the ADC-table search join must stay an equi-broadcast:\n$p")
+    assert("nearest_key\\(.*sqdist".r.findAllIn(p).nonEmpty,
+      s"native fused PQ encode in the plan:\n$p")
   }
 
   test("q120 IVF×PQ: centroids/codebooks/probes broadcast-only, no cartesian product") {
