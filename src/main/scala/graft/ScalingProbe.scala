@@ -542,10 +542,19 @@ object ScalingProbe {
           st.name = sc.stageInfo.name.takeWhile(_ != '\n').take(90)
         }
       })
+      // SP_STAGE_WARM=1 (r19): run the query once untimed first (JIT +
+      // codegen warm, the bench's warmup discipline) and drop its stages,
+      // so the profile reflects the steady state the bench actually times.
+      if (sys.env.get("SP_STAGE_WARM").contains("1")) {
+        SparkEntry.queries(qName)(spark, dir).count()
+        Housekeeping.releaseAndSettle(spark)
+        Thread.sleep(500)
+        stages.clear()
+      }
       val (n, sec, _) = timed(SparkEntry.queries(qName)(spark, dir).count())
       println(f"[sp] stages $qName on $dir: rows=$n wall=$sec%.1fs")
       import scala.jdk.CollectionConverters._
-      stages.asScala.toSeq.sortBy(-_._2.maxMs).take(12).foreach { case (id, s) =>
+      stages.asScala.toSeq.sortBy(-_._2.maxMs).take(16).foreach { case (id, s) =>
         println(f"[sp] stage $id%-4d tasks=${s.nTasks}%-4d max=${s.maxMs}%-8d " +
           f"sum=${s.sumMs}%-9d shR=${s.shRead / 1048576}%-6dMiB " +
           f"shW=${s.shWrite / 1048576}%-6dMiB inRec=${s.inRec}%-11d ${s.name}")

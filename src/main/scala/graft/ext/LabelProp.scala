@@ -31,15 +31,25 @@ object LabelProp {
     * @return (node: long, label: long). */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
-    // pinned hash-partitioned + sorted on src (r18, the PageRank fix):
-    // each round's label join then reads an already co-partitioned, already
-    // sorted edge side instead of re-shuffling and re-sorting the edge
-    // table once per round — rounds shuffle only the label table.
-    val e = edges.select(col("src"), col("dst")).barrierByKey("src")
+    // pinned hash-partitioned + sorted on src (r18, the PageRank fix; r19:
+    // auto-sized width from TRUE materialized bytes — see
+    // ScaleLint.barrierByKey): each round's label join then reads an
+    // already co-partitioned, already sorted edge side instead of
+    // re-shuffling and re-sorting the edge table once per round — rounds
+    // shuffle only the label table.
+    val (e, n) = graft.plans.ScaleLint.barrierByKeySized(
+      edges.select(col("src"), col("dst")), "src", identity[DataFrame] _)
+    val w = edges.sparkSession.sessionState.conf.numShufflePartitions
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    for (_ <- 1 to iters) {
-      labels = e.join(labels, col("src") === col("node"))
+    for (i <- 1 to iters) {
+      // co-partition the node-sized label table with the pin: a width
+      // mismatch would make EnsureRequirements re-shuffle the EDGE side
+      // of every round's join (see PageRank.run). Round 1's init is
+      // already pin-partitioned.
+      val l = if (i == 1 || n == w) labels
+        else labels.repartition(n, col("node"))
+      labels = e.join(l, col("src") === col("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))
         // argmax, NOT max_by: the struct-buffered max_by plans as an

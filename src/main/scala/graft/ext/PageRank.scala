@@ -51,29 +51,45 @@ object PageRank {
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
       dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    // deg holds EXACTLY one row per node (every node has out-degree ≥ 1 by
-    // the symmetrization contract), so it IS the node table: pin it once
-    // and serve the node count and the rank init from it (r18 — the former
-    // plan re-ran a distinct aggregation over the full edge table for each,
-    // two extra edge-sized shuffles before the first iteration).
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outd"))
-      .barrier(eager = true)
-    // one materialization: iterations re-read this, never the base tables.
-    // Pinned hash-partitioned + sorted on src (r18, barrierByKey): every
-    // iteration's rank join then sees an already co-partitioned, already
-    // sorted edge side — the former plan re-shuffled AND re-sorted the full
-    // edge table once PER ITERATION (measured in q130's executed plan:
-    // 5 SortMergeJoins, each with its own Exchange over the checkpointed
-    // RDD). Iterations now shuffle only the two-column rank table, which
-    // is the documented scale contract.
-    val ew = edges.join(deg, "src").barrierByKey("src")
-    val nNodes = deg.count()
+    // ONE materialization of the caller's edge derivation, auto-width pin
+    // (r19). The r18 shape evaluated `edges` twice (degree aggregate +
+    // pinned join) and pinned at the session shuffle width, which at bench
+    // scale made every iteration stage `numShufflePartitions` tasks of
+    // mostly fixed overhead. Now: the edges materialize once inside the
+    // auto-sized barrierByKey (width from TRUE block bytes — scale-adaptive,
+    // clamps to the session width for data-sized graphs), and out-degree is
+    // attached by a count window partitioned on src INSIDE the pin job —
+    // the window's required distribution and ordering are exactly the
+    // pin's repartition+sort, so it streams with zero extra exchange, zero
+    // extra sort, zero extra scan (bit-identical outd to the former join:
+    // rows per src). Iterations re-read the pinned blocks — already
+    // co-partitioned, already sorted — and shuffle only the two-column
+    // rank table, the documented scale contract.
+    val (ew, n) = graft.plans.ScaleLint.barrierByKeySized(edges, "src",
+      (d: DataFrame) => d.withColumn("outd",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("src"))))
+    val w = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // nodes = distinct src over the pin: partial+final aggregate with NO
+    // exchange (the pin's HashPartitioning satisfies the distinct), and it
+    // IS the node table (out-degree ≥ 1 by the symmetrization contract)
+    val nodes = ew.select(col("src")).distinct()
+    val nNodes = nodes.count()
     val base = scale / nNodes
     val teleport = (100 - dampingPct) * base / 100 // exact Long arithmetic
-    var ranks = deg.select(col("src").as("node"))
+    var ranks = nodes.select(col("src").as("node"))
       .withColumn("rank", lit(base))
-    for (_ <- 1 to iters) {
-      ranks = ew.join(ranks, col("src") === col("node"))
+    for (i <- 1 to iters) {
+      // co-partition the (node-sized) rank table with the pin: round i's
+      // rank table comes off a session-width aggregate exchange, and a
+      // width mismatch with the pin makes EnsureRequirements re-shuffle
+      // the EDGE side of the join — the exact re-shuffle the pin exists to
+      // remove. Round 1's init is already pin-partitioned; when the pin
+      // width equals the session width the aggregate exchange already
+      // matches and the extra repartition would be a redundant shuffle.
+      val r = if (i == 1 || n == w) ranks
+        else ranks.repartition(n, col("node"))
+      ranks = ew.join(r, col("src") === col("node"))
         .select(col("dst"), expr("rank div outd").as("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("node"),
@@ -99,15 +115,18 @@ object PageRank {
   def runPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
       scale: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    // same deg-as-node-table reuse as [[run]] (r18): the seed restriction
-    // semi-joins the (pinned, node-sized) degree table instead of
-    // re-distincting the full edge table.
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outd"))
-      .barrier(eager = true)
-    // pinned partitioned+sorted on src, exactly as in [[run]] (r18)
-    val ew = edges.join(deg, "src").barrierByKey("src")
+    // single-materialization auto-width pin with window-attached
+    // out-degree, exactly as in [[run]] (r19)
+    val (ew, n) = graft.plans.ScaleLint.barrierByKeySized(edges, "src",
+      (d: DataFrame) => d.withColumn("outd",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("src"))))
+    val w = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // seed restriction semi-joins the zero-exchange node table derived
+    // from the pin (never re-distincts the base edge derivation)
     val sd = seeds.select(col("node")).distinct()
-      .join(deg.select(col("src").as("node")), Seq("node"), "left_semi")
+      .join(ew.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_semi")
       .barrier(eager = true)
     val nSeeds = sd.count()
     require(nSeeds >= 1, "no seed appears in the graph")
@@ -116,7 +135,9 @@ object PageRank {
     val tele = sd.withColumn("tele", lit(teleport))
     var ranks = sd.withColumn("rank", lit(base))
     for (_ <- 1 to iters) {
-      val walked = ew.join(ranks, col("src") === col("node"))
+      // co-partition the reached-set rank table with the pin (see [[run]])
+      val r = if (n == w) ranks else ranks.repartition(n, col("node"))
+      val walked = ew.join(r, col("src") === col("node"))
         .select(col("dst"), expr("rank div outd").as("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("node"),

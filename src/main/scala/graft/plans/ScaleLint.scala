@@ -129,19 +129,106 @@ object ScaleLint {
     * checkpoint's row copy. Iteration joins keyed on `key` then reuse the
     * blocks with no exchange and no sort; only the (small) per-round state
     * table shuffles. */
-  def barrierByKey(df: DataFrame, key: String): DataFrame = {
+  def barrierByKey(df: DataFrame, key: String): DataFrame =
+    barrierByKey(df, key, identity[DataFrame] _)
+
+  /** AUTO-SIZED [[barrierByKey]] (r19): the r18 form pinned every table at
+    * the session shuffle width, which at bench scale turned each
+    * downstream iteration stage into `numShufflePartitions` tasks of
+    * mostly fixed overhead (q138: 32-task iteration stages of ~7 CPU-s
+    * for a 13 MB table whose r17 AQE-coalesced stages ran 2 tasks — the
+    * driver-measured 2-3× graph-tier regression). AQE cannot size the pin
+    * for us (coalescing merges adjacent hash buckets, which would make
+    * the declared HashPartitioning false), so this does what AQE does but
+    * honestly: materialize the input ONCE as a plain eager barrier (no
+    * shuffle), read the TRUE block bytes from the block manager, and pin
+    * at ceil(bytes / advisoryPartitionSizeInBytes) clamped to
+    * [1, numShufflePartitions] — scale-adaptive by construction (a 100 TB
+    * edge table clamps to the full session width; a bench-scale one pins
+    * to a couple of partitions). The pre-barrier doubles as the single
+    * materialization of the caller's derivation (the r18 PageRank shape
+    * evaluated its edge derivation twice), and its blocks are dropped as
+    * soon as the pinned copy is materialized.
+    *
+    * `shape` runs between the pin's repartition+sort and the checkpoint;
+    * it MUST preserve per-partition row placement and order (e.g. a
+    * window partitioned by `key`, a projection) — the declared layout is
+    * asserted on its output. */
+  def barrierByKey(df: DataFrame, key: String,
+      shape: DataFrame => DataFrame): DataFrame =
+    barrierByKeySized(df, key, shape)._1
+
+  /** Auto-sized pin that also RETURNS the chosen width: iterative callers
+    * need it to co-partition their per-round state table with the pin —
+    * a state-table exchange planned at the session width against a pin of
+    * a different width makes EnsureRequirements re-shuffle the PINNED
+    * (data-sized) side of every round's join, which silently undoes the
+    * pin (measured in q130's r19 first-cut plan: iterations 2..5 each
+    * re-exchanged + re-sorted the edge table). */
+  def barrierByKeySized(df: DataFrame, key: String,
+      shape: DataFrame => DataFrame): (DataFrame, Int) = {
+    val pre = df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => barrier(df, eager = true)
+    }
+    val n = materializedWidth(pre)
+    val out = barrierByKey(pre, key, n, shape)
+    if (pre ne df) dropBarrier(pre)
+    (out, n)
+  }
+
+  /** Pin width from TRUE materialized bytes: the block-manager size of an
+    * eagerly materialized barrier divided by the session's advisory
+    * partition size, clamped to [1, numShufflePartitions]. */
+  def materializedWidth(df: DataFrame): Int = {
+    val sc = df.sparkSession.sparkContext
+    val conf = df.sparkSession.sessionState.conf
+    val bytes = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.headOption
+      .flatMap(id => sc.getRDDStorageInfo.find(_.id == id))
+      .map(i => i.memSize + i.diskSize).getOrElse(0L)
+    val advisory = math.max(1L, conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    math.max(1, math.min(conf.numShufflePartitions,
+      math.ceil(bytes.toDouble / advisory).toInt))
+  }
+
+  /** Release a barrier's blocks once a derived pin has been materialized
+    * (the pre-barrier in auto-sized [[barrierByKey]] is garbage the moment
+    * the pinned copy exists — at scale it would double the edge-table
+    * residency for the whole query). */
+  def dropBarrier(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        barrierBounded.remove(l.rdd.id)
+      case _ => ()
+    }
+
+  def barrierByKey(df: DataFrame, key: String, n: Int): DataFrame =
+    barrierByKey(df, key, n, identity[DataFrame] _)
+
+  /** [[barrierByKey]] with an explicit partition count — callers that know
+    * the table's size class pick `n` instead of the measured width. */
+  def barrierByKey(df: DataFrame, key: String, n: Int,
+      shape: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val b = bounded(df.queryExecution.optimizedPlan)
-    val out = df
+    val out = shape(df
       .repartition(n, org.apache.spark.sql.functions.col(key))
-      .sortWithinPartitions(key)
+      .sortWithinPartitions(key))
       .localCheckpoint(true)
     val pinned = out.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        val attr = l.output.find(_.name == key).getOrElse(
-          throw new IllegalArgumentException(s"barrierByKey: no column $key"))
+        // the name must be UNIQUE: with duplicates this would declare the
+        // layout on an arbitrary attribute and Catalyst would elide real
+        // exchanges — wrong results, not just a slow plan
+        val matches = l.output.filter(_.name == key)
+        require(matches.size == 1,
+          s"barrierByKey: column $key must resolve uniquely, found ${matches.size}")
+        val attr = matches.head
         org.apache.spark.sql.graft.PlanBridge.ofRows(df.sparkSession,
           org.apache.spark.sql.execution.LogicalRDD(
             l.output, l.rdd,

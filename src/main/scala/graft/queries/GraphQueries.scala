@@ -510,24 +510,22 @@ object GraphQueries {
         .withColumn("term",
           round(lit(1.0) / log(col("deg").cast("double")), 9)
             .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
-      val ec = cs.join(deg, Seq("sk"))
-      // Pair generation WITHOUT the two-sided self-join (r18 optimization):
-      // the degree prefilter already bounds every surviving part at ≤ 32
-      // members, so regrouping them into one sorted array per part is a
-      // bounded-buffer aggregate (never a hub-sized collect — hubs were
-      // dropped by the cap BEFORE this regroup, exactly as before), and the
-      // m(m−1)/2 ordered pairs fall out of a nested explode over the
-      // ascending member array. Exact same pair multiset as the
-      // ec ⋈ ec self-join with c1 < c2 — minus one full sort-merge join
-      // (two sorted shuffle sides of ec) the old plan paid to meet pairs.
-      val grouped = ec.groupBy(col("sk"), col("term"))
-        .agg(sort_array(collect_list(col("c"))).as("members"))
-      val pairs = grouped
-        .select(col("term"), col("members"),
-          posexplode(col("members")).as(Seq("i", "c1")))
-        .select(col("term"), col("c1"),
-          explode(slice(col("members"), col("i") + 2,
-            size(col("members")) - col("i") - 1)).as("c2"))
+      // Pair generation as a ONE-SIDED-deg self-join (r19): r18's regroup
+      // (sort_array(collect_list) + posexplode/slice) was measured SLOWER
+      // than the join at bench scale (driver 2.01 → 3.74 s; same-session
+      // A/B regroup 2.9-3.7 vs self-join 2.4-2.5 s) — the array
+      // materialization + two explodes cost more than the sk-keyed join
+      // they replaced. This self-join attaches deg/term to ONE side only
+      // (the r17 form joined the full ec=cs⋈deg on both sides, paying the
+      // deg attach twice); the bounded fan-out argument is the degree cap
+      // itself (≤ 32 members per surviving sk ⇒ ≤ 496 pairs per join key),
+      // identical either way. Same ordered-pair multiset as the oracle's
+      // cs⋈deg⋈cs with a.c < b.c.
+      val pairs = cs.select(col("sk"), col("c").as("c1"))
+        .join(deg, Seq("sk"))
+        .join(cs.select(col("sk").as("sk2"), col("c").as("c2")),
+          col("sk") === col("sk2") && col("c1") < col("c2"))
+        .select(col("term"), col("c1"), col("c2"))
       pairs.groupBy(col("c1"), col("c2"))
         .agg(count(lit(1)).as("n_common"),
           sum(col("term")).cast("double").as("aa_score"))
