@@ -66,6 +66,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // r19 (guide §9 / r18 verdict item 7): let the planner pick shuffled
+      // hash join when its size conditions are met instead of always
+      // preferring sort-merge — adopted after a controlled full-catalog
+      // A/B (calib-normalized geomean 1.11 in favor, no reproducible
+      // per-query regression; the 13 apparent ones collapsed to parity on
+      // a back-to-back targeted rerun — see OPTIMIZATION_r19.md §7).
+      // Scale note: SHJ is chosen only when a build side fits per-task
+      // memory (canBuildLocalHashMapBySize), so this does not license
+      // unbounded builds at 100 TB; SMJ remains the fallback. Env var
+      // restores the old default for A/Bs without recompiling.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")

@@ -166,7 +166,41 @@ object GraphProbe {
     def orderLimit(df: DataFrame): DataFrame =
       df.orderBy(col("rank").desc, col("node")).limit(20)
 
+    // q60/q79 barrier-audit variants (r19, verdict item 6): the r18
+    // barrier pins the FULL media table (payloads included) for branches
+    // that mostly read metadata
+    def q60body(media: DataFrame): DataFrame = {
+      import graft.ext.Multimodal
+      val feats = Multimodal.featurize(Multimodal.resizeMeta(media, 512), dim = 16)
+      val frames = Multimodal.sampleFrames(media, stride = 30)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
+      feats.join(frames, Seq("media_id"), "left")
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          max(size(col("features"))).cast("long").as("feature_dim"),
+          round(avg(aggregate(col("features"), lit(0.0d), (a, x) => a + x)), 4)
+            .as("mean_feature_sum"),
+          sum(coalesce(col("n_sampled"), lit(0L))).as("n_frames_sampled"))
+    }
+    def q79body(media: DataFrame): DataFrame = {
+      import graft.ext.Multimodal
+      val frames = Multimodal.sampleFrames(media, stride = 30)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
+      Multimodal.resizeMeta(media, 512)
+        .join(frames, Seq("media_id"), "left")
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("meta.width")).as("sum_width"),
+          sum(col("meta.height")).as("sum_height"),
+          sum(coalesce(col("n_sampled"), lit(0L))).as("n_frames_sampled"),
+          max(col("meta.n_frames")).as("max_frames"))
+    }
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
+      ("q60_barrier_current", () => q60body(graft.ext.Multimodal.synthesize(spark, 3000L).barrier())),
+      ("q60_nobarrier", () => q60body(graft.ext.Multimodal.synthesize(spark, 3000L))),
+      ("q79_barrier_current", () => q79body(graft.ext.Multimodal.synthesize(spark, 3000L).barrier())),
+      ("q79_nobarrier", () => q79body(graft.ext.Multimodal.synthesize(spark, 3000L))),
       ("q207_now", () => {
         import spark.implicits._
         orderLimit(graft.ext.PageRank.runPersonalized(

@@ -164,7 +164,9 @@ object Dedup {
     pairs
       .join(toksOf.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
       .join(toksOf.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+      // fence (r19): single merge per candidate — see repStructure
+      .select(col("id_a"), col("id_b"), graft.functions.EvalFence.fence(
+        jaccard(col("toks_a"), col("toks_b"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -482,8 +484,10 @@ object Dedup {
       .filter(col("n_a") >= col("n_b") * threshold && col("n_b") >= col("n_a") * threshold)
       .filter(lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) >=
         lit(alpha) * (col("n_a") + col("n_b")) - lit(1e-9))
-      .select(col("rid"), graft.functions.SortedJaccard.sortedJaccard(
-        col("toks_a"), col("toks_b")).as("jaccard"))
+      // fence (r19): single merge per candidate — see repStructure
+      .select(col("rid"), graft.functions.EvalFence.fence(
+        graft.functions.SortedJaccard.sortedJaccard(
+          col("toks_a"), col("toks_b"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("rid")).agg(max(col("jaccard")).as("max_jaccard"))
     clusters.select(col("rid"), explode(col("members")).as("id"))
@@ -575,13 +579,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, salt: Int = 1,
       saltMinPostings: Long = AutoSaltMinPostings): DataFrame = {
-    // materialize the cluster table: unlike the pair query (one lazy plan,
-    // exchange reuse shares the subtree), CC references it from three
-    // SEPARATE jobs (edge checkpoint, node checkpoint, member re-expansion)
-    // — without a checkpoint each job re-runs the collapse groupBy.
+    // the cluster table is materialized inside repStructure (r19: always —
+    // CC additionally references it from three separate jobs, which is why
+    // dedupComponents needed it even before the pair query did)
     val (clusters, repPairs) =
-      repStructure(df, idCol, textCol, threshold, salt, saltMinPostings,
-        materializeClusters = true)
+      repStructure(df, idCol, textCol, threshold, salt, saltMinPostings)
     val repComp = Components.connectedComponents(
       clusters.select(col("rid").as("id")),
       repPairs.select(col("rid_a").as("a"), col("rid_b").as("b")))
@@ -597,8 +599,8 @@ object Dedup {
     * jaccard)). */
   private def repStructure(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, salt: Int, saltMinPostings: Long = 0,
-      materializeClusters: Boolean = false): (DataFrame, DataFrame) = {
+      threshold: Double, salt: Int,
+      saltMinPostings: Long = 0): (DataFrame, DataFrame) = {
     require(salt >= 1, "salt must be >= 1")
     // 1. Collapse IDENTICAL token sets into clusters first (the exact-dedup
     //    composition): all expensive work then runs once per UNIQUE set, and
@@ -610,17 +612,20 @@ object Dedup {
     val docs = df.select(
       col(idCol).as("id"),
       array_sort(array_distinct(split(normalized(col(textCol)), " "))).as("stoks"))
-    // NOTE: the cluster table feeds several plan branches; an explicit
-    // persist() here measured NET-NEGATIVE (caching barrier outweighs the
-    // recompute for a unique-set-sized table; q63 regressed 6.7s→11s while
-    // q30 saved 0.7s) — Catalyst's exchange reuse already shares the
-    // identical self-join subtree, so leave the plan fully lazy.
-    val clustersLazy = docs.groupBy(col("stoks"))
+    // The cluster table feeds several plan branches (vocab postings,
+    // ordered postings, member expansion ×2). r16 measured an explicit
+    // persist() NET-NEGATIVE (q63 6.7s→11s — the cache manager's
+    // normalization + columnar conversion barrier), but r19's warm stage
+    // profile showed the tokenize+collapse map side executing 3× per run
+    // (runtime exchange reuse does not cover all the differently-shaped
+    // consumers), and a localCheckpoint barrier — plain block
+    // materialization, none of persist()'s machinery — measured a win
+    // across the family (see OPTIMIZATION_r19.md §PPJoin).
+    val clusters = docs.groupBy(col("stoks"))
       .agg(collect_list(col("id")).as("members"))
       .withColumn("rid", array_min(col("members")))
       .withColumn("n", size(col("stoks")))
-    val clusters =
-      if (materializeClusters) clustersLazy.barrier(eager = true) else clustersLazy
+      .barrier(eager = true)
     // 2. Map tokens to DENSE INTEGER ids ranked by (document frequency,
     //    token). Each unique set then becomes one ascending long array whose
     //    NUMERIC order IS the canonical rarest-first order: the Jaccard
@@ -750,8 +755,13 @@ object Dedup {
       .filter(col("n_a") >= col("n_b") * threshold && col("n_b") >= col("n_a") * threshold)
       .filter(lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) >=
         lit(alpha) * (col("n_a") + col("n_b")) - lit(1e-9))
+      // fence (r19): without it the optimizer pushes `jaccard >= t` into
+      // the join condition while the projection still emits the score —
+      // the per-pair merge runs TWICE per surviving pair (measured in
+      // plans/r19/q30_jaccard_pairs_before.txt). See EvalFence.
       .select(col("rid_a"), col("rid_b"),
-        graft.functions.SortedJaccard.sortedJaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+        graft.functions.EvalFence.fence(graft.functions.SortedJaccard
+          .sortedJaccard(col("toks_a"), col("toks_b"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("rid_a"), col("rid_b")).agg(min(col("jaccard")).as("jaccard"))
     (clusters, repPairs)

@@ -386,7 +386,16 @@ object Similarity {
 
   /** The one-row sorted candidate array `(key: long, cvec)` a fused
     * [[graft.functions.NearestKey]] scan broadcasts — shared by every
-    * assignment/encode path (r18). */
+    * assignment/encode path (r18).
+    *
+    * EMPTY-CANDIDATE CONTRACT (r19, advisor find): this global aggregate
+    * always emits ONE row (an empty array for an empty centroid table),
+    * so a fused assignment keeps every corpus row with a NULL key, where
+    * the pre-r18 crossJoin(broadcast(centroids)) emitted zero rows. No
+    * catalog caller passes an empty centroid/codebook set (every protocol
+    * derives centroids from the corpus itself); callers that could must
+    * filter null keys after the fused assignment to recover the old
+    * inner-join semantics. */
   private def candsOf(centroids: DataFrame, keyCol: String,
       vecCol: String): DataFrame =
     centroids.agg(sort_array(collect_list(struct(

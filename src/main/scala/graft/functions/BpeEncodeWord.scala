@@ -59,7 +59,15 @@ case class BpeEncodeWord(child: Expression, merges: Seq[(String, String)])
 
 object BpeEncodeWord {
 
-  /** The compiled fold — static so generated code can call it. */
+  /** The compiled fold — static so generated code can call it.
+    *
+    * PRECONDITION (r19, advisor find): splits the word into UTF-16 code
+    * units (`charAt`), while the spec-pinned HOF twin uses
+    * `split(word, "")`, which does NOT split surrogate pairs — a
+    * supplementary character (outside the BMP) would tokenize differently
+    * between the two. Unreachable for every current caller (words are
+    * pre-filtered to `[a-z]+`), but the bit-equality contract holds only
+    * for BMP input; iterate by code point before reusing on raw text. */
   def encode(word: UTF8String, merges: Array[Array[String]]): ArrayData = {
     val s = word.toString
     var syms = new Array[String](s.length)

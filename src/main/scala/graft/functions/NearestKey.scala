@@ -47,6 +47,16 @@ case class NearestKey(left: Expression, right: Expression, metric: String)
 
   private def maximize: Boolean = metric == "cosine"
 
+  // ALWAYS nullable (r19, advisor find): the expression evaluates to null
+  // on NON-NULL inputs too — all scores NaN (zero-norm vector under
+  // cosine) or an empty candidate array. BinaryExpression's default
+  // (left.nullable || right.nullable) would declare non-nullable for
+  // non-nullable inputs, making nullSafeCodeGen emit an assignment to a
+  // false-literal isNull (codegen compile error → interpreted fallback)
+  // and licensing null-unsound optimizer rewrites. ArgExtremum overrides
+  // nullable for exactly this reason.
+  override def nullable: Boolean = true
+
   override def dataType: DataType = StructType(Seq(
     StructField("key", LongType, nullable = false),
     StructField("score", DoubleType, nullable = false)))

@@ -105,10 +105,12 @@ object MedallionQuery {
     "q60_multimodal",
     (s, _) => {
       import graft.ext.Multimodal
-      // barrier (r18): synthesize PNG/WAV-encodes every payload in a
-      // mapPartitions — opaque and expensive — and the media table feeds
-      // several plan branches below; pin it so the codec pass runs once
-      val media = Multimodal.synthesize(s, 3000L).barrier()
+      // NO barrier (r19, reversing r18): q60's only payload consumer is the
+      // single featurize branch — the barrier's payload store/read cost
+      // more than the one extra synthesize it saved (driver 0.50→0.80 s;
+      // same-session A/B 0.58 barrier vs 0.48 without). q147/q148/q189
+      // keep theirs: their branches decode payloads repeatedly.
+      val media = Multimodal.synthesize(s, 3000L)
       val feats = Multimodal.featurize(Multimodal.resizeMeta(media, 512), dim = 16)
       val frames = Multimodal.sampleFrames(media, stride = 30)
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
